@@ -1,0 +1,49 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot / catchup watermark algebra.
+  *
+  * The reference brackets a bulk table copy with two binlog positions and
+  * replays the events in between to reconcile changes that happened during
+  * the copy (reference: engine/CDCEngine.scala:496-606 — low watermark
+  * :510-512, high watermark :533-536, performCatchup :561-606;
+  * docs/SNAPSHOT_CATCHUP.md:16-100). These are NOT event-time watermarks —
+  * they are log positions, so in Spark they become plain predicates over a
+  * bounded batch read, not `withWatermark`.
+  *
+  * The `[low, high)` replay applied over an idempotent upsert absorbs the
+  * duplicate window by construction (reference README.md:524-552) —
+  * property-tested in CdcSemanticsSpec.
+  */
+object Watermark {
+
+  /** Latest log position — the reference's `SHOW BINARY LOG STATUS` probe
+    * (CDCEngineUtils.scala:28-95) becomes a one-row max aggregate.
+    */
+  def latestPosition(changelog: DataFrame): Long =
+    changelog.agg(max(col("pos"))).head.getLong(0)
+
+  /** Bounded catchup slice: events with pos ∈ [low, high).
+    * Reference: takeWhile(compare < 0) (CDCEngineUtils.scala:239-246) —
+    * here a pushable range predicate (shows up in PushedFilters).
+    */
+  def catchupRange(changelog: DataFrame, low: Long, high: Long): DataFrame =
+    changelog.filter(col("pos") >= low && col("pos") < high)
+
+  /** Full snapshot→catchup→state flow over fixtures: snapshot = state at
+    * positions < low (what the bulk copy saw), catchup = replay of
+    * [low, high), result = merged state as of high.
+    */
+  def snapshotThenCatchup(changelog: DataFrame, low: Long, high: Long): DataFrame = {
+    val snapshot = ChangelogApply.materialize(changelog.filter(col("pos") < low))
+    val catchup = catchupRange(changelog, low, high)
+    // Re-merge: union the snapshot rows (as synthetic ops at their original
+    // positions) with the catchup slice and materialize once — equivalent
+    // to upserting the slice over the snapshot, and still one shuffle.
+    ChangelogApply.materialize(snapshot.select(
+      col("tbl"), col("pk"), col("op"), col("ts"), col("pos"), col("value")
+    ).union(catchup))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the harness star schema — the query
+  * capability layer the reference lacks natively (its aggregations are
+  * operational only, SURVEY.md §2.5) but which the rebuilt engine provides
+  * for free by being Spark-first.
+  *
+  * Numeric discipline for oracle parity: aggregate in DECIMAL (exact,
+  * order-independent — safe under any shuffle/partial-agg schedule), then
+  * cast the final value to DOUBLE. Summing raw doubles would make the
+  * result depend on partitioning, which breaks both the DuckDB hash
+  * compare and determinism at 1000 executors.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary. Group-by with partial aggregation —
+    * one shuffle of pre-combined partials; filter pushed to the scan.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top orders by revenue for one market segment.
+    * customer is small relative to lineitem → broadcast it; lineitem is
+    * the probe side and never shuffles for that join.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val o = orders.filter(col("o_orderdate") < cutoff)
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+    // orders is a fact table: the orders⋈lineitem join shuffles on the
+    // orderkey (broadcasting it would not survive a 100× scale-up; AQE may
+    // still elect a broadcast at small SF where the filtered side is tiny).
+    lineitem.filter(col("l_shipdate") > cutoff)
+      .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation. All dimension joins broadcast —
+    * the only shuffle is the final small group-by.
+    */
+  def nationRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    // Only the tiny dims (nation, region) carry broadcast hints; the
+    // customer⋈orders and orders⋈lineitem fact joins are left to the
+    // planner/AQE — they broadcast at small SF and shuffle at 100 TB.
+    val ord = orders.join(dims, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    lineitem
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val nationRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |  JOIN customer ON n_nationkey = c_nationkey
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Tumbling 1-hour event-time window — the analytic window the
+    * reference's micro-batch `groupedWithin` is not (SURVEY.md §2.7).
+    */
+  def hourlyEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val hourlyEventsSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: a new session starts after a >30 min gap per user.
+    * lag + running-sum windows, both keyed by user — one shuffle total
+    * (both windows share the user partitioning).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Top-k users by purchase value (limit/top-k, SURVEY.md §2.6). */
+  def topPurchasers(events: DataFrame, k: Int): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+
+  def topPurchasersSql(k: Int): String =
+    s"""SELECT user_id,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  count(*) AS n_purchases
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT $k""".stripMargin
+
+  /** JSON payload extraction (the reference keeps MySQL JSON as string and
+    * defers parsing, MySQLEventNormalizer.scala:241-242 — here surfaced as
+    * a first-class queryable column).
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_mod")
+
+  val jsonExtractSql: String =
+    """WITH j AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      |SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+}
