@@ -105,7 +105,29 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Analytics.hourlyEvents(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     "events_topk_users" -> ((s, dir) => Analytics.topPurchasers(t(s, dir, "events"), 10)),
-    "events_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events")))
+    "events_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
+
+    // ---- Training-data pipeline: dedup ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.35)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.2)),
+    "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
+
+    // ---- Similarity search ----
+    "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 53, 2)),
+
+    // ---- Text analysis ----
+    "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+
+    // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
+    "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,6 +212,23 @@ object SparkEntry {
     "events_hourly" -> Analytics.hourlyEventsSql,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_topk_users" -> Analytics.topPurchasersSql(10),
-    "events_json_extract" -> Analytics.jsonExtractSql
+    "events_json_extract" -> Analytics.jsonExtractSql,
+
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.35),
+    "dedup_simhash" -> Dedup.simhashPairsSql(3),
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.2),
+    "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
+
+    "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
+    "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 53, 2),
+
+    "text_language_id" -> TextAnalysis.languageIdSql,
+    "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_token_counts" -> TextAnalysis.tokenCountsSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+
+    "mm_features" -> Multimodal.featurizeSql,
+    "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8)
   )
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, matching how a 100 TB corpus is actually served:
+  *
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query set is small and
+  *     broadcast; the corpus side streams through one codegen'd projection
+  *     (zip_with dot product) and a per-query top-k — no corpus shuffle at
+  *     all beyond the final k·|Q| rows. This is the exact baseline every
+  *     ANN variant is recalled against.
+  *   - [[ivfTopK]]: IVF (inverted-file) approximate search. A deterministic
+  *     centroid subset partitions the corpus into cells (assignment =
+  *     nearest centroid, one broadcast join); queries probe only their
+  *     `nprobe` closest cells. At scale the cell assignment is the
+  *     partition key — each probe touches |corpus|/nlist · nprobe vectors
+  *     instead of the whole corpus.
+  *
+  * Cosines are computed in DOUBLE with deterministic fold order and
+  * rounded to 6 dp before ranking; ranking ties break on vec_id — so both
+  * engines produce identical row sets (value-checked against DuckDB's
+  * `list_dot_product`).
+  */
+object Similarity {
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+
+  private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) / (an * bn), 6)
+
+  private def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact cosine top-k: queries = vec_id < nQueries (a deterministic,
+    * oracle-reproducible query set), self-matches excluded.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def bruteForceTopKSql(nQueries: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cosine
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVF approximate top-k. Centroids: every `centroidStep`-th vector
+    * (deterministic "training" so the oracle can reproduce the index).
+    * Each corpus vector is assigned to its nearest centroid (max cosine,
+    * centroid_id tiebreak); each query probes its `nprobe` nearest cells
+    * and ranks only vectors inside them.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
+    val e = prepared(emb)
+    val cent = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // cell assignment: one broadcast join + max_by partial agg — no corpus shuffle
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("ccos"))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      // composite BIGINT order key (cosine already rounded to 6 dp, so
+      // cos*1e6 is integral; cent_id tiebreak) — portable to DuckDB's
+      // scalar-only arg_max
+      // round() before the cast: the double sits ~1e-9 off the integer and
+      // Spark's cast truncates while DuckDB's rounds
+      .agg(max_by(col("cent_id"),
+        round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("qv"), col("qn")).as("qcos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfTopKSql(nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM e, cent GROUP BY vec_id, v, nrm),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT query_id, qv, qn, cent_id AS cell
+       |  FROM (
+       |    SELECT q.query_id, q.qv, q.qn, cent_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY round(list_dot_product(cv, qv) / (cn * qn), 6) DESC, cent_id) AS pr
+       |    FROM q, cent)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cosine
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.functions.{PortableHash, Tokenize}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs), each with a DuckDB
+  * oracle rendering sharing the same constants.
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists per language — the classic n-gram/stopword-hit
+    * heuristic. Deterministic argmax with lexicographic tie-break ('und'
+    * when nothing matches).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "dans")
+  )
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  private def hitCountSql(words: Seq[String]): String =
+    s"len(list_filter(tok, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Predicted language per doc: argmax marker hits; ties → first lang in
+    * lexicographic order (markers is sorted); zero hits → 'und'.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = Tokenize.tokens(col("text"))
+    val withHits = docs.select(
+      (col("doc_id") +: markers.map { case (l, ws) => hitCount(toks, ws).as(s"hits_$l") }): _*)
+    // argmax via greatest + chained when (first match wins = lexicographic tie-break)
+    val best = greatest(markers.map(m => col(s"hits_${m._1}")): _*)
+    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(best > 0 && col(s"hits_$l") === best, l).otherwise(acc)
+    }
+    // foldRight chains when(de)...when(fr): first TRUE branch in markers order wins
+    withHits.select(col("doc_id"), pred.as("pred_lang"), best.cast("int").as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val languageIdSql: String = {
+    val hits = markers.map { case (l, ws) => s"${hitCountSql(ws)} AS hits_$l" }.mkString(", ")
+    val best = s"greatest(${markers.map(m => s"hits_${m._1}").mkString(", ")})"
+    val pred = markers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN best > 0 AND hits_$l = best THEN '$l' ELSE $acc END"
+    }
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |h AS (SELECT doc_id, $hits FROM t),
+       |b AS (SELECT *, $best AS best FROM h)
+       |SELECT doc_id, $pred AS pred_lang, CAST(best AS INTEGER) AS n_hits
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: length/punctuation/stopword heuristics.
+    *   n_tokens, mean token length, stopword ratio (en markers),
+    *   alnum ratio; score = clamped weighted sum, rounded to 4 dp.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = Tokenize.tokens(col("text"))
+    val allStop = markers.flatMap(_._2).distinct.sorted
+    docs.select(col("doc_id"), toks.as("tok"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        round(length(concat_ws("", col("tok"))).cast("double") / greatest(size(col("tok")), lit(1)), 4).as("mean_tok_len"),
+        round(size(filter(col("tok"), t => t.isin(allStop.map(lit(_)): _*))).cast("double") /
+          greatest(size(col("tok")), lit(1)), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("alnum_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0),
+          lit(0.3) * least(col("n_tokens") / 64.0, lit(1.0))
+            + lit(0.3) * col("stopword_ratio") * 4.0
+            + lit(0.4) * col("alnum_ratio")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val allStop = markers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tok) AS BIGINT) AS n_tokens,
+       |    round(CAST(length(list_aggregate(tok, 'string_agg', '')) AS DOUBLE) / greatest(len(tok), 1), 4) AS mean_tok_len,
+       |    round(CAST(len(list_filter(tok, t -> t IN ($allStop))) AS DOUBLE) / greatest(len(tok), 1), 4) AS stopword_ratio,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS alnum_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, alnum_ratio,
+       |  round(least(1.0,
+       |    0.3 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       |    + 0.3 * stopword_ratio * 4.0
+       |    + 0.4 * alnum_ratio), 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (`\w+` words + single non-space symbols) — the standard pre-tokenizer
+    * shape; counts only, portable across engines.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / greatest(col("bpe_tokens"), lit(1L)), 4))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: order-sensitive content hash (md5 of the
+    * normalized token stream) + a 60-bit integer prefix for compact
+    * join keys — duplicate doc_ids share fingerprints.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", Tokenize.tokens(col("text")))).as("fp"))
+      .withColumn("fp64", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' ')) AS fp,
+       |  CAST(concat('0x', substr(md5(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' ')), 1, 15)) AS BIGINT) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
