@@ -88,6 +88,23 @@ object SparkEntry {
 
     "cdc_ddl_classify" -> ((s, _) => DdlClassifier.classifyCorpus(s)),
 
+    // Structured Streaming apply: the events changelog split into 4
+    // files → 4 genuine micro-batches (maxFilesPerTrigger=1) → foreachBatch
+    // incremental LWW state; final state must equal the one-shot batch
+    // materialization (same oracle as cdc_lww_state).
+    "cdc_stream_apply" -> ((s, dir) => {
+      import graft.streaming.StreamingApply
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val chunks = s"$tmp/chunks"
+      t(s, dir, "events")
+        .repartition(4, pmod(col("event_id"), lit(4)))
+        .write.parquet(chunks)
+      val schema = s.read.parquet(chunks).schema
+      StreamingApply.runAvailableNow(s, chunks, schema, Normalizer.normalize,
+        s"$tmp/state", s"$tmp/ckpt")
+      StreamingApply.currentState(s, s"$tmp/state").orderBy("tbl", "pk")
+    }),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -198,6 +215,9 @@ object SparkEntry {
          |FROM d GROUP BY tbl, pk ORDER BY tbl, pk""".stripMargin,
 
     "cdc_ddl_classify" -> DdlClassifier.corpusSql,
+
+    "cdc_stream_apply" ->
+      (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)

@@ -1,0 +1,108 @@
+package graft
+
+import graft.cdc.{ChangelogApply, Watermark}
+import graft.model.ChangeEvent
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.sql.Timestamp
+
+/** CDC correctness laws (SURVEY.md §5.3): replaying a changelog over a
+  * snapshot equals folding the ops directly; apply is idempotent; the
+  * snapshot/catchup window algebra absorbs the duplicate range.
+  *
+  * Property style: ScalaCheck generators sampled with a fixed seed (the
+  * scalatestplus bridge isn't in the offline cache) — deterministic, and
+  * each failure prints the offending sample.
+  */
+class CdcSemanticsSpec extends SparkSpec {
+
+  private def df(events: Seq[ChangeEvent]): DataFrame = {
+    import spark.implicits._
+    events.toDF()
+  }
+
+  /** Deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val genOps: Gen[List[(String, Double)]] = Gen.listOfN(12,
+    Gen.zip(Gen.oneOf("I", "U", "D"), Gen.choose(0.0, 100.0)))
+
+  private val genKeyed: Gen[Map[Long, List[(String, Double)]]] =
+    Gen.mapOfN(4, Gen.zip(Gen.choose(0L, 5L), genOps)).suchThat(_.nonEmpty)
+
+  private def mkEvents(opsPerKey: Map[Long, List[(String, Double)]]): Seq[ChangeEvent] = {
+    var pos = 0L
+    // interleave keys round-robin so per-key order ≠ global order
+    val queues = scala.collection.mutable.Map(
+      opsPerKey.view.mapValues(v => scala.collection.mutable.Queue(v: _*)).toMap.toSeq: _*)
+    val out = Seq.newBuilder[ChangeEvent]
+    while (queues.values.exists(_.nonEmpty)) {
+      for (k <- queues.keys.toSeq.sorted if queues(k).nonEmpty) {
+        val (op, v) = queues(k).dequeue()
+        out += ChangeEvent("t0", k, op, new Timestamp(pos * 1000), pos, v)
+        pos += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Reference semantics: driver-side sequential fold per key. */
+  private def foldState(events: Seq[ChangeEvent]): Map[(String, Long), Double] =
+    events.sortBy(_.pos).foldLeft(Map.empty[(String, Long), Double]) { (st, e) =>
+      e.op match {
+        case "D" => st - ((e.tbl, e.pk))
+        case _ => st + ((e.tbl, e.pk) -> e.value)
+      }
+    }
+
+  test("LWW materialization equals sequential per-key fold (property)") {
+    for (m <- samples(genKeyed, 8) if m.values.exists(_.nonEmpty)) {
+      val events = mkEvents(m)
+      val got = ChangelogApply.materialize(df(events))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+      assert(got == foldState(events), s"events=$events")
+    }
+  }
+
+  test("materialize is idempotent: state(changelog ⊎ changelog) == state(changelog)") {
+    val events = mkEvents(Map(1L -> List(("I", 1.0), ("U", 2.0)), 2L -> List(("I", 5.0), ("D", 0.0))))
+    val once = ChangelogApply.materialize(df(events)).collect().toSet
+    val twice = ChangelogApply.materialize(df(events).unionAll(df(events))).collect().toSet
+    assert(once == twice)
+  }
+
+  test("snapshot+catchup equals direct LWW at the high watermark (property)") {
+    for (m <- samples(genKeyed, 8) if m.values.exists(_.nonEmpty)) {
+      val events = mkEvents(m)
+      val cl = df(events)
+      val maxPos = events.map(_.pos).max + 1
+      for (low <- Seq(0L, maxPos / 3, maxPos)) {
+        val got = Watermark.snapshotThenCatchup(cl, low, maxPos)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+        assert(got == foldState(events), s"low=$low events=$events")
+      }
+    }
+  }
+
+  test("catchup over an overlapping window is absorbed (duplicate replay safe)") {
+    val events = mkEvents(Map(1L -> List(("I", 1.0), ("U", 2.0), ("U", 3.0)), 2L -> List(("I", 9.0))))
+    val cl = df(events)
+    val maxPos = events.map(_.pos).max + 1
+    // replay [0, high) over a snapshot that already saw everything < high
+    val got = Watermark.snapshotThenCatchup(cl, 0L, maxPos).collect().toSet
+    val direct = ChangelogApply.materialize(cl).collect().toSet
+    assert(got == direct)
+  }
+
+  test("delete then re-insert resurrects the key with the new value") {
+    val events = Seq(
+      ChangeEvent("t0", 7L, "I", new Timestamp(0), 0L, 1.0),
+      ChangeEvent("t0", 7L, "D", new Timestamp(1000), 1L, 0.0),
+      ChangeEvent("t0", 7L, "I", new Timestamp(2000), 2L, 42.0))
+    val got = ChangelogApply.materialize(df(events)).collect()
+    assert(got.length == 1 && got(0).getDouble(5) == 42.0)
+  }
+}

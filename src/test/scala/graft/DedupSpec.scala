@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+
+/** Dedup operator laws on a hand-built corpus: identical docs collide on
+  * every signature; disjoint docs don't; thresholds behave.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def corpus(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val a = "the quick brown fox jumps over the lazy dog again and again today"
+  private val aNear = "the quick brown fox jumps over the lazy cat again and again today"
+  private val b = "completely different words about spark shuffles partitions and codegen stages"
+
+  test("exact: identical normalized text groups; canonical is min id") {
+    val got = Dedup.exact(corpus(1L -> a, 2L -> ("  " + a.toUpperCase + " "), 3L -> b)).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_dups") == 2 && got(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash: identical docs have identical signatures, disjoint docs differ") {
+    val sig = Dedup.minhashSignatures(corpus(1L -> a, 2L -> a, 3L -> b))
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("minhash-LSH: identical pair found with est_jaccard 1.0; disjoint pair absent") {
+    val got = Dedup.minhashLsh(corpus(1L -> a, 2L -> a, 3L -> b), 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("near-duplicates (1 token changed) collide in at least one LSH band") {
+    val got = Dedup.minhashLsh(corpus(1L -> a, 2L -> aNear), 0.0).collect()
+    assert(got.length == 1 && got(0).getDouble(2) >= 0.5)
+  }
+
+  test("simhash: identical docs at hamming 0; near docs within a few bits") {
+    val pairs = Dedup.simhashPairs(corpus(1L -> a, 2L -> a, 3L -> aNear, 4L -> b), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 8))
+    assert(!pairs.keys.exists { case (x, y) => y == 4L || x == 4L })
+  }
+
+  test("ngram jaccard: identical docs = 1.0; near docs in (0,1)") {
+    val got = Dedup.ngramJaccard(corpus(1L -> a, 2L -> a, 3L -> aNear), 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    val near = got((1L, 3L))
+    assert(near > 0.0 && near < 1.0)
+  }
+
+  test("embedding near-dup: parallel vectors ~1, orthogonal absent; blocked by label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f), 0), // parallel to 1 → cosine 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 0), // orthogonal
+      (4L, Array(1.0f, 0.0f, 0.0f), 1)  // parallel to 1 but different label → blocked
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.model.ChangeEvent
+import graft.streaming.StreamingApply
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming apply semantics: multi-batch == one-shot batch; replaying a
+  * batch id is idempotent; out-of-order batches converge (E2E test of
+  * SURVEY.md §5.4).
+  */
+class StreamingApplySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(pk: Long, op: String, pos: Long, v: Double) =
+    ChangeEvent("t0", pk, op, new Timestamp(pos * 1000), pos, v)
+
+  private val all = Seq(
+    ev(1, "I", 0, 1.0), ev(2, "I", 1, 2.0), ev(1, "U", 2, 1.5),
+    ev(3, "I", 3, 3.0), ev(2, "D", 4, 0.0), ev(1, "U", 5, 1.9),
+    ev(4, "I", 6, 4.0), ev(4, "D", 7, 0.0), ev(4, "I", 8, 4.4))
+
+  private def stateOf(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+
+  private val expected = Map(1L -> 1.9, 3L -> 3.0, 4L -> 4.4)
+
+  test("MemoryStream micro-batches converge to the batch materialization") {
+    val dir = Files.createTempDirectory("graft_ms").toString
+    val ms = MemoryStream[ChangeEvent](spark, numPartitions = 1)
+    val q = ms.toDF().writeStream
+      .foreachBatch(StreamingApply.applyBatch(s"$dir/state") _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      for (chunk <- all.grouped(3)) { ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    assert(stateOf(StreamingApply.currentState(spark, s"$dir/state")) == expected)
+  }
+
+  test("replaying the same batch id is idempotent") {
+    val dir = Files.createTempDirectory("graft_replay").toString + "/state"
+    val b0 = all.take(5).toDF()
+    val b1 = all.drop(5).toDF()
+    StreamingApply.applyBatch(dir)(b0, 0L)
+    StreamingApply.applyBatch(dir)(b1, 1L)
+    val once = stateOf(StreamingApply.currentState(spark, dir))
+    StreamingApply.applyBatch(dir)(b1, 1L) // crash-replay of batch 1
+    val twice = stateOf(StreamingApply.currentState(spark, dir))
+    assert(once == expected && twice == expected)
+  }
+
+  test("out-of-order batch contents still converge (merge is order-insensitive)") {
+    val dir = Files.createTempDirectory("graft_ooo").toString + "/state"
+    // later positions arrive in the FIRST batch
+    StreamingApply.applyBatch(dir)(all.drop(5).toDF(), 0L)
+    StreamingApply.applyBatch(dir)(all.take(5).toDF(), 1L)
+    assert(stateOf(StreamingApply.currentState(spark, dir)) == expected)
+  }
+
+  test("mergeState keeps tombstones so deletes survive compaction boundaries") {
+    val s1 = StreamingApply.mergeState(Seq.empty[ChangeEvent].toDF(), Seq(ev(9, "I", 0, 1.0)).toDF())
+    val s2 = StreamingApply.mergeState(s1, Seq(ev(9, "D", 1, 0.0)).toDF())
+    // tombstone present in state, dropped from user-facing view
+    assert(s2.collect().length == 1 && s2.collect()(0).getString(2) == "D")
+  }
+}
