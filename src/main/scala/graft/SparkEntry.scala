@@ -88,6 +88,10 @@ object SparkEntry {
 
     "cdc_ddl_classify" -> ((s, _) => DdlClassifier.classifyCorpus(s)),
 
+    "cdc_table_activity" -> ((s, dir) => Metrics.tableActivity(changelog(s, dir))),
+
+    "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
+
     // Structured Streaming apply: the events changelog split into 4
     // files → 4 genuine micro-batches (maxFilesPerTrigger=1) → foreachBatch
     // incremental LWW state; final state must equal the one-shot batch
@@ -215,6 +219,10 @@ object SparkEntry {
          |FROM d GROUP BY tbl, pk ORDER BY tbl, pk""".stripMargin,
 
     "cdc_ddl_classify" -> DdlClassifier.corpusSql,
+
+    "cdc_table_activity" -> Metrics.tableActivitySql(clSql),
+
+    "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
 
     "cdc_stream_apply" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),

@@ -80,6 +80,18 @@ object ChangelogApply {
       )
   }
 
+  /** Envelope-shaped LWW compaction that KEEPS tombstones: one row per
+    * (tbl, pk) with the latest op — the state representation used by the
+    * streaming/engine layers (tombstones must survive so later merges
+    * can't resurrect deleted keys).
+    */
+  def materializeEnvelope(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("tbl"), col("pk"))
+      .agg(max_by(struct(col("op"), col("ts"), col("pos"), col("value")), col("pos")).as("last"))
+      .select(col("tbl"), col("pk"), col("last.op").as("op"), col("last.ts").as("ts"),
+        col("last.pos").as("pos"), col("last.value").as("value"))
+
   /** Like [[materialize]] but keeps Delete rows (needed by the merge). */
   def materializeAll(changelog: DataFrame): DataFrame =
     changelog

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Pipeline observability — the reference's counter/gauge layer
+  * (reference: metrics/CDCMetrics.scala:13-151 — AtomicLong ingest/apply/
+  * error counts, TPS, binlog lag; metrics/EnhancedMetricsCollector.scala:
+  * 83-135 per-table stats) re-expressed with `Dataset.observe`: metrics
+  * ride the job itself (collected by the executors as the data flows, no
+  * second pass, no driver-side counting loop).
+  */
+object Metrics {
+
+  /** Attach CDC throughput counters to a changelog frame. Read the
+    * results from the returned Observation after an action completes —
+    * batch equivalent of a StreamingQueryListener harvest.
+    */
+  def observed(changelog: DataFrame, name: String = "cdc"): (DataFrame, Observation) = {
+    val obs = Observation(name)
+    val df = changelog.observe(obs,
+      count(lit(1)).as("n_events"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+      min(col("pos")).as("min_pos"),
+      max(col("pos")).as("max_pos"),
+      approx_count_distinct(struct(col("tbl"), col("pk"))).as("approx_keys"))
+    (df, obs)
+  }
+
+  /** Per-table activity stats (the /hotset endpoint,
+    * api/CDCManagementAPI.scala:121-203): event counts, op mix and
+    * position span per table — plus replication lag per table measured
+    * against the newest event in the batch (deterministic stand-in for
+    * wall-clock lag, CDCMetrics.scala:78-83).
+    */
+  def tableActivity(changelog: DataFrame): DataFrame = {
+    val maxTs = changelog.agg(max(col("ts")).as("now")).select(col("now"))
+    changelog.crossJoin(broadcast(maxTs))
+      .groupBy(col("tbl"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        count_distinct(col("pk")).as("n_keys"),
+        max(col("pos")).as("max_pos"),
+        (max(col("now")).cast("long") - max(col("ts")).cast("long")).as("lag_seconds"))
+      .orderBy(col("tbl"))
+  }
+
+  def tableActivitySql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |mx AS (SELECT max(ts) AS now FROM cl)
+       |SELECT tbl, count(*) AS n_events,
+       |  sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
+       |  sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
+       |  sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+       |  count(DISTINCT pk) AS n_keys,
+       |  max(pos) AS max_pos,
+       |  CAST(epoch(max(now)) - epoch(max(ts)) AS BIGINT) AS lag_seconds
+       |FROM cl, mx GROUP BY tbl ORDER BY tbl""".stripMargin
+
+  /** PK-range chunking for parallel snapshot reads (reference:
+    * snapshot/SnapshotWorker.scala:240-297 — SELECT MIN/MAX/COUNT then
+    * fixed-width ranges; natively what `read.jdbc(partitionColumn, lower,
+    * upper, numPartitions)` does). Emits per-table chunk boundaries.
+    */
+  def pkChunks(changelog: DataFrame, maxRowsPerChunk: Long): DataFrame = {
+    val stats = changelog.groupBy(col("tbl"))
+      .agg(min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        count_distinct(col("pk")).as("n_rows"))
+      .withColumn("n_chunks",
+        greatest(lit(1L), ceil(col("n_rows").cast("double") / maxRowsPerChunk).cast("long")))
+    stats
+      .select(col("tbl"), col("min_pk"), col("max_pk"), col("n_rows"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("width", ceil((col("max_pk") - col("min_pk") + 1).cast("double") / col("n_chunks")).cast("long"))
+      .select(col("tbl"), col("chunk_id"),
+        (col("min_pk") + col("chunk_id") * col("width")).as("chunk_lo"),
+        least(col("min_pk") + (col("chunk_id") + 1) * col("width"), col("max_pk") + 1).as("chunk_hi"),
+        col("n_rows"), col("n_chunks"))
+      .orderBy(col("tbl"), col("chunk_id"))
+  }
+
+  def pkChunksSql(clCte: String, maxRowsPerChunk: Long): String =
+    s"""WITH cl AS ($clCte),
+       |stats AS (
+       |  SELECT tbl, min(pk) AS min_pk, max(pk) AS max_pk,
+       |         count(DISTINCT pk) AS n_rows,
+       |         greatest(1, CAST(ceil(CAST(count(DISTINCT pk) AS DOUBLE) / $maxRowsPerChunk) AS BIGINT)) AS n_chunks
+       |  FROM cl GROUP BY tbl),
+       |chunks AS (
+       |  SELECT s.*, unnest(range(0, n_chunks)) AS chunk_id,
+       |         CAST(ceil(CAST(max_pk - min_pk + 1 AS DOUBLE) / n_chunks) AS BIGINT) AS width
+       |  FROM stats s)
+       |SELECT tbl, chunk_id,
+       |       min_pk + chunk_id * width AS chunk_lo,
+       |       least(min_pk + (chunk_id + 1) * width, max_pk + 1) AS chunk_hi,
+       |       n_rows, n_chunks
+       |FROM chunks ORDER BY tbl, chunk_id""".stripMargin
+}

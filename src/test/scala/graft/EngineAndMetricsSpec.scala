@@ -1,0 +1,68 @@
+package graft
+
+import graft.cdc.{ChangelogApply, Engine, Normalizer}
+import graft.model.ChangeEvent
+import graft.ops.Metrics
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** E2E lifecycle (INIT→SNAPSHOT→CATCHUP→STREAMING over real parquet
+  * micro-batches) + observe-based metrics.
+  */
+class EngineAndMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(tbl: String, pk: Long, op: String, pos: Long, v: Double) =
+    ChangeEvent(tbl, pk, op, new Timestamp(pos * 1000), pos, v)
+
+  private val events = Seq(
+    ev("t0", 1, "I", 0, 1.0), ev("t0", 2, "I", 1, 2.0), ev("t1", 1, "I", 2, 10.0),
+    ev("t0", 1, "U", 3, 1.5), ev("t0", 2, "D", 4, 0.0), ev("t1", 1, "U", 5, 11.0),
+    ev("t0", 3, "I", 6, 3.0), ev("t0", 1, "U", 7, 1.9), ev("t1", 2, "I", 8, 20.0))
+
+  test("lifecycle: snapshot + catchup + streaming equals one-shot batch LWW") {
+    val dir = Files.createTempDirectory("graft_engine").toString
+    // changelog arrives as 3 files → 3 streaming micro-batches
+    events.toDF().repartition(3, pmod(col("pos"), lit(3)))
+      .write.parquet(s"$dir/changelog")
+    val result = Engine.run(spark, s"$dir/changelog", identity,
+      low = 3L, high = 6L, workDir = s"$dir/work")
+    val got = Engine.currentState(spark, result)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val direct = ChangelogApply.materialize(events.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got == direct)
+  }
+
+  test("phase transitions are validated") {
+    assert(Engine.validTransition(Engine.Init, Engine.Snapshot))
+    assert(Engine.validTransition(Engine.Snapshot, Engine.Catchup))
+    assert(Engine.validTransition(Engine.Catchup, Engine.Streaming))
+    assert(!Engine.validTransition(Engine.Snapshot, Engine.Streaming))
+    assert(!Engine.validTransition(Engine.Streaming, Engine.Snapshot))
+  }
+
+  test("observe-based counters ride the job (no second pass)") {
+    val (df, obs) = Metrics.observed(events.toDF())
+    df.write.mode("overwrite").parquet(
+      Files.createTempDirectory("graft_obs").toString + "/out")
+    val m = obs.get
+    assert(m("n_events") == 9L)
+    assert(m("n_inserts") == 5L && m("n_updates") == 3L && m("n_deletes") == 1L)
+    assert(m("min_pos") == 0L && m("max_pos") == 8L)
+  }
+
+  test("pk chunking covers every key exactly once") {
+    val chunks = Metrics.pkChunks(events.toDF(), 2L).collect()
+    for (t <- Seq("t0", "t1")) {
+      val tc = chunks.filter(_.getString(0) == t)
+      val keys = events.filter(_.tbl == t).map(_.pk).distinct
+      for (k <- keys)
+        assert(tc.count(c => k >= c.getAs[Long]("chunk_lo") && k < c.getAs[Long]("chunk_hi")) == 1,
+          s"key $k of $t")
+    }
+  }
+}
