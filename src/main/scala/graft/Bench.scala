@@ -11,15 +11,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    // JVM/codegen warmup at the smallest SF so per-query numbers measure
+    // the plan, not first-query JIT + classloading (~15s otherwise lands
+    // on whichever query happens to run first).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache() // drop persists leaked by warmup queries
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -130,9 +130,12 @@ object SparkEntry {
 
     // ---- Training-data pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), 0.35)),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), 3)),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), 0.2)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.nearDupCorpus(t(s, dir, "documents")), 3)),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
 
     // ---- Similarity search ----
@@ -243,9 +246,9 @@ object SparkEntry {
     "events_json_extract" -> Analytics.jsonExtractSql,
 
     "dedup_exact" -> Dedup.exactSql,
-    "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.35),
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
-    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.2),
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),

@@ -34,9 +34,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  import PortableHash.{P, minhashPerms}
+  import PortableHash.minhashPerms
 
-  private val docTokens = "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+  /** Near-dup features are distinct 3-token SHINGLES, not unigrams: token
+    * sets from a small vocabulary make every doc look like every other
+    * doc (the fixture's 31-word vocabulary gives unigram Jaccard ≈ 1
+    * between random docs — LSH candidates explode quadratically), while
+    * shingles live in vocab³ space and only collide on genuinely shared
+    * phrasing. This is the standard shingle→minhash→band→bucket design.
+    */
+  private def docFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text"))))).as("feat"))
+
+  /** SQL CTEs `tok`(doc_id, tok list) → `feat`(doc_id, feat) over a
+    * corpus CTE named `corpus`.
+    */
+  private val featSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tok
+       |  FROM corpus),
+       |feat AS (
+       |  SELECT DISTINCT doc_id, unnest(${Tokenize.shingles3Sql("tok")}) AS feat FROM tok)""".stripMargin
+
+  /** Corpus with planted near-duplicates: each doc re-appears under a
+    * shifted id with three appended tokens (shingle Jaccard ≈ n/(n+3) ≈
+    * 0.95 for fixture-sized docs) — ground truth the LSH pipeline must
+    * recover, reproducible verbatim in the oracle.
+    */
+  def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select(col("doc_id") + 1000000L,
+        concat(col("text"), lit(" zz qq zz"))))
+
+  val nearDupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz qq zz' FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- exact
 
@@ -75,26 +109,27 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Per-document 16-permutation MinHash signature (columns s0..s15). */
+  /** Per-document 16-permutation MinHash signature (columns s0..s15)
+    * over shingle features: 16 `min` partial aggregates on one explode —
+    * map-side combined, one shuffle on doc_id, no window/sort.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val th = docs
-      .select(col("doc_id"), explode(Tokenize.distinctTokens(col("text"))).as("token"))
-      .select(col("doc_id"), PortableHash.tokenHash(col("token")).as("h"))
+    val th = docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min(PortableHash.minhashPerm(col("h"), a, b)).as(s"s$i")
     }
     th.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Signature CTE body for the oracles (named `sig`). */
+  /** Signature CTE body for the oracles (named `sig`, over `corpus`). */
   private val sigSql: String = {
     val mins = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(${PortableHash.minhashPermSql("h", a, b)}) AS s$i"
     }.mkString(", ")
-    s"""tok AS (
-       |  SELECT doc_id, unnest($docTokens) AS token FROM documents),
+    s"""$featSql,
        |th AS (
-       |  SELECT doc_id, ${PortableHash.tokenHashSql("token")} AS h FROM tok),
+       |  SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
        |sig AS (
        |  SELECT doc_id, $mins FROM th GROUP BY doc_id)""".stripMargin
   }
@@ -104,12 +139,19 @@ object Dedup {
 
   /** LSH band rows: (doc_id, band, bh) — md5 over the band's signature
     * slice. Same-bucket docs are near-dup candidates.
+    *
+    * One `posexplode` over an array of the band hashes, NOT a 4-way
+    * union of selects: a union re-evaluates the whole signature subtree
+    * once per band (and the candidate self-join doubles that again) —
+    * the single-pass explode computes signatures once per side.
     */
-  def lshBands(sig: DataFrame): DataFrame =
-    (0 until nBands).map { b =>
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandArr = array((0 until nBands).map { b =>
       val slice = (0 until rowsPerBand).map(j => col(s"s${rowsPerBand * b + j}").cast("string"))
-      sig.select(col("doc_id"), lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bh"))
-    }.reduce(_ unionAll _)
+      md5(concat_ws(",", slice: _*))
+    }: _*)
+    sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+  }
 
   private val bandsSql: String = {
     val rows = (0 until nBands).map { b =>
@@ -138,9 +180,14 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs with estimated Jaccard ≥ threshold.
     * est_jaccard = fraction of the 16 signature slots that agree.
+    *
+    * The signature frame is persisted: it is consumed three times (both
+    * sides of the bucket self-join + twice in the verify join) and is
+    * tiny relative to the corpus — caching it turns ~8 corpus scans into
+    * one (same reason Spark ML's MinHashLSH caches its transformed side).
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs)
+    val sig = minhashSignatures(docs).persist()
     val eq = (0 until 16).map(i =>
       when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
     lshCandidates(sig).as("c")
@@ -153,7 +200,8 @@ object Dedup {
 
   def minhashLshSql(threshold: Double): String = {
     val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $sigSql,
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
        |$bandsSql,
        |$candSql
        |SELECT c.doc_a, c.doc_b, ($eq) / 16.0 AS est_jaccard
@@ -168,12 +216,11 @@ object Dedup {
   private val simBits = 32
 
   /** 32-bit SimHash per document: bit b set iff the sum over distinct
-    * tokens of ±1 (sign of token-hash bit b) is positive.
+    * shingle features of ±1 (sign of feature-hash bit b) is positive.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val th = docs
-      .select(col("doc_id"), explode(Tokenize.distinctTokens(col("text"))).as("token"))
-      .select(col("doc_id"), PortableHash.tokenHash(col("token")).as("h"))
+    val th = docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
     val bitSums = (0 until simBits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"bs$b"))
     val packed = (0 until simBits).map(b =>
@@ -186,10 +233,9 @@ object Dedup {
   private val simhashSqlCte: String = {
     val sums = (0 until simBits).map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS bs$b").mkString(", ")
     val packed = (0 until simBits).map(b => s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""tok AS (
-       |  SELECT doc_id, unnest($docTokens) AS token FROM documents),
+    s"""$featSql,
        |th AS (
-       |  SELECT doc_id, ${PortableHash.tokenHashSql("token")} AS h FROM tok),
+       |  SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
        |bsum AS (
        |  SELECT doc_id, $sums FROM th GROUP BY doc_id),
        |sh AS (
@@ -201,11 +247,10 @@ object Dedup {
     * so blocking loses nothing — pigeonhole over 4 bands).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
-    val banded = (0 until 4).map { i =>
-      sh.select(col("doc_id"), col("simhash"), lit(i).as("band"),
-        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L)).as("bv"))
-    }.reduce(_ unionAll _)
+    val sh = simhash(docs).persist()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -222,7 +267,8 @@ object Dedup {
   def simhashPairsSql(maxHamming: Int): String = {
     val bandRows = (0 until 4).map(i =>
       s"SELECT doc_id, simhash, $i AS band, (simhash >> ${8 * i}) & 255 AS bv FROM sh").mkString("\n  UNION ALL\n")
-    s"""WITH $simhashSqlCte,
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$simhashSqlCte,
        |banded AS (
        |$bandRows),
        |pairs AS (
@@ -242,11 +288,8 @@ object Dedup {
     * set-intersection work). Pairs sharing zero shingles drop out.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(docs))
-    val shingle = docs
-      .select(col("doc_id"),
-        explode(Tokenize.shingles3(Tokenize.tokens(col("text")))).as("sh"))
-      .distinct()
+    val cand = lshCandidates(minhashSignatures(docs).persist())
+    val shingle = docFeatures(docs).withColumnRenamed("feat", "sh").persist()
     val sizes = shingle.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shingle.as("x"), col("doc_a") === col("x.doc_id"))
@@ -262,13 +305,11 @@ object Dedup {
   }
 
   def ngramJaccardSql(threshold: Double): String = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
-    s"""WITH $sigSql,
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
        |$bandsSql,
        |$candSql,
-       |doctok AS (SELECT doc_id, $toks AS tok FROM documents),
-       |shingle AS (
-       |  SELECT DISTINCT doc_id, unnest(${Tokenize.shingles3Sql("tok")}) AS sh FROM doctok),
+       |shingle AS (SELECT doc_id, feat AS sh FROM feat),
        |sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter

@@ -59,7 +59,7 @@ object Metrics {
        |  sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
        |  count(DISTINCT pk) AS n_keys,
        |  max(pos) AS max_pos,
-       |  CAST(epoch(max(now)) - epoch(max(ts)) AS BIGINT) AS lag_seconds
+       |  CAST(floor(epoch(max(now))) AS BIGINT) - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds
        |FROM cl, mx GROUP BY tbl ORDER BY tbl""".stripMargin
 
   /** PK-range chunking for parallel snapshot reads (reference:

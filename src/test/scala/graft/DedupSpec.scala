@@ -13,8 +13,10 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  private val a = "the quick brown fox jumps over the lazy dog again and again today"
-  private val aNear = "the quick brown fox jumps over the lazy cat again and again today"
+  // fixture-sized docs: shingle-LSH needs enough shingles that a small
+  // edit keeps Jaccard high (3 appended tokens on ~60 → J ≈ 0.95)
+  private val a = Seq.tabulate(60)(i => s"tok${i % 37} word$i").mkString(" ")
+  private val aNear = a + " zz qq zz"
   private val b = "completely different words about spark shuffles partitions and codegen stages"
 
   test("exact: identical normalized text groups; canonical is min id") {
@@ -35,7 +37,7 @@ class DedupSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == Seq((1L, 2L, 1.0)))
   }
 
-  test("near-duplicates (1 token changed) collide in at least one LSH band") {
+  test("near-duplicates (appended tokens) collide in at least one LSH band") {
     val got = Dedup.minhashLsh(corpus(1L -> a, 2L -> aNear), 0.0).collect()
     assert(got.length == 1 && got(0).getDouble(2) >= 0.5)
   }
@@ -53,7 +55,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got((1L, 2L)) == 1.0)
     val near = got((1L, 3L))
-    assert(near > 0.0 && near < 1.0)
+    assert(near > 0.8 && near < 1.0) // 118 shared / 121 union ≈ 0.975
   }
 
   test("embedding near-dup: parallel vectors ~1, orthogonal absent; blocked by label") {
