@@ -335,15 +335,15 @@ object Dedup {
     * to 6 dp BEFORE thresholding so both engines agree at the boundary.
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(
-          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-            / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+        round(dotD(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -27,15 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+  import graft.functions.VectorFunctions.dotD
+
+  private def norm(v: Column): Column = sqrt(dotD(v, v))
 
   private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x) / (an * bn), 6)
+    round(dotD(a, b) / (an * bn), 6)
 
-  private def prepared(emb: DataFrame): DataFrame =
+  private def prepared(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Exact cosine top-k: queries = vec_id < nQueries (a deterministic,
     * oracle-reproducible query set), self-matches excluded.

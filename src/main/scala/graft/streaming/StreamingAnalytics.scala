@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the event stream — the windowed /
+  * stateful layer the reference lacks entirely (its only "window" is the
+  * processing-time micro-batch, reference CDCStreamPipeline.scala:99;
+  * SURVEY.md §2.7 "analytic windows available for free if added").
+  *
+  * Two canonical shapes:
+  *   - [[windowedCounts]]: tumbling event-time windows with a watermark —
+  *     late events beyond the watermark are dropped, state for closed
+  *     windows is reclaimed (bounded state at 100 TB/day stream rates).
+  *   - [[sessionize]]: gap-based sessions via `flatMapGroupsWithState` —
+  *     explicit keyed state with event-time timeout, the Spark
+  *     counterpart of a per-key session actor.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling 1-hour event-time windows per event type with a 2-hour
+    * watermark. Append mode: a window emits exactly once, when the
+    * watermark passes its end.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Gap-based sessionization: a session closes when no event arrives
+    * within `gapMs` of event time (watermark-driven timeout). Emits one
+    * row per closed session.
+    */
+  def sessionize(events: Dataset[SessionInput], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) => // gap exceeded inside the batch: close + restart
+                  closed ::= SessionOut(user, s.start, s.last, s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

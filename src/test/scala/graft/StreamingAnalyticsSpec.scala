@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamingAnalytics
+import graft.streaming.StreamingAnalytics.{SessionInput, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+/** Event-time semantics through real streaming micro-batches: watermark
+  * drops late data; sessions close on gap/timeout.
+  */
+class StreamingAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("watermarked tumbling windows emit once closed and drop late events") {
+    val ms = MemoryStream[(Timestamp, String, Double)](spark, numPartitions = 1)
+    val q = StreamingAnalytics.windowedCounts(
+      ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // hour 0 events
+      ms.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0 + 2h watermark: event at minute 200
+      ms.addData((ts(200), "click", 5.0))
+      q.processAllAvailable()
+      // hour-0 window now closed; this late event must be DROPPED
+      ms.addData((ts(30), "click", 100.0))
+      q.processAllAvailable()
+      // push watermark further so nothing else interferes
+      ms.addData((ts(400), "other", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("hour", "event_type", "n_events", "sum_value").collect()
+      val hour0 = rows.filter(r => r.getTimestamp(0).getTime == 0L)
+      assert(hour0.length == 1)
+      assert(hour0(0).getLong(2) == 2L && hour0(0).getDouble(3) == 3.0) // late 100.0 absent
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes on in-batch gap and on event-time timeout") {
+    val ms = MemoryStream[SessionInput](spark, numPartitions = 1)
+    val q = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 10 * 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min gap → new
+      // session. Times start at minute 60: a row whose event time equals
+      // the initial watermark (0) is dropped by the late-row filter.
+      ms.addData(
+        SessionInput(1L, ts(60), "a"), SessionInput(1L, ts(65), "a"),
+        SessionInput(1L, ts(95), "a"))
+      q.processAllAvailable()
+      // advance watermark way past session 2's timeout (35 + 10 min)
+      ms.addData(SessionInput(2L, ts(300), "b"))
+      q.processAllAvailable()
+      ms.addData(SessionInput(2L, ts(600), "b"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_ms)
+      assert(sessions.length == 2)
+      assert(sessions(0).start_ms == ts(60).getTime && sessions(0).end_ms == ts(65).getTime
+        && sessions(0).n_events == 2)
+      assert(sessions(1).start_ms == ts(95).getTime && sessions(1).n_events == 1)
+    } finally q.stop()
+  }
+}
