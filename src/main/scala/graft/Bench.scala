@@ -30,7 +30,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Headline throughput vs the reference's 10^4-10^5 events/s design
+    // target (BASELINE.md): full changelog apply (normalize -> route ->
+    // LWW merge) measured end-to-end.
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val t0 = System.nanoTime()
+    SparkEntry.queries("cdc_lww_state")(spark, sfDir).count()
+    val applySec = (System.nanoTime() - t0) / 1e9
+    val eps = (nEvents / applySec).round
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"apply_events_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
