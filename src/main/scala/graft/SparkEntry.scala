@@ -127,6 +127,11 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     "events_topk_users" -> ((s, dir) => Analytics.topPurchasers(t(s, dir, "events"), 10)),
     "events_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
+    "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(t(s, dir, "lineitem"))),
+    "q4_order_priority" -> ((s, dir) =>
+      Analytics.orderPriorityCheck(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    "q_rollup_revenue" -> ((s, dir) => Analytics.rollupRevenue(t(s, dir, "lineitem"))),
+    "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
 
     // ---- Training-data pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
@@ -244,6 +249,10 @@ object SparkEntry {
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_topk_users" -> Analytics.topPurchasersSql(10),
     "events_json_extract" -> Analytics.jsonExtractSql,
+    "q6_forecast_revenue" -> Analytics.forecastRevenueSql,
+    "q4_order_priority" -> Analytics.orderPriorityCheckSql,
+    "q_rollup_revenue" -> Analytics.rollupRevenueSql,
+    "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
 
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),

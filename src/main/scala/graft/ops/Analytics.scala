@@ -189,4 +189,87 @@ object Analytics {
     """WITH j AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
       |SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q6-style: pure filter + agg — the pushdown showcase (all three
+    * predicates reach the parquet scan as PushedFilters; only 4 columns
+    * read).
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val forecastRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q4-style: EXISTS → left-semi join (SURVEY.md §2.6 set ops). */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") > 45).select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP hierarchy totals: returnflag → linestatus with subtotals and
+    * a grand total (multi-level aggregation in one pass).
+    */
+  def rollupRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n_lines"))
+      .orderBy("returnflag", "linestatus")
+
+  val rollupRevenueSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Top-3 events per user by value (top-N per group via ranked window —
+    * the per-key limit SURVEY.md §2.6 maps from `takeRight`).
+    */
+  def topEventsPerUser(events: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  def topEventsPerUserSql(n: Int): String =
+    s"""SELECT user_id, event_id, value, rank FROM (
+       |  SELECT user_id, event_id, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+       |  FROM events WHERE user_id < 20)
+       |WHERE rank <= $n ORDER BY user_id, rank""".stripMargin
 }
