@@ -90,6 +90,17 @@ object SparkEntry {
 
     "cdc_table_activity" -> ((s, dir) => Metrics.tableActivity(changelog(s, dir))),
 
+    // Time-travel: state of 10 keys at three historical positions
+    "cdc_asof_lookup" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val maxPos = Watermark.latestPosition(cl)
+      val probes = s.range(10).select(
+        concat(lit("t"), (col("id") % 4).cast("string")).as("tbl"),
+        col("id").as("pk"),
+        explode(array(lit(maxPos / 4), lit(maxPos / 2), lit(3 * maxPos / 4))).as("asof_pos"))
+      ChangelogApply.asOfLookup(cl, probes)
+    }),
+
     "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
 
     // Structured Streaming apply: the events changelog split into 4
@@ -229,6 +240,11 @@ object SparkEntry {
     "cdc_ddl_classify" -> DdlClassifier.corpusSql,
 
     "cdc_table_activity" -> Metrics.tableActivitySql(clSql),
+
+    "cdc_asof_lookup" -> ChangelogApply.asOfLookupSql(clSql,
+      """SELECT 't' || CAST(i % 4 AS VARCHAR) AS tbl, i AS pk,
+        |       unnest([m.mp // 4, m.mp // 2, 3 * m.mp // 4]) AS asof_pos
+        |FROM range(10) t(i), (SELECT max(pos) AS mp FROM cl) m""".stripMargin),
 
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
 

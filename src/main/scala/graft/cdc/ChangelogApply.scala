@@ -100,6 +100,45 @@ object ChangelogApply {
       .select(col("pk"), col("last.op").as("op"), col("last.pos").as("pos"),
         col("last.value").as("value"))
 
+  /** Point-in-time (as-of) lookup: for each (tbl, pk, asof_pos) probe,
+    * the row state as of that log position — time-travel reads over the
+    * changelog, the query shape a CDC-fed lakehouse serves constantly.
+    *
+    * One equi-join on (tbl, pk) with a range predicate `pos <= asof_pos`,
+    * then a per-probe LWW max_by. The probe side is small and broadcast;
+    * the changelog never shuffles. Probes for keys with no history at
+    * that position report absent (op 'X').
+    */
+  def asOfLookup(changelog: DataFrame, probes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    broadcast(probes.select(col("tbl").as("p_tbl"), col("pk").as("p_pk"), col("asof_pos")))
+      .join(changelog,
+        col("p_tbl") === col("tbl") && col("p_pk") === col("pk") &&
+          col("pos") <= col("asof_pos"), "left_outer")
+      .groupBy(col("p_tbl"), col("p_pk"), col("asof_pos"))
+      .agg(max_by(struct(col("op"), col("value")), col("pos")).as("last"))
+      .select(col("p_tbl").as("tbl"), col("p_pk").as("pk"), col("asof_pos"),
+        coalesce(col("last.op"), lit("X")).as("op"),
+        when(col("last.op").isNotNull && col("last.op") =!= "D", col("last.value")).as("value"))
+      .orderBy("tbl", "pk", "asof_pos")
+  }
+
+  /** Oracle SQL: probes CTE must be named `probes`. */
+  def asOfLookupSql(clCte: String, probesCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |probes AS ($probesCte),
+       |joined AS (
+       |  SELECT p.tbl AS p_tbl, p.pk AS p_pk, p.asof_pos, cl.op, cl.value, cl.pos
+       |  FROM probes p LEFT JOIN cl
+       |    ON p.tbl = cl.tbl AND p.pk = cl.pk AND cl.pos <= p.asof_pos),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY p_tbl, p_pk, asof_pos ORDER BY pos DESC NULLS LAST) AS rn
+       |  FROM joined)
+       |SELECT p_tbl AS tbl, p_pk AS pk, asof_pos,
+       |       coalesce(op, 'X') AS op,
+       |       CASE WHEN op IS NOT NULL AND op <> 'D' THEN value END AS value
+       |FROM ranked WHERE rn = 1 ORDER BY tbl, pk, asof_pos""".stripMargin
+
   /** Per-pk changed-value diff for update auditing: compares each event's
     * value to the previous event on the same key (reference computes the
     * changed-field set per UPDATE, worker/DefaultApplyWorker.scala:143-163).
