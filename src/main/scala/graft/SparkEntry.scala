@@ -37,6 +37,23 @@ object SparkEntry {
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Normalizer.normalize(t(s, dir, "events"))
 
+  /** Static fixture schema registry (parquet footers are the runtime
+    * source of truth — Catalog.discoverTables; this copy exists so the
+    * DuckDB oracle can assert the same discovery). `embeddings` is
+    * excluded by the discovery query's table filter.
+    */
+  private val fixtureSchemas: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"))
+
   /** Changelog CTE shared by every CDC oracle. */
   private val clSql = Normalizer.normalizeSql
 
@@ -89,6 +106,10 @@ object SparkEntry {
     "cdc_ddl_classify" -> ((s, _) => DdlClassifier.classifyCorpus(s)),
 
     "cdc_table_activity" -> ((s, dir) => Metrics.tableActivity(changelog(s, dir))),
+
+    // S6 discovery: catalog scan of the lake dir through the table filter
+    "cdc_catalog_discovery" -> ((s, dir) =>
+      Catalog.discovered(s, dir, TableFilter(include = Nil, exclude = Seq("embeddings")))),
 
     // Time-travel: state of 10 keys at three historical positions
     "cdc_asof_lookup" -> ((s, dir) => {
@@ -240,6 +261,8 @@ object SparkEntry {
     "cdc_ddl_classify" -> DdlClassifier.corpusSql,
 
     "cdc_table_activity" -> Metrics.tableActivitySql(clSql),
+
+    "cdc_catalog_discovery" -> Catalog.discoveredSql(fixtureSchemas),
 
     "cdc_asof_lookup" -> ChangelogApply.asOfLookupSql(clSql,
       """SELECT 't' || CAST(i % 4 AS VARCHAR) AS tbl, i AS pk,
