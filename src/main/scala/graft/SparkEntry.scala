@@ -184,6 +184,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+    "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
+    "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
 
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
@@ -306,6 +308,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
+    "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8)

@@ -123,6 +123,59 @@ object TextAnalysis {
        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top term per document: tf = term count in doc, idf =
+    * ln(N / df). One explode + two aggregations + a broadcast join of
+    * the (tiny) term-df table; score rounded to 6 dp before ranking so
+    * libm/JVM ln ulp differences can't flip ranks between engines.
+    */
+  def tfidfTopTerms(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Tokenize.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+       |  FROM scored)
+       |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash sampling: the reproducible (cross-engine,
+    * cross-run) alternative to `sample()` for pipeline debugging at
+    * scale — keep a doc iff md5-hash(doc_id) mod k == 0.
+    */
+  def hashSample(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(PortableHash.tokenHash(col("doc_id").cast("string")) % k === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def hashSampleSql(k: Int): String =
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE ${PortableHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} % $k = 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprints: order-sensitive content hash (md5 of the
     * normalized token stream) + a 60-bit integer prefix for compact
     * join keys — duplicate doc_ids share fingerprints.
