@@ -31,6 +31,26 @@ object StreamingAnalytics {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each fingerprint wins,
+    * duplicates arriving later (within the watermark horizon) are
+    * dropped, and fingerprint state older than the watermark is
+    * reclaimed — the streaming member of the [[graft.ops.Dedup]] family
+    * (bounded state; an unbounded `dropDuplicates` would OOM a 100 TB/day
+    * stream).
+    */
+  def streamingDedup(docs: DataFrame, fingerprintCol: String): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(fingerprintCol, "ts")
+
+  /** Variant keyed on fingerprint ONLY (ts participates just in state
+    * expiry via dropDuplicatesWithinWatermark).
+    */
+  def streamingDedupWithinWatermark(docs: DataFrame, fingerprintCol: String): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

@@ -37,6 +37,25 @@ class EngineAndMetricsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("re-running the engine over the same changelog is idempotent (crash-restart)") {
+    val dir = Files.createTempDirectory("graft_engine2").toString
+    events.toDF().repartition(3, pmod(col("pos"), lit(3)))
+      .write.parquet(s"$dir/changelog")
+    def runOnce(): Map[(String, Long), Double] = {
+      val r = Engine.run(spark, s"$dir/changelog", identity,
+        low = 3L, high = 6L, workDir = s"$dir/work")
+      Engine.currentState(spark, r)
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(5)).toMap
+    }
+    val first = runOnce()
+    // second run reuses the same workDir: snapshot/catchup overwrite, the
+    // streaming phase replays from its checkpoint (no new files → no-op)
+    val second = runOnce()
+    assert(first == second)
+    assert(first == ChangelogApply.materialize(events.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap)
+  }
+
   test("phase transitions are validated") {
     assert(Engine.validTransition(Engine.Init, Engine.Snapshot))
     assert(Engine.validTransition(Engine.Snapshot, Engine.Catchup))

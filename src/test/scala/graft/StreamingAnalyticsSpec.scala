@@ -44,6 +44,25 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated fingerprints across micro-batches") {
+    val ms = MemoryStream[(Timestamp, String, Long)](spark, numPartitions = 1)
+    val q = graft.streaming.StreamingAnalytics
+      .streamingDedupWithinWatermark(ms.toDF().toDF("ts", "fp", "doc_id"), "fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((ts(60), "fpA", 1L), (ts(61), "fpB", 2L))
+      q.processAllAvailable()
+      // duplicate of fpA in a LATER batch, inside the watermark horizon
+      ms.addData((ts(62), "fpA", 3L), (ts(63), "fpC", 4L))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got == Map("fpA" -> 1L, "fpB" -> 2L, "fpC" -> 4L)) // doc 3 deduped
+    } finally q.stop()
+  }
+
   test("gap sessionization closes on in-batch gap and on event-time timeout") {
     val ms = MemoryStream[SessionInput](spark, numPartitions = 1)
     val q = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 10 * 60000L)
