@@ -165,6 +165,20 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, dir) => Analytics.rollupRevenue(t(s, dir, "lineitem"))),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
 
+    // same result via the heap TypedImperativeAggregate (O(n log k) with
+    // k-bounded partials vs the window's per-partition full sort)
+    "events_top3_agg" -> ((s, dir) => {
+      import graft.functions.TopKFunctions
+      TopKFunctions.register(s)
+      t(s, dir, "events").filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(TopKFunctions.topKByValue(col("value"), col("event_id"), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("user_id"), col("p.id").as("event_id"), col("p.value").as("value"),
+          (col("i") + 1).cast("long").as("rank"))
+        .orderBy("user_id", "rank")
+    }),
+
     // ---- Training-data pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -294,6 +308,12 @@ object SparkEntry {
     "q4_order_priority" -> Analytics.orderPriorityCheckSql,
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
+    "events_top3_agg" ->
+      """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE user_id < 20)
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),
