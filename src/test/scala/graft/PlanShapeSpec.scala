@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan contracts: the scale properties claimed in SCALING.md,
+  * asserted so a refactor that silently de-optimizes a plan (loses
+  * pushdown, drops a broadcast, adds a shuffle) fails the suite.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3: filters pushed to every scan, dimension side broadcast") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [IsNotNull"), "lineitem pushdown missing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "customer broadcast missing")
+  }
+
+  test("q1: scan reads only the needed columns (pruning)") {
+    val p = plan("q1_pricing_summary")
+    // 11-column lineitem pruned to the 5 used
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") && !p.contains("l_tax"),
+      s"column pruning lost:\n$p")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("changelog apply: exactly one hash-partition exchange (plus the output sort)") {
+    val p = plan("cdc_lww_state")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"LWW apply must shuffle once, got $hashExchanges:\n$p")
+    assert(p.contains("partial_max_by"), "map-side partial aggregation missing")
+  }
+
+  test("catchup range: position predicate reaches the scan") {
+    val p = plan("cdc_catchup_range")
+    assert(p.contains("PushedFilters") && p.contains("event_id"),
+      s"pos range should push to parquet as event_id bounds:\n$p")
+  }
+
+  test("ANN brute force: broadcast join + k-bounded partial top-k, one shuffle") {
+    val p = plan("ann_bruteforce_topk")
+    // queries broadcast against the corpus — never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast join:\n$p")
+    // per-map-partition top-k BEFORE the exchange: only ≤k rows per query
+    // per partition shuffle (Spark's WindowGroupLimit partial pushdown)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial top-k pushdown missing:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected exactly one hash exchange, got $hashExchanges:\n$p")
+    // the codegen'd dot product sits in a plain Project (no HOF lambdas)
+    assert(p.contains("dot_product_d"))
+  }
+}
