@@ -105,6 +105,8 @@ object SparkEntry {
 
     "cdc_ddl_classify" -> ((s, _) => DdlClassifier.classifyCorpus(s)),
 
+    "cdc_ddl_stats" -> ((s, _) => DdlClassifier.ddlStats(s)),
+
     "cdc_table_activity" -> ((s, dir) => Metrics.tableActivity(changelog(s, dir))),
 
     // S6 discovery: catalog scan of the lake dir through the table filter
@@ -275,6 +277,8 @@ object SparkEntry {
          |FROM d GROUP BY tbl, pk ORDER BY tbl, pk""".stripMargin,
 
     "cdc_ddl_classify" -> DdlClassifier.corpusSql,
+
+    "cdc_ddl_stats" -> DdlClassifier.ddlStatsSql,
 
     "cdc_table_activity" -> Metrics.tableActivitySql(clSql),
 

@@ -66,6 +66,22 @@ object DdlClassifier {
       .orderBy("stmt_id")
   }
 
+  /** DDL statistics: groupBy type over bounded history (reference
+    * ddl/DDLHandler.scala:297-314, A7 in SURVEY.md §2.5).
+    */
+  def ddlStats(spark: SparkSession): DataFrame =
+    classifyCorpus(spark)
+      .groupBy(col("ddl_type"))
+      .agg(count(lit(1)).as("n_statements"),
+        count_distinct(col("target")).as("n_targets"))
+      .orderBy("ddl_type")
+
+  def ddlStatsSql: String =
+    s"""WITH classified AS ($corpusSql)
+       |SELECT ddl_type, count(*) AS n_statements,
+       |       count(DISTINCT target) AS n_targets
+       |FROM classified GROUP BY ddl_type ORDER BY ddl_type""".stripMargin
+
   /** DuckDB oracle for [[classifyCorpus]]. */
   def corpusSql: String = {
     val values = corpus.map { case (i, s) => s"($i, '${s.replace("'", "''")}')" }.mkString(", ")

@@ -32,6 +32,37 @@ object Watermark {
   def catchupRange(changelog: DataFrame, low: Long, high: Long): DataFrame =
     changelog.filter(col("pos") >= low && col("pos") < high)
 
+  /** Snapshot watermark persistence (W8): the reference's
+    * cdc_low_watermarks table (snapshot/LowWatermarkManager.scala:56-196)
+    * becomes a JSON state file next to the checkpoint, written via
+    * tmp + atomic rename (the FileOffsetStore pattern,
+    * coordinator/FileOffsetStore.scala:35-57).
+    */
+  final case class SnapshotWatermarks(low: Long, high: Long, createdAtMs: Long)
+
+  def persistWatermarks(dir: String, w: SnapshotWatermarks): Unit = {
+    val p = java.nio.file.Paths.get(dir, "watermarks.json")
+    val tmp = java.nio.file.Paths.get(dir, ".watermarks.json.tmp")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(tmp,
+      s"""{"low": ${w.low}, "high": ${w.high}, "createdAtMs": ${w.createdAtMs}}""")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadWatermarks(dir: String): Option[SnapshotWatermarks] = {
+    val p = java.nio.file.Paths.get(dir, "watermarks.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = java.nio.file.Files.readString(p)
+      def field(name: String): Long =
+        s"""\"$name\":\\s*(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(s"corrupt watermark file: $s"))
+      Some(SnapshotWatermarks(field("low"), field("high"), field("createdAtMs")))
+    }
+  }
+
   /** Full snapshot→catchup→state flow over fixtures: snapshot = state at
     * positions < low (what the bulk copy saw), catchup = replay of
     * [low, high), result = merged state as of high.

@@ -74,6 +74,17 @@ class EngineAndMetricsSpec extends SparkSpec {
     assert(m("min_pos") == 0L && m("max_pos") == 8L)
   }
 
+  test("watermark persistence round-trips atomically and overwrites") {
+    import graft.cdc.Watermark
+    import graft.cdc.Watermark.SnapshotWatermarks
+    val dir = Files.createTempDirectory("graft_wm").toString
+    assert(Watermark.loadWatermarks(dir).isEmpty)
+    Watermark.persistWatermarks(dir, SnapshotWatermarks(3L, 9L, 1723450000000L))
+    assert(Watermark.loadWatermarks(dir).contains(SnapshotWatermarks(3L, 9L, 1723450000000L)))
+    Watermark.persistWatermarks(dir, SnapshotWatermarks(9L, 20L, 1723450001000L))
+    assert(Watermark.loadWatermarks(dir).contains(SnapshotWatermarks(9L, 20L, 1723450001000L)))
+  }
+
   test("pk chunking covers every key exactly once") {
     val chunks = Metrics.pkChunks(events.toDF(), 2L).collect()
     for (t <- Seq("t0", "t1")) {
