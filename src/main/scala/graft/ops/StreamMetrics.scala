@@ -39,16 +39,27 @@ final class StreamMetricsListener extends StreamingQueryListener {
 
   def batches: Seq[BatchStat] = stats.asScala.toSeq
 
-  /** Aggregate counters: total rows, mean throughput, last batch. */
+  /** Aggregate counters: total rows, mean throughput, last batch, and
+    * apply-latency percentiles (the reference's P50/P95/P99 targets,
+    * README.md:511-513 / BASELINE.md).
+    */
   def snapshot: Map[String, Double] = {
     val b = batches
     val totalRows = b.map(_.numInputRows).sum.toDouble
     val totalSec = b.map(_.durationMs).sum / 1000.0
+    def pct(p: Double): Double = {
+      val d = b.map(_.durationMs).sorted
+      if (d.isEmpty) 0.0
+      else d(math.min(d.size - 1, math.ceil(p * d.size).toInt - 1).max(0)).toDouble
+    }
     Map(
       "n_batches" -> b.size.toDouble,
       "total_rows" -> totalRows,
       "rows_per_sec" -> (if (totalSec > 0) totalRows / totalSec else 0.0),
-      "last_batch_rows" -> b.lastOption.map(_.numInputRows.toDouble).getOrElse(0.0))
+      "last_batch_rows" -> b.lastOption.map(_.numInputRows.toDouble).getOrElse(0.0),
+      "latency_p50_ms" -> pct(0.50),
+      "latency_p95_ms" -> pct(0.95),
+      "latency_p99_ms" -> pct(0.99))
   }
 
   /** Health from the live stats (error rate/queue come from the job's

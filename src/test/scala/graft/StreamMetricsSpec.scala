@@ -32,6 +32,8 @@ class StreamMetricsSpec extends SparkSpec {
       val snap = listener.snapshot
       assert(snap("total_rows") == 30.0)
       assert(snap("n_batches") >= 3.0)
+      assert(snap("latency_p50_ms") <= snap("latency_p99_ms"))
+      assert(snap("latency_p99_ms") > 0.0)
       assert(listener.health().errorRate == 0.0)
     } finally spark.streams.removeListener(listener)
   }
