@@ -17,9 +17,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // also expose the single part file under the flat <name>.parquet
+        // path so either driver layout (dir glob or literal file) works
+        new java.io.File(s"$outDir/$name").listFiles()
+          .find(f => f.getName.endsWith(".parquet"))
+          .foreach { part =>
+            Files.copy(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
