@@ -116,6 +116,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-blocked near-duplicate pairs: when no natural blocking column
+    * exists, the IVF cell assignment IS the blocking key — pairwise
+    * cosine only within a cell. The unblocked-corpus complement of
+    * [[graft.ops.Dedup.embeddingNearDup]] (which blocks on a given
+    * label); same shuffle shape: one self-join keyed on the cell id.
+    */
+  def ivfNearDup(emb: DataFrame, centroidStep: Int, threshold: Double): DataFrame = {
+    val e = prepared(emb)
+    val cent = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("ccos"))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(max_by(col("cent_id"),
+        round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cell").as("cell"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def ivfNearDupSql(centroidStep: Int, threshold: Double): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM e, cent GROUP BY vec_id, v, nrm)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   def ivfTopKSql(nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
