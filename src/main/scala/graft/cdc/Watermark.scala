@@ -21,9 +21,13 @@ object Watermark {
 
   /** Latest log position — the reference's `SHOW BINARY LOG STATUS` probe
     * (CDCEngineUtils.scala:28-95) becomes a one-row max aggregate.
+    * An empty changelog reports position 0 (stream not started), not an
+    * NPE from the null max.
     */
-  def latestPosition(changelog: DataFrame): Long =
-    changelog.agg(max(col("pos"))).head.getLong(0)
+  def latestPosition(changelog: DataFrame): Long = {
+    val row = changelog.agg(max(col("pos"))).head
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Bounded catchup slice: events with pos ∈ [low, high).
     * Reference: takeWhile(compare < 0) (CDCEngineUtils.scala:239-246) —

@@ -32,12 +32,16 @@ object PortableHash {
   def tokenHashSql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
-  /** Router partition for a non-negative integral key. */
+  /** Router partition for a non-negative integral key. The key is
+    * reduced mod 2^31 BEFORE the Knuth multiply: the product then stays
+    * under 2^63 (no Long wrap in Spark, no BIGINT overflow error in
+    * DuckDB) for any 64-bit pk — snowflake-sized ids included.
+    */
   def routerPartition(key: Column, n: Int): Column =
-    (key * lit(Knuth)) % lit(1L << 31) % lit(n.toLong)
+    ((key % lit(1L << 31)) * lit(Knuth)) % lit(1L << 31) % lit(n.toLong)
 
   def routerPartitionSql(e: String, n: Int): String =
-    s"((($e) * $Knuth) % ${1L << 31}) % $n"
+    s"(((($e) % ${1L << 31}) * $Knuth) % ${1L << 31}) % $n"
 
   /** MinHash permutation coefficients — fixed literals shared verbatim
     * between the Spark expressions and the generated oracle SQL.

@@ -40,6 +40,17 @@ case class TopKByValue(
     StructField("value", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "top_k_by_value"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val numeric = Set[DataType](ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    if (!numeric.contains(valueExpr.dataType))
+      TypeCheckFailure(s"$prettyName value must be numeric, got ${valueExpr.dataType.simpleString}")
+    else if (!numeric.contains(idExpr.dataType))
+      TypeCheckFailure(s"$prettyName id must be integral, got ${idExpr.dataType.simpleString}")
+    else if (k <= 0) TypeCheckFailure(s"$prettyName k must be positive, got $k")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {

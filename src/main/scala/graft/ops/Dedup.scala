@@ -102,7 +102,7 @@ object Dedup {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents)
-       |SELECT md5(list_aggregate(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), 'string_agg', ' ')) AS fp,
+       |SELECT md5(coalesce(list_aggregate(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), 'string_agg', ' '), '')) AS fp,
        |       count(*) AS n_dups, min(doc_id) AS canonical_id
        |FROM dup
        |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
@@ -185,6 +185,9 @@ object Dedup {
     * sides of the bucket self-join + twice in the verify join) and is
     * tiny relative to the corpus — caching it turns ~8 corpus scans into
     * one (same reason Spark ML's MinHashLSH caches its transformed side).
+    * The cache is deliberately left for the session to manage
+    * (`spark.catalog.clearCache()` between corpora — Bench/Verify do);
+    * unpersisting inside would evict it before the caller's action runs.
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
     val sig = minhashSignatures(docs).persist()

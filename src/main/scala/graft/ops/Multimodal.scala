@@ -102,11 +102,14 @@ object Multimodal {
     */
   def sampleFrames(payloads: DataFrame, step: Int, maxFrames: Int): DataFrame =
     payloads.select(col("doc_id"),
-      slice(
-        transform(
-          sequence(lit(0), floor((length(col("payload")) - 1) / step).cast("int")),
-          i => hex(col("payload").substr((i * step + 1).cast("int"), lit(1)))),
-        1, maxFrames).as("frames"))
+      // empty payloads must short-circuit: sequence(0, -1) would emit a
+      // DESCENDING [0, -1] (the CLAUDE.md pitfall) and fabricate frames
+      when(length(col("payload")) === 0, array().cast("array<string>"))
+        .otherwise(slice(
+          transform(
+            sequence(lit(0), floor((length(col("payload")) - 1) / step).cast("int")),
+            i => hex(col("payload").substr((i * step + 1).cast("int"), lit(1)))),
+          1, maxFrames)).as("frames"))
       .select(col("doc_id"), size(col("frames")).cast("long").as("n_frames"),
         concat_ws(",", col("frames")).as("frame_hex"))
       .orderBy("doc_id")

@@ -80,16 +80,19 @@ object Resilience {
     private var openedAt = 0L
     private var st: State = Closed
 
-    def state: State = {
+    // synchronized: one breaker instance is shared by the JVM's task
+    // threads in foreachPartition — unsynchronized increments would race
+    // and can keep `failures` below threshold forever
+    def state: State = synchronized {
       if (st == Open && now() - openedAt >= resetTimeout.toNanos) st = HalfOpen
       st
     }
 
     def allowRequest: Boolean = state != Open
 
-    def onSuccess(): Unit = { failures = 0; st = Closed }
+    def onSuccess(): Unit = synchronized { failures = 0; st = Closed }
 
-    def onFailure(): Unit = {
+    def onFailure(): Unit = synchronized {
       failures += 1
       if (st == HalfOpen || failures >= failureThreshold) { st = Open; openedAt = now() }
     }

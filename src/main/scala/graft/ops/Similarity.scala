@@ -79,22 +79,42 @@ object Similarity {
     * centroid_id tiebreak); each query probes its `nprobe` nearest cells
     * and ranks only vectors inside them.
     */
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
-    val e = prepared(emb)
-    val cent = e.filter(col("vec_id") % centroidStep === 0)
+  private def centroids(e: DataFrame, centroidStep: Int): DataFrame =
+    e.filter(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // cell assignment: one broadcast join + max_by partial agg — no corpus shuffle
-    val assigned = e.join(broadcast(cent), lit(true))
+
+  /** IVF cell assignment: one broadcast join + max_by partial agg — no
+    * corpus shuffle. Composite BIGINT order key (cosine already rounded
+    * to 6 dp, so cos·1e6 is integral; cent_id tiebreak) because DuckDB's
+    * arg_max takes scalar keys only; round() before the cast because the
+    * double sits ~1e-9 off the integer and Spark's cast truncates where
+    * DuckDB's rounds. Tiebreak assumes cent_id < 1e7 — a corpus with
+    * more vector ids than that needs a wider multiplier.
+    */
+  private def cellAssignments(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("ccos"))
       .groupBy(col("vec_id"), col("v"), col("nrm"))
-      // composite BIGINT order key (cosine already rounded to 6 dp, so
-      // cos*1e6 is integral; cent_id tiebreak) — portable to DuckDB's
-      // scalar-only arg_max
-      // round() before the cast: the double sits ~1e-9 off the integer and
-      // Spark's cast truncates while DuckDB's rounds
       .agg(max_by(col("cent_id"),
         round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
+
+  /** Shared oracle CTEs: `e` → `cent` → `assigned`. */
+  private def cellSql(centroidStep: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM e, cent GROUP BY vec_id, v, nrm)""".stripMargin
+
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
+    val e = prepared(emb)
+    val cent = centroids(e, centroidStep)
+    val assigned = cellAssignments(e, cent)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -124,14 +144,7 @@ object Similarity {
     */
   def ivfNearDup(emb: DataFrame, centroidStep: Int, threshold: Double): DataFrame = {
     val e = prepared(emb)
-    val cent = e.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = e.join(broadcast(cent), lit(true))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("ccos"))
-      .groupBy(col("vec_id"), col("v"), col("nrm"))
-      .agg(max_by(col("cent_id"),
-        round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
+    val assigned = cellAssignments(e, centroids(e, centroidStep))
     assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cell").as("cell"),
@@ -141,15 +154,7 @@ object Similarity {
   }
 
   def ivfNearDupSql(centroidStep: Int, threshold: Double): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
-       |assigned AS (
-       |  SELECT vec_id, v, nrm,
-       |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
-       |  FROM e, cent GROUP BY vec_id, v, nrm)
+    s"""WITH ${cellSql(centroidStep)}
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
        |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -157,15 +162,7 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   def ivfTopKSql(nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
-       |assigned AS (
-       |  SELECT vec_id, v, nrm,
-       |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
-       |  FROM e, cent GROUP BY vec_id, v, nrm),
+    s"""WITH ${cellSql(centroidStep)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT query_id, qv, qn, cent_id AS cell

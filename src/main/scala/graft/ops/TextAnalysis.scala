@@ -88,7 +88,7 @@ object TextAnalysis {
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(tok) AS BIGINT) AS n_tokens,
-       |    round(CAST(length(list_aggregate(tok, 'string_agg', '')) AS DOUBLE) / greatest(len(tok), 1), 4) AS mean_tok_len,
+       |    round(CAST(length(coalesce(list_aggregate(tok, 'string_agg', ''), '')) AS DOUBLE) / greatest(len(tok), 1), 4) AS mean_tok_len,
        |    round(CAST(len(list_filter(tok, t -> t IN ($allStop))) AS DOUBLE) / greatest(len(tok), 1), 4) AS stopword_ratio,
        |    round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS alnum_ratio
        |  FROM t)
@@ -188,7 +188,7 @@ object TextAnalysis {
 
   val fingerprintSql: String =
     s"""SELECT doc_id,
-       |  md5(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' ')) AS fp,
-       |  CAST(concat('0x', substr(md5(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' ')), 1, 15)) AS BIGINT) AS fp64
+       |  md5(coalesce(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' '), '')) AS fp,
+       |  CAST(concat('0x', substr(md5(coalesce(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' '), '')), 1, 15)) AS BIGINT) AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin
 }

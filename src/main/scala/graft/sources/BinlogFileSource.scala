@@ -66,7 +66,10 @@ object BinlogFileSource {
 
   private[sources] def countLines(path: String): Long = {
     if (!Files.exists(Paths.get(path))) 0L
-    else Files.lines(Paths.get(path)).count()
+    else {
+      val s = Files.lines(Paths.get(path))
+      try s.count() finally s.close()
+    }
   }
 }
 
@@ -144,8 +147,8 @@ private[sources] class BinlogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
-        .skip(p.startLine).limit(p.endLine - p.startLine).iterator()
+      private val stream = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
+      private val it = stream.skip(p.startLine).limit(p.endLine - p.startLine).iterator()
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!it.hasNext) false
@@ -161,7 +164,7 @@ private[sources] class BinlogReaderFactory extends PartitionReaderFactory {
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close()
     }
   }
 }

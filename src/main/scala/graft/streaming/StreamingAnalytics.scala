@@ -31,20 +31,22 @@ object StreamingAnalytics {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup: first occurrence of each fingerprint wins,
-    * duplicates arriving later (within the watermark horizon) are
-    * dropped, and fingerprint state older than the watermark is
-    * reclaimed — the streaming member of the [[graft.ops.Dedup]] family
-    * (bounded state; an unbounded `dropDuplicates` would OOM a 100 TB/day
-    * stream).
+  /** Streaming exact dedup keyed on (fingerprint, ts): drops exact
+    * replays of the same event — two occurrences of a fingerprint at
+    * DIFFERENT event times both pass. For content dedup use
+    * [[streamingDedupWithinWatermark]].
     */
   def streamingDedup(docs: DataFrame, fingerprintCol: String): DataFrame =
     docs
       .withWatermark("ts", "1 hour")
       .dropDuplicates(fingerprintCol, "ts")
 
-  /** Variant keyed on fingerprint ONLY (ts participates just in state
-    * expiry via dropDuplicatesWithinWatermark).
+  /** Content dedup: first occurrence of each fingerprint wins and later
+    * duplicates inside the watermark horizon are dropped regardless of
+    * their event time; fingerprint state older than the watermark is
+    * reclaimed — the streaming member of the [[graft.ops.Dedup]] family
+    * (bounded state; an unbounded `dropDuplicates` would OOM a 100 TB/day
+    * stream).
     */
   def streamingDedupWithinWatermark(docs: DataFrame, fingerprintCol: String): DataFrame =
     docs
