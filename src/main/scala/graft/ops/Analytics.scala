@@ -252,6 +252,28 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Exact interpolated percentiles per event type — the P50/P95/P99
+    * latency shape of the reference's metrics (BASELINE.md) as a data
+    * aggregation. Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition; results rounded to 4 dp.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Top-3 events per user by value (top-N per group via ranked window —
     * the per-key limit SURVEY.md §2.6 maps from `takeRight`).
     */
