@@ -167,6 +167,7 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, dir) => Analytics.rollupRevenue(t(s, dir, "lineitem"))),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
+    "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
 
     // same result via the heap TypedImperativeAggregate (O(n log k) with
     // k-bounded partials vs the window's per-partition full sort)
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
     "events_percentiles" -> Analytics.valuePercentilesSql,
+    "events_range_join" -> Analytics.eventPairsWithinSql(5),
     "events_top3_agg" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,

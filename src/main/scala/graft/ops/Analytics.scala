@@ -252,6 +252,34 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Range join: pairs of events by the same user within a 5-minute
+    * window (the temporal-join shape Spark lacks as a named operator —
+    * composed as equi-join on the key + range predicate on time, so the
+    * shuffle is on user_id and the range filter runs within partitions;
+    * the per-key time windows never become a global cross product).
+    */
+  def eventPairsWithin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("ts"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  def eventPairsWithinSql(windowMinutes: Int): String =
+    s"""SELECT a.user_id AS user_id, count(*) AS n_pairs
+       |FROM events a JOIN events b
+       |  ON a.user_id = b.user_id
+       | AND a.event_id < b.event_id
+       | AND b.ts >= a.ts
+       | AND b.ts <= a.ts + INTERVAL $windowMinutes MINUTES
+       |GROUP BY a.user_id ORDER BY user_id""".stripMargin
+
   /** Exact interpolated percentiles per event type — the P50/P95/P99
     * latency shape of the reference's metrics (BASELINE.md) as a data
     * aggregation. Spark `percentile` and DuckDB `quantile_cont` share the
