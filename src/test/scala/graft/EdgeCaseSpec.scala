@@ -1,0 +1,43 @@
+package graft
+
+import graft.cdc.Watermark
+import graft.functions.PortableHash
+import graft.model.ChangeEvent
+import graft.ops.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Regressions for the code-review fixes: empty inputs and 64-bit keys. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("empty payload produces zero frames (no descending-sequence ghosts)") {
+    val r = Multimodal.sampleFrames(
+      Multimodal.payloads(Seq((1L, "")).toDF("doc_id", "text")), 32, 8).collect()(0)
+    assert(r.getAs[Long]("n_frames") == 0L)
+    assert(r.getAs[String]("frame_hex") == "")
+  }
+
+  test("empty changelog reports position 0, not an NPE") {
+    assert(Watermark.latestPosition(Seq.empty[ChangeEvent].toDF()) == 0L)
+  }
+
+  test("router partition stays in [0, n) for snowflake-sized 64-bit keys") {
+    val keys = Seq(0L, 1L, Int.MaxValue.toLong, 3470000000L, 1234567890123456789L, Long.MaxValue)
+    val got = keys.toDF("pk")
+      .select(PortableHash.routerPartition(col("pk"), 64).as("p"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(p => p >= 0 && p < 64), s"out-of-range partitions: ${got.toSeq}")
+  }
+
+  test("empty and whitespace-only docs survive the text operators") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one two three four")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // empty and whitespace normalize identically (empty token stream)
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    val q = TextAnalysis.qualityScore(docs).collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) == 0.0 && q(3L) > 0.0)
+    val tc = TextAnalysis.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getAs[Long]("ws_tokens")).toMap
+    assert(tc(1L) == 0L && tc(2L) == 0L && tc(3L) == 4L)
+  }
+}
