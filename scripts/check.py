@@ -36,10 +36,10 @@ def main(sf_dir, out_dir):
         try:
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_rel = con.sql(f"SELECT {', '.join(exp_cols)} FROM ({sql})")
+            exp_types = [str(t) for t in exp_rel.types]
             exp_rows = sorted(
-                tuple(norm(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(exp_cols)} FROM ({sql})").fetchall())
+                tuple(norm(v) for v in row) for row in exp_rel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             failures += 1
@@ -47,17 +47,25 @@ def main(sf_dir, out_dir):
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
+            got_rel = con.sql(
+                f"SELECT {', '.join(got_cols)} FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_types = [str(t) for t in got_rel.types]
             got_rows = sorted(
-                tuple(norm(v) for v in row)
-                for row in con.sql(
-                    f"SELECT {', '.join(got_cols)} FROM read_parquet('{out_dir}/{name}/*.parquet')"
-                ).fetchall())
+                tuple(norm(v) for v in row) for row in got_rel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark dump error: {str(e)[:300]}")
             failures += 1
             continue
         if exp_cols != got_cols:
             print(f"FAIL {name}: columns exp={exp_cols} got={got_cols}")
+            failures += 1
+        elif exp_types != got_types:
+            # The driver's hash is type-sensitive: a DuckDB HUGEINT sum vs a
+            # Spark BIGINT hashes differently even when values match.
+            diffs = [
+                f"{c}: oracle={e} spark={g}"
+                for c, e, g in zip(exp_cols, exp_types, got_types) if e != g]
+            print(f"FAIL {name}: column types differ: {diffs}")
             failures += 1
         elif len(exp_rows) != len(got_rows):
             print(f"FAIL {name}: rows exp={len(exp_rows)} got={len(got_rows)}")

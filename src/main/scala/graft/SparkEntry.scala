@@ -195,8 +195,8 @@ object SparkEntry {
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
-    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 53, 2)),
-    "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 53, 0.3)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 32, 2)),
+    "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 32, 0.3)),
 
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -331,8 +331,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
-    "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 53, 2),
-    "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(53, 0.3),
+    "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
+    "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -67,7 +67,8 @@ object Engine {
     val catchup = Watermark.catchupRange(full, low, high)
     val caught = StreamingApply.mergeState(
       spark.read.parquet(s"$workDir/snapshot"), catchup)
-    caught.write.mode("overwrite").parquet(s"$workDir/state/v=-1")
+    // seed the bucketed state store at version -1 (pre-stream)
+    StreamingApply.writeVersion(caught, s"$workDir/state", -1L)
 
     // STREAMING: everything >= high as micro-batches over the state
     require(validTransition(Catchup, Streaming))

@@ -187,7 +187,7 @@ object Analytics {
 
   val jsonExtractSql: String =
     """WITH j AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-      |SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+      |SELECT CAST(k % 10 AS INTEGER) AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** TPC-H Q6-style: pure filter + agg — the pushdown showcase (all three
@@ -311,7 +311,7 @@ object Analytics {
     events
       .filter(col("user_id") < 20)
       .select(col("user_id"), col("event_id"), col("value"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= n)
       .orderBy(col("user_id"), col("rank"))
   }

@@ -248,20 +248,28 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
     * 8-bit band blocking (4 bands; hamming ≤ 3 guarantees ≥ 1 band equal,
     * so blocking loses nothing — pigeonhole over 4 bands).
+    *
+    * The candidate `distinct` runs over bare (doc_a, doc_b) id pairs —
+    * the 64-bit signatures are re-joined from the persisted sig frame
+    * AFTER dedup, so the dedup shuffle moves two longs per row instead of
+    * four (the same narrow-then-rejoin shape as [[minhashLsh]]).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhash(docs).persist()
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = sh.select(col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+    pairs
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -54,9 +54,9 @@ object Metrics {
     s"""WITH cl AS ($clCte),
        |mx AS (SELECT max(ts) AS now FROM cl)
        |SELECT tbl, count(*) AS n_events,
-       |  sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_inserts,
-       |  sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_updates,
-       |  sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes,
+       |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
        |  count(DISTINCT pk) AS n_keys,
        |  max(pos) AS max_pos,
        |  CAST(floor(epoch(max(now))) AS BIGINT) - CAST(floor(epoch(max(ts))) AS BIGINT) AS lag_seconds

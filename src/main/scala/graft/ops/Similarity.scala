@@ -52,7 +52,9 @@ object Similarity {
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    // rank as long: DuckDB's row_number() is BIGINT and the driver hash
+    // is type-sensitive
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -73,14 +75,19 @@ object Similarity {
        |SELECT query_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** IVF approximate top-k. Centroids: every `centroidStep`-th vector
-    * (deterministic "training" so the oracle can reproduce the index).
-    * Each corpus vector is assigned to its nearest centroid (max cosine,
-    * centroid_id tiebreak); each query probes its `nprobe` nearest cells
-    * and ranks only vectors inside them.
+  /** IVF approximate top-k. Centroids: a FIXED-COUNT deterministic sample —
+    * the `nlist` corpus vectors with the smallest portable hash of their id
+    * (hash order ≈ uniform random, but reproducible in the oracle). nlist
+    * is independent of corpus size, so the broadcast centroid table and the
+    * per-vector assignment cost stay constant as the corpus grows — the
+    * 100 TB property a `vec_id % step` rule lacks (its centroid count grows
+    * linearly with the corpus). The top-nlist is a TakeOrderedAndProject:
+    * k-bounded partials, no global sort materialization.
     */
-  private def centroids(e: DataFrame, centroidStep: Int): DataFrame =
-    e.filter(col("vec_id") % centroidStep === 0)
+  private def centroids(e: DataFrame, nlist: Int): DataFrame =
+    e.orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(nlist)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** IVF cell assignment: one broadcast join + max_by partial agg — no
@@ -100,20 +107,21 @@ object Similarity {
         round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
 
   /** Shared oracle CTEs: `e` → `cent` → `assigned`. */
-  private def cellSql(centroidStep: Int): String =
+  private def cellSql(nlist: Int): String =
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
-       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e WHERE vec_id % $centroidStep = 0),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $nlist),
        |assigned AS (
        |  SELECT vec_id, v, nrm,
        |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
        |  FROM e, cent GROUP BY vec_id, v, nrm)""".stripMargin
 
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val e = prepared(emb)
-    val cent = centroids(e, centroidStep)
+    val cent = centroids(e, nlist)
     val assigned = cellAssignments(e, cent)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -131,7 +139,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
-      .withColumn("rank", row_number().over(rankW))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -142,9 +150,9 @@ object Similarity {
     * [[graft.ops.Dedup.embeddingNearDup]] (which blocks on a given
     * label); same shuffle shape: one self-join keyed on the cell id.
     */
-  def ivfNearDup(emb: DataFrame, centroidStep: Int, threshold: Double): DataFrame = {
+  def ivfNearDup(emb: DataFrame, nlist: Int, threshold: Double): DataFrame = {
     val e = prepared(emb)
-    val assigned = cellAssignments(e, centroids(e, centroidStep))
+    val assigned = cellAssignments(e, centroids(e, nlist))
     assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cell").as("cell"),
@@ -153,16 +161,16 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  def ivfNearDupSql(centroidStep: Int, threshold: Double): String =
-    s"""WITH ${cellSql(centroidStep)}
+  def ivfNearDupSql(nlist: Int, threshold: Double): String =
+    s"""WITH ${cellSql(nlist)}
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
        |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  def ivfTopKSql(nQueries: Int, k: Int, centroidStep: Int, nprobe: Int): String =
-    s"""WITH ${cellSql(centroidStep)},
+  def ivfTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH ${cellSql(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT query_id, qv, qn, cent_id AS cell

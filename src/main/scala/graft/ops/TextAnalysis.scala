@@ -124,25 +124,31 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** TF-IDF top term per document: tf = term count in doc, idf =
-    * ln(N / df). One explode + two aggregations + a broadcast join of
-    * the (tiny) term-df table; score rounded to 6 dp before ranking so
-    * libm/JVM ln ulp differences can't flip ranks between engines.
+    * ln(N / df). ONE tokenize+explode pass: df is derived from the tf
+    * frame (tf already holds one row per distinct (doc, term), so
+    * `tf.groupBy(term).count` IS the document frequency) — the corpus is
+    * scanned once, and tf is persisted for its two consumers. Top-1 per
+    * doc is a `min(struct(-tfidf, term))` partial aggregate — map-side
+    * combined, one shuffle, no per-doc sort — matching the window's
+    * (tfidf DESC, term ASC) tie-break. Score rounded to 6 dp before
+    * ranking so libm/JVM ln ulp differences can't flip ranks between
+    * engines.
     */
   def tfidfTopTerms(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(Tokenize.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df_ = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df_), "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("tfidf")).as("neg"), col("term").as("term"),
+        col("tfidf").as("tfidf"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("top_term"), col("top.tfidf").as("tfidf"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.ChangelogApply
+import graft.functions.PortableHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -20,19 +20,45 @@ import org.apache.spark.sql.streaming.Trigger
   *     by serializing batches the way the reference's `mapAsync(1)` does;
   *   - offsets = the checkpoint log (reference's RECEIVED/APPLIED/
   *     COMMITTED machine, coordinator/DefaultOffsetCoordinator.scala);
-  *   - idempotent re-run = state version v(batchId) is a pure function of
-  *     v(prev) + batch, written by overwrite — replaying a batch rewrites
-  *     the same bytes (reference gets this from upsert-by-PK,
-  *     README.md:524-552).
+  *   - idempotent re-run = each touched bucket's v(batchId) is a pure
+  *     function of that bucket's v(prev) + batch, written by overwrite —
+  *     replaying a batch rewrites the same bytes (reference gets this
+  *     from upsert-by-PK, README.md:524-552).
   *
-  * State layout: `stateDir/v=<batchId>` parquet, tombstones retained
-  * (op='D' rows kept so later batches can't resurrect deleted keys);
-  * [[currentState]] drops them at read. A compaction pass would prune old
-  * versions in production; the harness keeps them for inspectability.
+  * State layout — BUCKETED versions, the 100 TB-safe shape:
+  *
+  *   stateDir/v=<batchId>/bucket=<b>/part-*.parquet
+  *
+  * The state is hash-partitioned into `nBuckets` by the portable pk
+  * router. A micro-batch merges and rewrites ONLY the buckets its keys
+  * touch — O(|touched state|) per batch, not O(|whole state|): a 1-second
+  * batch updating 0.1% of a 100 TB keyspace reads and writes ~0.1% of the
+  * buckets instead of rewriting the world (the round-1 design's flaw).
+  * Untouched buckets keep serving their previous version. Tombstones are
+  * retained inside the state (op='D' rows kept so later batches can't
+  * resurrect deleted keys); [[currentState]] drops them at read.
+  *
+  * Retention: [[compact]] keeps the newest `keepVersions` versions per
+  * bucket (default 2 — enough for Structured Streaming's replay window,
+  * which only ever re-runs the latest uncommitted batch) and deletes the
+  * rest, so state disk stays O(2 · |state|) instead of O(batches).
+  * Production path at larger replay windows: Delta/Iceberg MERGE, which
+  * gives the same touched-files-only rewrite transactionally.
   */
 object StreamingApply {
 
   private val stateCols = Seq("tbl", "pk", "op", "ts", "pos", "value")
+
+  /** State buckets. 32 matches the harness cores; at cluster scale this
+    * would be sized so one bucket ≈ one comfortable task (e.g. 4096).
+    */
+  val defaultBuckets = 32
+
+  /** Portable bucket assignment — same router as [[graft.cdc.Routing]],
+    * so "all history of a pk lives in one bucket" is the same guarantee
+    * the reference's EventRouter gives (router/EventRouter.scala:25-32).
+    */
+  def bucketOf(nBuckets: Int) = PortableHash.routerPartition(col("pk"), nBuckets)
 
   /** Merge a changelog micro-batch into prior state. Both sides carry
     * tombstones; output keeps them. Order-insensitive and associative —
@@ -51,41 +77,102 @@ object StreamingApply {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       graft.model.ChangeEvent.envelopeSchema)
 
-  private def versionDirs(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
+  /** All (version, bucket, path) triples on disk, oldest version first. */
+  private def bucketVersions(stateDir: String): Seq[(Long, Int, String)] = {
     val d = new java.io.File(stateDir)
     if (!d.exists()) Nil
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(f => (f.getName.stripPrefix("v=").toLong, f.getAbsolutePath))
-      .sortBy(_._1)
+    else for {
+      v <- d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("v="))
+      ver = v.getName.stripPrefix("v=").toLong
+      b <- v.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    } yield (ver, b.getName.stripPrefix("bucket=").toInt, b.getAbsolutePath)
+  }.sortBy(t => (t._1, t._2))
+
+  /** Latest version path per bucket among versions strictly below
+    * `beforeBatch` (replay of batch N must not read N's own output).
+    */
+  private def latestPerBucket(stateDir: String, beforeBatch: Long): Map[Int, String] =
+    bucketVersions(stateDir)
+      .filter(_._1 < beforeBatch)
+      .groupBy(_._2)
+      .map { case (b, vs) => b -> vs.maxBy(_._1)._3 }
+
+  /** State as of the latest version strictly below `beforeBatch`,
+    * restricted to `buckets` (None = all buckets).
+    */
+  def stateBefore(spark: SparkSession, stateDir: String, beforeBatch: Long,
+                  buckets: Option[Set[Int]] = None): DataFrame = {
+    val paths = latestPerBucket(stateDir, beforeBatch)
+      .filter { case (b, _) => buckets.forall(_.contains(b)) }
+      .values.toSeq
+    if (paths.isEmpty) emptyState(spark)
+    else spark.read.parquet(paths: _*).select(stateCols.map(col): _*)
   }
 
-  /** State as of the latest version strictly below `beforeBatch` (replay
-    * of batch N must not read N's own partial output).
+  /** Write a full state frame as one bucketed version — the seeding path
+    * for snapshot/catchup phases (Engine) and the write half of
+    * [[applyBatch]].
     */
-  def stateBefore(spark: SparkSession, stateDir: String, beforeBatch: Long): DataFrame =
-    versionDirs(spark, stateDir).filter(_._1 < beforeBatch).lastOption match {
-      case Some((_, path)) => spark.read.parquet(path)
-      case None => emptyState(spark)
-    }
+  def writeVersion(state: DataFrame, stateDir: String, version: Long,
+                   nBuckets: Int = defaultBuckets): Unit =
+    state.select(stateCols.map(col): _*)
+      .withColumn("bucket", bucketOf(nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$stateDir/v=$version")
 
-  /** The foreachBatch body: v(batchId) := merge(v(prev), batch). Public
-    * so the idempotence property is unit-testable without a stream.
+  /** The foreachBatch body: for each bucket touched by the batch,
+    * v(batchId)/bucket := merge(latest(bucket), batch ∩ bucket). Public so
+    * the idempotence property is unit-testable without a stream.
+    *
+    * The touched-bucket probe is a driver-side collect BOUNDED BY
+    * nBuckets (a few ints, never data rows) — the same legitimate scalar
+    * probe shape as Watermark.latestPosition.
     */
-  def applyBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+  def applyBatch(stateDir: String, nBuckets: Int = defaultBuckets)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val prev = stateBefore(spark, stateDir, batchId)
-    mergeState(prev, batch)
-      .repartition(col("tbl"), col("pk"))
-      .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    val b = batch.select(stateCols.map(col): _*)
+      .withColumn("bucket", bucketOf(nBuckets)).persist()
+    try {
+      val touched = b.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      if (touched.nonEmpty) {
+        val prev = stateBefore(spark, stateDir, batchId, Some(touched))
+        writeVersion(mergeState(prev, b), stateDir, batchId, nBuckets)
+      }
+      compact(stateDir)
+    } finally b.unpersist()
   }
 
-  /** Latest materialized state, tombstones dropped. */
-  def currentState(spark: SparkSession, stateDir: String): DataFrame =
-    versionDirs(spark, stateDir).lastOption match {
-      case Some((_, path)) => spark.read.parquet(path).filter(col("op") =!= "D")
-      case None => emptyState(spark)
+  /** Drop superseded bucket versions, keeping the newest `keepVersions`
+    * per bucket (≥ 2 so a crash-replay of the latest batch still finds
+    * its predecessor). Empty v= dirs are removed once drained.
+    */
+  def compact(stateDir: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 2, "replay of the latest batch needs its predecessor")
+    bucketVersions(stateDir).groupBy(_._2).foreach { case (_, vs) =>
+      vs.sortBy(-_._1).drop(keepVersions).foreach { case (_, _, path) =>
+        deleteRecursively(new java.io.File(path))
+      }
     }
+    val d = new java.io.File(stateDir)
+    if (d.exists()) d.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => f.listFiles().forall(c => !c.getName.startsWith("bucket=")))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Latest materialized state (latest version of every bucket),
+    * tombstones dropped.
+    */
+  def currentState(spark: SparkSession, stateDir: String): DataFrame =
+    stateBefore(spark, stateDir, Long.MaxValue).filter(col("op") =!= "D")
 
   /** Run a bounded streaming apply over a directory of changelog parquet
     * files (one micro-batch per file via maxFilesPerTrigger=1 — multiple

@@ -64,6 +64,32 @@ class StreamingApplySpec extends SparkSpec {
     assert(stateOf(StreamingApply.currentState(spark, dir)) == expected)
   }
 
+  test("a small batch rewrites only its touched buckets, not the whole state") {
+    val dir = Files.createTempDirectory("graft_bkt").toString + "/state"
+    StreamingApply.applyBatch(dir)(all.take(5).toDF(), 0L) // seeds several buckets
+    val bucketsV0 = new java.io.File(s"$dir/v=0").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    // batch 1 touches a single pk → exactly one bucket dir under v=1
+    StreamingApply.applyBatch(dir)(Seq(ev(1, "U", 100, 7.7)).toDF(), 1L)
+    val bucketsV1 = new java.io.File(s"$dir/v=1").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
+    assert(bucketsV0 > 1, "fixture should spread over multiple buckets")
+    assert(bucketsV1.size == 1, s"expected 1 touched bucket, got $bucketsV1")
+    // untouched buckets still serve from v=0; the touched key reads v=1
+    val st = stateOf(StreamingApply.currentState(spark, dir))
+    assert(st(1L) == 7.7 && st(3L) == 3.0)
+  }
+
+  test("compaction keeps only the newest two versions per bucket") {
+    val dir = Files.createTempDirectory("graft_cmp").toString + "/state"
+    for (i <- 0 until 5)
+      StreamingApply.applyBatch(dir)(Seq(ev(1, "U", i, i.toDouble)).toDF(), i.toLong)
+    val versions = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+    assert(versions == Seq("v=3", "v=4"), s"expected retention to 2, got $versions")
+    assert(stateOf(StreamingApply.currentState(spark, dir)) == Map(1L -> 4.0))
+  }
+
   test("mergeState keeps tombstones so deletes survive compaction boundaries") {
     val s1 = StreamingApply.mergeState(Seq.empty[ChangeEvent].toDF(), Seq(ev(9, "I", 0, 1.0)).toDF())
     val s2 = StreamingApply.mergeState(s1, Seq(ev(9, "D", 1, 0.0)).toDF())
