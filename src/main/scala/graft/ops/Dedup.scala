@@ -113,8 +113,15 @@ object Dedup {
     * over shingle features: 16 `min` partial aggregates on one explode —
     * map-side combined, one shuffle on doc_id, no window/sort.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val th = docFeatures(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(docFeatures(docs))
+
+  /** Signatures from an existing (doc_id, feat) frame — lets callers that
+    * also need the raw features (e.g. [[ngramJaccard]]'s verify stage)
+    * persist the feature explode ONCE and feed both consumers.
+    */
+  def minhashSignaturesFrom(feats: DataFrame): DataFrame = {
+    val th = feats
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min(PortableHash.minhashPerm(col("h"), a, b)).as(s"s$i")
@@ -299,8 +306,11 @@ object Dedup {
     * set-intersection work). Pairs sharing zero shingles drop out.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = lshCandidates(minhashSignatures(docs).persist())
-    val shingle = docFeatures(docs).withColumnRenamed("feat", "sh").persist()
+    // one tokenize+shingle pass feeds BOTH the signature pipeline and the
+    // exact-verify stage (it was the query's duplicated heavy subtree)
+    val feats = docFeatures(docs).persist()
+    val cand = lshCandidates(minhashSignaturesFrom(feats).persist())
+    val shingle = feats.withColumnRenamed("feat", "sh")
     val sizes = shingle.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shingle.as("x"), col("doc_a") === col("x.doc_id"))
