@@ -83,12 +83,28 @@ object Similarity {
     * 100 TB property a `vec_id % step` rule lacks (its centroid count grows
     * linearly with the corpus). The top-nlist is a TakeOrderedAndProject:
     * k-bounded partials, no global sort materialization.
+    *
+    * The centroid table is materialized on the driver ONCE and re-embedded
+    * as a local relation: left as a lazy subtree it would be recomputed —
+    * full corpus scan included — in every plan branch that references it
+    * (cell assignment AND query probing; round-2's 11× ann_ivf_topk
+    * regression). The collect is bounded at `nlist` rows by construction,
+    * the same scalar-probe shape as Watermark.latestPosition; this IS the
+    * "index build" step of IVF — at 100 TB the centroid table is exactly
+    * the artifact you'd persist and broadcast with the index.
     */
-  private def centroids(e: DataFrame, nlist: Int): DataFrame =
-    e.orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
+  private def centroids(e: DataFrame, nlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e
+      .orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
         col("vec_id"))
       .limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .collect().toSeq
+    rows.toDF("cent_id", "cv", "cn")
+  }
 
   /** IVF cell assignment: one broadcast join + max_by partial agg — no
     * corpus shuffle. Composite BIGINT order key (cosine already rounded
@@ -152,7 +168,9 @@ object Similarity {
     */
   def ivfNearDup(emb: DataFrame, nlist: Int, threshold: Double): DataFrame = {
     val e = prepared(emb)
-    val assigned = cellAssignments(e, centroids(e, nlist))
+    // persist: the self-join below consumes the assignment twice; without
+    // it each side recomputes the corpus×centroid scoring pass
+    val assigned = cellAssignments(e, centroids(e, nlist)).persist()
     assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cell").as("cell"),
