@@ -57,6 +57,12 @@ object SparkEntry {
   /** Changelog CTE shared by every CDC oracle. */
   private val clSql = Normalizer.normalizeSql
 
+  /** Decoded WIDE changelog CTE (multi-column row images). */
+  private val wideClSql = Normalizer.normalizeWideSql
+
+  private def wideChangelog(s: SparkSession, dir: String): DataFrame =
+    Normalizer.normalizeWideDecoded(t(s, dir, "events"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).
     */
@@ -71,6 +77,29 @@ object SparkEntry {
 
     "cdc_lww_state" -> ((s, dir) =>
       ChangelogApply.materialize(changelog(s, dir)).orderBy("tbl", "pk")),
+
+    // Wide envelope: full multi-column after-images through the
+    // encode→schema-registry-decode round trip, then LWW per key.
+    "cdc_lww_state_wide" -> ((s, dir) =>
+      ChangelogApply.materializeWide(wideChangelog(s, dir), Normalizer.payloadCols)
+        .orderBy("tbl", "pk")),
+
+    // Changed-FIELD-SET per update (before-image vs after-image diff)
+    "cdc_changed_fields" -> ((s, dir) =>
+      ChangelogApply.changedFieldSet(wideChangelog(s, dir), Normalizer.payloadCols)
+        .orderBy("tbl", "pk", "pos")),
+
+    // Schema-registry typed decode: aggregate over fields read through
+    // from_json(payload, schemaFor(tbl)) — asserts the registry's typed
+    // view matches the source values
+    "cdc_typed_decode" -> ((s, dir) =>
+      wideChangelog(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("tbl")).as("n_tables"),
+          sum(col("k")).as("sum_k"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type")),
 
     "cdc_snapshot_merge" -> ((s, dir) => {
       val base = t(s, dir, "customer")
@@ -128,8 +157,11 @@ object SparkEntry {
 
     // Structured Streaming apply: the events changelog split into 4
     // files → 4 genuine micro-batches (maxFilesPerTrigger=1) → foreachBatch
-    // incremental LWW state; final state must equal the one-shot batch
-    // materialization (same oracle as cdc_lww_state).
+    // incremental LWW state over the WIDE envelope (full after-images
+    // through the schema-registry decode); final state must equal the
+    // one-shot wide batch materialization (same oracle as
+    // cdc_lww_state_wide). 8 buckets ≈ harness scale (micro-batches touch
+    // a handful of files); at cluster scale this would be thousands.
     "cdc_stream_apply" -> ((s, dir) => {
       import graft.streaming.StreamingApply
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -138,9 +170,10 @@ object SparkEntry {
         .repartition(4, pmod(col("event_id"), lit(4)))
         .write.parquet(chunks)
       val schema = s.read.parquet(chunks).schema
-      StreamingApply.runAvailableNow(s, chunks, schema, Normalizer.normalize,
-        s"$tmp/state", s"$tmp/ckpt")
-      StreamingApply.currentState(s, s"$tmp/state").orderBy("tbl", "pk")
+      StreamingApply.runAvailableNow(s, chunks, schema, Normalizer.normalizeWideDecoded,
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 8, payloadCols = Normalizer.payloadCols)
+      StreamingApply.currentState(s, s"$tmp/state", Normalizer.payloadCols)
+        .orderBy("tbl", "pk")
     }),
 
     "cdc_op_stats" -> ((s, dir) =>
@@ -221,6 +254,22 @@ object SparkEntry {
     "cdc_lww_state" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
+    "cdc_lww_state_wide" ->
+      (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +
+        " ORDER BY tbl, pk"),
+
+    "cdc_changed_fields" ->
+      (ChangelogApply.changedFieldSetSql(wideClSql, Normalizer.payloadCols) +
+        " ORDER BY tbl, pk, pos"),
+
+    "cdc_typed_decode" ->
+      s"""WITH cl AS ($wideClSql)
+         |SELECT event_type, count(*) AS n_events,
+         |       count(DISTINCT tbl) AS n_tables,
+         |       CAST(sum(k) AS BIGINT) AS sum_k,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "cdc_snapshot_merge" ->
       s"""WITH cl AS ($clSql),
          |last AS (
@@ -295,7 +344,8 @@ object SparkEntry {
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
 
     "cdc_stream_apply" ->
-      (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
+      (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +
+        " ORDER BY tbl, pk"),
 
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)

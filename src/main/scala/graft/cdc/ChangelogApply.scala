@@ -104,19 +104,28 @@ object ChangelogApply {
     * the row state as of that log position — time-travel reads over the
     * changelog, the query shape a CDC-fed lakehouse serves constantly.
     *
-    * One equi-join on (tbl, pk) with a range predicate `pos <= asof_pos`,
-    * then a per-probe LWW max_by. The probe side is small and broadcast;
-    * the changelog never shuffles. Probes for keys with no history at
-    * that position report absent (op 'X').
+    * Scale-safe shape (a left-outer with the probe side hinted cannot
+    * build-right-broadcast, so the planner would broadcast the CHANGELOG —
+    * fatal at 100 TB):
+    *   1. INNER join with `broadcast(probes)` as the build side — the
+    *      changelog streams through the BHJ, never shuffling or
+    *      broadcasting; only rows matching a probe key survive.
+    *   2. per-probe LWW via max_by partial agg (hits ≤ |probes| rows).
+    *   3. probes with no history at their position come back via a
+    *      RIGHT-outer join of the tiny hits frame against the probes —
+    *      probe-count-sized, reported absent (op 'X').
     */
   def asOfLookup(changelog: DataFrame, probes: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    broadcast(probes.select(col("tbl").as("p_tbl"), col("pk").as("p_pk"), col("asof_pos")))
-      .join(changelog,
+    val p = probes.select(col("tbl").as("p_tbl"), col("pk").as("p_pk"), col("asof_pos"))
+    val hits = changelog
+      .join(broadcast(p),
         col("p_tbl") === col("tbl") && col("p_pk") === col("pk") &&
-          col("pos") <= col("asof_pos"), "left_outer")
+          col("pos") <= col("asof_pos"), "inner")
       .groupBy(col("p_tbl"), col("p_pk"), col("asof_pos"))
       .agg(max_by(struct(col("op"), col("value")), col("pos")).as("last"))
+    broadcast(hits)
+      .join(p, Seq("p_tbl", "p_pk", "asof_pos"), "right_outer")
       .select(col("p_tbl").as("tbl"), col("p_pk").as("pk"), col("asof_pos"),
         coalesce(col("last.op"), lit("X")).as("op"),
         when(col("last.op").isNotNull && col("last.op") =!= "D", col("last.value")).as("value"))
@@ -138,6 +147,80 @@ object ChangelogApply {
        |       coalesce(op, 'X') AS op,
        |       CASE WHEN op IS NOT NULL AND op <> 'D' THEN value END AS value
        |FROM ranked WHERE rn = 1 ORDER BY tbl, pk, asof_pos""".stripMargin
+
+  /** Wide-envelope LWW: one row per live (tbl, pk) carrying the FULL
+    * after-image (every payload column), not just a scalar. Same
+    * single-shuffle max_by shape as [[materialize]] — the payload rides
+    * inside the partial-aggregated struct, so widening the row adds bytes
+    * but no new shuffle or sort.
+    */
+  def materializeWide(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val carried = Seq("op", "ts", "pos") ++ payloadCols
+    changelog
+      .groupBy(col("tbl"), col("pk"))
+      .agg(max_by(struct(carried.map(col): _*), col("pos")).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("tbl") +: col("pk") +: carried.map(c => col(s"last.$c").as(c)): _*)
+  }
+
+  /** Oracle SQL for [[materializeWide]]: `clCte` must yield the decoded
+    * wide envelope (tbl, pk, op, ts, pos, payload...).
+    */
+  def materializeWideSql(clCte: String, payloadCols: Seq[String]): String =
+    s"""WITH cl AS ($clCte),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl)
+       |SELECT tbl, pk, op, ts, pos, ${payloadCols.mkString(", ")}
+       |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  /** Changed-FIELD-SET diff over a wide envelope: for every event with a
+    * predecessor on its key, the set of payload columns whose value
+    * differs from the before-image (reference semantics:
+    * worker/DefaultApplyWorker.scala:143-163 — after-fields differing from
+    * before, a field absent from before counts as changed; null-aware via
+    * `<=>`). The before-image is the previous after-image on the key,
+    * recovered with one `lag` window per payload column — a single
+    * per-key sort shared by all columns.
+    *
+    * Emits the UPDATE-audit rows (events that changed at least one field)
+    * as (tbl, pk, pos, changed_fields, n_changed) with `changed_fields`
+    * the alphabetically-joined column list.
+    */
+  def changedFieldSet(changelog: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+    val sorted = payloadCols.sorted
+    val withPrev = sorted.foldLeft(changelog.withColumn("prev_pos", lag(col("pos"), 1).over(w))) {
+      (d, c) => d.withColumn(s"__prev_$c", lag(col(c), 1).over(w))
+    }
+    val marks = sorted.map(c => when(!(col(c) <=> col(s"__prev_$c")), lit(c)))
+    val nChanged = sorted.map(c => when(!(col(c) <=> col(s"__prev_$c")), 1L).otherwise(0L)).reduce(_ + _)
+    withPrev
+      .filter(col("prev_pos").isNotNull)
+      .withColumn("changed_fields", concat_ws(",", marks: _*))
+      .withColumn("n_changed", nChanged)
+      .filter(col("n_changed") > 0)
+      .select("tbl", "pk", "pos", "changed_fields", "n_changed")
+  }
+
+  /** Oracle SQL for [[changedFieldSet]] (concat_ws skips NULLs in both
+    * engines; IS DISTINCT FROM mirrors `<=>`'s negation).
+    */
+  def changedFieldSetSql(clCte: String, payloadCols: Seq[String]): String = {
+    val sorted = payloadCols.sorted
+    val lags = sorted.map(c => s"lag($c) OVER w AS __prev_$c").mkString(", ")
+    val marks = sorted.map(c => s"CASE WHEN $c IS DISTINCT FROM __prev_$c THEN '$c' END").mkString(", ")
+    val nChanged = sorted.map(c => s"CASE WHEN $c IS DISTINCT FROM __prev_$c THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH cl AS ($clCte),
+       |d AS (
+       |  SELECT *, lag(pos) OVER w AS prev_pos, $lags
+       |  FROM cl WINDOW w AS (PARTITION BY tbl, pk ORDER BY pos))
+       |SELECT tbl, pk, pos,
+       |       concat_ws(',', $marks) AS changed_fields,
+       |       CAST($nChanged AS BIGINT) AS n_changed
+       |FROM d
+       |WHERE prev_pos IS NOT NULL AND ($nChanged) > 0""".stripMargin
+  }
 
   /** Per-pk changed-value diff for update auditing: compares each event's
     * value to the previous event on the same key (reference computes the

@@ -2,6 +2,7 @@ package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Event normalization: raw event rows → canonical changelog envelope
   * (tbl, pk, op, ts, pos, value).
@@ -54,5 +55,63 @@ object Normalizer {
   val normalizeSql: String =
     s"""SELECT $tblSql AS tbl, user_id AS pk, $opSql AS op, ts,
        |       event_id AS pos, value
+       |FROM events""".stripMargin
+
+  // ---- Wide envelope: multi-column row images ----
+
+  /** Row-image schema of the fixture's logical tables — the columns a
+    * binlog row event would carry for t0..t3 (reference payloads are
+    * whole-row maps, model/ChangeEvent.scala:16-24; here the row is
+    * (event_type, k, value)). Registered per table in a [[SchemaRegistry]]
+    * and decoded back out of the JSON image with `from_json`.
+    */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("k", LongType),
+    StructField("value", DoubleType)))
+
+  /** Payload column names, alphabetical (deterministic projection order). */
+  val payloadCols: Seq[String] = payloadSchema.fieldNames.toSeq
+
+  /** Registry covering the fixture's four logical shards (one shared row
+    * schema → [[SchemaRegistry.decode]] stays a single from_json branch).
+    */
+  val fixtureRegistry: SchemaRegistry =
+    SchemaRegistry.of((0 to 3).map(i => s"t$i"), payloadSchema)
+
+  /** Normalize raw events into the WIDE changelog envelope
+    * (tbl, pk, op, ts, pos, payload_json): the after-image rides as one
+    * JSON document, exactly how a binlog row event arrives before schema
+    * application (reference: normalizer/MySQLEventNormalizer.scala:173-182
+    * builds the after map from the raw cell array + cached schema). The
+    * typed view is recovered per table via [[SchemaRegistry.decode]].
+    */
+  def normalizeWide(rawEvents: DataFrame): DataFrame =
+    rawEvents.select(
+      tblCol.as("tbl"),
+      col("user_id").as("pk"),
+      opCol.as("op"),
+      col("ts"),
+      col("event_id").as("pos"),
+      to_json(struct(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))).as("payload_json"))
+
+  /** Wide changelog already decoded through the fixture registry — the
+    * encode→register→decode round trip in one call.
+    */
+  def normalizeWideDecoded(rawEvents: DataFrame): DataFrame =
+    fixtureRegistry.decode(normalizeWide(rawEvents))
+
+  /** Oracle-SQL rendering of the DECODED wide envelope: DuckDB computes
+    * the typed row image directly from the raw columns (the oracle never
+    * sees the JSON leg — it asserts the round trip lands back on the
+    * source values).
+    */
+  val normalizeWideSql: String =
+    s"""SELECT $tblSql AS tbl, user_id AS pk, $opSql AS op, ts,
+       |       event_id AS pos, event_type,
+       |       CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
        |FROM events""".stripMargin
 }

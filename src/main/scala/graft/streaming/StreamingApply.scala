@@ -1,9 +1,11 @@
 package graft.streaming
 
 import graft.functions.PortableHash
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming changelog apply — the streaming half of the
   * engine (reference: pipeline/CDCStreamPipeline.scala:58-131, the Pekko
@@ -25,6 +27,11 @@ import org.apache.spark.sql.streaming.Trigger
   *     replaying a batch rewrites the same bytes (reference gets this
   *     from upsert-by-PK, README.md:524-552).
   *
+  * The envelope is payload-polymorphic: `payloadCols` names the columns
+  * carried beyond (tbl, pk, op, ts, pos) — a scalar `value` for the
+  * narrow fixtures, the full multi-column after-image for wide CDC
+  * (reference rows are whole-column maps, model/ChangeEvent.scala:16-24).
+  *
   * State layout — BUCKETED versions, the 100 TB-safe shape:
   *
   *   stateDir/v=<batchId>/bucket=<b>/part-*.parquet
@@ -38,16 +45,25 @@ import org.apache.spark.sql.streaming.Trigger
   * retained inside the state (op='D' rows kept so later batches can't
   * resurrect deleted keys); [[currentState]] drops them at read.
   *
+  * All state-directory listing/deleting goes through Hadoop [[FileSystem]]
+  * so the same code is correct when stateDir is hdfs:// or s3a:// on a
+  * real cluster (a java.io.File walk would silently see nothing there).
+  *
   * Retention: [[compact]] keeps the newest `keepVersions` versions per
   * bucket (default 2 — enough for Structured Streaming's replay window,
   * which only ever re-runs the latest uncommitted batch) and deletes the
-  * rest, so state disk stays O(2 · |state|) instead of O(batches).
-  * Production path at larger replay windows: Delta/Iceberg MERGE, which
-  * gives the same touched-files-only rewrite transactionally.
+  * rest; [[applyBatch]] compacts only the buckets it touched, so compaction
+  * cost follows batch size, not state size. Production path at larger
+  * replay windows: Delta/Iceberg MERGE, which gives the same
+  * touched-files-only rewrite transactionally.
   */
 object StreamingApply {
 
-  private val stateCols = Seq("tbl", "pk", "op", "ts", "pos", "value")
+  /** Default payload: the narrow scalar envelope. */
+  val defaultPayload: Seq[String] = Seq("value")
+
+  private def stateCols(payloadCols: Seq[String]): Seq[String] =
+    Seq("tbl", "pk", "op", "ts", "pos") ++ payloadCols
 
   /** State buckets. 32 matches the harness cores; at cluster scale this
     * would be sized so one bucket ≈ one comfortable task (e.g. 4096).
@@ -65,48 +81,65 @@ object StreamingApply {
     * merge(merge(s, b1), b2) == merge(s, b1 ⊎ b2) — which is what makes
     * any batch split/order safe.
     */
-  def mergeState(prev: DataFrame, batch: DataFrame): DataFrame =
-    prev.select(stateCols.map(col): _*)
-      .unionByName(batch.select(stateCols.map(col): _*))
+  def mergeState(prev: DataFrame, batch: DataFrame,
+                 payloadCols: Seq[String] = defaultPayload): DataFrame = {
+    val cols = stateCols(payloadCols)
+    val carried = Seq("op", "ts", "pos") ++ payloadCols
+    prev.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
       .groupBy(col("tbl"), col("pk"))
-      .agg(max_by(struct(col("op"), col("ts"), col("pos"), col("value")), col("pos")).as("last"))
-      .select(col("tbl"), col("pk"), col("last.op").as("op"), col("last.ts").as("ts"),
-        col("last.pos").as("pos"), col("last.value").as("value"))
+      .agg(max_by(struct(carried.map(col): _*), col("pos")).as("last"))
+      .select(col("tbl") +: col("pk") +: carried.map(c => col(s"last.$c").as(c)): _*)
+  }
 
-  private def emptyState(spark: SparkSession): DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      graft.model.ChangeEvent.envelopeSchema)
+  private def emptyState(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
-  /** All (version, bucket, path) triples on disk, oldest version first. */
-  private def bucketVersions(stateDir: String): Seq[(Long, Int, String)] = {
-    val d = new java.io.File(stateDir)
-    if (!d.exists()) Nil
-    else for {
-      v <- d.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("v="))
-      ver = v.getName.stripPrefix("v=").toLong
-      b <- v.listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-    } yield (ver, b.getName.stripPrefix("bucket=").toInt, b.getAbsolutePath)
-  }.sortBy(t => (t._1, t._2))
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All (version, bucket, path) triples in the state store, oldest
+    * version first — listed through Hadoop FileSystem so hdfs://s3a://
+    * state dirs behave identically to local ones.
+    */
+  private def bucketVersions(spark: SparkSession, stateDir: String): Seq[(Long, Int, Path)] = {
+    val hfs = fs(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!hfs.exists(root)) Nil
+    else {
+      for {
+        v <- hfs.listStatus(root).toSeq
+        if v.isDirectory && v.getPath.getName.startsWith("v=")
+        ver = v.getPath.getName.stripPrefix("v=").toLong
+        b <- hfs.listStatus(v.getPath).toSeq
+        if b.isDirectory && b.getPath.getName.startsWith("bucket=")
+      } yield (ver, b.getPath.getName.stripPrefix("bucket=").toInt, b.getPath)
+    }.sortBy(t => (t._1, t._2))
+  }
 
   /** Latest version path per bucket among versions strictly below
     * `beforeBatch` (replay of batch N must not read N's own output).
     */
-  private def latestPerBucket(stateDir: String, beforeBatch: Long): Map[Int, String] =
-    bucketVersions(stateDir)
+  private def latestPerBucket(spark: SparkSession, stateDir: String,
+                              beforeBatch: Long): Map[Int, Path] =
+    bucketVersions(spark, stateDir)
       .filter(_._1 < beforeBatch)
       .groupBy(_._2)
       .map { case (b, vs) => b -> vs.maxBy(_._1)._3 }
 
   /** State as of the latest version strictly below `beforeBatch`,
-    * restricted to `buckets` (None = all buckets).
+    * restricted to `buckets` (None = all buckets). `emptySchema` shapes
+    * the zero-state frame before the first version exists.
     */
   def stateBefore(spark: SparkSession, stateDir: String, beforeBatch: Long,
-                  buckets: Option[Set[Int]] = None): DataFrame = {
-    val paths = latestPerBucket(stateDir, beforeBatch)
+                  buckets: Option[Set[Int]] = None,
+                  payloadCols: Seq[String] = defaultPayload,
+                  emptySchema: StructType = graft.model.ChangeEvent.envelopeSchema): DataFrame = {
+    val paths = latestPerBucket(spark, stateDir, beforeBatch)
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
-      .values.toSeq
-    if (paths.isEmpty) emptyState(spark)
-    else spark.read.parquet(paths: _*).select(stateCols.map(col): _*)
+      .values.map(_.toString).toSeq
+    if (paths.isEmpty) emptyState(spark, emptySchema)
+    else spark.read.parquet(paths: _*).select(stateCols(payloadCols).map(col): _*)
   }
 
   /** Write a full state frame as one bucketed version — the seeding path
@@ -114,8 +147,9 @@ object StreamingApply {
     * [[applyBatch]].
     */
   def writeVersion(state: DataFrame, stateDir: String, version: Long,
-                   nBuckets: Int = defaultBuckets): Unit =
-    state.select(stateCols.map(col): _*)
+                   nBuckets: Int = defaultBuckets,
+                   payloadCols: Seq[String] = defaultPayload): Unit =
+    state.select(stateCols(payloadCols).map(col): _*)
       .withColumn("bucket", bucketOf(nBuckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket")
@@ -127,57 +161,66 @@ object StreamingApply {
     *
     * The touched-bucket probe is a driver-side collect BOUNDED BY
     * nBuckets (a few ints, never data rows) — the same legitimate scalar
-    * probe shape as Watermark.latestPosition.
+    * probe shape as Watermark.latestPosition. Compaction afterwards is
+    * scoped to the touched buckets, so its cost follows the batch.
     */
-  def applyBatch(stateDir: String, nBuckets: Int = defaultBuckets)(
+  def applyBatch(stateDir: String, nBuckets: Int = defaultBuckets,
+                 payloadCols: Seq[String] = defaultPayload)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val b = batch.select(stateCols.map(col): _*)
+    val cols = stateCols(payloadCols)
+    val b = batch.select(cols.map(col): _*)
       .withColumn("bucket", bucketOf(nBuckets)).persist()
     try {
       val touched = b.select(col("bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       if (touched.nonEmpty) {
-        val prev = stateBefore(spark, stateDir, batchId, Some(touched))
-        writeVersion(mergeState(prev, b), stateDir, batchId, nBuckets)
+        val prev = stateBefore(spark, stateDir, batchId, Some(touched),
+          payloadCols, b.drop("bucket").schema)
+        writeVersion(mergeState(prev, b, payloadCols), stateDir, batchId, nBuckets, payloadCols)
+        compact(spark, stateDir, buckets = Some(touched))
       }
-      compact(stateDir)
-    } finally b.unpersist()
+    } finally { b.unpersist(); () }
   }
 
   /** Drop superseded bucket versions, keeping the newest `keepVersions`
     * per bucket (≥ 2 so a crash-replay of the latest batch still finds
-    * its predecessor). Empty v= dirs are removed once drained.
+    * its predecessor). `buckets` scopes the sweep (None = all) — the
+    * incremental path compacts only what it touched. Empty v= dirs are
+    * removed once drained.
     */
-  def compact(stateDir: String, keepVersions: Int = 2): Unit = {
+  def compact(spark: SparkSession, stateDir: String, keepVersions: Int = 2,
+              buckets: Option[Set[Int]] = None): Unit = {
     require(keepVersions >= 2, "replay of the latest batch needs its predecessor")
-    bucketVersions(stateDir).groupBy(_._2).foreach { case (_, vs) =>
-      vs.sortBy(-_._1).drop(keepVersions).foreach { case (_, _, path) =>
-        deleteRecursively(new java.io.File(path))
+    val hfs = fs(spark, stateDir)
+    bucketVersions(spark, stateDir)
+      .filter { case (_, b, _) => buckets.forall(_.contains(b)) }
+      .groupBy(_._2).foreach { case (_, vs) =>
+        vs.sortBy(-_._1).drop(keepVersions).foreach { case (_, _, path) =>
+          hfs.delete(path, true)
+        }
       }
-    }
-    val d = new java.io.File(stateDir)
-    if (d.exists()) d.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .filter(f => f.listFiles().forall(c => !c.getName.startsWith("bucket=")))
-      .foreach(deleteRecursively)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
+    val root = new Path(stateDir)
+    if (hfs.exists(root)) hfs.listStatus(root).toSeq
+      .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
+      .filter(v => !hfs.listStatus(v.getPath).exists(_.getPath.getName.startsWith("bucket=")))
+      .foreach(v => hfs.delete(v.getPath, true))
   }
 
   /** Latest materialized state (latest version of every bucket),
     * tombstones dropped.
     */
-  def currentState(spark: SparkSession, stateDir: String): DataFrame =
-    stateBefore(spark, stateDir, Long.MaxValue).filter(col("op") =!= "D")
+  def currentState(spark: SparkSession, stateDir: String,
+                   payloadCols: Seq[String] = defaultPayload,
+                   emptySchema: StructType = graft.model.ChangeEvent.envelopeSchema): DataFrame =
+    stateBefore(spark, stateDir, Long.MaxValue, None, payloadCols, emptySchema)
+      .filter(col("op") =!= "D")
 
   /** Run a bounded streaming apply over a directory of changelog parquet
     * files (one micro-batch per file via maxFilesPerTrigger=1 — multiple
     * genuinely independent micro-batches, arbitrary file order) and block
-    * until drained.
+    * until drained. `nBuckets` sizes the state store: ~cores locally,
+    * thousands at cluster scale.
     */
   def runAvailableNow(
       spark: SparkSession,
@@ -185,14 +228,16 @@ object StreamingApply {
       schema: org.apache.spark.sql.types.StructType,
       normalize: DataFrame => DataFrame,
       stateDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      nBuckets: Int = defaultBuckets,
+      payloadCols: Seq[String] = defaultPayload): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changelogDir)
       .transform(normalize)
       .writeStream
-      .foreachBatch(applyBatch(stateDir) _)
+      .foreachBatch(applyBatch(stateDir, nBuckets, payloadCols) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

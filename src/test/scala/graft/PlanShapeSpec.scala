@@ -40,6 +40,16 @@ class PlanShapeSpec extends SparkSpec {
       s"pos range should push to parquet as event_id bounds:\n$p")
   }
 
+  test("as-of lookup: probes broadcast as build side, changelog streams") {
+    val p = plan("cdc_asof_lookup")
+    // the big join must be a BHJ with the probe side built (BuildRight) —
+    // a left-outer with probes hinted would broadcast the CHANGELOG
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner") && l.contains("BuildRight")),
+      s"expected inner BHJ BuildRight on probes:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"changelog must not shuffle for a probe join:\n$p")
+  }
+
   test("ANN brute force: broadcast join + k-bounded partial top-k, one shuffle") {
     val p = plan("ann_bruteforce_topk")
     // queries broadcast against the corpus — never a shuffle join

@@ -90,6 +90,25 @@ class StreamingApplySpec extends SparkSpec {
     assert(stateOf(StreamingApply.currentState(spark, dir)) == Map(1L -> 4.0))
   }
 
+  test("bucketed state carries the wide multi-column envelope") {
+    val dir = Files.createTempDirectory("graft_wide").toString + "/state"
+    val wide = Seq(
+      ("t0", 1L, "I", new Timestamp(0), 0L, "signup", 10L, 1.0),
+      ("t0", 2L, "I", new Timestamp(1000), 1L, "click", 20L, 2.0),
+      ("t0", 1L, "U", new Timestamp(2000), 2L, "click", 11L, 1.5))
+      .toDF("tbl", "pk", "op", "ts", "pos", "event_type", "k", "value")
+    val payload = Seq("event_type", "k", "value")
+    StreamingApply.applyBatch(dir, nBuckets = 4, payloadCols = payload)(wide.filter($"pos" < 2), 0L)
+    StreamingApply.applyBatch(dir, nBuckets = 4, payloadCols = payload)(wide.filter($"pos" >= 2), 1L)
+    val st = StreamingApply.currentState(spark, dir, payload)
+      .orderBy("pk").collect()
+    assert(st.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    val r1 = st(0)
+    assert(r1.getString(r1.fieldIndex("event_type")) == "click" &&
+      r1.getLong(r1.fieldIndex("k")) == 11L &&
+      r1.getDouble(r1.fieldIndex("value")) == 1.5)
+  }
+
   test("mergeState keeps tombstones so deletes survive compaction boundaries") {
     val s1 = StreamingApply.mergeState(Seq.empty[ChangeEvent].toDF(), Seq(ev(9, "I", 0, 1.0)).toDF())
     val s2 = StreamingApply.mergeState(s1, Seq(ev(9, "D", 1, 0.0)).toDF())
