@@ -113,6 +113,16 @@ object SparkEntry {
       Watermark.snapshotThenCatchup(cl, maxPos / 4, 3 * maxPos / 4).orderBy("tbl", "pk")
     }),
 
+    // Watermark lifecycle stats (A5): per-status table counts/volumes for
+    // a [maxPos/2, maxPos) snapshot bracket — the table carrying the
+    // global max pos has closed its window (completed), the rest are
+    // mid-catchup (active).
+    "cdc_watermark_stats" -> ((s, dir) => {
+      val cl = changelog(s, dir)
+      val maxPos = Watermark.latestPosition(cl)
+      Watermark.lifecycleStats(cl, maxPos / 2, maxPos).orderBy("status")
+    }),
+
     "cdc_router_distribution" -> ((s, dir) =>
       Routing.distribution(changelog(s, dir), 32)),
 
@@ -123,6 +133,14 @@ object SparkEntry {
       val f = TableFilter(include = Seq("t*"), exclude = Seq("t3"))
       changelog(s, dir).filter(f.column(col("tbl")))
         .groupBy("tbl").agg(count(lit(1)).as("n_events")).orderBy("tbl")
+    }),
+
+    // Filter statistics: per-table admit/reject decision + event volume
+    // (reference getFilterStatistics, filter/TableFilter.scala:108-130) —
+    // the filter config is validated before use (validate/validated gate).
+    "cdc_filter_stats" -> ((s, dir) => {
+      val f = TableFilter(include = Seq("t*"), exclude = Seq("t3")).validated
+      f.stats(changelog(s, dir), col("tbl")).orderBy("tbl")
     }),
 
     "cdc_changed_diff" -> ((s, dir) =>
@@ -154,6 +172,14 @@ object SparkEntry {
     }),
 
     "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
+
+    // Bounded-concurrency snapshot plan: chunk tasks → (wave, slot) under
+    // an admission cap of 6 concurrent workers (reference actor tick-loop
+    // admission, snapshot/SnapshotScheduler.scala:220-251).
+    "cdc_snapshot_waves" -> ((s, dir) =>
+      SnapshotScheduler.waves(Metrics.pkChunks(changelog(s, dir), 40L), 6)
+        .select("tbl", "chunk_id", "chunk_lo", "chunk_hi", "task_seq", "wave", "slot")
+        .orderBy("task_seq")),
 
     // Structured Streaming apply: the events changelog split into 4
     // files → 4 genuine micro-batches (maxFilesPerTrigger=1) → foreachBatch
@@ -317,6 +343,18 @@ object SparkEntry {
          |WHERE regexp_matches(tbl, '^t.*$$') AND NOT regexp_matches(tbl, '^t3$$')
          |GROUP BY tbl ORDER BY tbl""".stripMargin,
 
+    "cdc_watermark_stats" ->
+      (Watermark.lifecycleStatsSql(clSql,
+        "(SELECT max(pos) // 2 FROM cl)", "(SELECT max(pos) FROM cl)") +
+        " ORDER BY status"),
+
+    "cdc_filter_stats" ->
+      s"""WITH cl AS ($clSql)
+         |SELECT tbl,
+         |       (regexp_matches(tbl, '^t.*$$') AND NOT regexp_matches(tbl, '^t3$$')) AS included,
+         |       count(*) AS n_events
+         |FROM cl GROUP BY tbl ORDER BY tbl""".stripMargin,
+
     "cdc_changed_diff" ->
       s"""WITH cl AS ($clSql),
          |d AS (
@@ -342,6 +380,10 @@ object SparkEntry {
         |FROM range(10) t(i), (SELECT max(pos) AS mp FROM cl) m""".stripMargin),
 
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
+
+    "cdc_snapshot_waves" ->
+      (SnapshotScheduler.wavesSql(Metrics.pkChunksSql(clSql, 40L), 6) +
+        " ORDER BY task_seq"),
 
     "cdc_stream_apply" ->
       (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +

@@ -24,6 +24,8 @@ import scala.util.matching.Regex
   */
 final case class TableFilter(include: Seq[String], exclude: Seq[String]) {
 
+  import TableFilter.Validation
+
   private def compile(pattern: String): Regex = {
     val isWildcard = pattern.exists(c => c == '*' || c == '?') ||
       !pattern.exists(c => "[](){}^$+|\\".contains(c))
@@ -38,8 +40,11 @@ final case class TableFilter(include: Seq[String], exclude: Seq[String]) {
     ("^" + body + "$").r
   }
 
-  private val includeRx = include.map(compile)
-  private val excludeRx = exclude.map(compile)
+  // lazy so an uncompilable pattern surfaces through `validate` as a
+  // reported error, not a constructor throw (the reference validates
+  // before compiling too, ConfigLoader.scala:288-300)
+  private lazy val includeRx = include.map(compile)
+  private lazy val excludeRx = exclude.map(compile)
 
   def shouldInclude(table: String): Boolean = {
     val in = includeRx.isEmpty || includeRx.exists(_.matches(table))
@@ -47,6 +52,43 @@ final case class TableFilter(include: Seq[String], exclude: Seq[String]) {
   }
 
   def filterTables(tables: Seq[String]): Seq[String] = tables.filter(shouldInclude)
+
+  /** Rule-set validation before the filter goes live (reference:
+    * filter/TableFilter.scala:136-176 validateConfig +
+    * config/ConfigLoader.scala:288-300 — conflicting include/exclude
+    * rules are errors, uncompilable patterns are errors, an empty include
+    * list is an everything-matches warning). Runs on the driver at config
+    * time, once — never per row.
+    */
+  def validate: Validation = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    val conflicts = include.intersect(exclude).distinct
+    if (conflicts.nonEmpty)
+      errors += s"conflicting rules in both include and exclude: ${conflicts.mkString(", ")}"
+    for (p <- include ++ exclude)
+      scala.util.Try(compile(p)).failed.foreach { e =>
+        errors += s"invalid pattern '$p': ${e.getMessage}"
+      }
+    // an exclude that re-matches every include is a dead config:
+    // nothing can ever pass (the reference only flags literal
+    // conflicts; pattern-level shadowing is the same bug one step out)
+    if (include.nonEmpty && exclude.contains("*"))
+      errors += "exclude '*' rejects every table the include rules admit"
+    if (include.isEmpty)
+      warnings += "no include rules: every table is included by default"
+    val e = errors.result()
+    Validation(e.isEmpty, e, warnings.result())
+  }
+
+  /** `validate` or throw — the config-load gate (reference rejects the
+    * pipeline config on filter errors, ConfigLoader.scala:288-300).
+    */
+  def validated: TableFilter = {
+    val v = validate
+    require(v.isValid, v.errors.mkString("; "))
+    this
+  }
 
   /** The same rules as a Catalyst Column predicate (uses Java-regex rlike;
     * wildcard-compiled patterns stay in the portable `.*`/`.` subset).
@@ -60,4 +102,23 @@ final case class TableFilter(include: Seq[String], exclude: Seq[String]) {
       else excludeRx.map(r => tableCol.rlike(r.regex)).reduce(_ || _)
     in && !ex
   }
+
+  /** Distributed filter statistics: per-table admit/reject decision plus
+    * event volume (reference: filter/TableFilter.scala:108-130
+    * getFilterStatistics — total/included/excluded with per-group
+    * breakdown). The decision rides as a Column predicate inside the
+    * aggregation, so the stats job is one shuffle over (tbl) however many
+    * billions of events feed it.
+    */
+  def stats(events: org.apache.spark.sql.DataFrame, tableCol: Column): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(tableCol.as("tbl"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("included", column(col("tbl")))
+      .select(col("tbl"), col("included"), col("n_events"))
+}
+
+object TableFilter {
+  /** Outcome of [[TableFilter.validate]]. */
+  final case class Validation(isValid: Boolean, errors: Seq[String], warnings: Seq[String])
 }

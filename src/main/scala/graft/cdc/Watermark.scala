@@ -67,6 +67,61 @@ object Watermark {
     }
   }
 
+  /** Per-table watermark lifecycle against a `[low, high)` snapshot
+    * bracket (reference keeps one cdc_low_watermarks row per bracket with
+    * status Active/Completed/Expired, snapshot/LowWatermarkManager.scala:56-196):
+    *   - `completed`: the table's log has advanced past `high` — its
+    *     catchup window closed;
+    *   - `active`: events seen at/after `low` but `high` not yet reached;
+    *   - `expired`: nothing at/after `low` — the bracket outlived the
+    *     table's activity and would be reaped.
+    * Plus the snapshot/catchup event volumes the bracket implies. One
+    * hash aggregation over (tbl) regardless of changelog size.
+    */
+  def lifecycle(changelog: DataFrame, low: Long, high: Long): DataFrame =
+    changelog.groupBy(col("tbl"))
+      .agg(
+        sum(when(col("pos") < low, 1L).otherwise(0L)).as("n_snapshot_events"),
+        sum(when(col("pos") >= low && col("pos") < high, 1L).otherwise(0L)).as("n_catchup_events"),
+        max(col("pos")).as("max_pos"))
+      .withColumn("status",
+        when(col("max_pos") >= high, "completed")
+          .when(col("max_pos") >= low, "active")
+          .otherwise("expired"))
+
+  /** Watermark statistics: per-status table counts + volumes (reference
+    * calculateWatermarkStatistics, LowWatermarkManager.scala:392-448 —
+    * GROUP BY status with oldest/newest; positions stand in for
+    * created_at timestamps here).
+    */
+  def lifecycleStats(changelog: DataFrame, low: Long, high: Long): DataFrame =
+    lifecycle(changelog, low, high)
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_tables"),
+        sum(col("n_snapshot_events")).as("n_snapshot_events"),
+        sum(col("n_catchup_events")).as("n_catchup_events"),
+        min(col("max_pos")).as("oldest_pos"),
+        max(col("max_pos")).as("newest_pos"))
+
+  def lifecycleStatsSql(clCte: String, lowSql: String, highSql: String): String =
+    s"""WITH cl AS ($clCte),
+       |lc AS (
+       |  SELECT tbl,
+       |         CAST(sum(CASE WHEN pos < $lowSql THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot_events,
+       |         CAST(sum(CASE WHEN pos >= $lowSql AND pos < $highSql THEN 1 ELSE 0 END) AS BIGINT) AS n_catchup_events,
+       |         max(pos) AS max_pos
+       |  FROM cl GROUP BY tbl)
+       |SELECT CASE WHEN max_pos >= $highSql THEN 'completed'
+       |            WHEN max_pos >= $lowSql THEN 'active'
+       |            ELSE 'expired' END AS status,
+       |       count(*) AS n_tables,
+       |       CAST(sum(n_snapshot_events) AS BIGINT) AS n_snapshot_events,
+       |       CAST(sum(n_catchup_events) AS BIGINT) AS n_catchup_events,
+       |       min(max_pos) AS oldest_pos,
+       |       max(max_pos) AS newest_pos
+       |FROM lc GROUP BY 1""".stripMargin
+
   /** Full snapshot→catchup→state flow over fixtures: snapshot = state at
     * positions < low (what the bulk copy saw), catchup = replay of
     * [low, high), result = merged state as of high.

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.model.LogPosition.GtidSet
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -22,13 +23,21 @@ import scala.jdk.CollectionConverters._
   *
   * Mapping:
   *   - the binlog file          → an append-only text log, one CSV event
-  *     per line `pos,tbl,pk,op,tsMillis,value` (a binlog IS a sequential
-  *     log; a single ordered reader is the semantic, reference
+  *     per line `pos,tbl,pk,op,tsMillis,value[,gtid]` (a binlog IS a
+  *     sequential log; a single ordered reader is the semantic, reference
   *     reader/BinlogReader.scala:10-13)
-  *   - `BinlogPosition`         → [[LineOffset]] (line count consumed) —
-  *     the Structured Streaming `Offset` that checkpoint restart resumes
-  *     from, replacing the reference's cdc_offsets table
-  *     (coordinator/MySQLOffsetStore.scala:98-141)
+  *   - `BinlogPosition`         → [[GtidOffset]], a GTID-SET-backed
+  *     Structured Streaming `Offset` (reference models positions as
+  *     `GTIDPosition | FilePosition`, model/BinlogPosition.scala:7-66, but
+  *     compares GTID sets as STRINGS — :19-20, a documented wart; here the
+  *     offset is the [[graft.model.LogPosition.GtidSet]] algebra itself,
+  *     so progress/replay are decided by set membership, never lexically)
+  *   - lines without an explicit gtid field get a synthetic
+  *     `filepos:pos+1` transaction id — the `FilePosition` half of the
+  *     reference's duality, embedded in the same set algebra
+  *   - resume-from-GTID: option `startGtids` skips every transaction
+  *     already in the given set (the reference resumes from the cdc_offsets
+  *     table the same way, coordinator/MySQLOffsetStore.scala:98-141)
   *   - reader queue backpressure (1000-event buffer) → admission control:
   *     `maxPerBatch` caps each micro-batch (reference
   *     MySQLBinlogReader.scala:27,69)
@@ -37,7 +46,9 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   spark.readStream.format("graft-binlog")
   *     .option("path", "/data/changelog.log")
-  *     .option("maxPerBatch", "1000").load()
+  *     .option("maxPerBatch", "1000")
+  *     .option("startGtids", "src:1-500")   // optional mid-stream resume
+  *     .load()
   * }}}
   */
 class BinlogFileSource extends TableProvider with DataSourceRegister {
@@ -47,33 +58,57 @@ class BinlogFileSource extends TableProvider with DataSourceRegister {
     val opts = properties.asScala
     new BinlogTable(
       opts.getOrElse("path", throw new IllegalArgumentException("graft-binlog requires 'path'")),
-      opts.get("maxPerBatch").map(_.toLong).getOrElse(Long.MaxValue))
+      opts.get("maxPerBatch").map(_.toLong).getOrElse(Long.MaxValue),
+      opts.get("startGtids").map(GtidSet.parse).getOrElse(GtidSet.empty))
   }
 }
 
 object BinlogFileSource {
-  /** The changelog envelope (ts carried as epoch millis). */
+  /** The changelog envelope (ts carried as epoch millis; gtid exposed so
+    * downstream consumers can persist their own frontier).
+    */
   val schema: StructType = StructType(Seq(
     StructField("tbl", StringType),
     StructField("pk", LongType),
     StructField("op", StringType),
     StructField("ts_ms", LongType),
     StructField("pos", LongType),
-    StructField("value", DoubleType)))
+    StructField("value", DoubleType),
+    StructField("gtid", StringType)))
+
+  /** Synthetic GTID source id for lines that carry only a file position —
+    * `FilePosition` lifted into the set algebra (txn = pos + 1, 1-based).
+    */
+  val FileposUuid = "filepos"
 
   def renderLine(tbl: String, pk: Long, op: String, tsMs: Long, pos: Long, value: Double): String =
     s"$pos,$tbl,$pk,$op,$tsMs,$value"
 
-  private[sources] def countLines(path: String): Long = {
-    if (!Files.exists(Paths.get(path))) 0L
+  /** Line with an explicit GTID (`uuid:txn`). */
+  def renderLine(tbl: String, pk: Long, op: String, tsMs: Long, pos: Long, value: Double,
+                 gtidUuid: String, gtidTxn: Long): String =
+    s"$pos,$tbl,$pk,$op,$tsMs,$value,$gtidUuid:$gtidTxn"
+
+  /** (uuid, txn) of one log line: field 7 if present, else the synthetic
+    * file-position transaction.
+    */
+  private[sources] def gtidOf(parts: Array[String]): (String, Long) =
+    if (parts.length >= 7 && parts(6).nonEmpty) {
+      val i = parts(6).lastIndexOf(':')
+      (parts(6).substring(0, i), parts(6).substring(i + 1).toLong)
+    } else (FileposUuid, parts(0).toLong + 1L)
+
+  private[sources] def readLines(path: String): Vector[String] = {
+    if (!Files.exists(Paths.get(path))) Vector.empty
     else {
-      val s = Files.lines(Paths.get(path))
-      try s.count() finally s.close()
+      val s = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+      try s.iterator().asScala.toVector finally s.close()
     }
   }
 }
 
-private[sources] class BinlogTable(path: String, maxPerBatch: Long) extends Table with SupportsRead {
+private[sources] class BinlogTable(path: String, maxPerBatch: Long, startGtids: GtidSet)
+  extends Table with SupportsRead {
   override def name(): String = s"graft-binlog($path)"
   override def schema(): StructType = BinlogFileSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -83,22 +118,27 @@ private[sources] class BinlogTable(path: String, maxPerBatch: Long) extends Tabl
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = BinlogFileSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BinlogMicroBatchStream(path, maxPerBatch)
+          new BinlogMicroBatchStream(path, maxPerBatch, startGtids)
       }
     }
 }
 
-/** Offset = number of lines fully consumed (total order, like a binlog
-  * file position).
+/** Offset = the GTID SET of every transaction fully consumed. JSON is the
+  * canonical (sorted, coalesced) MySQL gtid-set string, so two equal sets
+  * always serialize identically — progress detection stays sound. Batch
+  * `[start, end)` replays exactly the transactions in `end ∖ start`
+  * (set subtraction), which is what makes restart after log compaction or
+  * out-of-order source uuids correct where a line-count offset silently
+  * drifts.
   */
-case class LineOffset(lines: Long) extends Offset {
-  override def json(): String = lines.toString
+case class GtidOffset(gtids: GtidSet) extends Offset {
+  override def json(): String = gtids.toString
 }
 
-private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long)
+private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long, startGtids: GtidSet)
   extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = LineOffset(0L)
+  override def initialOffset(): Offset = GtidOffset(startGtids)
 
   /** Basic-API entry point; the engine uses the admission-control
     * overload below when SupportsAdmissionControl is implemented.
@@ -106,63 +146,88 @@ private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
-  /** Next batch end: available lines, admission-capped relative to the
-    * batch START offset (reader-queue backpressure analogue; correct
-    * across checkpoint restarts because the engine supplies the start).
+  /** Next batch end: the start set plus up to `maxRows` not-yet-consumed
+    * transactions in file order (reader-queue backpressure analogue;
+    * correct across checkpoint restarts because membership — not a
+    * counter — decides what is new).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[LineOffset].lines
-    val avail = BinlogFileSource.countLines(path)
+    val s = start.asInstanceOf[GtidOffset].gtids
     val cap = limit match {
-      case m: ReadMaxRows => math.min(avail, s + m.maxRows())
-      case _ => avail
+      case m: ReadMaxRows => m.maxRows()
+      case _ => Long.MaxValue
     }
-    LineOffset(math.max(s, cap))
+    var end = s
+    var taken = 0L
+    val it = BinlogFileSource.readLines(path).iterator
+    while (it.hasNext && taken < cap) {
+      val (uuid, txn) = BinlogFileSource.gtidOf(it.next().split(",", 7))
+      if (!end.contains(uuid, txn)) {
+        end = end.add(uuid, txn)
+        taken += 1
+      }
+    }
+    GtidOffset(end)
   }
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxPerBatch == Long.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxRows(maxPerBatch)
 
-  override def reportLatestOffset(): Offset = LineOffset(BinlogFileSource.countLines(path))
+  override def reportLatestOffset(): Offset =
+    GtidOffset(BinlogFileSource.readLines(path).foldLeft(startGtids) { (acc, l) =>
+      val (uuid, txn) = BinlogFileSource.gtidOf(l.split(",", 7))
+      acc.add(uuid, txn)
+    })
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LineOffset].lines
-    val e = end.asInstanceOf[LineOffset].lines
-    if (e <= s) Array.empty else Array(BinlogInputPartition(path, s, e))
+    val s = start.asInstanceOf[GtidOffset].gtids
+    val e = end.asInstanceOf[GtidOffset].gtids
+    val delta = e.subtract(s)
+    if (delta.txnCount == 0L) Array.empty
+    else Array(BinlogInputPartition(path, delta.toString))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new BinlogReaderFactory
 
-  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = GtidOffset(GtidSet.parse(json))
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }
 
-private[sources] case class BinlogInputPartition(path: String, startLine: Long, endLine: Long)
+/** One batch's work: the lines whose gtid falls in `deltaGtids`
+  * (= end ∖ start), selected by set membership in file order.
+  */
+private[sources] case class BinlogInputPartition(path: String, deltaGtids: String)
   extends InputPartition
 
 private[sources] class BinlogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BinlogInputPartition]
+    val delta = GtidSet.parse(p.deltaGtids)
     new PartitionReader[InternalRow] {
       private val stream = Files.lines(Paths.get(p.path), StandardCharsets.UTF_8)
-      private val it = stream.skip(p.startLine).limit(p.endLine - p.startLine).iterator()
+      private val it = stream.iterator()
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else {
-          val parts = it.next().split(",", 6)
-          current = InternalRow(
-            UTF8String.fromString(parts(1)),
-            parts(2).toLong,
-            UTF8String.fromString(parts(3)),
-            parts(4).toLong,
-            parts(0).toLong,
-            parts(5).toDouble)
-          true
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val parts = it.next().split(",", 7)
+          val (uuid, txn) = BinlogFileSource.gtidOf(parts)
+          if (delta.contains(uuid, txn)) {
+            current = InternalRow(
+              UTF8String.fromString(parts(1)),
+              parts(2).toLong,
+              UTF8String.fromString(parts(3)),
+              parts(4).toLong,
+              parts(0).toLong,
+              parts(5).toDouble,
+              UTF8String.fromString(s"$uuid:$txn"))
+            return true
+          }
         }
+        false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = stream.close()
     }

@@ -71,6 +71,61 @@ class BinlogFileSourceSpec extends SparkSpec {
     assert(delivered.values.forall(_ == 1), s"duplicated delivery: $delivered")
   }
 
+  test("offset IS a GTID set: resume-from-GTID skips consumed transactions") {
+    // 8 lines with explicit GTIDs src:1..8; start with src:1-5 already
+    // consumed → only 6,7,8 delivered. This is the reference's
+    // resume-from-cdc_offsets semantic (MySQLOffsetStore.scala:98-141)
+    // decided by SET MEMBERSHIP, not a line counter.
+    val dir = Files.createTempDirectory("graft_src4").toString
+    val log = s"$dir/changelog.log"
+    writeLines(log, (1L to 8L).map(i =>
+      BinlogFileSource.renderLine("t0", i, "I", 1000L * i, i - 1, i * 1.0, "src", i)))
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", log).option("startGtids", "src:1-5").load()
+      .writeStream.format("memory").queryName("src_gtid_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("src_gtid_out").orderBy("pos").collect()
+      assert(got.map(_.getAs[Long]("pk")).toSeq == Seq(6L, 7L, 8L))
+      assert(got.map(_.getAs[String]("gtid")).toSeq == Seq("src:6", "src:7", "src:8"))
+    } finally q.stop()
+  }
+
+  test("GTID set order is set algebra, not string compare (multi-uuid, 1-9 vs 1-10)") {
+    // The reference compares gtid sets lexically ("1-9" > "1-10",
+    // model/BinlogPosition.scala:19-20). Interleave two source uuids and
+    // cross the 9→10 boundary; restart mid-stream must not lose or
+    // duplicate any transaction.
+    val dir = Files.createTempDirectory("graft_src5").toString
+    val log = s"$dir/changelog.log"
+    val delivered = new scala.collection.concurrent.TrieMap[String, Int]()
+    def evts(r: Range, uuid: String, posBase: Long) =
+      r.map(i => BinlogFileSource.renderLine("t0", i.toLong, "I", 1000L * i, posBase + i, i * 1.0, uuid, i.toLong))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-binlog")
+        .option("path", log).option("maxPerBatch", "4").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("gtid").collect().foreach { r =>
+            delivered.updateWith(r.getString(0)) { c => Some(c.getOrElse(0) + 1) }
+          }
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeLines(log, evts(1 to 9, "a", 0) ++ evts(1 to 9, "b", 100))
+    run()
+    // cross the lexical trap: txns 10..12 sort BEFORE 9 as strings
+    writeLines(log, evts(10 to 12, "a", 200) ++ evts(10 to 12, "b", 300), append = true)
+    run()
+    val want = ((1 to 12).map(i => s"a:$i") ++ (1 to 12).map(i => s"b:$i")).toSet
+    assert(delivered.keySet == want)
+    assert(delivered.values.forall(_ == 1), s"duplicated delivery: $delivered")
+  }
+
   test("source feeds the streaming LWW apply end-to-end") {
     import graft.streaming.StreamingApply
     val dir = Files.createTempDirectory("graft_src3").toString

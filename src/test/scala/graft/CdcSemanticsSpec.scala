@@ -87,6 +87,27 @@ class CdcSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("watermark lifecycle: completed/active/expired per table, stats roll up") {
+    import spark.implicits._
+    // t_done advanced past high=20, t_mid stalled inside [10,20),
+    // t_old has nothing at/after low=10 → expired bracket
+    val cl = Seq(
+      ("t_done", 1L, "I", 5L, 1.0), ("t_done", 1L, "U", 15L, 2.0), ("t_done", 2L, "U", 25L, 3.0),
+      ("t_mid", 1L, "I", 8L, 1.0), ("t_mid", 2L, "I", 12L, 2.0),
+      ("t_old", 1L, "I", 3L, 1.0), ("t_old", 2L, "I", 7L, 2.0)
+    ).toDF("tbl", "pk", "op", "pos", "value")
+    val lc = Watermark.lifecycle(cl, 10L, 20L)
+      .select("tbl", "status", "n_snapshot_events", "n_catchup_events")
+      .as[(String, String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(lc("t_done") == ("completed", 1L, 1L))
+    assert(lc("t_mid") == ("active", 1L, 1L))
+    assert(lc("t_old") == ("expired", 2L, 0L))
+    val stats = Watermark.lifecycleStats(cl, 10L, 20L)
+      .select("status", "n_tables").as[(String, Long)].collect().toMap
+    assert(stats == Map("completed" -> 1L, "active" -> 1L, "expired" -> 1L))
+  }
+
   test("catchup over an overlapping window is absorbed (duplicate replay safe)") {
     val events = mkEvents(Map(1L -> List(("I", 1.0), ("U", 2.0), ("U", 3.0)), 2L -> List(("I", 9.0))))
     val cl = df(events)

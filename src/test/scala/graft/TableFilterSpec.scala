@@ -29,6 +29,43 @@ class TableFilterSpec extends SparkSpec {
     assert(f.filterTables(names) == Seq("tmp_users", "t1", "t2"))
   }
 
+  test("validate: conflicting include/exclude rules are rejected") {
+    val v = TableFilter(Seq("users", "t*"), Seq("t*", "tmp_*")).validate
+    assert(!v.isValid)
+    assert(v.errors.exists(_.contains("t*")))
+    intercept[IllegalArgumentException] {
+      TableFilter(Seq("t*"), Seq("t*")).validated
+    }
+  }
+
+  test("validate: uncompilable pattern is an error") {
+    val v = TableFilter(Seq("t[0-9"), Nil).validate
+    assert(!v.isValid)
+    assert(v.errors.exists(_.contains("t[0-9")))
+  }
+
+  test("validate: exclude-everything under include rules is a dead config") {
+    assert(!TableFilter(Seq("users"), Seq("*")).validate.isValid)
+  }
+
+  test("validate: empty include warns but stays valid") {
+    val v = TableFilter(Nil, Seq("tmp_*")).validate
+    assert(v.isValid && v.warnings.nonEmpty)
+    TableFilter(Nil, Seq("tmp_*")).validated // does not throw
+  }
+
+  test("stats: per-table decision + volumes match driver-side filter") {
+    import spark.implicits._
+    val events = Seq("users", "users", "t1", "t2", "t2", "t2", "tmp_users")
+      .toDF("tbl")
+    val f = TableFilter(Seq("user*", "t?"), Seq("t2"))
+    val got = f.stats(events, col("tbl")).orderBy("tbl")
+      .as[(String, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      ("t1", true, 1L), ("t2", false, 3L),
+      ("tmp_users", false, 1L), ("users", true, 2L)))
+  }
+
   test("Column predicate agrees with driver-side predicate") {
     import spark.implicits._
     for (f <- Seq(
