@@ -192,8 +192,11 @@ object SparkEntry {
       import graft.streaming.StreamingApply
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
       val chunks = s"$tmp/chunks"
+      // coalesce, not repartition: ANY 4-way split yields the same LWW
+      // state (order-insensitive merge), so don't pay a full shuffle just
+      // to slice the changelog into micro-batches
       t(s, dir, "events")
-        .repartition(4, pmod(col("event_id"), lit(4)))
+        .coalesce(4)
         .write.parquet(chunks)
       val schema = s.read.parquet(chunks).schema
       StreamingApply.runAvailableNow(s, chunks, schema, Normalizer.normalizeWideDecoded,

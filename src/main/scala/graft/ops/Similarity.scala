@@ -29,6 +29,20 @@ object Similarity {
 
   import graft.functions.VectorFunctions.dotD
 
+  // intermediate frames persisted on behalf of a lazy result; the caller
+  // owns eviction — call releaseCaches() after consuming the result (the
+  // bench's per-query clearCache() subsumes this; long-lived sessions
+  // calling ivfNearDup repeatedly must evict or accumulate cached RDDs)
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = synchronized { cachedFrames += df; df }
+
+  /** Unpersist every intermediate frame cached by prior calls. */
+  def releaseCaches(): Unit = synchronized {
+    cachedFrames.foreach(_.unpersist())
+    cachedFrames.clear()
+  }
+
   private def norm(v: Column): Column = sqrt(dotD(v, v))
 
   private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
@@ -95,15 +109,15 @@ object Similarity {
     */
   private def centroids(e: DataFrame, nlist: Int): DataFrame = {
     val spark = e.sparkSession
-    import spark.implicits._
-    val rows = e
+    // rebuild the local relation from the SOURCE schema (not a fixed tuple
+    // encoder) so cent_id mirrors vec_id's type exactly — a fixture with
+    // int32 ids must not silently widen to BIGINT and break oracle parity
+    val sel = e
       .orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
         col("vec_id"))
       .limit(nlist)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)]
-      .collect().toSeq
-    rows.toDF("cent_id", "cv", "cn")
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    spark.createDataFrame(java.util.Arrays.asList(sel.collect(): _*), sel.schema)
   }
 
   /** IVF cell assignment: one broadcast join + max_by partial agg — no
@@ -169,8 +183,10 @@ object Similarity {
   def ivfNearDup(emb: DataFrame, nlist: Int, threshold: Double): DataFrame = {
     val e = prepared(emb)
     // persist: the self-join below consumes the assignment twice; without
-    // it each side recomputes the corpus×centroid scoring pass
-    val assigned = cellAssignments(e, centroids(e, nlist)).persist()
+    // it each side recomputes the corpus×centroid scoring pass. The frame
+    // is tracked so long-lived sessions can evict via [[releaseCaches]]
+    // (a lazy result can't unpersist its own input eagerly).
+    val assigned = tracked(cellAssignments(e, centroids(e, nlist)).persist())
     assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cell").as("cell"),

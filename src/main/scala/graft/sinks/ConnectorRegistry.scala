@@ -58,6 +58,17 @@ object ConnectorRegistry {
       def read(spark: SparkSession, options: Map[String, String]): DataFrame =
         spark.read.format("graft-binlog").options(options).load()
     })
+    registerSource(new SourceFactory {
+      val name = "jdbc-snapshot"
+      def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+        JdbcSnapshot.read(spark, options("url"), options("table"),
+          JdbcSnapshot.Partitioning(
+            options("partitionColumn"),
+            options("lowerBound").toLong,
+            options("upperBound").toLong,
+            options("numPartitions").toInt),
+          options -- Seq("url", "table", "partitionColumn", "lowerBound", "upperBound", "numPartitions"))
+    })
     registerSink(new SinkFactory {
       val name = "parquet-keyed"
       def write(df: DataFrame, options: Map[String, String]): Unit = {

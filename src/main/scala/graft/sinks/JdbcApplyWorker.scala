@@ -1,0 +1,92 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import java.sql.{Connection, DriverManager}
+
+/** Distributed JDBC apply worker: executes a pre-merged changelog batch
+  * (one row per key, final op per key — [[graft.cdc.ChangelogApply]]
+  * output) against a JDBC table from the executors.
+  *
+  * The reference applies events one connection per worker actor with
+  * batched statements (reference: worker/DefaultApplyWorker.scala:88-141
+  * dispatch by op, :143-163 update-field application; engine/
+  * CDCEngineUtils.scala:128-170 batched writes + commit cadence).
+  * Spark-first that becomes `foreachPartition`: repartition by key so
+  * each key lands in exactly one task, one connection + prepared
+  * statements per partition, addBatch/executeBatch at `batchSize`.
+  *
+  * Idempotent by construction — replaying the same batch rewrites the
+  * same rows:
+  *   - op ≠ 'D': UPDATE, and INSERT only when no row matched (the
+  *     try-update-else-insert upsert — portable to any JDBC target;
+  *     MySQL/StarRocks deployments swap in their native upsert SQL from
+  *     [[JdbcUpsertDialect]])
+  *   - op = 'D': DELETE (absent row ⇒ no-op)
+  */
+object JdbcApplyWorker {
+
+  /** Apply `batch` to `table`. `valueCols` are the non-key payload
+    * columns; the frame must carry `pkCols ++ valueCols ++ op`.
+    */
+  def applyBatch(batch: DataFrame, url: String, table: String,
+                 pkCols: Seq[String], valueCols: Seq[String],
+                 batchSize: Int = 500): Unit = {
+    val cols = pkCols ++ valueCols
+    val updateSql = {
+      val sets = valueCols.map(c => s"$c = ?").mkString(", ")
+      val where = pkCols.map(c => s"$c = ?").mkString(" AND ")
+      s"UPDATE $table SET $sets WHERE $where"
+    }
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${pkCols.map(c => s"$c = ?").mkString(" AND ")}"
+    batch
+      .select((cols :+ "op").map(col): _*)
+      .repartition(pkCols.map(col): _*)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val conn = DriverManager.getConnection(url)
+          try applyPartition(rows, conn, updateSql, insertSql, deleteSql,
+            pkCols.size, valueCols.size, batchSize)
+          finally conn.close()
+        }
+      }
+  }
+
+  private def applyPartition(rows: Iterator[Row], conn: Connection,
+                             updateSql: String, insertSql: String, deleteSql: String,
+                             nPk: Int, nVal: Int, batchSize: Int): Unit = {
+    conn.setAutoCommit(false)
+    val del = conn.prepareStatement(deleteSql)
+    val ins = conn.prepareStatement(insertSql)
+    val upd = conn.prepareStatement(updateSql)
+    var pendingDeletes = 0
+    try {
+      rows.foreach { r =>
+        val op = r.getString(nPk + nVal)
+        if (op == "D") {
+          (0 until nPk).foreach(i => del.setObject(i + 1, r.get(i)))
+          del.addBatch()
+          pendingDeletes += 1
+          if (pendingDeletes >= batchSize) {
+            del.executeBatch(); conn.commit(); pendingDeletes = 0
+          }
+        } else {
+          // upsert: update first, insert only on zero matches — both
+          // executed immediately (the row count decides the branch)
+          (0 until nVal).foreach(i => upd.setObject(i + 1, r.get(nPk + i)))
+          (0 until nPk).foreach(i => upd.setObject(nVal + i + 1, r.get(i)))
+          if (upd.executeUpdate() == 0) {
+            (0 until nPk + nVal).foreach(i => ins.setObject(i + 1, r.get(i)))
+            ins.executeUpdate(): Unit
+          }
+        }
+      }
+      if (pendingDeletes > 0) del.executeBatch(): Unit
+      conn.commit()
+    } finally { del.close(); ins.close(); upd.close() }
+  }
+}
