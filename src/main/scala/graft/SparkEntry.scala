@@ -171,6 +171,18 @@ object SparkEntry {
       ChangelogApply.asOfLookup(cl, probes)
     }),
 
+    // Time-travel over the WIDE envelope: the probe returns the full row
+    // image (every payload column) as of the probed position.
+    "cdc_asof_wide" -> ((s, dir) => {
+      val cl = wideChangelog(s, dir)
+      val maxPos = Watermark.latestPosition(cl)
+      val probes = s.range(10).select(
+        concat(lit("t"), (col("id") % 4).cast("string")).as("tbl"),
+        col("id").as("pk"),
+        explode(array(lit(maxPos / 4), lit(maxPos / 2), lit(3 * maxPos / 4))).as("asof_pos"))
+      ChangelogApply.asOfLookupWide(cl, probes, Normalizer.payloadCols)
+    }),
+
     "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
 
     // Bounded-concurrency snapshot plan: chunk tasks → (wave, slot) under
@@ -381,6 +393,12 @@ object SparkEntry {
       """SELECT 't' || CAST(i % 4 AS VARCHAR) AS tbl, i AS pk,
         |       unnest([m.mp // 4, m.mp // 2, 3 * m.mp // 4]) AS asof_pos
         |FROM range(10) t(i), (SELECT max(pos) AS mp FROM cl) m""".stripMargin),
+
+    "cdc_asof_wide" -> ChangelogApply.asOfLookupWideSql(wideClSql,
+      """SELECT 't' || CAST(i % 4 AS VARCHAR) AS tbl, i AS pk,
+        |       unnest([m.mp // 4, m.mp // 2, 3 * m.mp // 4]) AS asof_pos
+        |FROM range(10) t(i), (SELECT max(pos) AS mp FROM cl) m""".stripMargin,
+      Normalizer.payloadCols),
 
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
 

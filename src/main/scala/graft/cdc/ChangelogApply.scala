@@ -115,29 +115,46 @@ object ChangelogApply {
     *      RIGHT-outer join of the tiny hits frame against the probes —
     *      probe-count-sized, reported absent (op 'X').
     */
-  def asOfLookup(changelog: DataFrame, probes: DataFrame): DataFrame = {
+  def asOfLookup(changelog: DataFrame, probes: DataFrame): DataFrame =
+    asOfLookupWide(changelog, probes, Seq("value"))
+
+  /** [[asOfLookup]] generalized over a wide envelope: the time-travel
+    * read returns the FULL row image (every payload column) as of the
+    * probed position. Same scale-safe shape — the payload rides inside
+    * the max_by struct, so width adds bytes, never shuffles.
+    */
+  def asOfLookupWide(changelog: DataFrame, probes: DataFrame,
+                     payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val p = probes.select(col("tbl").as("p_tbl"), col("pk").as("p_pk"), col("asof_pos"))
+    val carried = "op" +: payloadCols
     val hits = changelog
       .join(broadcast(p),
         col("p_tbl") === col("tbl") && col("p_pk") === col("pk") &&
           col("pos") <= col("asof_pos"), "inner")
       .groupBy(col("p_tbl"), col("p_pk"), col("asof_pos"))
-      .agg(max_by(struct(col("op"), col("value")), col("pos")).as("last"))
+      .agg(max_by(struct(carried.map(col): _*), col("pos")).as("last"))
     broadcast(hits)
       .join(p, Seq("p_tbl", "p_pk", "asof_pos"), "right_outer")
-      .select(col("p_tbl").as("tbl"), col("p_pk").as("pk"), col("asof_pos"),
-        coalesce(col("last.op"), lit("X")).as("op"),
-        when(col("last.op").isNotNull && col("last.op") =!= "D", col("last.value")).as("value"))
+      .select(Seq(col("p_tbl").as("tbl"), col("p_pk").as("pk"), col("asof_pos"),
+        coalesce(col("last.op"), lit("X")).as("op")) ++
+        payloadCols.map(c =>
+          when(col("last.op").isNotNull && col("last.op") =!= "D", col(s"last.$c")).as(c)): _*)
       .orderBy("tbl", "pk", "asof_pos")
   }
 
   /** Oracle SQL: probes CTE must be named `probes`. */
   def asOfLookupSql(clCte: String, probesCte: String): String =
+    asOfLookupWideSql(clCte, probesCte, Seq("value"))
+
+  def asOfLookupWideSql(clCte: String, probesCte: String, payloadCols: Seq[String]): String = {
+    val sel = payloadCols.map(c => s"cl.$c").mkString(", ")
+    val out = payloadCols.map(c =>
+      s"CASE WHEN op IS NOT NULL AND op <> 'D' THEN $c END AS $c").mkString(",\n       ")
     s"""WITH cl AS ($clCte),
        |probes AS ($probesCte),
        |joined AS (
-       |  SELECT p.tbl AS p_tbl, p.pk AS p_pk, p.asof_pos, cl.op, cl.value, cl.pos
+       |  SELECT p.tbl AS p_tbl, p.pk AS p_pk, p.asof_pos, cl.op, $sel, cl.pos
        |  FROM probes p LEFT JOIN cl
        |    ON p.tbl = cl.tbl AND p.pk = cl.pk AND cl.pos <= p.asof_pos),
        |ranked AS (
@@ -145,8 +162,9 @@ object ChangelogApply {
        |  FROM joined)
        |SELECT p_tbl AS tbl, p_pk AS pk, asof_pos,
        |       coalesce(op, 'X') AS op,
-       |       CASE WHEN op IS NOT NULL AND op <> 'D' THEN value END AS value
+       |       $out
        |FROM ranked WHERE rn = 1 ORDER BY tbl, pk, asof_pos""".stripMargin
+  }
 
   /** Wide-envelope LWW: one row per live (tbl, pk) carrying the FULL
     * after-image (every payload column), not just a scalar. Same

@@ -65,7 +65,8 @@ class BinlogFileSource extends TableProvider with DataSourceRegister {
 
 object BinlogFileSource {
   /** The changelog envelope (ts carried as epoch millis; gtid exposed so
-    * downstream consumers can persist their own frontier).
+    * downstream consumers can persist their own frontier; payload_json
+    * carries the wide row image — null on narrow lines).
     */
   val schema: StructType = StructType(Seq(
     StructField("tbl", StringType),
@@ -74,7 +75,8 @@ object BinlogFileSource {
     StructField("ts_ms", LongType),
     StructField("pos", LongType),
     StructField("value", DoubleType),
-    StructField("gtid", StringType)))
+    StructField("gtid", StringType),
+    StructField("payload_json", StringType)))
 
   /** Synthetic GTID source id for lines that carry only a file position —
     * `FilePosition` lifted into the set algebra (txn = pos + 1, 1-based).
@@ -89,6 +91,17 @@ object BinlogFileSource {
                  gtidUuid: String, gtidTxn: Long): String =
     s"$pos,$tbl,$pk,$op,$tsMs,$value,$gtidUuid:$gtidTxn"
 
+  /** Line with a GTID and a wide row image. The payload is the LAST field
+    * and the reader splits with a field limit, so JSON commas never break
+    * framing (a binlog row event's cell array arrives opaque the same
+    * way, reference normalizer/MySQLEventNormalizer.scala:173-182).
+    */
+  def renderLine(tbl: String, pk: Long, op: String, tsMs: Long, pos: Long, value: Double,
+                 gtidUuid: String, gtidTxn: Long, payloadJson: String): String = {
+    require(!payloadJson.contains('\n'), "payload must be single-line")
+    s"$pos,$tbl,$pk,$op,$tsMs,$value,$gtidUuid:$gtidTxn,$payloadJson"
+  }
+
   /** (uuid, txn) of one log line: field 7 if present, else the synthetic
     * file-position transaction.
     */
@@ -97,6 +110,9 @@ object BinlogFileSource {
       val i = parts(6).lastIndexOf(':')
       (parts(6).substring(0, i), parts(6).substring(i + 1).toLong)
     } else (FileposUuid, parts(0).toLong + 1L)
+
+  /** Field count before the payload tail — the split limit. */
+  private[sources] val NFields = 8
 
   private[sources] def readLines(path: String): Vector[String] = {
     if (!Files.exists(Paths.get(path))) Vector.empty
@@ -161,7 +177,7 @@ private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long, s
     var taken = 0L
     val it = BinlogFileSource.readLines(path).iterator
     while (it.hasNext && taken < cap) {
-      val (uuid, txn) = BinlogFileSource.gtidOf(it.next().split(",", 7))
+      val (uuid, txn) = BinlogFileSource.gtidOf(it.next().split(",", BinlogFileSource.NFields))
       if (!end.contains(uuid, txn)) {
         end = end.add(uuid, txn)
         taken += 1
@@ -175,7 +191,7 @@ private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long, s
 
   override def reportLatestOffset(): Offset =
     GtidOffset(BinlogFileSource.readLines(path).foldLeft(startGtids) { (acc, l) =>
-      val (uuid, txn) = BinlogFileSource.gtidOf(l.split(",", 7))
+      val (uuid, txn) = BinlogFileSource.gtidOf(l.split(",", BinlogFileSource.NFields))
       acc.add(uuid, txn)
     })
 
@@ -212,7 +228,7 @@ private[sources] class BinlogReaderFactory extends PartitionReaderFactory {
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (it.hasNext) {
-          val parts = it.next().split(",", 7)
+          val parts = it.next().split(",", BinlogFileSource.NFields)
           val (uuid, txn) = BinlogFileSource.gtidOf(parts)
           if (delta.contains(uuid, txn)) {
             current = InternalRow(
@@ -222,7 +238,8 @@ private[sources] class BinlogReaderFactory extends PartitionReaderFactory {
               parts(4).toLong,
               parts(0).toLong,
               parts(5).toDouble,
-              UTF8String.fromString(s"$uuid:$txn"))
+              UTF8String.fromString(s"$uuid:$txn"),
+              if (parts.length >= 8) UTF8String.fromString(parts(7)) else null)
             return true
           }
         }

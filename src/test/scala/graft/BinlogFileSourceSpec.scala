@@ -126,6 +126,38 @@ class BinlogFileSourceSpec extends SparkSpec {
     assert(delivered.values.forall(_ == 1), s"duplicated delivery: $delivered")
   }
 
+  test("wide row images stream through: JSON payload (commas intact) → registry decode → wide LWW state") {
+    import graft.cdc.SchemaRegistry
+    import graft.streaming.StreamingApply
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_src6").toString
+    val log = s"$dir/changelog.log"
+    val rowSchema = StructType(Seq(
+      StructField("name", StringType), StructField("qty", LongType)))
+    val reg = SchemaRegistry.of(Seq("t0"), rowSchema)
+    def wline(pos: Long, pk: Long, op: String, name: String, qty: Long) =
+      BinlogFileSource.renderLine("t0", pk, op, 1000L * pos, pos, 0.0, "src", pos + 1,
+        s"""{"name": "$name", "qty": $qty}""")
+    writeLines(log, Seq(
+      wline(0, 1, "I", "a", 10), wline(1, 2, "I", "b", 20),
+      wline(2, 1, "U", "a2", 11), wline(3, 2, "D", "b", 0),
+      wline(4, 3, "I", "c", 30)))
+    val payloadCols = Seq("name", "qty")
+    val q = spark.readStream.format("graft-binlog")
+      .option("path", log).option("maxPerBatch", "2").load()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .transform(reg.decode(_))
+      .select("tbl", "pk", "op", "ts", "pos", "name", "qty")
+      .writeStream
+      .foreachBatch(StreamingApply.applyBatch(s"$dir/state", payloadCols = payloadCols) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    val state = StreamingApply.currentState(spark, s"$dir/state", payloadCols)
+      .collect().map(r => r.getAs[Long]("pk") -> ((r.getAs[String]("name"), r.getAs[Long]("qty")))).toMap
+    assert(state == Map(1L -> ("a2", 11L), 3L -> ("c", 30L)))
+  }
+
   test("source feeds the streaming LWW apply end-to-end") {
     import graft.streaming.StreamingApply
     val dir = Files.createTempDirectory("graft_src3").toString

@@ -1,0 +1,75 @@
+package graft
+
+import graft.cdc.{SchemaEvolution, SchemaRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DDL statements fold into registry versions; decode under the evolved
+  * schema is forward-compatible (pre-ALTER payloads read back with new
+  * columns null).
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private val base = SchemaRegistry(Map(
+    "users" -> StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))))
+
+  test("CREATE TABLE registers a parsed column list (constraints skipped)") {
+    val reg = SchemaEvolution.applyDdl(base,
+      "CREATE TABLE orders (o_id BIGINT, amount DECIMAL(10,2), note varchar(32), PRIMARY KEY (o_id))")
+    assert(reg.schemaFor("orders") == StructType(Seq(
+      StructField("o_id", LongType),
+      StructField("amount", DecimalType(10, 2)),
+      StructField("note", StringType))))
+  }
+
+  test("ADD / DROP / MODIFY / CHANGE / RENAME COLUMN evolve the schema in order") {
+    val reg = SchemaEvolution.replay(base, Seq(
+      "ALTER TABLE users ADD COLUMN age INT",
+      "ALTER TABLE users MODIFY COLUMN age BIGINT",
+      "ALTER TABLE users CHANGE COLUMN name full_name TEXT",
+      "ALTER TABLE users ADD COLUMN tmp DOUBLE",
+      "ALTER TABLE users DROP COLUMN tmp",
+      "ALTER TABLE users RENAME COLUMN age TO years"))
+    assert(reg.schemaFor("users") == StructType(Seq(
+      StructField("id", LongType),
+      StructField("full_name", StringType),
+      StructField("years", LongType))))
+  }
+
+  test("RENAME TABLE moves the schema; DROP TABLE deregisters; TRUNCATE/DML are no-ops") {
+    val two = SchemaEvolution.applyDdl(base, "CREATE TABLE t2 (k INT)")
+    val renamed = SchemaEvolution.applyDdl(two, "RENAME TABLE t2 TO t3")
+    assert(renamed.tables == Seq("t3", "users"))
+    val dropped = SchemaEvolution.applyDdl(renamed, "DROP TABLE IF EXISTS t3")
+    assert(dropped.tables == Seq("users"))
+    assert(SchemaEvolution.applyDdl(base, "TRUNCATE TABLE users") == base)
+    assert(SchemaEvolution.applyDdl(base, "INSERT INTO users VALUES (1, 'x')") == base)
+  }
+
+  test("decode under an evolved schema: old payloads get null for added columns") {
+    import spark.implicits._
+    val evolved = SchemaEvolution.applyDdl(base, "ALTER TABLE users ADD COLUMN age BIGINT")
+    val envelope = Seq(
+      ("users", 1L, "I", """{"id": 1, "name": "a"}"""),          // pre-ALTER image
+      ("users", 2L, "I", """{"id": 2, "name": "b", "age": 30}""") // post-ALTER image
+    ).toDF("tbl", "pk", "op", "payload_json")
+    val got = evolved.decode(envelope).orderBy("pk")
+      .select(col("pk"), col("name"), col("age"))
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(30L))))
+  }
+
+  test("registry evolution composes with the DDL classifier's corpus") {
+    // every statement in the classifier's fixed corpus folds without error
+    val start = SchemaEvolution.replay(base, Seq(
+      "CREATE TABLE db1.users (id INT PRIMARY KEY)",
+      "CREATE TABLE orders (id INT)", "CREATE TABLE tmp_stage (id INT)",
+      "CREATE TABLE audit_log (id INT)", "CREATE TABLE a (id INT)"))
+    val end = SchemaEvolution.replay(start, graft.cdc.DdlClassifier.corpus.map(_._2))
+    // alter added `note`; rename moved a→b; drop removed tmp_stage
+    assert(end.schemaFor("orders").fieldNames.contains("note"))
+    assert(end.tables.contains("b") && !end.tables.contains("a"))
+    assert(!end.tables.contains("tmp_stage"))
+  }
+}
