@@ -280,6 +280,20 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
 
+    // Intra-doc repetition ratio (boilerplate / degenerate-text gate)
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
+
+    // Train/test contamination: corpus docs sharing ≥3 shingles with the
+    // deterministic benchmark subset (doc_id % 97 == 0)
+    "text_contamination" -> ((s, dir) =>
+      Dedup.benchmarkContamination(t(s, dir, "documents"), 97, 3)),
+
+    // Stratified deterministic sampling: per-class 1-in-r rates (class
+    // rebalancing audit; purchase kept whole, error downweighted 20x)
+    "events_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSummary(t(s, dir, "events"), "event_type", "event_id",
+        Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1)),
+
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
@@ -453,6 +467,14 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
+
+    "text_repetition" -> TextAnalysis.repetitionSql,
+
+    "text_contamination" -> Dedup.benchmarkContaminationSql(97, 3),
+
+    "events_stratified_sample" -> Sampling.stratifiedSummarySql(
+      "events", "event_type", "event_id",
+      Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1),
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8)

@@ -346,6 +346,45 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------------- benchmark contamination
+
+  /** Train/test contamination scan: which corpus documents share 3-token
+    * shingles with a benchmark/eval set (train-side decontamination, the
+    * step every LLM data pipeline runs before training). The benchmark
+    * here is the deterministic subset doc_id % `benchMod` == 0 — in
+    * production it is the eval suite's text.
+    *
+    * Scale shape: the benchmark feature set is tiny relative to the
+    * corpus and is BROADCAST; the corpus feature stream joins against it
+    * map-side (no corpus shuffle), then one aggregation keyed by doc
+    * yields overlap counts. A corpus doc is flagged when it shares ≥
+    * `minShared` distinct shingles with any benchmark material.
+    */
+  def benchmarkContamination(docs: DataFrame, benchMod: Int, minShared: Int): DataFrame = {
+    val feats = docFeatures(docs)
+    val bench = feats.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("feat"))
+    feats.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "feat")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("feat")).as("n_shared_shingles"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+      .withColumn("contaminated", col("n_shared_shingles") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  def benchmarkContaminationSql(benchMod: Int, minShared: Int): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$featSql,
+       |bench AS (SELECT doc_id AS bench_id, feat FROM feat WHERE doc_id % $benchMod = 0)
+       |SELECT f.doc_id,
+       |       count(DISTINCT f.feat) AS n_shared_shingles,
+       |       count(DISTINCT b.bench_id) AS n_bench_docs,
+       |       count(DISTINCT f.feat) >= $minShared AS contaminated
+       |FROM feat f JOIN bench b ON f.feat = b.feat
+       |WHERE f.doc_id % $benchMod <> 0
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: pairwise cosine ≥ threshold, blocked by

@@ -182,6 +182,42 @@ object TextAnalysis {
        |WHERE ${PortableHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} % $k = 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition (the Gopher/C4-family quality gate for
+    * boilerplate and degenerate generation): fraction of 3-token shingles
+    * that are repeats of an earlier shingle in the SAME document, plus
+    * the multiplicity of the most-repeated shingle. Pure projection over
+    * the raw (duplicate-preserving) shingle list — no shuffle; documents
+    * with < 3 tokens report zero shingles and ratio 0.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val sh = Tokenize.shingles3(Tokenize.tokens(col("text")))
+    docs.select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+        // max multiplicity = occurrences of the most-repeated shingle
+        coalesce(array_max(transform(array_distinct(col("sh")),
+          s => size(filter(col("sh"), x => x === s)))), lit(0)).cast("long").as("max_repeat"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") === 0, lit(0.0d))
+          .otherwise(round(lit(1.0d) - col("n_distinct").cast("double") / col("n_shingles"), 6)))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |s AS (SELECT doc_id, ${Tokenize.shingles3Sql("tok")} AS sh FROM t),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(sh) AS BIGINT) AS n_shingles,
+       |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       |    CAST(coalesce(list_max([len(list_filter(sh, x -> x = s)) FOR s IN list_distinct(sh)]), 0) AS BIGINT) AS max_repeat
+       |  FROM s)
+       |SELECT doc_id, n_shingles, n_distinct, max_repeat,
+       |  CASE WHEN n_shingles = 0 THEN 0.0
+       |       ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS rep_ratio
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** Document fingerprints: order-sensitive content hash (md5 of the
     * normalized token stream) + a 60-bit integer prefix for compact
     * join keys — duplicate doc_ids share fingerprints.
