@@ -30,6 +30,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+        System.gc() // pay GC debt HERE, not inside the next query's timing
         t
       }.min
       name -> dt

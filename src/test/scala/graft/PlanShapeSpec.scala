@@ -50,6 +50,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"changelog must not shuffle for a probe join:\n$p")
   }
 
+  test("contamination: benchmark features broadcast, corpus never shuffle-joins") {
+    val p = plan("text_contamination")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("BuildRight")),
+      s"benchmark feature set must be the broadcast build side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus features must stream, not shuffle:\n$p")
+  }
+
+  test("stratified sample summary: single aggregation pass, no join, no window") {
+    val p = plan("events_stratified_sample")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"map-side partial aggregation missing:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"rate sampling must be a pure filter+agg:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"one shuffle on the stratum key, got $hashExchanges:\n$p")
+  }
+
+  test("wide LWW: payload width adds zero shuffles (same single exchange as narrow)") {
+    val p = plan("cdc_lww_state_wide")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"wide LWW must still shuffle once, got $hashExchanges:\n$p")
+    assert(p.contains("partial_max_by"), "map-side partial aggregation missing")
+  }
+
   test("ANN brute force: broadcast join + k-bounded partial top-k, one shuffle") {
     val p = plan("ann_bruteforce_topk")
     // queries broadcast against the corpus — never a shuffle join
