@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.Conflation
+import graft.streaming.Conflation.{ChangeIn, Delta}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Conflated delta stream (R6): one delta per key per batch, no-op
+  * writes throttled, replays absorbed.
+  */
+class ConflationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(batches: Seq[Seq[ChangeIn]]): Seq[Delta] = {
+    val ms = MemoryStream[ChangeIn](spark, numPartitions = 1)
+    val name = s"conflate_out_${System.nanoTime()}"
+    val q = Conflation.conflatedDeltas(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[Delta].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("N updates to one key in a batch emit ONE delta carrying the last value") {
+    val got = run(Seq(Seq(
+      ChangeIn("t0", 1L, "I", 0L, 1.0),
+      ChangeIn("t0", 1L, "U", 1L, 2.0),
+      ChangeIn("t0", 1L, "U", 2L, 3.0))))
+    assert(got == Seq(Delta("t0", 1L, "I", 2L, Some(3.0), None)))
+  }
+
+  test("no-op write (same value) is throttled; genuine change emits U with prev") {
+    val got = run(Seq(
+      Seq(ChangeIn("t0", 1L, "I", 0L, 5.0)),
+      Seq(ChangeIn("t0", 1L, "U", 1L, 5.0)),   // value unchanged → silence
+      Seq(ChangeIn("t0", 1L, "U", 2L, 7.0))))  // real change
+    assert(got == Seq(
+      Delta("t0", 1L, "I", 0L, Some(5.0), None),
+      Delta("t0", 1L, "U", 2L, Some(7.0), Some(5.0))))
+  }
+
+  test("delete emits D once; delete of a dead key is silent; re-insert emits I") {
+    val got = run(Seq(
+      Seq(ChangeIn("t0", 1L, "I", 0L, 1.0)),
+      Seq(ChangeIn("t0", 1L, "D", 1L, 0.0)),
+      Seq(ChangeIn("t0", 1L, "D", 2L, 0.0)),   // already dead → silence
+      Seq(ChangeIn("t0", 1L, "I", 3L, 9.0))))  // resurrection
+    assert(got == Seq(
+      Delta("t0", 1L, "I", 0L, Some(1.0), None),
+      Delta("t0", 1L, "D", 1L, None, Some(1.0)),
+      Delta("t0", 1L, "I", 3L, Some(9.0), None)))
+  }
+
+  test("replayed positions are absorbed (effectively-once)") {
+    val b = Seq(ChangeIn("t0", 1L, "I", 0L, 1.0), ChangeIn("t0", 1L, "U", 1L, 2.0))
+    val got = run(Seq(b, b)) // same batch content delivered twice
+    assert(got == Seq(Delta("t0", 1L, "I", 1L, Some(2.0), None)))
+  }
+
+  test("independent keys conflate independently in one batch") {
+    val got = run(Seq(Seq(
+      ChangeIn("t0", 1L, "I", 0L, 1.0),
+      ChangeIn("t1", 1L, "I", 1L, 2.0),
+      ChangeIn("t0", 2L, "I", 2L, 3.0))))
+    assert(got.toSet == Set(
+      Delta("t0", 1L, "I", 0L, Some(1.0), None),
+      Delta("t1", 1L, "I", 1L, Some(2.0), None),
+      Delta("t0", 2L, "I", 2L, Some(3.0), None)))
+  }
+}
