@@ -297,7 +297,9 @@ object SparkEntry {
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8))
+      Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.payloads(t(s, dir, "documents")), 48))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -477,6 +479,7 @@ object SparkEntry {
       Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1),
 
     "mm_features" -> Multimodal.featurizeSql,
-    "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8)
+    "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
+    "mm_resize" -> Multimodal.resizeSql(48)
   )
 }

@@ -20,15 +20,23 @@ object Catalog {
     * runs as a parquet metadata-only job.
     */
   def discoverTables(spark: SparkSession, dir: String): Seq[TableMeta] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val files = new java.io.File(dir).listFiles()
-    files.toSeq
+    // per-table footer reads + metadata-count jobs are independent —
+    // submit them concurrently (Spark's scheduler interleaves the jobs)
+    // instead of paying N sequential job round-trips
+    val metas = files.toSeq
       .filter(f => f.getName.endsWith(".parquet"))
       .map { f =>
-        val df = spark.read.parquet(f.getAbsolutePath)
-        TableMeta(f.getName.stripSuffix(".parquet"),
-          df.schema.length, df.schema.fieldNames.toSeq, df.count())
+        Future {
+          val df = spark.read.parquet(f.getAbsolutePath)
+          TableMeta(f.getName.stripSuffix(".parquet"),
+            df.schema.length, df.schema.fieldNames.toSeq, df.count())
+        }
       }
-      .sortBy(_.table)
+    Await.result(Future.sequence(metas), Duration.Inf).sortBy(_.table)
   }
 
   /** The discovery result as a DataFrame, filtered through the same

@@ -114,6 +114,49 @@ object Multimodal {
         concat_ws(",", col("frames")).as("frame_hex"))
       .orderBy("doc_id")
 
+  /** Resize/downsample stage: bound every payload to ≤ `maxBytes` by
+    * stride-sampling its bytes (step = ⌈n/maxBytes⌉). This is the stub
+    * standing in for a codec resize (libjpeg scaled decode / ffmpeg
+    * scale filter slot into the [[Decoder]] SPI); the Spark-side
+    * contract — bounded output size per record, deterministic bytes,
+    * pure projection (no shuffle, no UDF) — is the real, tested part.
+    * Output fingerprinted so the oracle checks the exact resized bytes.
+    */
+  def resize(payloads: DataFrame, maxBytes: Int): DataFrame = {
+    val n = length(col("payload"))
+    payloads
+      .select(col("doc_id"), col("payload").cast("string").as("chars"), n.as("n_in"),
+        greatest(lit(1), ceil(n.cast("double") / maxBytes).cast("int")).as("step"))
+      .select(col("doc_id"), col("n_in").cast("long").as("n_bytes_in"),
+        when(col("n_in") === 0, lit(""))
+          .otherwise(concat_ws("", slice(
+            transform(
+              sequence(lit(0), ((col("n_in") - 1) / col("step")).cast("int")),
+              i => col("chars").substr((i * col("step") + 1).cast("int"), lit(1))),
+            1, maxBytes))).as("resized"))
+      .select(col("doc_id"), col("n_bytes_in"),
+        length(col("resized")).cast("long").as("n_bytes_out"),
+        md5(col("resized").cast("binary")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
+  def resizeSql(maxBytes: Int): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text AS chars, strlen(text) AS n_in,
+       |         greatest(1, CAST(ceil(CAST(strlen(text) AS DOUBLE) / $maxBytes) AS INTEGER)) AS step
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_in,
+       |    CASE WHEN n_in = 0 THEN ''
+       |         ELSE list_aggregate(
+       |           [substr(chars, i * step + 1, 1) FOR i IN range(0, (n_in - 1) // step + 1)][1:$maxBytes],
+       |           'string_agg', '') END AS resized
+       |  FROM p)
+       |SELECT doc_id, CAST(n_in AS BIGINT) AS n_bytes_in,
+       |       CAST(strlen(resized) AS BIGINT) AS n_bytes_out,
+       |       md5(resized) AS resized_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def sampleFramesSql(step: Int, maxFrames: Int): String =
     s"""WITH f AS (
        |  SELECT doc_id,
