@@ -85,12 +85,14 @@ object ChangelogApply {
     * streaming/engine layers (tombstones must survive so later merges
     * can't resurrect deleted keys).
     */
-  def materializeEnvelope(changelog: DataFrame): DataFrame =
+  def materializeEnvelope(changelog: DataFrame,
+                          payloadCols: Seq[String] = Seq("value")): DataFrame = {
+    val carried = Seq("op", "ts", "pos") ++ payloadCols
     changelog
       .groupBy(col("tbl"), col("pk"))
-      .agg(max_by(struct(col("op"), col("ts"), col("pos"), col("value")), col("pos")).as("last"))
-      .select(col("tbl"), col("pk"), col("last.op").as("op"), col("last.ts").as("ts"),
-        col("last.pos").as("pos"), col("last.value").as("value"))
+      .agg(max_by(struct(carried.map(col): _*), col("pos")).as("last"))
+      .select(col("tbl") +: col("pk") +: carried.map(c => col(s"last.$c").as(c)): _*)
+  }
 
   /** Like [[materialize]] but keeps Delete rows (needed by the merge). */
   def materializeAll(changelog: DataFrame): DataFrame =

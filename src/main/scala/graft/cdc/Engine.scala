@@ -53,34 +53,36 @@ object Engine {
     */
   def run(spark: SparkSession, changelogDir: String,
           normalize: DataFrame => DataFrame,
-          low: Long, high: Long, workDir: String): RunResult = {
+          low: Long, high: Long, workDir: String,
+          payloadCols: Seq[String] = StreamingApply.defaultPayload): RunResult = {
     require(validTransition(Init, Snapshot))
     val full = normalize(spark.read.parquet(changelogDir))
 
     // SNAPSHOT: base state as of low (bulk copy under REPEATABLE_READ in
     // the reference; here the changelog prefix)
-    val snap = ChangelogApply.materializeEnvelope(full.filter(col("pos") < low))
+    val snap = ChangelogApply.materializeEnvelope(full.filter(col("pos") < low), payloadCols)
     snap.write.mode("overwrite").parquet(s"$workDir/snapshot")
 
     // CATCHUP: bounded [low, high) replay merged over the snapshot
     require(validTransition(Snapshot, Catchup))
     val catchup = Watermark.catchupRange(full, low, high)
     val caught = StreamingApply.mergeState(
-      spark.read.parquet(s"$workDir/snapshot"), catchup)
+      spark.read.parquet(s"$workDir/snapshot"), catchup, payloadCols)
     // seed the bucketed state store at version -1 (pre-stream)
-    StreamingApply.writeVersion(caught, s"$workDir/state", -1L)
+    StreamingApply.writeVersion(caught, s"$workDir/state", -1L, payloadCols = payloadCols)
 
     // STREAMING: everything >= high as micro-batches over the state
     require(validTransition(Catchup, Streaming))
     val schema = spark.read.parquet(changelogDir).schema
     StreamingApply.runAvailableNow(spark, changelogDir, schema,
       df => normalize(df).filter(col("pos") >= high),
-      s"$workDir/state", s"$workDir/ckpt")
+      s"$workDir/state", s"$workDir/ckpt", payloadCols = payloadCols)
 
     RunResult(low, high, s"$workDir/state")
   }
 
   /** User-facing current state after/between phases. */
-  def currentState(spark: SparkSession, result: RunResult): DataFrame =
-    StreamingApply.currentState(spark, result.statePath)
+  def currentState(spark: SparkSession, result: RunResult,
+                   payloadCols: Seq[String] = StreamingApply.defaultPayload): DataFrame =
+    StreamingApply.currentState(spark, result.statePath, payloadCols)
 }

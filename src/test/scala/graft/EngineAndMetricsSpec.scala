@@ -37,6 +37,25 @@ class EngineAndMetricsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("lifecycle over the WIDE envelope: full row images survive snapshot/catchup/streaming") {
+    val dir = Files.createTempDirectory("graft_engine_w").toString
+    val wide = events.toDF()
+      .withColumn("name", concat(lit("row"), col("pk")))
+      .withColumn("qty", col("pos") * 10L)
+    val payload = Seq("name", "qty", "value")
+    wide.repartition(3, pmod(col("pos"), lit(3))).write.parquet(s"$dir/changelog")
+    val result = Engine.run(spark, s"$dir/changelog", identity,
+      low = 3L, high = 6L, workDir = s"$dir/work", payloadCols = payload)
+    val got = Engine.currentState(spark, result, payload)
+      .collect().map(r => (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+        ((r.getAs[String]("name"), r.getAs[Long]("qty"), r.getAs[Double]("value")))).toMap
+    val direct = ChangelogApply.materializeWide(wide, payload)
+      .collect().map(r => (r.getAs[String]("tbl"), r.getAs[Long]("pk")) ->
+        ((r.getAs[String]("name"), r.getAs[Long]("qty"), r.getAs[Double]("value")))).toMap
+    assert(got == direct)
+    assert(got(("t0", 1L)) == (("row1", 70L, 1.9)))
+  }
+
   test("re-running the engine over the same changelog is idempotent (crash-restart)") {
     val dir = Files.createTempDirectory("graft_engine2").toString
     events.toDF().repartition(3, pmod(col("pos"), lit(3)))
