@@ -60,6 +60,36 @@ class ConflationSpec extends SparkSpec {
     assert(got == Seq(Delta("t0", 1L, "I", 1L, Some(2.0), None)))
   }
 
+  test("losslessness: folding the delta stream reproduces the LWW state (property)") {
+    // throttling must never lose information: a consumer that applies
+    // only the emitted deltas must land on exactly the LWW state of the
+    // full changelog.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      var pos = 0L
+      val batches = Seq.fill(4) {
+        Seq.fill(rnd.nextInt(12)) {
+          pos += 1
+          val pk = rnd.nextInt(5).toLong
+          val op = rnd.nextInt(10) match { case 0 | 1 => "D"; case _ => "U" }
+          ChangeIn("t0", pk, op, pos, (rnd.nextInt(3) + 1).toDouble)
+        }
+      }
+      val deltas = run(batches)
+      // consumer-side fold of the delta stream
+      val fromDeltas = deltas.sortBy(_.pos).foldLeft(Map.empty[Long, Double]) {
+        (m, d) => if (d.op == "D") m - d.pk else m + (d.pk -> d.value.get)
+      }
+      // ground truth: LWW over the full changelog
+      val all = batches.flatten
+      val truth = all.groupBy(_.pk).flatMap { case (pk, evs) =>
+        val last = evs.maxBy(_.pos)
+        if (last.op == "D") None else Some(pk -> last.value)
+      }
+      assert(fromDeltas == truth, s"trial $trial: deltas=$deltas")
+    }
+  }
+
   test("independent keys conflate independently in one batch") {
     val got = run(Seq(Seq(
       ChangeIn("t0", 1L, "I", 0L, 1.0),

@@ -30,6 +30,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.forall(p => p >= 0 && p < 64), s"out-of-range partitions: ${got.toSeq}")
   }
 
+  test("empty payload resizes to zero bytes (md5 of empty), short payloads pass through whole") {
+    val r = Multimodal.resize(
+      Multimodal.payloads(Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")), 48)
+      .collect().map(x => x.getLong(0) -> ((x.getAs[Long]("n_bytes_out"), x.getAs[String]("resized_md5")))).toMap
+    assert(r(1L) == ((0L, "d41d8cd98f00b204e9800998ecf8427e")))
+    assert(r(2L) == ((3L, "900150983cd24fb0d6963f7d28e17f72"))) // md5("abc"): step 1 keeps all
+  }
+
+  test("wide materialize over an empty changelog is empty, not a crash") {
+    import graft.cdc.ChangelogApply
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("tbl", StringType), StructField("pk", LongType),
+        StructField("op", StringType), StructField("ts", TimestampType),
+        StructField("pos", LongType), StructField("k", LongType),
+        StructField("value", DoubleType))))
+    assert(ChangelogApply.materializeWide(empty, Seq("k", "value")).count() == 0L)
+    assert(ChangelogApply.changedFieldSet(empty, Seq("k", "value")).count() == 0L)
+  }
+
+  test("schema registry rejects conflicting field types and unknown tables") {
+    import graft.cdc.SchemaRegistry
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] {
+      SchemaRegistry(Map(
+        "a" -> StructType(Seq(StructField("x", LongType))),
+        "b" -> StructType(Seq(StructField("x", StringType))))).unifiedFields
+    }
+    intercept[NoSuchElementException] {
+      SchemaRegistry.of(Seq("t0"), StructType(Seq(StructField("x", LongType))))
+        .schemaFor("missing")
+    }
+  }
+
+  test("malformed GTID sets are rejected eagerly") {
+    import graft.model.LogPosition.GtidSet
+    intercept[IllegalArgumentException] { GtidSet.parse("justauuid") }
+    intercept[IllegalArgumentException] { GtidSet.parse("u:1-2-3") }
+    assert(GtidSet.parse("").txnCount == 0L)
+    assert(GtidSet.parse("  ").txnCount == 0L)
+  }
+
   test("empty and whitespace-only docs survive the text operators") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "one two three four")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
