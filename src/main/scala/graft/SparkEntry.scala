@@ -294,6 +294,12 @@ object SparkEntry {
       Sampling.stratifiedSummary(t(s, dir, "events"), "event_type", "event_id",
         Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1)),
 
+    // Composed curation funnel: quality gate → exact-dedup canonical →
+    // per-language stratified keep, with per-stage survivor counts
+    "pipeline_curation" -> ((s, dir) =>
+      Curation.funnel(t(s, dir, "documents"), 0.65,
+        Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
+
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
@@ -477,6 +483,9 @@ object SparkEntry {
     "events_stratified_sample" -> Sampling.stratifiedSummarySql(
       "events", "event_type", "event_id",
       Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1),
+
+    "pipeline_curation" -> Curation.funnelSql(0.65,
+      Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
