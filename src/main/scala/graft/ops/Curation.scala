@@ -26,10 +26,10 @@ object Curation {
 
   def funnel(docs: DataFrame, qualityMin: Double,
              rates: Map[String, Int], defaultRate: Int = 1): DataFrame = {
-    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
-    val l = TextAnalysis.languageId(docs).select(col("doc_id"), col("pred_lang"))
-    val f = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fp"))
-    val enriched = l.join(q, "doc_id").join(f, "doc_id")
+    // all three signals in ONE projection lineage (TextAnalysis.signals) —
+    // a join of their standalone formulations would re-scan the corpus
+    // per signal and cannot broadcast at corpus scale
+    val enriched = TextAnalysis.signals(docs)
       .withColumn("ok", col("quality") >= qualityMin)
     // canonical = the smallest quality-passing doc_id on this fingerprint
     val w = Window.partitionBy(col("fp"))
@@ -57,13 +57,11 @@ object Curation {
         .map { case (k, r) => s"WHEN pred_lang = '$k' THEN $r" }.mkString(" ")
       s"CASE $cases ELSE $defaultRate END"
     }
-    s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
-       |l AS (${TextAnalysis.languageIdSql}),
-       |f AS (${TextAnalysis.fingerprintSql}),
+    s"""WITH ${TextAnalysis.signalsSql},
        |enriched AS (
-       |  SELECT l.doc_id, l.pred_lang, q.quality, f.fp,
-       |         q.quality >= $qualityMin AS ok
-       |  FROM l JOIN q USING (doc_id) JOIN f USING (doc_id)),
+       |  SELECT doc_id, pred_lang, quality, fp,
+       |         quality >= $qualityMin AS ok
+       |  FROM sig),
        |flagged AS (
        |  SELECT *,
        |    coalesce(min(CASE WHEN ok THEN doc_id END) OVER (PARTITION BY fp) = doc_id, false) AS canon

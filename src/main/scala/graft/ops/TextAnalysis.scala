@@ -182,6 +182,70 @@ object TextAnalysis {
        |WHERE ${PortableHash.tokenHashSql("CAST(doc_id AS VARCHAR)")} % $k = 0
        |ORDER BY doc_id""".stripMargin
 
+  /** All per-doc curation signals — quality, predicted language, content
+    * fingerprint — in ONE projection lineage over a single scan: the
+    * signals share the token array, so joining their standalone
+    * formulations would re-scan and re-tokenize the corpus per signal
+    * (and a self-join on doc_id cannot broadcast at corpus scale).
+    * Column semantics are identical to [[qualityScore]], [[languageId]],
+    * [[fingerprint]] (same constants, same rounding).
+    */
+  def signals(docs: DataFrame): DataFrame = {
+    val allStop = markers.flatMap(_._2).distinct.sorted
+    val withTok = docs.select(col("doc_id"), col("text"), Tokenize.tokens(col("text")).as("tok"))
+    val withParts = withTok.select(
+      col("doc_id"), col("tok"),
+      size(col("tok")).cast("long").as("n_tokens"),
+      round(size(filter(col("tok"), t => t.isin(allStop.map(lit(_)): _*))).cast("double") /
+        greatest(size(col("tok")), lit(1)), 4).as("stopword_ratio"),
+      round((length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("alnum_ratio"))
+    val withHits = withParts.select(
+      Seq(col("doc_id"), col("tok"), col("n_tokens"), col("stopword_ratio"), col("alnum_ratio")) ++
+        markers.map { case (l, ws) => hitCount(col("tok"), ws).as(s"hits_$l") }: _*)
+    val best = greatest(markers.map(m => col(s"hits_${m._1}")): _*)
+    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(best > 0 && col(s"hits_$l") === best, l).otherwise(acc)
+    }
+    withHits.select(
+      col("doc_id"),
+      round(least(lit(1.0),
+        lit(0.3) * least(col("n_tokens") / 64.0, lit(1.0))
+          + lit(0.3) * col("stopword_ratio") * 4.0
+          + lit(0.4) * col("alnum_ratio")), 4).as("quality"),
+      pred.as("pred_lang"),
+      md5(concat_ws(" ", col("tok"))).as("fp"))
+  }
+
+  /** Single-scan CTE chain mirroring [[signals]]; emits CTE `sig`
+    * (doc_id, quality, pred_lang, fp) over a `documents` table.
+    */
+  val signalsSql: String = {
+    val allStop = markers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
+    val hits = markers.map { case (l, ws) => s"${hitCountSql(ws)} AS hits_$l" }.mkString(", ")
+    val best = s"greatest(${markers.map(m => s"hits_${m._1}").mkString(", ")})"
+    val pred = markers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN $best > 0 AND hits_$l = $best THEN '$l' ELSE $acc END"
+    }
+    s"""t AS (SELECT doc_id, text, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |parts AS (
+       |  SELECT doc_id, tok,
+       |    CAST(len(tok) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_filter(tok, t -> t IN ($allStop))) AS DOUBLE) / greatest(len(tok), 1), 4) AS stopword_ratio,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS alnum_ratio,
+       |    $hits
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id,
+       |    round(least(1.0,
+       |      0.3 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       |      + 0.3 * stopword_ratio * 4.0
+       |      + 0.4 * alnum_ratio), 4) AS quality,
+       |    $pred AS pred_lang,
+       |    md5(coalesce(list_aggregate(tok, 'string_agg', ' '), '')) AS fp
+       |  FROM parts)""".stripMargin
+  }
+
   /** Intra-document repetition (the Gopher/C4-family quality gate for
     * boilerplate and degenerate generation): fraction of 3-token shingles
     * that are repeats of an earlier shingle in the SAME document, plus

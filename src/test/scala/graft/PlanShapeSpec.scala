@@ -75,6 +75,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_max_by"), "map-side partial aggregation missing")
   }
 
+  test("curation funnel: one corpus scan, zero joins (signals share one projection)") {
+    val p = plan("pipeline_curation")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"signals must share ONE corpus scan:\n$p")
+    assert(!p.contains("Join"), s"joining per-signal frames re-scans the corpus:\n$p")
+  }
+
   test("ANN brute force: broadcast join + k-bounded partial top-k, one shuffle") {
     val p = plan("ann_bruteforce_topk")
     // queries broadcast against the corpus — never a shuffle join
