@@ -53,6 +53,28 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same key within `[left.ts, left.ts + windowSeconds]`
+    * — click-to-purchase attribution, request/response correlation. Both
+    * sides carry watermarks so Spark bounds the join state: a buffered
+    * row is dropped once the other side's watermark passes its join
+    * window (unbounded buffering would OOM any real stream).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", "1 hour")
+    val r = right
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_type").as("r_type"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "inner")
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
+  }
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

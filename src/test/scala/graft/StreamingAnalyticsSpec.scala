@@ -63,6 +63,28 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window, bounded state") {
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
+    val buys = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
+    val q = StreamingAnalytics.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      buys.toDF().toDF("user_id", "ts", "event_type"), windowSeconds = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts(10), "click"), (2L, ts(10), "click"))
+      buys.addData(
+        (1L, ts(15), "purchase"),  // 5 min after u1's click → inside window
+        (2L, ts(40), "purchase"),  // 30 min after u2's click → outside
+        (3L, ts(15), "purchase"))  // no matching click
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("r_type"))).toSeq
+      assert(got == Seq((1L, "purchase")))
+    } finally q.stop()
+  }
+
   test("gap sessionization closes on in-batch gap and on event-time timeout") {
     val ms = MemoryStream[SessionInput](spark, numPartitions = 1)
     val q = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 10 * 60000L)
