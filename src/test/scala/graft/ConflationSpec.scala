@@ -90,6 +90,45 @@ class ConflationSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregate maintenance: folding deltas == recomputing from state (property)") {
+    import graft.streaming.IncrementalAgg
+    val rnd = new scala.util.Random(7)
+    var pos = 0L
+    val batches = Seq.fill(3) {
+      Seq.fill(15) {
+        pos += 1
+        val tbl = s"t${rnd.nextInt(2)}"
+        val pk = rnd.nextInt(4).toLong
+        val op = if (rnd.nextInt(8) == 0) "D" else "U"
+        ChangeIn(tbl, pk, op, pos, (rnd.nextInt(9) + 1).toDouble)
+      }
+    }
+    // capture deltas PER micro-batch (foreachBatch attribution)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[Delta]]
+    val ms = MemoryStream[ChangeIn](spark, numPartitions = 1)
+    val q = graft.streaming.Conflation.conflatedDeltas(ms.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Delta], _: Long) =>
+        val rows = b.collect().toSeq
+        if (rows.nonEmpty) perBatch.synchronized { perBatch += rows }; ()
+      }
+      .outputMode(OutputMode.Update).start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val empty = Seq.empty[(String, Long, Double)].toDF("tbl", "n_rows", "sum_value")
+    // per-batch incremental fold
+    val incremental = perBatch.foldLeft(empty) { (agg, ds) =>
+      IncrementalAgg.applyDeltas(agg, ds.toDS().toDF())
+    }.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // ground truth: aggregate of the LWW state of the full changelog
+    val truth = batches.flatten.groupBy(e => (e.tbl, e.pk)).values.map(_.maxBy(_.pos))
+      .filter(_.op != "D").toSeq.groupBy(_.tbl)
+      .map { case (t, rows) => t -> ((rows.size.toLong, rows.map(_.value).sum)) }
+    assert(incremental.filter(_._2._1 > 0) == truth,
+      s"incremental=$incremental truth=$truth")
+  }
+
   test("independent keys conflate independently in one batch") {
     val got = run(Seq(Seq(
       ChangeIn("t0", 1L, "I", 0L, 1.0),
