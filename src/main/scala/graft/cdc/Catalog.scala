@@ -23,7 +23,7 @@ object Catalog {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val files = new java.io.File(dir).listFiles()
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     // per-table footer reads + metadata-count jobs are independent —
     // submit them concurrently (Spark's scheduler interleaves the jobs)
     // instead of paying N sequential job round-trips

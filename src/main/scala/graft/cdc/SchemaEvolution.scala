@@ -79,13 +79,23 @@ object SchemaEvolution {
       }
     })
 
+  /** Apply `f` to `tbl`'s schema — no-op when the table isn't registered:
+    * replication scoping means the registry only covers in-scope tables,
+    * and a shared source emits DDL for tables outside the scope
+    * constantly (the same drop-unregistered contract as
+    * [[SchemaRegistry.decode]]).
+    */
   private def alter(reg: SchemaRegistry, tbl: String)(f: StructType => StructType): SchemaRegistry = {
     val t = clean(tbl)
-    SchemaRegistry(reg.schemas.updated(t, f(reg.schemaFor(t))))
+    reg.schemas.get(t) match {
+      case Some(s) => SchemaRegistry(reg.schemas.updated(t, f(s)))
+      case None => reg
+    }
   }
 
   /** Fold one DDL statement into the registry; statements that carry no
-    * schema delta (TRUNCATE, DML, unknown) return the registry unchanged.
+    * schema delta (TRUNCATE, DML, constraint-only ALTERs, DDL for
+    * unregistered tables, unknown) return the registry unchanged.
     */
   def applyDdl(reg: SchemaRegistry, stmt: String): SchemaRegistry = stmt match {
     case CreateRx(tbl, body) =>
@@ -96,20 +106,28 @@ object SchemaEvolution {
     case ChangeColRx(tbl, from, to, tpe) =>
       alter(reg, tbl)(s => StructType(s.fields.map(f =>
         if (f.name == clean(from)) StructField(clean(to), TypeMapper.fromMySql(tpe)) else f)))
-    case ModifyColRx(tbl, c, tpe) =>
+    case ModifyColRx(tbl, c, tpe) if !constraintKeywords.contains(clean(c).toUpperCase) =>
       alter(reg, tbl)(s => StructType(s.fields.map(f =>
         if (f.name == clean(c)) f.copy(dataType = TypeMapper.fromMySql(tpe)) else f)))
-    case AddColRx(tbl, c, tpe) =>
+    // ADD PRIMARY KEY / ADD INDEX / ADD CONSTRAINT ... carry no column
+    // delta — without this guard they'd parse as a phantom add-column
+    case AddColRx(tbl, c, tpe) if !constraintKeywords.contains(clean(c).toUpperCase) =>
       alter(reg, tbl)(s => StructType(s.fields :+ StructField(clean(c), TypeMapper.fromMySql(tpe))))
-    case DropColRx(tbl, c) =>
+    case DropColRx(tbl, c) if !constraintKeywords.contains(clean(c).toUpperCase) =>
       alter(reg, tbl)(s => StructType(s.fields.filterNot(_.name == clean(c))))
     case RenameTableRx(from, to) =>
       val f = clean(from)
-      SchemaRegistry(reg.schemas - f + (clean(to) -> reg.schemaFor(f)))
+      reg.schemas.get(f) match {
+        case Some(s) => SchemaRegistry(reg.schemas - f + (clean(to) -> s))
+        case None => reg
+      }
     case DropTableRx(tbl) =>
       val t = clean(tbl)
-      require(reg.schemas.size > 1, s"cannot drop the last registered table $t")
-      SchemaRegistry(reg.schemas - t)
+      if (!reg.schemas.contains(t)) reg
+      else {
+        require(reg.schemas.size > 1, s"cannot drop the last registered table $t")
+        SchemaRegistry(reg.schemas - t)
+      }
     case TruncateRx(_) => reg
     case _ => reg
   }

@@ -114,46 +114,53 @@ object Multimodal {
         concat_ws(",", col("frames")).as("frame_hex"))
       .orderBy("doc_id")
 
-  /** Resize/downsample stage: bound every payload to ≤ `maxBytes` by
-    * stride-sampling its bytes (step = ⌈n/maxBytes⌉). This is the stub
+  /** Resize/downsample stage: bound every payload to ≤ `maxUnits`
+    * samples by stride-sampling (step = ⌈n/maxUnits⌉). This is the stub
     * standing in for a codec resize (libjpeg scaled decode / ffmpeg
     * scale filter slot into the [[Decoder]] SPI); the Spark-side
-    * contract — bounded output size per record, deterministic bytes,
+    * contract — bounded output size per record, deterministic content,
     * pure projection (no shuffle, no UDF) — is the real, tested part.
-    * Output fingerprinted so the oracle checks the exact resized bytes.
+    * Output fingerprinted so the oracle checks the exact resized content.
+    *
+    * The stub's sampling unit is the CHARACTER of the string-decoded
+    * payload (lengths, stride and md5 all measured over characters —
+    * never mixed with byte counts; the fixture is ASCII so the decode is
+    * lossless). A real codec implementation samples bytes/pixels inside
+    * [[Decoder]], where byte semantics belong.
     */
-  def resize(payloads: DataFrame, maxBytes: Int): DataFrame = {
-    val n = length(col("payload"))
+  def resize(payloads: DataFrame, maxUnits: Int): DataFrame = {
+    val chars = col("payload").cast("string")
+    val n = length(chars)
     payloads
-      .select(col("doc_id"), col("payload").cast("string").as("chars"), n.as("n_in"),
-        greatest(lit(1), ceil(n.cast("double") / maxBytes).cast("int")).as("step"))
-      .select(col("doc_id"), col("n_in").cast("long").as("n_bytes_in"),
+      .select(col("doc_id"), chars.as("chars"), n.as("n_in"),
+        greatest(lit(1), ceil(n.cast("double") / maxUnits).cast("int")).as("step"))
+      .select(col("doc_id"), col("n_in").cast("long").as("n_chars_in"),
         when(col("n_in") === 0, lit(""))
           .otherwise(concat_ws("", slice(
             transform(
               sequence(lit(0), ((col("n_in") - 1) / col("step")).cast("int")),
               i => col("chars").substr((i * col("step") + 1).cast("int"), lit(1))),
-            1, maxBytes))).as("resized"))
-      .select(col("doc_id"), col("n_bytes_in"),
-        length(col("resized")).cast("long").as("n_bytes_out"),
+            1, maxUnits))).as("resized"))
+      .select(col("doc_id"), col("n_chars_in"),
+        length(col("resized")).cast("long").as("n_chars_out"),
         md5(col("resized").cast("binary")).as("resized_md5"))
       .orderBy("doc_id")
   }
 
-  def resizeSql(maxBytes: Int): String =
+  def resizeSql(maxUnits: Int): String =
     s"""WITH p AS (
-       |  SELECT doc_id, text AS chars, strlen(text) AS n_in,
-       |         greatest(1, CAST(ceil(CAST(strlen(text) AS DOUBLE) / $maxBytes) AS INTEGER)) AS step
+       |  SELECT doc_id, text AS chars, length(text) AS n_in,
+       |         greatest(1, CAST(ceil(CAST(length(text) AS DOUBLE) / $maxUnits) AS INTEGER)) AS step
        |  FROM documents),
        |r AS (
        |  SELECT doc_id, n_in,
        |    CASE WHEN n_in = 0 THEN ''
        |         ELSE list_aggregate(
-       |           [substr(chars, i * step + 1, 1) FOR i IN range(0, (n_in - 1) // step + 1)][1:$maxBytes],
+       |           [substr(chars, i * step + 1, 1) FOR i IN range(0, (n_in - 1) // step + 1)][1:$maxUnits],
        |           'string_agg', '') END AS resized
        |  FROM p)
-       |SELECT doc_id, CAST(n_in AS BIGINT) AS n_bytes_in,
-       |       CAST(strlen(resized) AS BIGINT) AS n_bytes_out,
+       |SELECT doc_id, CAST(n_in AS BIGINT) AS n_chars_in,
+       |       CAST(length(resized) AS BIGINT) AS n_chars_out,
        |       md5(resized) AS resized_md5
        |FROM r ORDER BY doc_id""".stripMargin
 

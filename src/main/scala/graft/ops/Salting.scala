@@ -23,6 +23,13 @@ object Salting {
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive: $salt")
+    // outer-preserving the SMALL side is unsound under salting: a replica
+    // with no matching (key, salt) row would surface as `salt` spurious
+    // null-extended rows — only skewed-side-preserving joins are identical
+    // to the plain join
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports skewed-side-preserving joins only (inner/left/semi/anti), got $joinType")
     // deterministic scatter: hash the whole row's key + a uniform spread
     // column (monotonically_increasing_id is partition-local & cheap)
     val s = skewed.withColumn("__salt",

@@ -56,6 +56,15 @@ object JdbcApplyWorker {
       }
   }
 
+  /** Batched apply: every statement class rides addBatch/executeBatch at
+    * `batchSize` cadence (the reference's batched-write contract,
+    * CDCEngineUtils.scala:128-170) — per-chunk round trips are O(1), not
+    * O(rows). Upserts are two batched phases: batch-UPDATE all rows, then
+    * batch-INSERT exactly those whose update count reported zero matches.
+    * A driver reporting SUCCESS_NO_INFO (e.g. MySQL with rewritten batch
+    * statements) can't distinguish — those rows re-check individually,
+    * the documented fallback, not the steady path.
+    */
   private def applyPartition(rows: Iterator[Row], conn: Connection,
                              updateSql: String, insertSql: String, deleteSql: String,
                              nPk: Int, nVal: Int, batchSize: Int): Unit = {
@@ -63,30 +72,37 @@ object JdbcApplyWorker {
     val del = conn.prepareStatement(deleteSql)
     val ins = conn.prepareStatement(insertSql)
     val upd = conn.prepareStatement(updateSql)
-    var pendingDeletes = 0
     try {
-      rows.foreach { r =>
-        val op = r.getString(nPk + nVal)
-        if (op == "D") {
+      rows.grouped(batchSize).foreach { chunk =>
+        val (deletes, upserts) = chunk.partition(_.getString(nPk + nVal) == "D")
+        deletes.foreach { r =>
           (0 until nPk).foreach(i => del.setObject(i + 1, r.get(i)))
           del.addBatch()
-          pendingDeletes += 1
-          if (pendingDeletes >= batchSize) {
-            del.executeBatch(); conn.commit(); pendingDeletes = 0
-          }
-        } else {
-          // upsert: update first, insert only on zero matches — both
-          // executed immediately (the row count decides the branch)
+        }
+        if (deletes.nonEmpty) del.executeBatch(): Unit
+        upserts.foreach { r =>
           (0 until nVal).foreach(i => upd.setObject(i + 1, r.get(nPk + i)))
           (0 until nPk).foreach(i => upd.setObject(nVal + i + 1, r.get(i)))
-          if (upd.executeUpdate() == 0) {
-            (0 until nPk + nVal).foreach(i => ins.setObject(i + 1, r.get(i)))
-            ins.executeUpdate(): Unit
-          }
+          upd.addBatch()
         }
+        if (upserts.nonEmpty) {
+          val counts = upd.executeBatch()
+          val misses = upserts.zip(counts).collect {
+            case (r, 0) => r
+            case (r, java.sql.Statement.SUCCESS_NO_INFO) =>
+              // unknown count: decide with one targeted update
+              (0 until nVal).foreach(i => upd.setObject(i + 1, r.get(nPk + i)))
+              (0 until nPk).foreach(i => upd.setObject(nVal + i + 1, r.get(i)))
+              if (upd.executeUpdate() == 0) r else null
+          }.filter(_ != null)
+          misses.foreach { r =>
+            (0 until nPk + nVal).foreach(i => ins.setObject(i + 1, r.get(i)))
+            ins.addBatch()
+          }
+          if (misses.nonEmpty) ins.executeBatch(): Unit
+        }
+        conn.commit()
       }
-      if (pendingDeletes > 0) del.executeBatch(): Unit
-      conn.commit()
     } finally { del.close(); ins.close(); upd.close() }
   }
 }

@@ -114,11 +114,14 @@ object BinlogFileSource {
   /** Field count before the payload tail — the split limit. */
   private[sources] val NFields = 8
 
-  private[sources] def readLines(path: String): Vector[String] = {
-    if (!Files.exists(Paths.get(path))) Vector.empty
+  /** Stream the log's lines through `f` without materializing the file —
+    * the driver calls this every trigger, and the log only grows.
+    */
+  private[sources] def withLines[T](path: String)(f: Iterator[String] => T): T = {
+    if (!Files.exists(Paths.get(path))) f(Iterator.empty)
     else {
       val s = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
-      try s.iterator().asScala.toVector finally s.close()
+      try f(s.iterator().asScala) finally s.close()
     }
   }
 }
@@ -173,27 +176,30 @@ private[sources] class BinlogMicroBatchStream(path: String, maxPerBatch: Long, s
       case m: ReadMaxRows => m.maxRows()
       case _ => Long.MaxValue
     }
-    var end = s
-    var taken = 0L
-    val it = BinlogFileSource.readLines(path).iterator
-    while (it.hasNext && taken < cap) {
-      val (uuid, txn) = BinlogFileSource.gtidOf(it.next().split(",", BinlogFileSource.NFields))
-      if (!end.contains(uuid, txn)) {
-        end = end.add(uuid, txn)
-        taken += 1
+    BinlogFileSource.withLines(path) { it =>
+      var end = s
+      var taken = 0L
+      while (it.hasNext && taken < cap) {
+        val (uuid, txn) = BinlogFileSource.gtidOf(it.next().split(",", BinlogFileSource.NFields))
+        if (!end.contains(uuid, txn)) {
+          end = end.add(uuid, txn)
+          taken += 1
+        }
       }
+      GtidOffset(end)
     }
-    GtidOffset(end)
   }
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxPerBatch == Long.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxRows(maxPerBatch)
 
   override def reportLatestOffset(): Offset =
-    GtidOffset(BinlogFileSource.readLines(path).foldLeft(startGtids) { (acc, l) =>
-      val (uuid, txn) = BinlogFileSource.gtidOf(l.split(",", BinlogFileSource.NFields))
-      acc.add(uuid, txn)
-    })
+    BinlogFileSource.withLines(path) { it =>
+      GtidOffset(it.foldLeft(startGtids) { (acc, l) =>
+        val (uuid, txn) = BinlogFileSource.gtidOf(l.split(",", BinlogFileSource.NFields))
+        acc.add(uuid, txn)
+      })
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GtidOffset].gtids

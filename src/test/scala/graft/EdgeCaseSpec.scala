@@ -33,7 +33,7 @@ class EdgeCaseSpec extends SparkSpec {
   test("empty payload resizes to zero bytes (md5 of empty), short payloads pass through whole") {
     val r = Multimodal.resize(
       Multimodal.payloads(Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")), 48)
-      .collect().map(x => x.getLong(0) -> ((x.getAs[Long]("n_bytes_out"), x.getAs[String]("resized_md5")))).toMap
+      .collect().map(x => x.getLong(0) -> ((x.getAs[Long]("n_chars_out"), x.getAs[String]("resized_md5")))).toMap
     assert(r(1L) == ((0L, "d41d8cd98f00b204e9800998ecf8427e")))
     assert(r(2L) == ((3L, "900150983cd24fb0d6963f7d28e17f72"))) // md5("abc"): step 1 keeps all
   }

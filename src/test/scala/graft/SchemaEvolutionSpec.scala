@@ -47,6 +47,25 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.applyDdl(base, "INSERT INTO users VALUES (1, 'x')") == base)
   }
 
+  test("constraint-only ALTERs are schema no-ops, not phantom columns") {
+    for (stmt <- Seq(
+      "ALTER TABLE users ADD PRIMARY KEY (id)",
+      "ALTER TABLE users ADD INDEX idx_name (name)",
+      "ALTER TABLE users ADD CONSTRAINT uq UNIQUE (name)",
+      "ALTER TABLE users ADD UNIQUE (name)",
+      "ALTER TABLE users DROP PRIMARY KEY"))
+      assert(SchemaEvolution.applyDdl(base, stmt) == base, stmt)
+  }
+
+  test("DDL for unregistered (out-of-scope) tables is skipped, not a crash") {
+    for (stmt <- Seq(
+      "ALTER TABLE other_scope ADD COLUMN x INT",
+      "ALTER TABLE other_scope DROP COLUMN x",
+      "RENAME TABLE other_scope TO elsewhere",
+      "DROP TABLE other_scope"))
+      assert(SchemaEvolution.applyDdl(base, stmt) == base, stmt)
+  }
+
   test("decode under an evolved schema: old payloads get null for added columns") {
     import spark.implicits._
     val evolved = SchemaEvolution.applyDdl(base, "ALTER TABLE users ADD COLUMN age BIGINT")
