@@ -129,6 +129,12 @@ object SparkEntry {
     "cdc_offset_frontier" -> ((s, dir) =>
       Routing.offsetFrontier(changelog(s, dir), 8)),
 
+    // GTID-set frontier per (tbl, source): applied txns coalesced into
+    // the canonical interval string (gaps-and-islands, one shuffle)
+    "cdc_gtid_frontier" -> ((s, dir) =>
+      Routing.gtidFrontier(changelog(s, dir),
+        concat(lit("s"), pmod(col("pk"), lit(3)).cast("string")), col("pos"))),
+
     "cdc_table_filter" -> ((s, dir) => {
       val f = TableFilter(include = Seq("t*"), exclude = Seq("t3"))
       changelog(s, dir).filter(f.column(col("tbl")))
@@ -239,6 +245,14 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) =>
       Analytics.orderPriorityCheck(t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "q_rollup_revenue" -> ((s, dir) => Analytics.rollupRevenue(t(s, dir, "lineitem"))),
+    "q10_returned_items" -> ((s, dir) =>
+      Analytics.returnedItemCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), t(s, dir, "nation"), 20)),
+    "q14_promo_revenue" -> ((s, dir) =>
+      Analytics.promoRevenueRatio(t(s, dir, "part"), t(s, dir, "lineitem"), 1997)),
+    "q18_large_orders" -> ((s, dir) =>
+      Analytics.largeOrders(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), 250L)),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
@@ -374,6 +388,9 @@ object SparkEntry {
          |       min(max_applied_pos) OVER () AS committable_pos
          |FROM parts ORDER BY part_id""".stripMargin,
 
+    "cdc_gtid_frontier" -> Routing.gtidFrontierSql(clSql,
+      "'s' || CAST(pk % 3 AS VARCHAR)", "pos"),
+
     "cdc_table_filter" ->
       s"""WITH cl AS ($clSql)
          |SELECT tbl, count(*) AS n_events FROM cl
@@ -447,6 +464,9 @@ object SparkEntry {
     "events_topk_users" -> Analytics.topPurchasersSql(10),
     "events_json_extract" -> Analytics.jsonExtractSql,
     "q6_forecast_revenue" -> Analytics.forecastRevenueSql,
+    "q10_returned_items" -> Analytics.returnedItemCustomersSql(20),
+    "q14_promo_revenue" -> Analytics.promoRevenueRatioSql(1997),
+    "q18_large_orders" -> Analytics.largeOrdersSql(250L),
     "q4_order_priority" -> Analytics.orderPriorityCheckSql,
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),

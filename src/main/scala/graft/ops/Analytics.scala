@@ -229,6 +229,93 @@ object Analytics {
       |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q10-style: customers ranked by revenue lost to returned items.
+    * Fact-fact (orders ⋈ lineitem) shuffles on the order key with the
+    * returnflag filter pushed to the lineitem scan; customer and nation
+    * are broadcast dimensions. Top-k via TakeOrderedAndProject (k-bounded
+    * partials, no global sort materialization).
+    */
+  def returnedItemCustomers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame, k: Int): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  def returnedItemCustomersSql(k: Int): String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT $k""".stripMargin
+
+  /** TPC-H Q14-style: fraction of a year's revenue from PROMO parts.
+    * part broadcasts; the date range pushes to the lineitem scan; the
+    * conditional ratio is one aggregation (no second pass).
+    */
+  def promoRevenueRatio(part: DataFrame, lineitem: DataFrame, year: Int): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+            dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double")).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+      .select(round(col("promo_pct"), 6).as("promo_pct"), col("n_lines"))
+
+  def promoRevenueRatioSql(year: Int): String =
+    s"""SELECT
+       |  round(100.0 *
+       |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '$year-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18-style: large-quantity orders. The quantity rollup is a
+    * partial-agg groupBy on the order key; the HAVING filter shrinks it
+    * to a tail that joins back as a broadcast semi-filter — orders and
+    * customer never see unfiltered lineitem.
+    */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  minQty: Long): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  def largeOrdersSql(minQty: Long): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > $minQty)
+       |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+       |FROM orders JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   /** ROLLUP hierarchy totals: returnflag → linestatus with subtotals and
     * a grand total (multi-level aggregation in one pass).
     */
