@@ -308,6 +308,19 @@ object SparkEntry {
       Sampling.stratifiedSummary(t(s, dir, "events"), "event_type", "event_id",
         Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1)),
 
+    // Corpus-trained unigram LM fluency scoring (CCNet-style skeleton)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogprob(t(s, dir, "documents"))),
+
+    // Domain-weights rebalancing: actual vs target source composition
+    "text_source_mix" -> ((s, dir) =>
+      Curation.sourceMix(t(s, dir, "documents"),
+        Map("src0" -> 3.0, "src1" -> 2.0), 1.0)),
+
+    // Context-window packing plan: token-budget bins per hash bucket
+    "text_pack_bins" -> ((s, dir) =>
+      Curation.packBins(t(s, dir, "documents"), budget = 512, nBuckets = 8)),
+
     // Composed curation funnel: quality gate → exact-dedup canonical →
     // per-language stratified keep, with per-stage survivor counts
     "pipeline_curation" -> ((s, dir) =>
@@ -503,6 +516,13 @@ object SparkEntry {
     "events_stratified_sample" -> Sampling.stratifiedSummarySql(
       "events", "event_type", "event_id",
       Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1),
+
+    "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql,
+
+    "text_source_mix" -> Curation.sourceMixSql(
+      Map("src0" -> 3.0, "src1" -> 2.0), 1.0),
+
+    "text_pack_bins" -> Curation.packBinsSql(512, 8),
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),

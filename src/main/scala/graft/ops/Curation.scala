@@ -51,6 +51,82 @@ object Curation {
       .orderBy("pred_lang")
   }
 
+  /** Source-mixture rebalancing: per source, the repeat/keep factor that
+    * moves the corpus from its ACTUAL composition to a TARGET one (the
+    * domain-weights step of pretraining data assembly). factor > 1 means
+    * upsample (repeat epochs), < 1 means downsample. Pure aggregation —
+    * one shuffle on the source key at any scale.
+    */
+  def sourceMix(docs: DataFrame, targetWeights: Map[String, Double],
+                defaultWeight: Double = 1.0): DataFrame = {
+    val weight = targetWeights.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultWeight): org.apache.spark.sql.Column) {
+        case ((k, v), acc) => when(col("source") === k, v).otherwise(acc)
+      }
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(weight).as("target_w"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(
+        sum(col("n_docs")).as("n_total"), sum(col("target_w")).as("w_total"))))
+      .select(col("source"), col("n_docs"),
+        round(col("target_w") / col("w_total"), 6).as("target_share"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("actual_share"),
+        round((col("target_w") / col("w_total")) /
+          (col("n_docs").cast("double") / col("n_total")), 6).as("mix_factor"))
+      .orderBy("source")
+  }
+
+  def sourceMixSql(targetWeights: Map[String, Double], defaultWeight: Double = 1.0): String = {
+    val cases = targetWeights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN source = '$k' THEN $v" }.mkString(" ")
+    val weight = s"CASE $cases ELSE $defaultWeight END"
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs, max($weight) AS target_w
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_docs) AS n_total, sum(target_w) AS w_total FROM per_source)
+       |SELECT source, n_docs,
+       |  round(target_w / w_total, 6) AS target_share,
+       |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS actual_share,
+       |  round((target_w / w_total) / (CAST(n_docs AS DOUBLE) / n_total), 6) AS mix_factor
+       |FROM per_source, tot ORDER BY source""".stripMargin
+  }
+
+  /** Sequence packing plan: assign docs to fixed-token-budget bins — the
+    * context-window packing step before pretraining. Docs scatter across
+    * `nBuckets` hash buckets (parallelism), and within a bucket the
+    * running token total assigns bin = floor(exclusive_cumsum / budget):
+    * one window per bucket, buckets fully parallel — never a global sort.
+    * Deterministic across partitionings (bucket + order are pure
+    * functions of doc_id).
+    */
+  def packBins(docs: DataFrame, budget: Int, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(graft.functions.Tokenize.tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        graft.functions.PortableHash.routerPartition(col("doc_id"), nBuckets).as("bucket"),
+        toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("long"))
+      .orderBy("bucket", "doc_id")
+  }
+
+  def packBinsSql(budget: Int, nBuckets: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ${graft.functions.PortableHash.routerPartitionSql("doc_id", nBuckets)} AS bucket,
+       |    CAST(len(${graft.functions.Tokenize.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, bucket, n_tokens, cum_tokens,
+       |  CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS bin_id
+       |FROM c ORDER BY bucket, doc_id""".stripMargin
+
   def funnelSql(qualityMin: Double, rates: Map[String, Int], defaultRate: Int = 1): String = {
     val rate = {
       val cases = rates.toSeq.sortBy(_._1)

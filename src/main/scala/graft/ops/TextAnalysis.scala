@@ -282,6 +282,40 @@ object TextAnalysis {
        |       ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS rep_ratio
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained unigram LM scoring — the CCNet/KenLM-style fluency
+    * filter reduced to its distributable skeleton: p(w) = corpus MLE,
+    * doc score = mean log p(token). The vocabulary table is tiny relative
+    * to the corpus and BROADCAST back; the corpus token stream joins
+    * map-side (no corpus shuffle) and reduces per doc — two passes over
+    * tokens, zero corpus-sized state. Production swaps the MLE for a real
+    * LM's logprob without changing the plan shape. Mean rounded to 6 dp
+    * before any downstream ranking (ln ulp discipline).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok
+      .join(broadcast(counts), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(log(col("cnt").cast("double") / col("n_total"))), 6).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |total AS (SELECT count(*) AS n_total FROM tok)
+       |SELECT doc_id,
+       |  round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS mean_logprob,
+       |  count(*) AS n_tokens
+       |FROM tok JOIN counts USING (term), total
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Document fingerprints: order-sensitive content hash (md5 of the
     * normalized token stream) + a 60-bit integer prefix for compact
     * join keys — duplicate doc_ids share fingerprints.
