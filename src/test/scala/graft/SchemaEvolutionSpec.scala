@@ -79,6 +79,42 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(30L))))
   }
 
+  test("random DDL sequences agree with a model interpreter (property)") {
+    val types = Seq("INT" -> IntegerType, "BIGINT" -> LongType,
+      "DOUBLE" -> DoubleType, "VARCHAR(32)" -> StringType, "DECIMAL(10,2)" -> DecimalType(10, 2))
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 20) {
+      var model = Vector("c0" -> (IntegerType: DataType))
+      var reg = SchemaRegistry(Map("t" -> StructType(Seq(StructField("c0", IntegerType)))))
+      var next = 1
+      for (_ <- 1 to 15) {
+        val (ddl, newModel): (String, Vector[(String, DataType)]) = rnd.nextInt(4) match {
+          case 0 =>
+            val (ts, tt) = types(rnd.nextInt(types.size))
+            val c = s"c$next"; next += 1
+            (s"ALTER TABLE t ADD COLUMN $c $ts", model :+ (c -> tt))
+          case 1 if model.size > 1 =>
+            val (c, _) = model(rnd.nextInt(model.size))
+            (s"ALTER TABLE t DROP COLUMN $c", model.filterNot(_._1 == c))
+          case 2 =>
+            val i = rnd.nextInt(model.size)
+            val (c, t0) = model(i)
+            val c2 = s"r$next"; next += 1
+            (s"ALTER TABLE t RENAME COLUMN $c TO $c2", model.updated(i, c2 -> t0))
+          case _ =>
+            val i = rnd.nextInt(model.size)
+            val (c, _) = model(i)
+            val (ts, tt) = types(rnd.nextInt(types.size))
+            (s"ALTER TABLE t MODIFY COLUMN $c $ts", model.updated(i, c -> tt))
+        }
+        model = newModel
+        reg = SchemaEvolution.applyDdl(reg, ddl)
+        val want = StructType(model.map { case (n, t0) => StructField(n, t0) })
+        assert(reg.schemaFor("t") == want, s"trial $trial after: $ddl")
+      }
+    }
+  }
+
   test("registry evolution composes with the DDL classifier's corpus") {
     // every statement in the classifier's fixed corpus folds without error
     val start = SchemaEvolution.replay(base, Seq(
