@@ -310,17 +310,18 @@ object Dedup {
     // exact-verify stage (it was the query's duplicated heavy subtree)
     val feats = docFeatures(docs).persist()
     val cand = lshCandidates(minhashSignaturesFrom(feats).persist())
-    val shingle = feats.withColumnRenamed("feat", "sh")
-    val sizes = shingle.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shingle.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(shingle.as("y"), col("doc_b") === col("y.doc_id") && col("x.sh") === col("y.sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // verify via per-doc shingle ARRAYS: the candidate set is LSH-bounded
+    // (O(docs), not docs²), so attaching two arrays per pair and
+    // intersecting locally beats re-exploding |cand|·|shingles| rows
+    // through two shuffle joins
+    val byDoc = feats.groupBy(col("doc_id"))
+      .agg(collect_list(col("feat")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -330,19 +331,14 @@ object Dedup {
        |$sigSql,
        |$bandsSql,
        |$candSql,
-       |shingle AS (SELECT doc_id, feat AS sh FROM feat),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-       |  FROM cand c
-       |  JOIN shingle x ON c.doc_a = x.doc_id
-       |  JOIN shingle y ON c.doc_b = y.doc_id AND x.sh = y.sh
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
-       |FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
-       |             JOIN sizes sb ON i.doc_b = sb.doc_id
-       |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
+       |by_doc AS (SELECT doc_id, list(feat) AS sh, count(*) AS n FROM feat GROUP BY doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |         (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
+       |            JOIN by_doc b ON c.doc_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
