@@ -131,9 +131,10 @@ object SparkEntry {
 
     // GTID-set frontier per (tbl, source): applied txns coalesced into
     // the canonical interval string (gaps-and-islands, one shuffle)
+    // `%` (not pmod) so Spark and DuckDB agree for any future negative key
     "cdc_gtid_frontier" -> ((s, dir) =>
       Routing.gtidFrontier(changelog(s, dir),
-        concat(lit("s"), pmod(col("pk"), lit(3)).cast("string")), col("pos"))),
+        concat(lit("s"), (col("pk") % 3).cast("string")), col("pos"))),
 
     "cdc_table_filter" -> ((s, dir) => {
       val f = TableFilter(include = Seq("t*"), exclude = Seq("t3"))

@@ -55,7 +55,10 @@ object Routing {
     * Gaps-and-islands: within (tbl, uuid), `txn − row_number()` is
     * constant on each contiguous run, so islands fall out of one window
     * + one aggregation; the canonical string is a deterministic
-    * sorted-struct fold. Shuffles once on the frontier key.
+    * sorted-struct fold. One explicit repartition on the frontier key
+    * up front satisfies the dedup, the window AND both aggregations
+    * (hash partitioning on a subset of each clustering) — the changelog
+    * shuffles once.
     */
   def gtidFrontier(changelog: DataFrame, uuidCol: org.apache.spark.sql.Column,
                    txnCol: org.apache.spark.sql.Column): DataFrame = {
@@ -63,7 +66,8 @@ object Routing {
     val w = Window.partitionBy(col("tbl"), col("uuid")).orderBy(col("txn"))
     changelog
       .select(col("tbl"), uuidCol.as("uuid"), txnCol.as("txn"))
-      .distinct()
+      .repartition(col("tbl"), col("uuid"))
+      .dropDuplicates("tbl", "uuid", "txn")
       .withColumn("grp", col("txn") - row_number().over(w))
       .groupBy(col("tbl"), col("uuid"), col("grp"))
       .agg(min(col("txn")).as("lo"), max(col("txn")).as("hi"))

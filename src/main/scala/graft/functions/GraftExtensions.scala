@@ -24,11 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(VectorFunctions.name),
       new ExpressionInfo(classOf[DotProductD].getName, VectorFunctions.name),
-      (exprs: Seq[Expression]) => DotProductD(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => VectorFunctions.builder(exprs)))
     ext.injectFunction((
       FunctionIdentifier(TopKFunctions.name),
       new ExpressionInfo(classOf[TopKByValue].getName, TopKFunctions.name),
-      (exprs: Seq[Expression]) => TopKByValue(exprs(0), exprs(1),
-        exprs(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => TopKFunctions.builder(exprs)))
   }
 }

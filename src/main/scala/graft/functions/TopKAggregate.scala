@@ -124,12 +124,26 @@ object TopKBuffer {
 object TopKFunctions {
   val name = "top_k_by_value"
 
+  /** Single builder shared by the temp-function path and
+    * [[GraftExtensions]]. k must be a foldable integral literal —
+    * rejected with a usage message, not a ClassCastException, because
+    * the extensions path exposes this to every SQL user on a cluster.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"$name requires (value, id, k), got ${exprs.length} arguments")
+    val kExpr = exprs(2)
+    require(kExpr.foldable, s"$name: k must be a literal, got ${kExpr.sql}")
+    val k = kExpr.eval(InternalRow.empty) match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: k must be an integral literal, got $other")
+    }
+    TopKByValue(exprs(0), exprs(1), k)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => TopKByValue(exprs(0), exprs(1),
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]),
-      "built-in")
+      name, builder _, "built-in")
 
   /** top-k (value, id) pairs per group; `k` must be a literal. */
   def topKByValue(value: Column, id: Column, k: Int): Column =

@@ -81,9 +81,17 @@ object VectorFunctions {
     * stable public path for lifting a custom Expression into Column /
     * SQL space without private Spark APIs.
     */
+  /** Single builder shared by the temp-function path and
+    * [[GraftExtensions]] — one place owns arity/shape handling.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$name requires exactly 2 arguments, got ${exprs.length}")
+    DotProductD(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => DotProductD(exprs.head, exprs(1)), "built-in")
+      name, builder _, "built-in")
 
   /** Dot product of two array<double> columns (codegen'd). Requires
     * [[register]] to have been called on the active session.

@@ -65,9 +65,12 @@ object Curation {
       }
     val perSource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), max(weight).as("target_w"))
+    // totals via an empty window over the per-source frame (one pass,
+    // same shape as Routing.offsetFrontier) — a self-crossJoin would
+    // re-plan the docs scan + aggregation twice
     perSource
-      .crossJoin(broadcast(perSource.agg(
-        sum(col("n_docs")).as("n_total"), sum(col("target_w")).as("w_total"))))
+      .withColumn("n_total", sum(col("n_docs")).over())
+      .withColumn("w_total", sum(col("target_w")).over())
       .select(col("source"), col("n_docs"),
         round(col("target_w") / col("w_total"), 6).as("target_share"),
         round(col("n_docs").cast("double") / col("n_total"), 6).as("actual_share"),

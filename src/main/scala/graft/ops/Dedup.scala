@@ -319,9 +319,12 @@ object Dedup {
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
       .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // zero-overlap candidates drop out regardless of threshold — the
+      // contract of the original shared-shingle inner join
+      .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (col("na") + col("nb") - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -331,14 +334,15 @@ object Dedup {
        |$sigSql,
        |$bandsSql,
        |$candSql,
-       |by_doc AS (SELECT doc_id, list(feat) AS sh, count(*) AS n FROM feat GROUP BY doc_id)
-       |SELECT c.doc_a, c.doc_b,
-       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |         (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
-       |            JOIN by_doc b ON c.doc_b = b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |        (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= $threshold
+       |by_doc AS (SELECT doc_id, list(feat) AS sh, count(*) AS n FROM feat GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+       |  FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
+       |              JOIN by_doc b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM scored
+       |WHERE inter > 0 AND CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -294,7 +294,9 @@ object TextAnalysis {
   def unigramLogprob(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
     val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+    // total token count derives from the tiny counts frame — a third
+    // full-corpus tokenize pass would buy nothing
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
     tok
       .join(broadcast(counts), "term")
       .crossJoin(broadcast(total))
