@@ -309,6 +309,10 @@ object SparkEntry {
       Sampling.stratifiedSummary(t(s, dir, "events"), "event_type", "event_id",
         Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1)),
 
+    // Cross-doc boilerplate: spans shared with >= 3 other documents
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplate(t(s, dir, "documents"), 3)),
+
     // Corpus-trained unigram LM fluency scoring (CCNet-style skeleton)
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(t(s, dir, "documents"))),
@@ -517,6 +521,8 @@ object SparkEntry {
     "events_stratified_sample" -> Sampling.stratifiedSummarySql(
       "events", "event_type", "event_id",
       Map("click" -> 2, "error" -> 20, "signup" -> 10, "view" -> 5), 1),
+
+    "text_boilerplate" -> TextAnalysis.boilerplateSql(3),
 
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql,
 

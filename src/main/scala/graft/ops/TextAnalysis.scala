@@ -282,6 +282,53 @@ object TextAnalysis {
        |       ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS rep_ratio
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Cross-document boilerplate detection (the C4/RefinedWeb span-dedup
+    * family): a doc's 3-token spans that also occur in ≥ `minDocs` OTHER
+    * documents are boilerplate (headers, footers, templates); report the
+    * per-doc shared-span ratio. Distinct from [[repetition]] (intra-doc)
+    * and pairwise near-dup (this is corpus-frequency based — no pairs).
+    *
+    * Shape: one shingle explode → span document-frequency (map-side
+    * combined, shuffle on span) → broadcast-join the FREQUENT span set
+    * back (the frequent tail is tiny by Zipf — the full df frame never
+    * joins) → per-doc aggregate. The heavy exchange is the df groupBy,
+    * linear in corpus spans.
+    */
+  def boilerplate(docs: DataFrame, minDocs: Int): DataFrame = {
+    val spans = docs.select(col("doc_id"),
+      explode(array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text"))))).as("span"))
+    val frequent = spans.groupBy(col("span"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs + 1) // self + minDocs others
+      .select(col("span"))
+    spans
+      .join(broadcast(frequent), Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_spans"))
+      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"))
+      .withColumn("boilerplate_ratio",
+        when(col("n_spans") === 0, lit(0.0d))
+          .otherwise(round(col("n_shared_spans").cast("double") / col("n_spans"), 6)))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateSql(minDocs: Int): String =
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |spans AS (SELECT DISTINCT doc_id, unnest(${Tokenize.shingles3Sql("tok")}) AS span FROM t),
+       |freq AS (
+       |  SELECT span FROM spans GROUP BY span
+       |  HAVING count(DISTINCT doc_id) >= ${minDocs + 1}),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared_spans
+       |  FROM spans WHERE span IN (SELECT span FROM freq) GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_spans, coalesce(sh.n_shared_spans, 0) AS n_shared_spans,
+       |  CASE WHEN s.n_spans = 0 THEN 0.0
+       |       ELSE round(CAST(coalesce(sh.n_shared_spans, 0) AS DOUBLE) / s.n_spans, 6) END AS boilerplate_ratio
+       |FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Corpus-trained unigram LM scoring — the CCNet/KenLM-style fluency
     * filter reduced to its distributable skeleton: p(w) = corpus MLE,
     * doc score = mean log p(token). The vocabulary table is tiny relative
