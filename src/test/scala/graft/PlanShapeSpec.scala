@@ -82,6 +82,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"joining per-signal frames re-scans the corpus:\n$p")
   }
 
+  test("boilerplate: frequent-span set broadcasts back as a semi-filter") {
+    val p = plan("text_boilerplate")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"frequent spans must semi-filter via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"span stream must not shuffle-join:\n$p")
+  }
+
+  test("unigram scoring: vocab broadcasts, corpus token stream never shuffle-joins") {
+    val p = plan("text_unigram_logprob")
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")),
+      s"vocab counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not shuffle for the join:\n$p")
+  }
+
   test("ANN brute force: broadcast join + k-bounded partial top-k, one shuffle") {
     val p = plan("ann_bruteforce_topk")
     // queries broadcast against the corpus — never a shuffle join
