@@ -286,6 +286,9 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 32, 2)),
     "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 32, 0.3)),
+    // SemDeDup-style cluster curation artifact: IVF cells x text signals
+    "emb_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(t(s, dir, "embeddings"), t(s, dir, "documents"), 32)),
 
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -506,6 +509,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
+    "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

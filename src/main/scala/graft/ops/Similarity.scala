@@ -203,6 +203,56 @@ object Similarity {
        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SemDeDup/DCLM-style cluster profiling: embedding-space IVF cells
+    * joined with the text-side curation signals — per cluster, member
+    * count, mean quality, and dominant predicted language. This is the
+    * artifact cluster-based curation filters on (drop low-quality
+    * clusters wholesale, diversity-sample within clusters).
+    *
+    * Cross-modal shape: the cell assignment streams (broadcast-centroid
+    * join, no corpus shuffle); the text signals come from ONE projection
+    * pass ([[TextAnalysis.signals]]); the id equi-join shuffles each side
+    * once on the shared key; the profile is a partial-agg groupBy.
+    * Dominant language via min(struct(-cnt, lang)) — deterministic
+    * tie-break, no window.
+    */
+  def clusterProfile(emb: DataFrame, docs: DataFrame, nlist: Int): DataFrame = {
+    val e = prepared(emb)
+    val assigned = cellAssignments(e, centroids(e, nlist))
+      .select(col("vec_id"), col("cell"))
+    val sig = TextAnalysis.signals(docs)
+      .select(col("doc_id").as("vec_id"), col("quality"), col("pred_lang"))
+    val joined = assigned.join(sig, "vec_id")
+    val langTop = joined
+      .groupBy(col("cell"), col("pred_lang")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("pred_lang").as("lang"))).as("top"))
+      .select(col("cell"), col("top.lang").as("top_lang"))
+    joined
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("quality")), 6).as("avg_quality"))
+      .join(langTop, "cell")
+      .orderBy("cell")
+  }
+
+  def clusterProfileSql(nlist: Int): String =
+    s"""WITH ${cellSql(nlist)},
+       |${graft.ops.TextAnalysis.signalsSql},
+       |joined AS (
+       |  SELECT a.cell, s.quality, s.pred_lang
+       |  FROM assigned a JOIN sig s ON a.vec_id = s.doc_id),
+       |lang_counts AS (
+       |  SELECT cell, pred_lang, count(*) AS cnt FROM joined GROUP BY cell, pred_lang),
+       |top_lang AS (
+       |  SELECT cell, pred_lang AS top_lang
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, pred_lang) AS rn
+       |        FROM lang_counts)
+       |  WHERE rn = 1)
+       |SELECT j.cell, count(*) AS n_members, round(avg(j.quality), 6) AS avg_quality,
+       |       max(t.top_lang) AS top_lang
+       |FROM joined j JOIN top_lang t ON j.cell = t.cell
+       |GROUP BY j.cell ORDER BY j.cell""".stripMargin
+
   def ivfTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
     s"""WITH ${cellSql(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
