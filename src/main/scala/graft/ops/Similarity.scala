@@ -230,7 +230,10 @@ object Similarity {
       .select(col("cell"), col("top.lang").as("top_lang"))
     joined
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("quality")), 6).as("avg_quality"))
+      // mean over DECIMAL (quality is exact 4-dp) — shuffle-order
+      // independent, per the repo's decimal-aggregate discipline
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("quality").cast("decimal(9,4)")).cast("double"), 6).as("avg_quality"))
       .join(langTop, "cell")
       .orderBy("cell")
   }
@@ -248,7 +251,8 @@ object Similarity {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, pred_lang) AS rn
        |        FROM lang_counts)
        |  WHERE rn = 1)
-       |SELECT j.cell, count(*) AS n_members, round(avg(j.quality), 6) AS avg_quality,
+       |SELECT j.cell, count(*) AS n_members,
+       |       round(CAST(avg(CAST(j.quality AS DECIMAL(9,4))) AS DOUBLE), 6) AS avg_quality,
        |       max(t.top_lang) AS top_lang
        |FROM joined j JOIN top_lang t ON j.cell = t.cell
        |GROUP BY j.cell ORDER BY j.cell""".stripMargin

@@ -295,16 +295,28 @@ object TextAnalysis {
     * linear in corpus spans.
     */
   def boilerplate(docs: DataFrame, minDocs: Int): DataFrame = {
-    val spans = docs.select(col("doc_id"),
-      explode(array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text"))))).as("span"))
+    // ONE tokenize+shingle pass, persisted: both the span-df aggregate
+    // and the per-doc rollup explode from this cached frame (the shingle
+    // pipeline was a prior 14x hotspot — never recompute it per branch).
+    // Short docs (< 3 tokens) keep their empty array here and surface
+    // with ratio 0, matching repetition()'s contract.
+    val spanArrays = docs.select(col("doc_id"),
+      array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text")))).as("sh")).persist()
+    val spans = spanArrays.select(col("doc_id"), explode(col("sh")).as("span"))
+    // spans is distinct per (doc_id, span) by construction — plain count
+    // IS the document frequency (no distinct-aggregate rewrite)
     val frequent = spans.groupBy(col("span"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs + 1) // self + minDocs others
-      .select(col("span"))
-    spans
-      .join(broadcast(frequent), Seq("span"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_spans"))
-      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")), Seq("doc_id"), "right_outer")
+      .select(col("span"), lit(true).as("is_freq"))
+    // no broadcast hint: tiny here, but the frequent tail of a web-scale
+    // corpus is NOT driver-sized — let the planner/AQE pick broadcast vs
+    // shuffle from actual stats
+    val shared = spans.join(frequent, Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_freq"), 1L).otherwise(0L)).as("n_shared_spans"))
+    spanArrays.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"))
       .withColumn("boilerplate_ratio",
@@ -315,19 +327,20 @@ object TextAnalysis {
 
   def boilerplateSql(minDocs: Int): String =
     s"""WITH t AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
-       |spans AS (SELECT DISTINCT doc_id, unnest(${Tokenize.shingles3Sql("tok")}) AS span FROM t),
+       |sa AS (SELECT doc_id, list_distinct(${Tokenize.shingles3Sql("tok")}) AS sh FROM t),
+       |spans AS (SELECT doc_id, unnest(sh) AS span FROM sa),
        |freq AS (
        |  SELECT span FROM spans GROUP BY span
-       |  HAVING count(DISTINCT doc_id) >= ${minDocs + 1}),
+       |  HAVING count(*) >= ${minDocs + 1}),
        |shared AS (
        |  SELECT doc_id, count(*) AS n_shared_spans
-       |  FROM spans WHERE span IN (SELECT span FROM freq) GROUP BY doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
-       |SELECT s.doc_id, s.n_spans, coalesce(sh.n_shared_spans, 0) AS n_shared_spans,
-       |  CASE WHEN s.n_spans = 0 THEN 0.0
-       |       ELSE round(CAST(coalesce(sh.n_shared_spans, 0) AS DOUBLE) / s.n_spans, 6) END AS boilerplate_ratio
-       |FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
-       |ORDER BY s.doc_id""".stripMargin
+       |  FROM spans WHERE span IN (SELECT span FROM freq) GROUP BY doc_id)
+       |SELECT sa.doc_id, CAST(len(sa.sh) AS BIGINT) AS n_spans,
+       |  coalesce(sh.n_shared_spans, 0) AS n_shared_spans,
+       |  CASE WHEN len(sa.sh) = 0 THEN 0.0
+       |       ELSE round(CAST(coalesce(sh.n_shared_spans, 0) AS DOUBLE) / len(sa.sh), 6) END AS boilerplate_ratio
+       |FROM sa LEFT JOIN shared sh ON sa.doc_id = sh.doc_id
+       |ORDER BY sa.doc_id""".stripMargin
 
   /** Corpus-trained unigram LM scoring — the CCNet/KenLM-style fluency
     * filter reduced to its distributable skeleton: p(w) = corpus MLE,

@@ -17,6 +17,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "text_tfidf_top_terms",  // log scores, rounded before ranking
     "events_percentiles",    // exact interpolated percentiles
     "text_unigram_logprob",  // ln means, rounded
+    "text_boilerplate",      // span df + per-doc rollup
+    "emb_cluster_profile",   // decimal mean + struct-min tie-break
     "cdc_gtid_frontier")     // island coalescing + string fold
 
   test("query results are identical under 7 and 32 shuffle partitions") {

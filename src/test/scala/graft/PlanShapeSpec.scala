@@ -82,12 +82,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"joining per-signal frames re-scans the corpus:\n$p")
   }
 
-  test("boilerplate: frequent-span set broadcasts back as a semi-filter") {
+  test("boilerplate: frequent-span flag join picks broadcast at this scale, one tokenize pass") {
     val p = plan("text_boilerplate")
+    // unhinted: stats decide (web-scale frequent tails are not
+    // driver-sized); at fixture scale the planner must still broadcast
     assert(p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
-      s"frequent spans must semi-filter via broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"span stream must not shuffle-join:\n$p")
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      s"frequent-span flag join should broadcast at fixture scale:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"span arrays must come from the persisted frame, not re-tokenize:\n$p")
   }
 
   test("unigram scoring: vocab broadcasts, corpus token stream never shuffle-joins") {
