@@ -329,6 +329,10 @@ object SparkEntry {
     "text_pack_bins" -> ((s, dir) =>
       Curation.packBins(t(s, dir, "documents"), budget = 512, nBuckets = 8)),
 
+    // Percentile-anchored quality gate: keep the top 60% by quality
+    "text_quality_gate" -> ((s, dir) =>
+      Curation.qualityGate(t(s, dir, "documents"), 0.6)),
+
     // Composed curation funnel: quality gate → exact-dedup canonical →
     // per-language stratified keep, with per-stage survivor counts
     "pipeline_curation" -> ((s, dir) =>
@@ -534,6 +538,8 @@ object SparkEntry {
       Map("src0" -> 3.0, "src1" -> 2.0), 1.0),
 
     "text_pack_bins" -> Curation.packBinsSql(512, 8),
+
+    "text_quality_gate" -> Curation.qualityGateSql(0.6),
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),

@@ -51,6 +51,35 @@ object Curation {
       .orderBy("pred_lang")
   }
 
+  /** Percentile-anchored quality gate: instead of a hand-picked absolute
+    * threshold, keep the top `keepFraction` of the corpus by quality —
+    * the calibration step that makes a quality filter portable across
+    * corpora with different score distributions. Exact interpolated
+    * percentile (same engine-parity recipe as the P50/P95/P99 metrics);
+    * at extreme scale `approx_percentile` slots in with identical plan
+    * shape. Output: the derived threshold + survivor counts.
+    */
+  def qualityGate(docs: DataFrame, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1, s"keepFraction in (0,1): $keepFraction")
+    val sig = TextAnalysis.signals(docs).select(col("quality"))
+    val th = sig.agg(
+      round(expr(s"percentile(quality, ${1.0 - keepFraction})"), 4).as("threshold"))
+    sig.crossJoin(broadcast(th))
+      .agg(
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  def qualityGateSql(keepFraction: Double): String =
+    s"""WITH ${TextAnalysis.signalsSql},
+       |th AS (
+       |  SELECT round(quantile_cont(quality, ${1.0 - keepFraction}), 4) AS threshold
+       |  FROM sig)
+       |SELECT max(th.threshold) AS threshold, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN sig.quality >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM sig, th""".stripMargin
+
   /** Source-mixture rebalancing: per source, the repeat/keep factor that
     * moves the corpus from its ACTUAL composition to a TARGET one (the
     * domain-weights step of pretraining data assembly). factor > 1 means
