@@ -257,6 +257,9 @@ object SparkEntry {
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
+    "events_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+    "events_retention" -> ((s, dir) => Analytics.retention(t(s, dir, "events"))),
 
     // same result via the heap TypedImperativeAggregate (O(n log k) with
     // k-bounded partials vs the window's per-partition full sort)
@@ -282,6 +285,10 @@ object SparkEntry {
       Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
 
+    // Pair relation -> dedup groups: connected components over LSH pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 32, 2)),
@@ -289,6 +296,12 @@ object SparkEntry {
     // SemDeDup-style cluster curation artifact: IVF cells x text signals
     "emb_cluster_profile" -> ((s, dir) =>
       Similarity.clusterProfile(t(s, dir, "embeddings"), t(s, dir, "documents"), 32)),
+
+    // Storage-compression audit: int8 scalar quantization of embeddings
+    "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+
+    // One Lloyd iteration over the IVF cells: index-quality refinement
+    "emb_kmeans_refine" -> ((s, dir) => Similarity.kmeansRefine(t(s, dir, "embeddings"), 32)),
 
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -497,6 +510,8 @@ object SparkEntry {
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
     "events_percentiles" -> Analytics.valuePercentilesSql,
     "events_range_join" -> Analytics.eventPairsWithinSql(5),
+    "events_funnel" -> Analytics.funnelSql(Seq("view", "click", "purchase")),
+    "events_retention" -> Analytics.retentionSql,
     "events_top3_agg" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,
@@ -510,10 +525,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
 
+    "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
+
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
+    "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
+    "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

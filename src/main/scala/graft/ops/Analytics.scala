@@ -367,6 +367,78 @@ object Analytics {
        | AND b.ts <= a.ts + INTERVAL $windowMinutes MINUTES
        |GROUP BY a.user_id ORDER BY user_id""".stripMargin
 
+  /** Ordered conversion funnel: for each stage k, users whose first
+    * stage-k event happened STRICTLY AFTER their first stage-(k-1)
+    * completion time — the sequence-matching shape of product analytics
+    * ("viewed, then clicked, then purchased"), not three independent
+    * counts. One keyed aggregation per stage chained through keyed joins:
+    * every shuffle is on user_id, so a 1000-executor plan re-uses one
+    * hash partitioning across all stages and nothing ever broadcasts or
+    * collects the event log.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val perStage = stages.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    perStage.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(st).as("stage"), lit((i + 1).toLong).as("stage_n"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy("stage_n")
+  }
+
+  def funnelSql(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS t
+           |  FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           |  WHERE e.event_type = '$st' AND e.ts > s$i.t
+           |  GROUP BY e.user_id)""".stripMargin
+    }
+    val selects = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT '$st' AS stage, CAST(${i + 1} AS BIGINT) AS stage_n, count(*) AS n_users FROM s${i + 1}"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL ")}
+       |ORDER BY stage_n""".stripMargin
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort, weeks-since-cohort) cell, how many distinct
+    * cohort members were active. The first-touch frame joins back to the
+    * event log on user_id — both sides shuffle once on the key; the
+    * cohort matrix itself is tiny (weeks²). Week arithmetic stays on
+    * Monday-truncated DATEs in both engines, and the offset division is
+    * exact (truncated weeks differ by day multiples of 7).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    events.join(first, Seq("user_id"))
+      .select(
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        expr("CAST(datediff(date_trunc('week', ts), date_trunc('week', first_ts)) / 7 AS BIGINT)").as("week_n"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val retentionSql: String =
+    """WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+      |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+      |       CAST(date_diff('day', date_trunc('week', f.first_ts), date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_n,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN first f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact interpolated percentiles per event type — the P50/P95/P99
     * latency shape of the reference's metrics (BASELINE.md) as a data
     * aggregation. Spark `percentile` and DuckDB `quantile_cont` share the

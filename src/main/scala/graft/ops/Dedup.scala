@@ -221,6 +221,80 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Connected components over the MinHash-LSH near-duplicate pairs —
+    * the step that turns pairwise matches into dedup GROUPS. Pairs are a
+    * relation, not a partition: A≈B and B≈C chain into {A,B,C} even when
+    * A and C never collided in any band, and the keep-one-per-group
+    * decision needs the whole component (canonical survivor = min id).
+    *
+    * Algorithm: iterative min-label propagation (each node starts as its
+    * own label; every round each node takes the min of its own and its
+    * neighbors' labels). Converges in O(component diameter) rounds — for
+    * near-dup graphs the components are small dense clusters, so a
+    * handful of rounds; each round is one keyed join + partial-agg min,
+    * no global structure. Every round is `localCheckpoint`ed: iterative
+    * plans otherwise re-derive all prior rounds on each action (a real
+    * cluster would checkpoint to durable storage instead). The oracle
+    * computes the same fixpoint as a recursive min-reachability CTE.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame =
+    connectedComponents(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an undirected pair relation
+    * (doc_a, doc_b) → (doc_id, cluster, cluster_size), cluster = min
+    * member id. See [[nearDupClusters]] for the algorithm and scale notes.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true) // pair generation runs once; rounds reuse the edge list
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  def nearDupClustersSql(threshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH RECURSIVE corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+       |              JOIN sig y ON c.doc_b = y.doc_id
+       |  WHERE ($eq) / 16.0 >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT c.id AS doc_id, c.cluster, s.cluster_size
+       |FROM comp c JOIN sizes s ON c.cluster = s.cluster
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
 
   private val simBits = 32

@@ -257,6 +257,106 @@ object Similarity {
        |FROM joined j JOIN top_lang t ON j.cell = t.cell
        |GROUP BY j.cell ORDER BY j.cell""".stripMargin
 
+  /** Int8 scalar quantization — the storage-compression step of a 100 TB
+    * embedding store (4 B float32 → 1 B code per dimension). Per-vector
+    * affine codes: `q_i = round((x_i - lo) / scale)` with
+    * `scale = (hi - lo) / 255`, the codebook being just `(lo, scale)` per
+    * vector. Pure projection — no shuffle, no join; at scale this is a
+    * map-only rewrite of the embedding column.
+    *
+    * Output is the quantization AUDIT (code checksum + reconstruction
+    * error), the artifact you'd gate a storage migration on. `mse` is
+    * rounded at 9 dp, not the usual 6: the whole point of int8 is that the
+    * error is ~(scale/2)^2 ≈ 1e-7, which 6 dp would flatten to zero.
+    * Both engines fold the same doubles in the same dimension order, so
+    * the values are bit-identical before rounding.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // bind lo/hi/scale through a projection BEFORE the lambdas: a HOF
+    // lambda re-evaluates unbound child expressions per element
+    val b = e
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / lit(255.0))
+    val qd = b.withColumn("q", expr(
+      "transform(v, x -> CASE WHEN scale = 0 THEN 0L ELSE CAST(round((x - lo) / scale, 0) AS BIGINT) END)"))
+    qd.select(
+      col("vec_id"),
+      round(col("lo"), 6).as("lo"),
+      round(col("hi"), 6).as("hi"),
+      expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+      round(
+        expr("aggregate(zip_with(v, q, (x, qi) -> (x - (lo + qi * scale)) * (x - (lo + qi * scale))), CAST(0.0 AS DOUBLE), (a, s) -> a + s)")
+          / size(col("v")).cast("double"), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+      |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      |qd AS (SELECT vec_id, v, lo, hi, scale,
+      |        [CASE WHEN scale = 0 THEN 0 ELSE CAST(round((x - lo) / scale, 0) AS BIGINT) END FOR x IN v] AS q
+      |       FROM b)
+      |SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+      |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |       round(list_sum([(v[i] - (lo + q[i] * scale)) * (v[i] - (lo + q[i] * scale)) FOR i IN range(1, len(v) + 1)]) / len(v), 9) AS mse
+      |FROM qd ORDER BY vec_id""".stripMargin
+
+  /** One Lloyd (k-means) refinement iteration over the IVF cells: new
+    * centroid = element-wise mean of each cell's members; output per cell
+    * is the member count and the cosine between the seed centroid and the
+    * refined one (shift_cosine → 1.0 means the seed was already central).
+    * This is the index-quality feedback loop of a real IVF build —
+    * iterate until the shift stabilizes, then re-assign.
+    *
+    * Scale shape: assignment is the broadcast-centroid join (no corpus
+    * shuffle); the mean is a posexplode to (cell, dim) rows with map-side
+    * partial aggregation, so the shuffle carries O(ncells · dim) combined
+    * partials per task, NOT the exploded corpus. Dimension means aggregate
+    * in DECIMAL(16,6) (exact, shuffle-order independent — no double is
+    * exactly on a 6 dp half-boundary, so both engines' decimal rounding
+    * agrees) and the refined centroid is rebuilt in dimension order.
+    */
+  def kmeansRefine(emb: DataFrame, nlist: Int): DataFrame = {
+    val e = prepared(emb)
+    val cent = centroids(e, nlist)
+    val assigned = cellAssignments(e, cent)
+    val dims = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+    val means = dims
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("x").cast("decimal(16,6)")).cast("double"), 6).as("m"))
+    val refined = means
+      .groupBy(col("cell"))
+      .agg(max(col("cnt")).as("n_members"),
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), col("n_members"), expr("transform(pm, s -> s.m)").as("nv"))
+    refined
+      .join(broadcast(cent), col("cell") === col("cent_id"))
+      .select(col("cell"), col("n_members"),
+        cosine(col("nv"), norm(col("nv")), col("cv"), col("cn")).as("shift_cosine"))
+      .orderBy("cell")
+  }
+
+  def kmeansRefineSql(nlist: Int): String =
+    s"""WITH ${cellSql(nlist)},
+       |dims AS (
+       |  SELECT a.cell, t.pos, a.v[t.pos + 1] AS x
+       |  FROM assigned a, unnest(range(0, len(a.v))) AS t(pos)),
+       |means AS (
+       |  SELECT cell, pos, count(*) AS cnt,
+       |         round(CAST(avg(CAST(x AS DECIMAL(16,6))) AS DOUBLE), 6) AS m
+       |  FROM dims GROUP BY cell, pos),
+       |refined AS (
+       |  SELECT cell, max(cnt) AS n_members, list(m ORDER BY pos) AS nv
+       |  FROM means GROUP BY cell)
+       |SELECT r.cell, r.n_members,
+       |       round(list_dot_product(r.nv, c.cv) / (sqrt(list_dot_product(r.nv, r.nv)) * c.cn), 6) AS shift_cosine
+       |FROM refined r JOIN cent c ON r.cell = c.cent_id
+       |ORDER BY r.cell""".stripMargin
+
   def ivfTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
     s"""WITH ${cellSql(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),

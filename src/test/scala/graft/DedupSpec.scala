@@ -58,6 +58,23 @@ class DedupSpec extends SparkSpec {
     assert(near > 0.8 && near < 1.0) // 118 shared / 121 union ≈ 0.975
   }
 
+  test("connected components: chains unite transitively, canonical is min id") {
+    import spark.implicits._
+    // 1-2, 2-3 chain (1-3 never paired) + a separate 5-6 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
+  test("near-dup clusters: identical docs group end-to-end; unpaired docs absent") {
+    val got = Dedup.nearDupClusters(
+      corpus(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> (b + " extra unseen tokens here")), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 20 is near b but est_jaccard < 0.99 → excluded; singletons never appear
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("embedding near-dup: parallel vectors ~1, orthogonal absent; blocked by label") {
     import spark.implicits._
     val emb = Seq(

@@ -19,7 +19,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "text_unigram_logprob",  // ln means, rounded
     "text_boilerplate",      // span df + per-doc rollup
     "emb_cluster_profile",   // decimal mean + struct-min tie-break
-    "cdc_gtid_frontier")     // island coalescing + string fold
+    "cdc_gtid_frontier",     // island coalescing + string fold
+    "emb_kmeans_refine",     // decimal dimension means + ordered rebuild
+    "dedup_clusters")        // iterative min-label propagation fixpoint
 
   test("query results are identical under 7 and 32 shuffle partitions") {
     val conf = spark.conf

@@ -44,6 +44,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got.subsetOf(bf))
   }
 
+  test("int8 quantization: known codes on a ramp; constant vector degenerates cleanly") {
+    val e = Seq(
+      (0L, Array(0.0f, 1.0f, 0.25f), 0),
+      (1L, Array(0.25f, 0.25f, 0.25f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.quantizeInt8(e).collect()
+    val r0 = got(0)
+    assert(r0.getAs[Double]("lo") == 0.0 && r0.getAs[Double]("hi") == 1.0)
+    // codes 0, 255, round(0.25 * 255) = 64
+    assert(r0.getAs[Long]("q_sum") == 0L + 255L + 64L)
+    assert(r0.getAs[Double]("mse") < 1e-5)
+    val r1 = got(1) // hi == lo → scale 0 → all-zero codes, exact reconstruction
+    assert(r1.getAs[Long]("q_sum") == 0L && r1.getAs[Double]("mse") == 0.0)
+  }
+
+  test("kmeans refine: singleton cells do not move; one cell averages all members") {
+    val singletons = Similarity.kmeansRefine(vecs, 5).collect()
+    assert(singletons.length == 5)
+    assert(singletons.forall(_.getAs[Long]("n_members") == 1L))
+    assert(singletons.forall(_.getAs[Double]("shift_cosine") == 1.0))
+    val one = Similarity.kmeansRefine(vecs, 1).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("n_members") == 5L)
+    // the hash-picked seed needn't point anywhere near the mean — only
+    // the cosine RANGE is guaranteed (here the seed is nearly opposite)
+    val shift = one(0).getAs[Double]("shift_cosine")
+    assert(shift >= -1.0 && shift <= 1.0 && shift != 0.0)
+  }
+
   test("centroid count is fixed-k: cells stay <= nlist as the corpus doubles") {
     // threshold -1 keeps every within-cell pair, so distinct `cell` values
     // in the output count the non-singleton cells — bounded by nlist on
