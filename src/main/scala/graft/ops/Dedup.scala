@@ -117,12 +117,19 @@ object Dedup {
     minhashSignaturesFrom(docFeatures(docs))
 
   /** Signatures from an existing (doc_id, feat) frame — lets callers that
-    * also need the raw features (e.g. [[ngramJaccard]]'s verify stage)
-    * persist the feature explode ONCE and feed both consumers.
+    * also need the raw features persist the feature explode ONCE and feed
+    * both consumers.
     */
-  def minhashSignaturesFrom(feats: DataFrame): DataFrame = {
-    val th = feats
-      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+  def minhashSignaturesFrom(feats: DataFrame): DataFrame =
+    minhashSignaturesFromHashes(
+      feats.select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h")))
+
+  /** Signatures from an already-hashed (doc_id, h) feature frame — the
+    * narrowest shareable intermediate (two longs per row): callers that
+    * need the features again downstream (e.g. [[ngramJaccard]]'s verify
+    * stage) cache THIS frame, not the raw shingle strings.
+    */
+  def minhashSignaturesFromHashes(th: DataFrame): DataFrame = {
     val aggs = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min(PortableHash.minhashPerm(col("h"), a, b)).as(s"s$i")
     }
@@ -249,8 +256,12 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint(true) // pair generation runs once; rounds reuse the edge list
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed each node with min(self, direct neighbors) — the same shuffle
+    // as the plain distinct-nodes init, but it fuses the first propagation
+    // round: diameter-1 components (the bulk of near-dup graphs — pairs
+    // and stars) converge immediately and pay only the confirming round
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -378,18 +389,28 @@ object Dedup {
   /** Exact 3-shingle Jaccard, verified ONLY on LSH candidate pairs (the
     * standard candidate-then-verify pipeline: LSH bounds the quadratic
     * set-intersection work). Pairs sharing zero shingles drop out.
+    *
+    * The intersection runs over the 60-bit feature HASHES, not the shingle
+    * strings: hashes are what the signature pipeline needs anyway, so one
+    * (doc_id, h) long-pair frame is cached and feeds both stages, and the
+    * verify arrays carry 8-byte longs instead of ~30-byte strings (the
+    * string-array version cached and shuffled 4× the bytes). Hash-set
+    * Jaccard equals shingle Jaccard up to 60-bit collisions — negligible,
+    * and the oracle applies the identical hash so parity is exact.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    // one tokenize+shingle pass feeds BOTH the signature pipeline and the
-    // exact-verify stage (it was the query's duplicated heavy subtree)
-    val feats = docFeatures(docs).persist()
-    val cand = lshCandidates(minhashSignaturesFrom(feats).persist())
-    // verify via per-doc shingle ARRAYS: the candidate set is LSH-bounded
+    // one tokenize+shingle+hash pass feeds BOTH the signature pipeline and
+    // the exact-verify stage (it was the query's duplicated heavy subtree)
+    val th = docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist()
+    val cand = lshCandidates(minhashSignaturesFromHashes(th).persist())
+    // verify via per-doc hash ARRAYS: the candidate set is LSH-bounded
     // (O(docs), not docs²), so attaching two arrays per pair and
     // intersecting locally beats re-exploding |cand|·|shingles| rows
     // through two shuffle joins
-    val byDoc = feats.groupBy(col("doc_id"))
-      .agg(collect_list(col("feat")).as("sh"), count(lit(1)).as("n"))
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
       .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
@@ -408,7 +429,7 @@ object Dedup {
        |$sigSql,
        |$bandsSql,
        |$candSql,
-       |by_doc AS (SELECT doc_id, list(feat) AS sh, count(*) AS n FROM feat GROUP BY doc_id),
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
        |  FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
