@@ -352,6 +352,10 @@ object SparkEntry {
       Curation.funnel(t(s, dir, "documents"), 0.65,
         Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
 
+    // Mergeable KMV distinct sketch vs the exact count (k-bounded partials)
+    "events_approx_distinct" -> ((s, dir) =>
+      Sketches.approxDistinctUsers(t(s, dir, "events"), 64)),
+
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
@@ -562,6 +566,8 @@ object SparkEntry {
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
+
+    "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{KmvBuffer, KmvFunctions, PortableHash}
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class KmvSketchSpec extends SparkSpec {
+
+  test("buffer keeps the k smallest DISTINCT values; duplicates are no-ops") {
+    val buf = new KmvBuffer(4)
+    Seq(9L, 5L, 5L, 7L, 1L, 9L, 3L, 8L, 1L).foreach(buf.add)
+    assert(buf.sortedAsc.toSeq == Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("merge is union-then-truncate and order-insensitive") {
+    val rnd = new Random(7)
+    val values = Seq.fill(200)(rnd.nextLong().abs)
+    val whole = new KmvBuffer(16)
+    values.foreach(whole.add)
+    // split into shards, merge in a different order
+    val shards = values.grouped(37).map { g =>
+      val b = new KmvBuffer(16); g.foreach(b.add); b
+    }.toSeq
+    val merged = new KmvBuffer(16)
+    Random.shuffle(shards).foreach(merged.addAll)
+    assert(merged.sortedAsc.toSeq == whole.sortedAsc.toSeq)
+  }
+
+  test("serde round-trips the bounded state") {
+    val buf = new KmvBuffer(8)
+    (1L to 20L).foreach(h => buf.add(h * 131))
+    val back = KmvBuffer.fromBytes(buf.toBytes)
+    assert(back.k == 8)
+    assert(back.sortedAsc.toSeq == buf.sortedAsc.toSeq)
+  }
+
+  test("aggregate matches a sort-limit over distinct hashes; exact below k") {
+    import spark.implicits._
+    KmvFunctions.register(spark)
+    // group a: 100 distinct ids (> k); group b: 5 distinct ids (< k)
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", (i % 5).toLong))).toDF("g", "id")
+    val h = PortableHash.tokenHash(col("id").cast("string"))
+    val got = df.groupBy("g")
+      .agg(KmvFunctions.kmvMinHashes(h, 16).as("sk"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    val expected = df.select(col("g"), h.as("h")).distinct()
+      .orderBy("g", "h")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)).sorted.take(16).toSeq }
+    assert(got("a") == expected("a"))
+    assert(got("a").length == 16)
+    assert(got("b") == expected("b"))
+    assert(got("b").length == 5) // exact path: sketch not full
+  }
+
+  test("KMV estimate lands within the ±3/sqrt(k) band of the true count") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => ("t", i.toLong)).toDF("event_type", "user_id")
+    val row = Sketches.approxDistinctUsers(df, 64).collect().head
+    assert(row.getAs[Long]("n_exact") == n)
+    val est = row.getAs[Double]("kmv_estimate")
+    // standard error of KMV is ~1/sqrt(k-2) ≈ 12.7%; 3 sigma band
+    assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
+  }
+}
