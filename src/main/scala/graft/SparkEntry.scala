@@ -254,6 +254,25 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) =>
       Analytics.largeOrders(t(s, dir, "customer"), t(s, dir, "orders"),
         t(s, dir, "lineitem"), 250L)),
+    "q7_volume_shipping" -> ((s, dir) =>
+      Analytics.volumeShipping(t(s, dir, "supplier"), t(s, dir, "lineitem"),
+        t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"),
+        "NATION_1", "NATION_2")),
+    "q8_market_share" -> ((s, dir) =>
+      Analytics.marketShare(t(s, dir, "part"), t(s, dir, "supplier"),
+        t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"), t(s, dir, "region"), "NATION_7", "ASIA", "PROMO")),
+    "q13_order_distribution" -> ((s, dir) =>
+      Analytics.orderCountDistribution(t(s, dir, "customer"), t(s, dir, "orders"),
+        "4-NOT SPECIFIED")),
+    "q16_supplier_variety" -> ((s, dir) =>
+      Analytics.supplierVariety(t(s, dir, "part"), t(s, dir, "lineitem"),
+        "Brand#5", Seq(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49))),
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      Analytics.disjunctiveRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))),
+    "q22_idle_customers" -> ((s, dir) =>
+      Analytics.idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "nation"), "1999-01-01")),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
@@ -511,6 +530,13 @@ object SparkEntry {
     "q18_large_orders" -> Analytics.largeOrdersSql(250L),
     "q4_order_priority" -> Analytics.orderPriorityCheckSql,
     "q_rollup_revenue" -> Analytics.rollupRevenueSql,
+    "q7_volume_shipping" -> Analytics.volumeShippingSql("NATION_1", "NATION_2"),
+    "q8_market_share" -> Analytics.marketShareSql("NATION_7", "ASIA", "PROMO"),
+    "q13_order_distribution" -> Analytics.orderCountDistributionSql("4-NOT SPECIFIED"),
+    "q16_supplier_variety" -> Analytics.supplierVarietySql(
+      "Brand#5", Seq(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)),
+    "q19_disjunctive_revenue" -> Analytics.disjunctiveRevenueSql,
+    "q22_idle_customers" -> Analytics.idleRichCustomersSql("1999-01-01"),
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
     "events_percentiles" -> Analytics.valuePercentilesSql,
     "events_range_join" -> Analytics.eventPairsWithinSql(5),

@@ -481,4 +481,233 @@ object Analytics {
        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
        |  FROM events WHERE user_id < 20)
        |WHERE rank <= $n ORDER BY user_id, rank""".stripMargin
+
+  /** TPC-H Q7-style volume shipping: bilateral trade between two nations
+    * by ship year. Both nation-tagged sides (supplier×nation,
+    * customer×nation) are filtered to the two nations BEFORE joining the
+    * facts, so the fact stream only carries rows that can survive the
+    * bilateral predicate; nation broadcasts into each. The orders⋈lineitem
+    * fact-fact join is left to the planner (shuffles at 100 TB).
+    */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, nation: DataFrame,
+                     nationA: String, nationB: String): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val supp = supplier.join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1997-12-31").cast("timestamp")))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def volumeShippingSql(nationA: String, nationB: String): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |       count(*) AS n_items
+       |FROM supplier JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN lineitem ON l_suppkey = s_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('$nationA', '$nationB')
+       |  AND n2.n_name IN ('$nationA', '$nationB')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8-style market share: one nation's fraction of a region's
+    * part-type import volume, by year. The share division runs over
+    * DECIMAL sums (exact partials) and only the final ratio becomes
+    * DOUBLE — same single-shuffle rollup as Q7 with a conditional
+    * numerator instead of a second query.
+    */
+  def marketShare(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                  orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                  region: DataFrame, targetNation: String, regionName: String,
+                  pType: String): DataFrame = {
+    val supp = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val regNations = nation.join(broadcast(region.filter(col("r_name") === regionName)),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer.join(broadcast(regNations),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = orders
+      .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1997-12-31").cast("timestamp")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val vol = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === targetNation, vol).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double") / sum(vol).cast("double"), 6).as("mkt_share"),
+        sum(vol).cast("double").as("total_volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  def marketShareSql(targetNation: String, regionName: String, pType: String): String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       round(CAST(sum(CASE WHEN n1.n_name = '$targetNation'
+       |                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+       |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume,
+       |       count(*) AS n_items
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |WHERE r_name = '$regionName' AND p_type = '$pType'
+       |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution. The left outer
+    * join keeps order-less customers (c_count = 0); the filter lives in
+    * the JOIN condition, not WHERE (a WHERE filter would silently turn
+    * the outer join inner). Two cascaded group-bys, each one shuffle of
+    * combined partials.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String): DataFrame = {
+    val perCust = customer.join(
+      orders.filter(col("o_orderpriority") =!= excludePriority),
+      col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  def orderCountDistributionSql(excludePriority: String): String =
+    s"""SELECT c_count, count(*) AS custdist FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '$excludePriority'
+       |  GROUP BY c_custkey)
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers that have
+    * shipped each (brand, type, size) combination, lineitem standing in
+    * for the fixture's missing partsupp. The distinct count shuffles the
+    * (brand,type,size,suppkey) projection once — Spark expands
+    * count_distinct into a two-phase partial-distinct aggregate, the
+    * scalable plan.
+    */
+  def supplierVariety(part: DataFrame, lineitem: DataFrame,
+                      excludeBrand: String, sizes: Seq[Int]): DataFrame =
+    lineitem
+      .join(broadcast(part
+        .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  def supplierVarietySql(excludeBrand: String, sizes: Seq[Int]): String =
+    s"""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |WHERE p_brand <> '$excludeBrand' AND p_size IN (${sizes.mkString(", ")})
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q19-style disjunctive revenue: an OR-of-ANDs predicate across
+    * the joined (part, lineitem) pair. Each disjunct's part-side
+    * conditions prune the broadcast build; the lineitem quantity bounds
+    * stay in the join filter. The point of the query is the plan: the
+    * OR-of-ANDs must not force a cartesian fallback — it stays an
+    * equi-join on partkey with a residual disjunctive filter.
+    */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val p = part.select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+    lineitem.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q22-style idle high-balance customers: above the positive-
+    * balance average, with no orders since the cutoff, grouped by nation
+    * (the fixture has no phone column for the original's country-code
+    * grouping). The average is a scalar probe (one partial-agg reduce to
+    * the driver — same shape as Watermark.latestPosition); the "no
+    * orders" test is a LEFT ANTI join, which at scale shuffles only the
+    * distinct custkeys of the filtered orders, never the order rows.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame, nation: DataFrame,
+                        cutoff: String): DataFrame = {
+    // "above average" as the division-free exact form bal·n > Σbal: both
+    // sides are DECIMAL (order-independent partials), so the cut is
+    // identical in both engines — an avg() threshold would compare
+    // against Spark's decimal quotient but DuckDB's double, and a
+    // boundary customer could flip. Scalar probe = one reduce, like
+    // Watermark.latestPosition.
+    val r = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("c"))
+      .collect()(0)
+    val (balSum, balCnt) = (r.getDecimal(0), r.getLong(1))
+    val recent = orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer
+      .filter(dec(col("c_acctbal")) * lit(balCnt) > lit(balSum))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  def idleRichCustomersSql(cutoff: String): String =
+    s"""SELECT n_name, count(*) AS numcust,
+       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+       |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
 }
