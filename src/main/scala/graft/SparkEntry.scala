@@ -304,6 +304,14 @@ object SparkEntry {
       Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
 
+    // Continuous-ingest shape: new crawl batch checked against the
+    // corpus index; corpus streams, batch broadcasts, no corpus self-join
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalLsh(docs.select(col("doc_id"), col("text")),
+        Dedup.crawlBatch(docs), 0.5)
+    }),
+
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
@@ -321,6 +329,9 @@ object SparkEntry {
 
     // One Lloyd iteration over the IVF cells: index-quality refinement
     "emb_kmeans_refine" -> ((s, dir) => Similarity.kmeansRefine(t(s, dir, "embeddings"), 32)),
+
+    // Product quantization: 4 subspace codes/vector + reconstruction MSE
+    "emb_pq_codes" -> ((s, dir) => Similarity.pqQuantize(t(s, dir, "embeddings"), 4, 16)),
 
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -555,6 +566,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
 
+    "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
+
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
@@ -563,6 +576,7 @@ object SparkEntry {
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
+    "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -441,6 +441,82 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------------------------------------------- incremental (streaming) dedup
+
+  /** Incremental near-dup check of a NEW batch against the EXISTING
+    * corpus — the shape continuous ingest actually needs at 100 TB: the
+    * corpus is never re-deduplicated against itself; each incoming crawl
+    * batch is checked against the corpus index and only then admitted.
+    *
+    * Scale shape: the batch is small relative to the corpus, so
+    * everything batch-sided is BROADCAST (band rows, signatures) and the
+    * corpus side only ever STREAMS — no corpus shuffle, no corpus
+    * self-join. Corpus signatures/bands are recomputed here because the
+    * harness is stateless; in production they are the stored LSH index
+    * (computed once at admission, bucketed by (band, bh) so the probe
+    * join prunes to matching buckets instead of scanning the index).
+    * Candidate pairs (band collisions) are verified by signature
+    * agreement before reporting, same as [[minhashLsh]].
+    *
+    * Output: (new_id, dup_of, est_jaccard) — batch docs absent from the
+    * output are genuinely novel and safe to admit.
+    */
+  def incrementalLsh(corpus: DataFrame, batch: DataFrame, threshold: Double): DataFrame = {
+    val sigB = minhashSignatures(batch).persist()
+    val sigC = minhashSignatures(corpus)
+    val cand = lshBands(sigC).as("c")
+      .join(broadcast(lshBands(sigB).as("b")),
+        col("c.band") === col("b.band") && col("c.bh") === col("b.bh"))
+      .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .distinct()
+    val eq = (0 until 16).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    sigC.as("x")
+      .join(broadcast(cand), col("x.doc_id") === col("dup_of"))
+      .join(broadcast(sigB.as("y")), col("new_id") === col("y.doc_id"))
+      .select(col("new_id"), col("dup_of"), (eq / 16.0).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** Harness batch for [[incrementalLsh]]: a "fresh crawl" whose docs are
+    * half near-duplicates of corpus docs (doc_id % 7 == 0, three tokens
+    * appended — must be flagged) and half novel (doc_id % 7 == 3, token
+    * order reversed ⇒ an entirely different shingle set — must pass).
+    */
+  def crawlBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq zz")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", reverse(Tokenize.tokens(col("text")))).as("text")))
+
+  def incrementalLshSql(threshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    // `corpus` (the CTE the shared sig/band SQL reads) is existing ∪ batch;
+    // batch ids are offset, so the band probe splits the sides by id range
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zz qq zz' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |         list_aggregate(list_reverse(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')), 'string_agg', ' ')
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |$sigSql,
+       |$bandsSql,
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS dup_of
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000)
+       |SELECT c.new_id, c.dup_of, ($eq) / 16.0 AS est_jaccard
+       |FROM cand c JOIN sig x ON c.dup_of = x.doc_id
+       |            JOIN sig y ON c.new_id = y.doc_id
+       |WHERE ($eq) / 16.0 >= $threshold
+       |ORDER BY new_id, dup_of""".stripMargin
+  }
+
   // ----------------------------------------------- benchmark contamination
 
   /** Train/test contamination scan: which corpus documents share 3-token

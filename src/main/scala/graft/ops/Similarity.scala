@@ -357,6 +357,98 @@ object Similarity {
        |FROM refined r JOIN cent c ON r.cell = c.cent_id
        |ORDER BY r.cell""".stripMargin
 
+  /** Product quantization (PQ) — the memory-compression layer of a
+    * billion-vector ANN index: each vector is cut into `m` subvectors and
+    * every subvector is replaced by the id of its nearest codeword in a
+    * per-subspace codebook (here `ncode` codewords sampled hash-ordered
+    * from the corpus, the same deterministic index-build device as
+    * [[ivfTopK]]'s centroids). 64 float32 dims (256 B) become m=4 byte
+    * codes + one shared codebook — a 64× compression, which is what makes
+    * a 100 TB embedding store servable from RAM.
+    *
+    * Scale shape: the codebook is `ncode` rows, broadcast; assignment is
+    * one explode to (vector, subspace) rows joined against the broadcast
+    * codebook and reduced by a min_by partial agg — the corpus never
+    * shuffles (the groupBy key (vec_id, sub_j) is a refinement of the
+    * scan's row identity, and AQE coalesces the tiny agg exchange).
+    *
+    * Distances are rounded to 6 dp BEFORE the argmin; code choice ties
+    * break on cent_id via the composite BIGINT key (same device and
+    * 1e7-id bound as [[cellAssignments]]). Output: per-vector codes
+    * c0..c3 and the reconstruction MSE, summed over subspaces in a FIXED
+    * order (conditional per-subspace aggregates, not a shuffle-ordered
+    * sum) so the double arithmetic is engine-identical.
+    */
+  def pqQuantize(emb: DataFrame, m: Int, ncode: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sd = dim / m
+    val subSlices = (0 until m).map(j => slice(col("v"), j * sd + 1, sd))
+    // codebook: ncode hash-sampled corpus vectors, materialized once on
+    // the driver (bounded rows; same collect-don't-recompute rationale as
+    // centroids()) and exploded to (sub_j, cent_id, cw)
+    val sampSel = e
+      .orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(ncode)
+      .select(col("vec_id").as("cent_id"), col("v"))
+    val samp = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampSel.collect(): _*), sampSel.schema)
+    val cw = samp.select(col("cent_id"),
+      posexplode(array(subSlices: _*)).as(Seq("sub_j", "cwv")))
+    val sub = e.select(col("vec_id"),
+      posexplode(array(subSlices: _*)).as(Seq("sub_j", "sv")))
+    val best = sub.join(broadcast(cw), "sub_j")
+      .withColumn("d2", round(expr(
+        "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, s) -> a + s)"), 6))
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min_by(col("cent_id"),
+          round(col("d2") * 1000000).cast("long") * 10000000L + col("cent_id")).as("code"),
+        min(col("d2")).as("d2"))
+    val codeCols = (0 until m).map(j =>
+      max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
+    val dCols = (0 until m).map(j =>
+      max(when(col("sub_j") === j, col("d2"))).as(s"d$j"))
+    best.groupBy(col("vec_id"))
+      .agg((codeCols ++ dCols).head, (codeCols ++ dCols).tail: _*)
+      // 12 dp, not the usual 6-9: the summed d2s are 6-dp-granular, so
+      // mse steps are multiples of 1e-6/dim — for dim=64 that is
+      // 1.5625e-8, which lands EXACTLY on 9-dp half-boundaries (x.5),
+      // where the engines' rounding can disagree. 12 dp represents every
+      // step exactly, so there is no boundary to disagree on.
+      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")) :+
+        round((0 until m).map(j => col(s"d$j")).reduce(_ + _) / lit(dim.toDouble), 12).as("mse"): _*)
+      .orderBy("vec_id")
+  }
+
+  def pqQuantizeSql(m: Int, ncode: Int, dim: Int): String = {
+    val sd = dim / m
+    val js = (0 until m).mkString(", ")
+    val codeSel = (0 until m).map(j => s"max(CASE WHEN sub_j = $j THEN code END) AS c$j").mkString(", ")
+    val mseNum = (0 until m).map(j => s"max(CASE WHEN sub_j = $j THEN d2 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT vec_id AS cent_id, v FROM e
+       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
+       |cw AS (SELECT cent_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS cwv
+       |       FROM samp, unnest([$js]) t(j)),
+       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
+       |        FROM e, unnest([$js]) t(j)),
+       |scored AS (
+       |  SELECT s.vec_id, s.sub_j, c.cent_id,
+       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
+       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
+       |best AS (
+       |  SELECT vec_id, sub_j,
+       |         arg_min(cent_id, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + cent_id) AS code,
+       |         min(d2) AS d2
+       |  FROM scored GROUP BY vec_id, sub_j)
+       |SELECT vec_id, $codeSel,
+       |       round(($mseNum) / ${dim.toDouble}, 12) AS mse
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   def ivfTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
     s"""WITH ${cellSql(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),

@@ -75,6 +75,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("incremental LSH: near-dup batch docs matched to corpus, novel docs admitted") {
+    val existing = corpus(1L -> a, 2L -> b)
+    val batch = corpus(
+      100L -> aNear,                            // near-dup of corpus doc 1
+      101L -> a.split(" ").reverse.mkString(" ")) // same tokens, reversed → novel shingles
+    val got = Dedup.incrementalLsh(existing, batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100L, 1L)))
+  }
+
+  test("incremental LSH: corpus-internal duplicates are NOT reported") {
+    // both corpus docs identical; batch doc matches both — but the
+    // corpus pair itself must never appear (only batch-vs-corpus rows)
+    val existing = corpus(1L -> a, 2L -> a)
+    val batch = corpus(100L -> aNear)
+    val got = Dedup.incrementalLsh(existing, batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((100L, 1L), (100L, 2L)))
+  }
+
   test("embedding near-dup: parallel vectors ~1, orthogonal absent; blocked by label") {
     import spark.implicits._
     val emb = Seq(

@@ -72,6 +72,40 @@ class SimilaritySpec extends SparkSpec {
     assert(shift >= -1.0 && shift <= 1.0 && shift != 0.0)
   }
 
+  test("PQ: codebook members reconstruct themselves exactly (mse 0, own code)") {
+    // 4-dim vectors, m=2 subspaces, ncode = corpus size → every vector IS
+    // a codeword, so its nearest codeword in each subspace is itself (or
+    // an identical-subvector tie broken to the smaller cent_id)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 0.0f)),
+      (1L, Array(0.0f, 2.0f, 0.0f, 6.0f)),
+      (2L, Array(3.0f, 3.0f, 7.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqQuantize(emb, 2, 3).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Double]("mse") == 0.0)
+      assert(r.getAs[Long]("c0") == r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("c1") == r.getAs[Long]("vec_id"))
+    }
+  }
+
+  test("PQ: off-codebook vectors pick the nearest codeword per subspace independently") {
+    // hash order of ids "0".."3" is 1 < 2 < 0 < 3, so ncode=2 samples
+    // vectors 1 and 2 as the codebook; vector 3 is the off-codebook probe
+    val emb = Seq(
+      (0L, Array(50.0f, 50.0f, 50.0f, 50.0f)),
+      (1L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (2L, Array(8.0f, 8.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqQuantize(emb, 2, 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("c0"), r.getAs[Long]("c1"))).toMap
+    // vec 3's subspace-0 half (1,0): nearer codeword 1's (0,0) than 2's (8,8);
+    // subspace-1 half (1,0): nearer codeword 2's (0,0) than 1's (10,10)
+    assert(got(3L) == ((1L, 2L)))
+  }
+
   test("centroid count is fixed-k: cells stay <= nlist as the corpus doubles") {
     // threshold -1 keeps every within-cell pair, so distinct `cell` values
     // in the output count the non-singleton cells — bounded by nlist on
