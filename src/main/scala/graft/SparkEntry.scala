@@ -382,6 +382,10 @@ object SparkEntry {
       Curation.funnel(t(s, dir, "documents"), 0.65,
         Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
 
+    // Z-order write layout: per-file min/max pruning stats on BOTH dims
+    "events_zorder_layout" -> ((s, dir) =>
+      Layout.zorderFileStats(t(s, dir, "events"), 16)),
+
     // Mergeable KMV distinct sketch vs the exact count (k-bounded partials)
     "events_approx_distinct" -> ((s, dir) =>
       Sketches.approxDistinctUsers(t(s, dir, "events"), 64)),
@@ -606,6 +610,8 @@ object SparkEntry {
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
+
+    "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
 
     "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
 
