@@ -304,6 +304,11 @@ object SparkEntry {
       Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
 
+    // Quote/subset detection: posting-list candidates on rare shingles,
+    // exact containment verify (the pair shape Jaccard-LSH can't see)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(Dedup.quotedCorpus(t(s, dir, "documents")), 4, 0.6)),
+
     // Continuous-ingest shape: new crawl batch checked against the
     // corpus index; corpus streams, batch broadcasts, no corpus self-join
     "dedup_incremental" -> ((s, dir) => {
@@ -569,6 +574,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
+
+    "dedup_containment" -> Dedup.containmentSql(4, 0.6),
 
     "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
 

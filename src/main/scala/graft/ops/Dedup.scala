@@ -517,6 +517,85 @@ object Dedup {
        |ORDER BY new_id, dup_of""".stripMargin
   }
 
+  // ------------------------------------------------------------ containment
+
+  /** Containment dedup — catches a SMALL document embedded in a big one
+    * (quotes, boilerplate-wrapped copies, excerpt pages), which
+    * Jaccard-LSH structurally misses: a 10-shingle quote inside a
+    * 500-shingle page has Jaccard ≈ 0.02 (no band ever collides) but
+    * containment |A∩B| / min(|A|,|B|) = 1.0.
+    *
+    * Candidate generation is therefore a different device: an inverted-
+    * index (posting-list) self-join on RARE shingles only. The document-
+    * frequency bound is what keeps it scalable — a shingle shared by df
+    * docs contributes df·(df-1)/2 candidate pairs, so joining only
+    * df ≤ maxDf postings bounds the quadratic blowup to maxDf²·|shingles|
+    * while losing nothing that matters: a shingle common to half the
+    * corpus identifies nothing anyway (it's the same df-pruning a search
+    * engine applies to stop-terms). Verification then intersects the two
+    * docs' hash sets exactly, as in [[ngramJaccard]].
+    */
+  def containment(docs: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
+    val th = docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist()
+    val rare = th.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val posting = th.join(rare, "h")
+    val cand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Harness corpus for [[containment]]: every 11th document re-appears
+    * as a 12-token excerpt ("quote") under an offset id — fully contained
+    * in its source but at tiny Jaccard, exactly the pair shape LSH can't
+    * see.
+    */
+  def quotedCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", slice(Tokenize.tokens(col("text")), 1, 12)).as("text")))
+
+  def containmentSql(maxDf: Int, threshold: Double): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |         list_aggregate(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')[1:12], 'string_agg', ' ')
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |$featSql,
+       |th AS (
+       |  SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
+       |rare AS (SELECT h FROM th GROUP BY h HAVING count(*) <= $maxDf),
+       |posting AS (SELECT t.doc_id, t.h FROM th t JOIN rare r ON t.h = r.h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / least(a.n, b.n) AS containment
+       |  FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
+       |              JOIN by_doc b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, containment FROM scored
+       |WHERE containment >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------- benchmark contamination
 
   /** Train/test contamination scan: which corpus documents share 3-token

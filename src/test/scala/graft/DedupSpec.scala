@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((100L, 1L), (100L, 2L)))
   }
 
+  test("containment: a short quote inside a long doc scores 1.0 despite tiny Jaccard") {
+    val quote = a.split(" ").take(12).mkString(" ")
+    val got = Dedup.containment(corpus(1L -> a, 2L -> b, 3L -> quote), 4, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 3L, 1.0)))
+    // and the pair is invisible to Jaccard-LSH at any usable threshold
+    val lsh = Dedup.minhashLsh(corpus(1L -> a, 2L -> b, 3L -> quote), 0.5)
+      .collect()
+    assert(lsh.isEmpty)
+  }
+
+  test("containment: df-bound prunes stop-shingle candidates, verify still exact") {
+    // doc 3 shares only a UBIQUITOUS shingle (df > maxDf) with 1 and 2 →
+    // no posting-list candidate survives; the contained doc 4 still hits
+    val common = "the quick brown fox"
+    val got = Dedup.containment(corpus(
+      1L -> (common + " " + a),
+      2L -> (common + " " + b),
+      3L -> common,
+      4L -> a.split(" ").take(15).mkString(" ")), 2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L)))
+  }
+
   test("embedding near-dup: parallel vectors ~1, orthogonal absent; blocked by label") {
     import spark.implicits._
     val emb = Seq(
