@@ -113,4 +113,35 @@ class PlanShapeSpec extends SparkSpec {
     // the codegen'd dot product sits in a plain Project (no HOF lambdas)
     assert(p.contains("dot_product_d"))
   }
+
+  test("incremental dedup: batch side broadcasts everywhere, corpus never shuffle-joins") {
+    val p = plan("dedup_incremental")
+    // band probe + both verify joins carry the batch (tiny) as broadcast
+    // build; the corpus index/signature side must only stream
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must stream, not shuffle, in incremental dedup:\n$p")
+  }
+
+  test("PQ: codebook broadcasts; corpus assignment is one partial agg, no corpus shuffle join") {
+    val p = plan("emb_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      s"map-side partial argmin missing:\n$p")
+  }
+
+  test("q19: OR-of-ANDs stays an equi-join with residual filter, never cartesian") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on partkey:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive predicate must not degrade the join:\n$p")
+  }
+
+  test("KMV sketch: partial aggregation (k-bounded partials ship, not raw values)") {
+    val p = plan("events_approx_distinct")
+    assert(p.contains("partial_kmv_minhashes"),
+      s"map-side partial sketch missing — raw rows would shuffle:\n$p")
+  }
 }
