@@ -224,6 +224,13 @@ object SparkEntry {
         .orderBy("tbl", "pk")
     }),
 
+    // SCD Type-2 history: full validity timeline per key (each event
+    // opens a version; the next event on the key closes it; deletes
+    // close without opening). One (tbl, pk) shuffle + per-key sort.
+    "cdc_scd2_history" -> ((s, dir) =>
+      ChangelogApply.scd2(changelog(s, dir))
+        .orderBy("tbl", "pk", "valid_from_pos")),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -279,6 +286,10 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
     "events_retention" -> ((s, dir) => Analytics.retention(t(s, dir, "events"))),
+
+    // 7-day rolling revenue per type: daily pre-agg then a RANGE window
+    // over epoch days (calendar-gap-correct, unlike a ROWS frame)
+    "events_rolling_avg" -> ((s, dir) => Analytics.rollingRevenue(t(s, dir, "events"))),
 
     // same result via the heap TypedImperativeAggregate (O(n log k) with
     // k-bounded partials vs the window's per-partition full sort)
@@ -353,6 +364,12 @@ object SparkEntry {
     // deterministic benchmark subset (doc_id % 97 == 0)
     "text_contamination" -> ((s, dir) =>
       Dedup.benchmarkContamination(t(s, dir, "documents"), 97, 3)),
+
+    // Bloom-pre-filtered contamination: benchmark shingles folded into a
+    // constant-size broadcast bit array; corpus probes map-side and only
+    // candidates reach the exact verify (false-positive margin reported)
+    "text_contamination_bloom" -> ((s, dir) =>
+      Dedup.bloomContamination(t(s, dir, "documents"), 97, 3)),
 
     // Stratified deterministic sampling: per-class 1-in-r rates (class
     // rebalancing audit; purchase kept whole, error downweighted 20x)
@@ -530,6 +547,9 @@ object SparkEntry {
       (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +
         " ORDER BY tbl, pk"),
 
+    "cdc_scd2_history" ->
+      (ChangelogApply.scd2Sql(clSql) + " ORDER BY tbl, pk, valid_from_pos"),
+
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)
          |SELECT tbl, op, count(*) AS n_events,
@@ -562,6 +582,7 @@ object SparkEntry {
     "events_range_join" -> Analytics.eventPairsWithinSql(5),
     "events_funnel" -> Analytics.funnelSql(Seq("view", "click", "purchase")),
     "events_retention" -> Analytics.retentionSql,
+    "events_rolling_avg" -> Analytics.rollingRevenueSql,
     "events_top3_agg" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,
@@ -599,6 +620,8 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSql,
 
     "text_contamination" -> Dedup.benchmarkContaminationSql(97, 3),
+
+    "text_contamination_bloom" -> Dedup.bloomContaminationSql(97, 3),
 
     "events_stratified_sample" -> Sampling.stratifiedSummarySql(
       "events", "event_type", "event_id",

@@ -255,4 +255,42 @@ object ChangelogApply {
       .withColumn("changed",
         col("prev_value").isNotNull && col("value") =!= col("prev_value"))
   }
+
+  /** SCD Type-2 history: every changelog event opens a row VERSION valid
+    * from its position until the next event on the same key closes it
+    * (that next event may be a Delete — deletes close versions but emit
+    * none themselves). The open version of a live key is `is_current`.
+    *
+    * This is the warehouse-facing artifact a CDC feed exists to build —
+    * the reference stops at point-in-time apply (worker/DefaultApplyWorker
+    * .scala:31-115); materializing the full validity timeline is the same
+    * per-key pass, so it costs exactly ChangelogApply's one hash shuffle
+    * on (tbl, pk) plus a per-key sort (the interval endpoints genuinely
+    * need neighbor order — this is the honest use of a window, unlike LWW
+    * where max_by avoids it). History length per key is bounded by that
+    * key's event count, so partition skew follows key skew and is
+    * absorbed the same way (AQE skew splitting).
+    */
+  def scd2(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+    changelog
+      .withColumn("valid_to_pos", lead(col("pos"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(
+        col("tbl"), col("pk"), col("value"),
+        col("pos").as("valid_from_pos"),
+        col("valid_to_pos"),
+        col("valid_to_pos").isNull.as("is_current"))
+  }
+
+  /** Oracle SQL for [[scd2]] given a changelog CTE body. */
+  def scd2Sql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |v AS (
+       |  SELECT tbl, pk, op, value, pos,
+       |         lead(pos) OVER (PARTITION BY tbl, pk ORDER BY pos) AS valid_to_pos
+       |  FROM cl)
+       |SELECT tbl, pk, value, pos AS valid_from_pos, valid_to_pos,
+       |       valid_to_pos IS NULL AS is_current
+       |FROM v WHERE op <> 'D'""".stripMargin
 }

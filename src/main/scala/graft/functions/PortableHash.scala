@@ -56,4 +56,11 @@ object PortableHash {
 
   def minhashPermSql(e: String, a: Long, b: Long): String =
     s"($a * (($e) % $P) + $b) % $P"
+
+  /** Bloom-filter hash family: same (a·x+b) mod P construction as the
+    * MinHash permutations but a disjoint coefficient series, so bloom
+    * bits and minhash signatures stay independent.
+    */
+  val bloomPerms: Seq[(Long, Long)] =
+    (1 to 3).map(i => ((900000011L * i + 101L) % P, (333334444L * i + 7L) % P))
 }

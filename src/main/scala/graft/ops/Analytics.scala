@@ -131,6 +131,50 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** 7-day rolling revenue per event type: daily pre-aggregation first
+    * (the shuffle carries one row per (type, day), not per event), then a
+    * RANGE window over epoch-day numbers so calendar gaps are honored —
+    * a ROWS frame would silently span missing days. Both windows and the
+    * daily groupBy share the event_type hash partitioning; the window's
+    * per-partition sort is over |days| rows, trivial at any corpus size.
+    * Sums stay DECIMAL until the final cast (shuffle-order independence);
+    * the single double division is bit-stable given exact operands.
+    */
+  def rollingRevenue(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_num"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w))
+      .withColumn("days7", count(lit(1)).over(w))
+      .select(col("event_type"),
+        timestamp_micros(col("day_num") * lit(86400000000L)).as("day"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev7").cast("double") / col("days7"), 6).as("avg7"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_num,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS rev,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       epoch_ms(day_num * 86400000) AS day,
+      |       CAST(rev AS DOUBLE) AS revenue,
+      |       round(CAST(sum(rev) OVER w AS DOUBLE)
+      |             / count(*) OVER w, 6) AS avg7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   /** Sessionization: a new session starts after a >30 min gap per user.
     * lag + running-sum windows, both keyed by user — one shuffle total
     * (both windows share the user partitioning).

@@ -635,6 +635,98 @@ object Dedup {
        |WHERE f.doc_id % $benchMod <> 0
        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
+  // ------------------------------------------- bloom-filtered contamination
+
+  private val bloomBits = 4096
+  private val bloomWordBits = 32 // 32 bits per BIGINT word: shifts never hit the sign bit
+
+  /** Bloom-filter pre-filtered contamination scan — the 100 TB shape of
+    * [[benchmarkContamination]]. The benchmark shingle set is folded into
+    * a `bloomBits`-bit filter (≤ bloomBits/32 words — constant-size state,
+    * vs the broadcast hash set whose size tracks the benchmark corpus);
+    * the corpus probes the broadcast filter map-side and only
+    * bloom-candidate shingles reach the per-doc aggregation, so the
+    * shuffle carries candidate hits, not the corpus feature stream. The
+    * exact join then runs ONLY over bloom-candidate docs, measuring the
+    * filter's false-positive margin in the output (n_bloom ≥ n_exact
+    * always: Bloom filters have no false negatives — the invariant
+    * BloomContaminationSpec asserts).
+    *
+    * Build and probe share the [[PortableHash.bloomPerms]] (a·x+b) mod P
+    * family and plain integer bit math, so DuckDB reconstructs the exact
+    * filter words and the whole thing is hash-checked, which Spark's
+    * built-in `BloomFilter` sketch (opaque bytes) would not allow.
+    */
+  def bloomContamination(docs: DataFrame, benchMod: Int, minShared: Int): DataFrame = {
+    import PortableHash.{bloomPerms, minhashPerm}
+    val th = docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+    val idxArr = array(bloomPerms.map { case (a, b) =>
+      minhashPerm(col("h"), a, b) % lit(bloomBits.toLong)
+    }: _*)
+    val bloom = th.filter(col("doc_id") % benchMod === 0)
+      .select(explode(idxArr).as("idx"))
+      .select(expr(s"idx div $bloomWordBits").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(idx % $bloomWordBits AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("w"))
+    val probe = th.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("h"), explode(idxArr).as("idx"))
+      .join(broadcast(bloom), expr(s"idx div $bloomWordBits") === col("word"))
+      .filter(expr(s"(w & shiftleft(CAST(1 AS BIGINT), CAST(idx % $bloomWordBits AS INT))) <> 0"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === bloomPerms.size)
+    val candidates = probe.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom"))
+      .filter(col("n_bloom") >= minShared)
+    val benchH = th.filter(col("doc_id") % benchMod === 0).select(col("h")).distinct()
+    val exact = th.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(benchH), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    candidates.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_exact"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  def bloomContaminationSql(benchMod: Int, minShared: Int): String = {
+    import PortableHash.{bloomPerms, minhashPermSql}
+    val idxs = bloomPerms.map { case (a, b) =>
+      s"(${minhashPermSql("h", a, b)}) % $bloomBits"
+    }.mkString(", ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$featSql,
+       |th AS (SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
+       |member AS (
+       |  SELECT unnest([$idxs]) AS idx FROM th WHERE doc_id % $benchMod = 0),
+       |bloom AS (
+       |  SELECT idx // $bloomWordBits AS word,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(idx % $bloomWordBits AS INTEGER)) AS w
+       |  FROM member GROUP BY 1),
+       |probe AS (
+       |  SELECT doc_id, h, unnest([$idxs]) AS idx
+       |  FROM th WHERE doc_id % $benchMod <> 0),
+       |hit AS (
+       |  SELECT p.doc_id, p.h
+       |  FROM probe p JOIN bloom b ON p.idx // $bloomWordBits = b.word
+       |  WHERE (b.w & (CAST(1 AS BIGINT) << CAST(p.idx % $bloomWordBits AS INTEGER))) <> 0
+       |  GROUP BY p.doc_id, p.h HAVING count(*) = ${bloomPerms.size}),
+       |cand AS (
+       |  SELECT doc_id, count(*) AS n_bloom FROM hit
+       |  GROUP BY doc_id HAVING count(*) >= $minShared),
+       |bench_h AS (SELECT DISTINCT h FROM th WHERE doc_id % $benchMod = 0),
+       |exact AS (
+       |  SELECT t.doc_id, count(*) AS n_exact
+       |  FROM th t JOIN bench_h b ON t.h = b.h
+       |  WHERE t.doc_id % $benchMod <> 0 GROUP BY t.doc_id)
+       |SELECT c.doc_id, c.n_bloom,
+       |       coalesce(e.n_exact, 0) AS n_exact,
+       |       coalesce(e.n_exact, 0) >= $minShared AS contaminated
+       |FROM cand c LEFT JOIN exact e ON c.doc_id = e.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: pairwise cosine ≥ threshold, blocked by
