@@ -280,6 +280,28 @@ object SparkEntry {
     "q22_idle_customers" -> ((s, dir) =>
       Analytics.idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
         t(s, dir, "nation"), "1999-01-01")),
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(t(s, dir, "part"), t(s, dir, "supplier"),
+        t(s, dir, "lineitem"), t(s, dir, "nation"), t(s, dir, "region"),
+        "STANDARD", Seq(5, 15, 25, 35, 45), "EUROPE")),
+    "q9_product_profit" -> ((s, dir) =>
+      Analytics.productProfit(t(s, dir, "part"), t(s, dir, "supplier"),
+        t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "nation"), "gear")),
+    "q11_important_parts" -> ((s, dir) =>
+      Analytics.importantParts(t(s, dir, "lineitem"), 3, 2)),
+    "q12_late_shipments" -> ((s, dir) =>
+      Analytics.lateShipments(t(s, dir, "orders"), t(s, dir, "lineitem"), 60)),
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.topSupplier(t(s, dir, "supplier"), t(s, dir, "lineitem"),
+        "1997-01-01", "1997-04-01")),
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      Analytics.smallQuantityRevenue(t(s, dir, "part"), t(s, dir, "lineitem"), "Brand#3")),
+    "q20_dominant_suppliers" -> ((s, dir) =>
+      Analytics.dominantSuppliers(t(s, dir, "part"), t(s, dir, "supplier"),
+        t(s, dir, "lineitem"), t(s, dir, "nation"), "small", 1, 8, "NATION_7")),
+    "q21_sole_blame" -> ((s, dir) =>
+      Analytics.soleBlameSuppliers(t(s, dir, "supplier"), t(s, dir, "lineitem"),
+        t(s, dir, "orders"))),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
@@ -348,6 +370,10 @@ object SparkEntry {
 
     // Product quantization: 4 subspace codes/vector + reconstruction MSE
     "emb_pq_codes" -> ((s, dir) => Similarity.pqQuantize(t(s, dir, "embeddings"), 4, 16)),
+
+    // PQ asymmetric-distance top-k: queries served from the compressed
+    // codes via broadcast distance tables — full vectors never touched
+    "ann_pq_adc" -> ((s, dir) => Similarity.pqAdcTopK(t(s, dir, "embeddings"), 8, 5, 4, 16)),
 
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
@@ -577,6 +603,15 @@ object SparkEntry {
       "Brand#5", Seq(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)),
     "q19_disjunctive_revenue" -> Analytics.disjunctiveRevenueSql,
     "q22_idle_customers" -> Analytics.idleRichCustomersSql("1999-01-01"),
+    "q2_min_cost_supplier" -> Analytics.minCostSupplierSql(
+      "STANDARD", Seq(5, 15, 25, 35, 45), "EUROPE"),
+    "q9_product_profit" -> Analytics.productProfitSql("gear"),
+    "q11_important_parts" -> Analytics.importantPartsSql(3, 2),
+    "q12_late_shipments" -> Analytics.lateShipmentsSql(60),
+    "q15_top_supplier" -> Analytics.topSupplierSql("1997-01-01", "1997-04-01"),
+    "q17_small_qty_revenue" -> Analytics.smallQuantityRevenueSql("Brand#3"),
+    "q20_dominant_suppliers" -> Analytics.dominantSuppliersSql("small", 1, 8, "NATION_7"),
+    "q21_sole_blame" -> Analytics.soleBlameSuppliersSql,
     "events_top3_per_user" -> Analytics.topEventsPerUserSql(3),
     "events_percentiles" -> Analytics.valuePercentilesSql,
     "events_range_join" -> Analytics.eventPairsWithinSql(5),
@@ -609,6 +644,7 @@ object SparkEntry {
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
+    "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -754,4 +754,327 @@ object Analytics {
        |                  WHERE o_custkey = c_custkey
        |                    AND o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q2-style minimum-cost supplier: for each filtered part, the
+    * region-local supplier(s) whose best observed line price is the
+    * part's minimum (lineitem prices stand in for the fixture's missing
+    * partsupp.supplycost). The original's correlated MIN subquery is
+    * decorrelated into a per-(part, supplier) aggregate plus a per-part
+    * re-aggregate joined back — each a partial-combined hash agg, no
+    * window. The per-part minimum frame is |parts| rows (broadcast); the
+    * dimension chain (part filter, region-gated suppliers) broadcasts
+    * before touching lineitem, which is scanned once and never re-enters
+    * a shuffle wider than the (part, supplier) distinct pairs. All price
+    * compares are DECIMAL — exact, order-independent, so the `cost ===
+    * best` equality join cannot flip on a double ulp.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      pType: String, sizes: Seq[Int], regionName: String): DataFrame = {
+    val pF = part.filter(col("p_type") === pType && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_name")
+    val supp = supplier
+      .join(broadcast(nation.join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairs = lineitem
+      .join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val best = pairs.groupBy(col("p_partkey").as("bp"))
+      .agg(min(col("cost")).as("best"))
+    pairs
+      .join(broadcast(best), col("p_partkey") === col("bp") && col("cost") === col("best"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost").cast("double").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  def minCostSupplierSql(pType: String, sizes: Seq[Int], regionName: String): String =
+    s"""WITH supp AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |                JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$regionName'),
+       |pairs AS (
+       |  SELECT p_partkey, p_name, l_suppkey,
+       |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |                JOIN supp ON l_suppkey = s_suppkey
+       |  WHERE p_type = '$pType' AND p_size IN (${sizes.mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |best AS (SELECT p_partkey AS bp, min(cost) AS best FROM pairs GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       |       CAST(cost AS DOUBLE) AS min_cost
+       |FROM pairs JOIN best ON p_partkey = bp AND cost = best
+       |           JOIN supp ON l_suppkey = s_suppkey
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9-style product-line profit by supplier nation and year.
+    * p_retailprice·quantity·0.9 stands in for the missing
+    * partsupp.supplycost·quantity term. The five-way join keeps the two
+    * facts (lineitem ⋈ orders) as the single real shuffle on orderkey;
+    * part/supplier/nation broadcast. Profit terms stay DECIMAL through
+    * the aggregation.
+    */
+  def productProfit(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                    orders: DataFrame, nation: DataFrame, namePattern: String): DataFrame = {
+    val pF = part.filter(col("p_name").contains(namePattern))
+      .select("p_partkey", "p_retailprice")
+    val amount =
+      dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) * lit(0.9).cast("decimal(18,2)")
+    lineitem
+      .join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  def productProfitSql(namePattern: String): String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$namePattern%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11-style important-part concentration: parts whose lineitem
+    * value exceeds `numer`/`denom` of the AVERAGE part value (the
+    * original's fixed global fraction would be scale-dependent — at 10×
+    * the parts the threshold empties). One partial-combined aggregate
+    * keyed by part; total and part count are one scalar probe (driver
+    * reduce). The threshold is the division-free exact form
+    * value·nParts·denom > total·numer, DECIMAL both sides — same device
+    * as Q22's average (a double quotient could flip a boundary part
+    * between engines).
+    */
+  def importantParts(lineitem: DataFrame, numer: Int, denom: Int): DataFrame = {
+    val byPart = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value"))
+    val r = byPart.agg(sum(col("value")), count(lit(1))).collect()(0)
+    val (total, nParts) = (r.getDecimal(0), r.getLong(1))
+    byPart
+      .filter(col("value") * lit(nParts) * lit(denom) > lit(total) * lit(numer))
+      .select(col("l_partkey").as("p_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  def importantPartsSql(numer: Int, denom: Int): String =
+    s"""WITH by_part AS (
+       |  SELECT l_partkey AS p_partkey,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+       |  FROM lineitem GROUP BY 1)
+       |SELECT p_partkey, CAST(value AS DOUBLE) AS value
+       |FROM by_part
+       |WHERE value * (SELECT count(*) FROM by_part) * $denom
+       |      > (SELECT sum(value) FROM by_part) * $numer
+       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q12-style late-shipment audit: lines shipped more than
+    * `lateDays` after their order date, split into high/low priority
+    * counts per return flag (the fixture has no shipmode/commitdate).
+    * The lateness test is integral epoch-microsecond arithmetic — no
+    * interval or double date math to diverge between engines. One
+    * orderkey shuffle joins the two facts; the conditional counts are a
+    * single partial-combined aggregate.
+    */
+  def lateShipments(orders: DataFrame, lineitem: DataFrame, lateDays: Int): DataFrame = {
+    val lateMicros = lateDays.toLong * 86400L * 1000000L
+    lineitem.select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) -
+        unix_micros(col("o_orderdate").cast("timestamp")) > lateMicros)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  def lateShipmentsSql(lateDays: Int): String = {
+    val lateMicros = lateDays.toLong * 86400L * 1000000L
+    s"""SELECT l_returnflag,
+       |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > $lateMicros
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** TPC-H Q15-style top supplier over a shipdate quarter: per-supplier
+    * revenue, keep the supplier(s) hitting the global maximum. The
+    * original's view + scalar MAX subquery becomes one supplier-keyed
+    * aggregate plus a driver-side scalar probe; the equality filter is
+    * DECIMAL-exact so revenue ties surface identically in both engines.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  from: String, until: String): DataFrame = {
+    val revs = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+    val maxRev = revs.agg(max(col("rev"))).collect()(0).getDecimal(0)
+    revs.filter(col("rev") === lit(maxRev))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  def topSupplierSql(from: String, until: String): String =
+    s"""WITH revs AS (
+       |  SELECT l_suppkey,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '$until 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+       |FROM revs JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev = (SELECT max(rev) FROM revs)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: brand lines whose quantity
+    * sits below 0.2× the part's average quantity. The correlated AVG is
+    * decorrelated into a per-part (sum, count) aggregate joined back,
+    * and the 0.2·avg comparison is the division-free exact form
+    * 5·qty·cnt < sum — DECIMAL·BIGINT on the left, DECIMAL sum on the
+    * right, so the boundary line can't flip on quotient rounding. The
+    * per-part stats frame is |brand parts| rows → broadcast.
+    */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame, brand: String): DataFrame = {
+    val pF = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("p_partkey").as("sp"))
+      .agg(sum(dec(col("l_quantity"))).as("qsum"), count(lit(1)).as("qcnt"))
+    li.join(broadcast(stats), col("p_partkey") === col("sp"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("qcnt") < col("qsum"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def smallQuantityRevenueSql(brand: String): String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, l_quantity, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '$brand'),
+       |stats AS (
+       |  SELECT l_partkey AS sp, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+       |         count(*) AS qcnt
+       |  FROM li GROUP BY 1)
+       |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       |       count(*) AS n_lines
+       |FROM li JOIN stats ON l_partkey = sp
+       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum""".stripMargin
+
+  /** TPC-H Q20-style dominant suppliers: suppliers of a part-name family
+    * who shipped more than `numer`/`denom` of a part's total volume, in
+    * one nation. The original's nested IN chain (partsupp → lineitem
+    * half-sum) becomes per-(part, supplier) and per-part aggregates with
+    * a division-free DECIMAL share test qty·denom > total·numer, then a
+    * distinct-supplier semi-join. Dimension sides broadcast; the only
+    * wide shuffle carries (part, supplier) pairs.
+    */
+  def dominantSuppliers(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                        nation: DataFrame, namePrefix: String, numer: Int, denom: Int,
+                        nationName: String): DataFrame = {
+    val pF = part.filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val pairs = lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val totals = pairs.groupBy(col("p_partkey").as("tp"))
+      .agg(sum(col("qty")).as("total"))
+    val dominant = pairs
+      .join(broadcast(totals), col("p_partkey") === col("tp"))
+      .filter(col("qty") * lit(denom) > col("total") * lit(numer))
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  def dominantSuppliersSql(namePrefix: String, numer: Int, denom: Int,
+                           nationName: String): String =
+    s"""WITH pairs AS (
+       |  SELECT p_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '$namePrefix%'
+       |  GROUP BY 1, 2),
+       |totals AS (SELECT p_partkey AS tp, sum(qty) AS total FROM pairs GROUP BY 1),
+       |dominant AS (
+       |  SELECT DISTINCT l_suppkey FROM pairs JOIN totals ON p_partkey = tp
+       |  WHERE qty * $denom > total * $numer)
+       |SELECT s_name, s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = '$nationName'
+       |  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+       |ORDER BY s_name""".stripMargin
+
+  /** TPC-H Q21-style sole-blame suppliers: on multi-supplier finished
+    * orders, the supplier who is the ONLY one with a returned line. The
+    * original's EXISTS / NOT EXISTS pair collapses into one order-keyed
+    * aggregate — distinct suppliers, distinct returned suppliers, and
+    * the blamed supplier via min-over-case (well-defined exactly when
+    * the returned-distinct count is 1). The orderkey join and the
+    * per-order aggregate share partitioning; the second aggregate keys
+    * by supplier (bounded by |suppliers|).
+    */
+  def soleBlameSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                         orders: DataFrame): DataFrame = {
+    val perOrder = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_ret"),
+        min(when(col("l_returnflag") === "R", col("l_suppkey"))).as("blamed"))
+      .filter(col("n_supp") > 1 && col("n_ret") === 1)
+    perOrder.groupBy(col("blamed"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("blamed") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val soleBlameSuppliersSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |         count(DISTINCT l_suppkey) AS n_supp,
+      |         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret,
+      |         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS blamed
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order JOIN supplier ON blamed = s_suppkey
+      |WHERE n_supp > 1 AND n_ret = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
 }

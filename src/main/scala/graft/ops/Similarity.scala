@@ -380,6 +380,29 @@ object Similarity {
     * sum) so the double arithmetic is engine-identical.
     */
   def pqQuantize(emb: DataFrame, m: Int, ncode: Int): DataFrame = {
+    val (_, _, best, dim) = pqPrep(emb, m, ncode)
+    val codeCols = (0 until m).map(j =>
+      max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
+    val dCols = (0 until m).map(j =>
+      max(when(col("sub_j") === j, col("d2"))).as(s"d$j"))
+    best.groupBy(col("vec_id"))
+      .agg((codeCols ++ dCols).head, (codeCols ++ dCols).tail: _*)
+      // 12 dp, not the usual 6-9: the summed d2s are 6-dp-granular, so
+      // mse steps are multiples of 1e-6/dim — for dim=64 that is
+      // 1.5625e-8, which lands EXACTLY on 9-dp half-boundaries (x.5),
+      // where the engines' rounding can disagree. 12 dp represents every
+      // step exactly, so there is no boundary to disagree on.
+      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")) :+
+        round((0 until m).map(j => col(s"d$j")).reduce(_ + _) / lit(dim.toDouble), 12).as("mse"): _*)
+      .orderBy("vec_id")
+  }
+
+  /** Shared PQ machinery: subvector explode (`sub`), broadcast codebook
+    * (`cw`), per-(vector, subspace) nearest-code assignment (`best`), and
+    * the embedding dimension.
+    */
+  private def pqPrep(emb: DataFrame, m: Int, ncode: Int)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -407,20 +430,90 @@ object Similarity {
       .agg(min_by(col("cent_id"),
           round(col("d2") * 1000000).cast("long") * 10000000L + col("cent_id")).as("code"),
         min(col("d2")).as("d2"))
+    (sub, cw, best, dim)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — approximate nearest neighbors
+    * scored entirely from the compressed codes: each query precomputes a
+    * distance table ||q_sub − codeword||² per (subspace, code), and a
+    * corpus vector's distance is the sum of m table lookups on its codes.
+    * This is how a PQ index actually serves queries — the full vectors
+    * are never touched at query time.
+    *
+    * Scale shape: mirrors [[bruteForceTopK]] — the distance tables
+    * (nq·m·ncode rows) BROADCAST as m per-subspace hash joins against the
+    * corpus code frame, which streams with no shuffle; ADC is a row-wise
+    * fixed-order sum (engine-identical double arithmetic); the per-query
+    * top-k goes through the rank-filter window, which Spark 4 executes as
+    * WindowGroupLimit with per-partition partial top-k — only ≤ k rows
+    * per query per partition reach the final exchange. Distances round to
+    * 6 dp before ranking; ties break on vec_id.
+    */
+  def pqAdcTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int, ncode: Int): DataFrame = {
+    val (sub, cw, best, _) = pqPrep(emb, m, ncode)
     val codeCols = (0 until m).map(j =>
       max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
-    val dCols = (0 until m).map(j =>
-      max(when(col("sub_j") === j, col("d2"))).as(s"d$j"))
-    best.groupBy(col("vec_id"))
-      .agg((codeCols ++ dCols).head, (codeCols ++ dCols).tail: _*)
-      // 12 dp, not the usual 6-9: the summed d2s are 6-dp-granular, so
-      // mse steps are multiples of 1e-6/dim — for dim=64 that is
-      // 1.5625e-8, which lands EXACTLY on 9-dp half-boundaries (x.5),
-      // where the engines' rounding can disagree. 12 dp represents every
-      // step exactly, so there is no boundary to disagree on.
-      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")) :+
-        round((0 until m).map(j => col(s"d$j")).reduce(_ + _) / lit(dim.toDouble), 12).as("mse"): _*)
-      .orderBy("vec_id")
+    val codes = best.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+    // per-query subspace distance tables: nq·m·ncode rows, broadcast
+    val dt = sub.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cw), "sub_j")
+      .select(col("query_id"), col("sub_j"), col("cent_id"),
+        round(expr(
+          "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, s) -> a + s)"), 6)
+          .as("d2q"))
+    val scored = (0 until m).foldLeft(codes) { (acc, j) =>
+      val dtj = dt.filter(col("sub_j") === j)
+        .select(col("query_id").as(s"q$j"), col("cent_id").as(s"k$j"), col("d2q").as(s"d$j"))
+      val cond = if (j == 0) col("c0") === col("k0")
+        else col(s"c$j") === col(s"k$j") && col("q0") === col(s"q$j")
+      acc.join(broadcast(dtj), cond)
+    }
+    val adc = round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6)
+    val ranked = scored
+      .filter(col("vec_id") =!= col("q0"))
+      .select(col("q0").as("query_id"), col("vec_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("query_id"), col("vec_id"), col("adc_dist"),
+      col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def pqAdcTopKSql(nQueries: Int, k: Int, m: Int, ncode: Int, dim: Int): String = {
+    val sd = dim / m
+    val js = (0 until m).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT vec_id AS cent_id, v FROM e
+       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
+       |cw AS (SELECT cent_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS cwv
+       |       FROM samp, unnest([$js]) t(j)),
+       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
+       |        FROM e, unnest([$js]) t(j)),
+       |scored AS (
+       |  SELECT s.vec_id, s.sub_j, c.cent_id,
+       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
+       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
+       |best AS (
+       |  SELECT vec_id, sub_j,
+       |         arg_min(cent_id, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + cent_id) AS code
+       |  FROM scored GROUP BY vec_id, sub_j),
+       |dt AS (
+       |  SELECT vec_id AS query_id, sub_j, cent_id, d2 AS d2q
+       |  FROM scored WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT d.query_id, b.vec_id,
+       |         round(sum(d.d2q), 6) AS adc_dist
+       |  FROM best b JOIN dt d ON b.sub_j = d.sub_j AND b.code = d.cent_id
+       |  WHERE b.vec_id <> d.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   def pqQuantizeSql(m: Int, ncode: Int, dim: Int): String = {
