@@ -144,4 +144,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_kmv_minhashes"),
       s"map-side partial sketch missing — raw rows would shuffle:\n$p")
   }
+
+  test("scd2: exactly one hash exchange — versioning costs what LWW costs") {
+    val p = plan("cdc_scd2_history")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"SCD2 must shuffle once on (tbl, pk), got $hashExchanges:\n$p")
+  }
+
+  test("PQ ADC: distance tables broadcast, code frame never shuffle-joins, partial top-k") {
+    val p = plan("ann_pq_adc")
+    assert(!p.contains("SortMergeJoin"),
+      s"ADC lookups must be broadcast hash joins against the code stream:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must run as partial group-limit before the exchange:\n$p")
+  }
+
+  test("bloom contamination: filter words broadcast; corpus probe never shuffle-joins") {
+    val p = plan("text_contamination_bloom")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("BuildRight")),
+      s"bloom word table must be the broadcast build side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus feature stream must probe the filter map-side:\n$p")
+  }
+
+  test("q21: per-order aggregate reuses the join's orderkey partitioning") {
+    val p = plan("q21_sole_blame")
+    // lineitem ⋈ orders shuffles each side once on orderkey; the per-order
+    // aggregate must NOT add its own exchange on the same key
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 3,
+      s"expected join-side exchanges reused by the aggregate (≤3 total), got $hashExchanges:\n$p")
+  }
+
+  test("rolling revenue: daily pre-agg shuffles day rows, window shares its partitioning") {
+    val p = plan("events_rolling_avg")
+    // one exchange for the daily aggregate; the RANGE window re-keys by
+    // event_type only — AQE may add one more, but never a per-event one
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"daily aggregation must be partial (events combine map-side):\n$p")
+  }
 }
