@@ -313,6 +313,16 @@ object SparkEntry {
     // over epoch days (calendar-gap-correct, unlike a ROWS frame)
     "events_rolling_avg" -> ((s, dir) => Analytics.rollingRevenue(t(s, dir, "events"))),
 
+    // Per-type 3-sigma anomaly rates: decimal moments, division-free test
+    "events_anomaly" -> ((s, dir) => Analytics.zscoreOutliers(t(s, dir, "events"))),
+
+    // One-scan column profiling (the ANALYZE shape; exact multi-distinct)
+    "lineitem_profile" -> ((s, dir) =>
+      Profiling.tableProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount"),
+        Seq("l_returnflag", "l_linestatus"))),
+
     // same result via the heap TypedImperativeAggregate (O(n log k) with
     // k-bounded partials vs the window's per-partition full sort)
     "events_top3_agg" -> ((s, dir) => {
@@ -385,6 +395,9 @@ object SparkEntry {
 
     // Intra-doc repetition ratio (boilerplate / degenerate-text gate)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(t(s, dir, "documents"))),
+
+    // Tokenizer induction: top BPE merge candidates (bigram counts, top-N)
+    "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(t(s, dir, "documents"), 20)),
 
     // Train/test contamination: corpus docs sharing ≥3 shingles with the
     // deterministic benchmark subset (doc_id % 97 == 0)
@@ -618,6 +631,11 @@ object SparkEntry {
     "events_funnel" -> Analytics.funnelSql(Seq("view", "click", "purchase")),
     "events_retention" -> Analytics.retentionSql,
     "events_rolling_avg" -> Analytics.rollingRevenueSql,
+    "events_anomaly" -> Analytics.zscoreOutliersSql,
+    "lineitem_profile" -> Profiling.tableProfileSql("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount"),
+      Seq("l_returnflag", "l_linestatus")),
     "events_top3_agg" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,
@@ -654,6 +672,7 @@ object SparkEntry {
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "text_bpe_merges" -> TextAnalysis.bpeMergesSql(20),
 
     "text_contamination" -> Dedup.benchmarkContaminationSql(97, 3),
 

@@ -49,6 +49,23 @@ object Tokenize {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Adjacent token pairs (word bigrams), empty when fewer than 2 tokens.
+    * Same zip_with-over-slices device as [[shingles3]] (and the same
+    * descending-`sequence` guard).
+    */
+  def bigrams(toks: Column): Column = {
+    val n = size(toks)
+    when(n >= 2,
+      zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def bigramsSql(toks: String): String =
+    s"""CASE WHEN len($toks) >= 2
+       | THEN [$toks[i] || ' ' || $toks[i+1] FOR i IN range(1, len($toks))]
+       | ELSE [] END""".stripMargin.replace("\n", " ")
+
   /** DuckDB rendering; `toks` must be a plain column NAME (it is repeated).
     * DuckDB lists are 1-indexed; `range(a, b)` excludes b.
     */

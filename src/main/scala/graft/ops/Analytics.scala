@@ -755,6 +755,48 @@ object Analytics {
        |                    AND o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Per-type 3σ outlier rates — the metric-anomaly scan over an event
+    * stream. Moments come from one partial-combined aggregate with
+    * DECIMAL sums (Σv, Σv² exact and shuffle-order-independent, then one
+    * cast to double); the outlier test is the division-free form
+    * (n·x − Σv)² > 9·(n·Σv² − Σv²), pure double arithmetic over exact
+    * operands written identically in both engines — no mean/stddev
+    * quotient whose rounding could flip a boundary row (stddev_samp
+    * would be order-dependent on doubles). The 4-row stats frame
+    * broadcasts back onto the stream; second aggregate is partial too.
+    */
+  def zscoreOutliers(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+    val lhs = (col("n") * col("value") - col("s1")) * (col("n") * col("value") - col("s1"))
+    val rhs = lit(9.0) * (col("n") * col("s2") - col("s1") * col("s1"))
+    events.select(col("event_type"), col("value"))
+      .join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n").as("n_events"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  val zscoreOutliersSql: String =
+    """WITH stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, s.n AS n_events,
+      |       CAST(sum(CASE WHEN (s.n * e.value - s.s1) * (s.n * e.value - s.s1)
+      |                          > 9.0 * (s.n * s.s2 - s.s1 * s.s1)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(CAST(sum(CASE WHEN (s.n * e.value - s.s1) * (s.n * e.value - s.s1)
+      |                                > 9.0 * (s.n * s.s2 - s.s1 * s.s1)
+      |                           THEN 1 ELSE 0 END) AS DOUBLE) / s.n, 6) AS outlier_rate
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** TPC-H Q2-style minimum-cost supplier: for each filtered part, the
     * region-local supplier(s) whose best observed line price is the
     * part's minimum (lineitem prices stand in for the fixture's missing

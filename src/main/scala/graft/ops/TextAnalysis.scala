@@ -393,4 +393,28 @@ object TextAnalysis {
        |  md5(coalesce(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' '), '')) AS fp,
        |  CAST(concat('0x', substr(md5(coalesce(list_aggregate(${Tokenize.tokensSql("text")}, 'string_agg', ' '), '')), 1, 15)) AS BIGINT) AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer-induction first step: the corpus's top merge candidates —
+    * adjacent token pairs ranked by frequency (what a BPE/WordPiece
+    * trainer computes every merge round, here over word tokens).
+    *
+    * Scale shape: one tokenize pass, one explode, one partial-combined
+    * count keyed by pair, then a global top-N that runs as
+    * TakeOrderedAndProject — k-bounded per-partition heaps, never a full
+    * sort of the pair vocabulary. Ties break lexicographically so the
+    * cut at rank N is engine-identical.
+    */
+  def bpeMerges(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(explode(Tokenize.bigrams(Tokenize.tokens(col("text")))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topN)
+
+  def bpeMergesSql(topN: Int): String =
+    s"""WITH tok AS (SELECT ${Tokenize.tokensSql("text")} AS t FROM documents),
+       |pairs AS (SELECT unnest(${Tokenize.bigramsSql("t")}) AS pair FROM tok)
+       |SELECT pair, count(*) AS n_occurrences
+       |FROM pairs GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair LIMIT $topN""".stripMargin
 }
