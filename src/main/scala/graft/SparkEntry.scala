@@ -316,7 +316,8 @@ object SparkEntry {
     // Per-type 3-sigma anomaly rates: decimal moments, division-free test
     "events_anomaly" -> ((s, dir) => Analytics.zscoreOutliers(t(s, dir, "events"))),
 
-    // One-scan column profiling (the ANALYZE shape; exact multi-distinct)
+    // Column profiling (ANALYZE shape): a column-pruned scan per column,
+    // each distinct two-phase — never one Expand-planned aggregate
     "lineitem_profile" -> ((s, dir) =>
       Profiling.tableProfile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",

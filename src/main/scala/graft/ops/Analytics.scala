@@ -144,8 +144,7 @@ object Analytics {
     val daily = events
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_num"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"),
-        count(lit(1)).as("n_events"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
       .rangeBetween(-6, Window.currentRow)
     daily
@@ -162,8 +161,7 @@ object Analytics {
     """WITH daily AS (
       |  SELECT event_type,
       |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_num,
-      |         sum(CAST(value AS DECIMAL(18,2))) AS rev,
-      |         count(*) AS n_events
+      |         sum(CAST(value AS DECIMAL(18,2))) AS rev
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type,
       |       epoch_ms(day_num * 86400000) AS day,
@@ -766,8 +764,11 @@ object Analytics {
     * broadcasts back onto the stream; second aggregate is partial too.
     */
   def zscoreOutliers(events: DataFrame): DataFrame = {
+    // n counts NON-NULL values (count(value), not count(*)): the moments
+    // exclude nulls, so a count(*) n would mis-center the test and
+    // inflate the rate denominator on feeds with null measurements
     val stats = events.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col("value")).as("n"),
         sum(dec(col("value"))).cast("double").as("s1"),
         sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
     val lhs = (col("n") * col("value") - col("s1")) * (col("n") * col("value") - col("s1"))
@@ -783,7 +784,7 @@ object Analytics {
 
   val zscoreOutliersSql: String =
     """WITH stats AS (
-      |  SELECT event_type, count(*) AS n,
+      |  SELECT event_type, count(value) AS n,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
       |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
       |  FROM events GROUP BY 1)
@@ -907,8 +908,13 @@ object Analytics {
     * between engines).
     */
   def importantParts(lineitem: DataFrame, numer: Int, denom: Int): DataFrame = {
+    // persist: the scalar probe's collect() is its own action — without
+    // the cache the full lineitem scan+shuffle would run twice (once for
+    // the probe, again in the consumer's job). |parts| rows, tiny.
+    // Caller owns eviction (clearCache between corpora, as Bench/Verify do).
     val byPart = lineitem.groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("value"))
+      .persist()
     val r = byPart.agg(sum(col("value")), count(lit(1))).collect()(0)
     val (total, nParts) = (r.getDecimal(0), r.getLong(1))
     byPart
@@ -976,6 +982,10 @@ object Analytics {
       .groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice")) *
         (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      // persist: same scalar-probe-then-reuse shape as importantParts —
+      // the max() collect and the equality filter must not each rescan
+      // lineitem. |suppliers| rows; caller evicts.
+      .persist()
     val maxRev = revs.agg(max(col("rev"))).collect()(0).getDecimal(0)
     revs.filter(col("rev") === lit(maxRev))
       .join(broadcast(supplier.select("s_suppkey", "s_name")),

@@ -659,8 +659,13 @@ object Dedup {
     */
   def bloomContamination(docs: DataFrame, benchMod: Int, minShared: Int): DataFrame = {
     import PortableHash.{bloomPerms, minhashPerm}
+    // persist: the hashed feature frame feeds FOUR subtrees (bloom build,
+    // probe, benchmark hash set, exact verify) and Spark has no CSE across
+    // them — uncached, the corpus would tokenize+shingle twice and the
+    // benchmark twice. Same caller-evicts convention as minhashLsh.
     val th = docFeatures(docs)
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist()
     val idxArr = array(bloomPerms.map { case (a, b) =>
       minhashPerm(col("h"), a, b) % lit(bloomBits.toLong)
     }: _*)
@@ -676,11 +681,19 @@ object Dedup {
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("n_set"))
       .filter(col("n_set") === bloomPerms.size)
+    // persisted: consumed by the exact verify's semi-join AND the final
+    // left join — and it is the frame the whole operator exists to keep
+    // small (bloom-candidate docs only)
     val candidates = probe.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bloom"))
       .filter(col("n_bloom") >= minShared)
+      .persist()
     val benchH = th.filter(col("doc_id") % benchMod === 0).select(col("h")).distinct()
+    // the exact verify runs ONLY over bloom-candidate docs (the semi-join
+    // prunes the corpus stream before the benchmark join) — that pruning
+    // is the entire point of the pre-filter at scale
     val exact = th.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(candidates.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .join(broadcast(benchH), "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
     candidates.join(exact, Seq("doc_id"), "left")

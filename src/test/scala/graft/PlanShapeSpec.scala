@@ -179,9 +179,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("rolling revenue: daily pre-agg shuffles day rows, window shares its partitioning") {
     val p = plan("events_rolling_avg")
-    // one exchange for the daily aggregate; the RANGE window re-keys by
-    // event_type only — AQE may add one more, but never a per-event one
-    assert(p.contains("partial_sum") || p.contains("partial_count"),
+    assert(p.contains("partial_sum"),
       s"daily aggregation must be partial (events combine map-side):\n$p")
+    // exactly two hash exchanges: the daily aggregate's (event_type, day)
+    // and the window's re-key to event_type — a regression that windows
+    // per event or re-aggregates would add more
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"expected the daily-agg + window exchanges only, got $hashExchanges:\n$p")
   }
 }
