@@ -21,7 +21,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "emb_cluster_profile",   // decimal mean + struct-min tie-break
     "cdc_gtid_frontier",     // island coalescing + string fold
     "emb_kmeans_refine",     // decimal dimension means + ordered rebuild
-    "dedup_clusters")        // iterative min-label propagation fixpoint
+    "dedup_clusters",        // iterative min-label propagation fixpoint
+    "events_anomaly",        // decimal moments + division-free sigma test
+    "events_rolling_avg",    // decimal RANGE-window sums
+    "ann_pq_adc",            // fixed-order ADC sum, rounded before rank
+    "text_contamination_bloom", // bit_or word fold + candidate counts
+    "q11_important_parts",   // scalar probe + decimal share threshold
+    "q21_sole_blame",        // conditional distinct + min-over-case
+    "cdc_scd2_history")      // per-key interval chaining
 
   test("query results are identical under 7 and 32 shuffle partitions") {
     val conf = spark.conf
