@@ -224,6 +224,20 @@ object SparkEntry {
         .orderBy("tbl", "pk")
     }),
 
+    // Dimension-enriched state: the LWW materialization joined with the
+    // current customer row (broadcast — the stream/state side never
+    // shuffles for the enrich). Batch analog of
+    // StreamingAnalytics.runEnrichedStream (spec: batch-boundary
+    // consistency under dimension updates).
+    "cdc_enriched_state" -> ((s, dir) =>
+      ChangelogApply.materialize(changelog(s, dir))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+          col("pk") === col("c_custkey"), "left")
+        .select(col("tbl"), col("pk"), col("value"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("tbl", "pk")),
+
     // SCD Type-2 history: full validity timeline per key (each event
     // opens a version; the next event on the key closes it; deletes
     // close without opening). One (tbl, pk) shuffle + per-key sort.
@@ -586,6 +600,16 @@ object SparkEntry {
     "cdc_stream_apply" ->
       (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +
         " ORDER BY tbl, pk"),
+
+    "cdc_enriched_state" ->
+      s"""WITH cl AS ($clSql),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+         |  FROM cl),
+         |state AS (SELECT tbl, pk, value FROM ranked WHERE rn = 1 AND op <> 'D')
+         |SELECT s.tbl, s.pk, s.value, c.c_name, c.c_mktsegment
+         |FROM state s LEFT JOIN customer c ON s.pk = c.c_custkey
+         |ORDER BY tbl, pk""".stripMargin,
 
     "cdc_scd2_history" ->
       (ChangelogApply.scd2Sql(clSql) + " ORDER BY tbl, pk, valid_from_pos"),
