@@ -245,6 +245,21 @@ object SparkEntry {
       ChangelogApply.scd2(changelog(s, dir))
         .orderBy("tbl", "pk", "valid_from_pos")),
 
+    // Streaming SCD2 maintenance: 4 genuine micro-batches folded into the
+    // bucketed history store; final timeline must equal the one-shot
+    // batch scd2 (same oracle as cdc_scd2_history).
+    "cdc_scd2_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingScd2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
+      val chunks = s"$tmp/chunks"
+      t(s, dir, "events").coalesce(4).write.parquet(chunks)
+      val schema = s.read.parquet(chunks).schema
+      StreamingScd2.runAvailableNow(s, chunks, schema, Normalizer.normalize,
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 8)
+      StreamingScd2.currentHistory(s, s"$tmp/state")
+        .orderBy("tbl", "pk", "valid_from_pos")
+    }),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -612,6 +627,9 @@ object SparkEntry {
          |ORDER BY tbl, pk""".stripMargin,
 
     "cdc_scd2_history" ->
+      (ChangelogApply.scd2Sql(clSql) + " ORDER BY tbl, pk, valid_from_pos"),
+
+    "cdc_scd2_stream" ->
       (ChangelogApply.scd2Sql(clSql) + " ORDER BY tbl, pk, valid_from_pos"),
 
     "cdc_op_stats" ->

@@ -166,10 +166,23 @@ object StreamingApply {
     */
   def applyBatch(stateDir: String, nBuckets: Int = defaultBuckets,
                  payloadCols: Seq[String] = defaultPayload)(
+      batch: DataFrame, batchId: Long): Unit =
+    applyBatchWith(stateDir, nBuckets, payloadCols,
+      identity, mergeState(_, _, payloadCols))(batch, batchId)
+
+  /** Generic bucketed apply: [[applyBatch]] with a pluggable batch
+    * preparation (pad state-only columns) and state merge — the SAME
+    * versioned-bucket/replay/compaction machinery serves any
+    * order-insensitive merge (LWW here, interval recompute in
+    * [[StreamingScd2]]).
+    */
+  def applyBatchWith(stateDir: String, nBuckets: Int, payloadCols: Seq[String],
+                     prepare: DataFrame => DataFrame,
+                     merge: (DataFrame, DataFrame) => DataFrame)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val cols = stateCols(payloadCols)
-    val b = batch.select(cols.map(col): _*)
+    val b = prepare(batch).select(cols.map(col): _*)
       .withColumn("bucket", bucketOf(nBuckets)).persist()
     try {
       val touched = b.select(col("bucket")).distinct()
@@ -177,7 +190,7 @@ object StreamingApply {
       if (touched.nonEmpty) {
         val prev = stateBefore(spark, stateDir, batchId, Some(touched),
           payloadCols, b.drop("bucket").schema)
-        writeVersion(mergeState(prev, b, payloadCols), stateDir, batchId, nBuckets, payloadCols)
+        writeVersion(merge(prev, b), stateDir, batchId, nBuckets, payloadCols)
         compact(spark, stateDir, buckets = Some(touched))
       }
     } finally { b.unpersist(); () }
