@@ -345,6 +345,9 @@ object SparkEntry {
     // Per-type 3-sigma anomaly rates: decimal moments, division-free test
     "events_anomaly" -> ((s, dir) => Analytics.zscoreOutliers(t(s, dir, "events"))),
 
+    // Growth accounting: first-seen users per day + running total
+    "events_new_users" -> ((s, dir) => Analytics.newUsers(t(s, dir, "events"))),
+
     // Column profiling (ANALYZE shape): a column-pruned scan per column,
     // each distinct two-phase — never one Expand-planned aggregate
     "lineitem_profile" -> ((s, dir) =>
@@ -675,6 +678,7 @@ object SparkEntry {
     "events_retention" -> Analytics.retentionSql,
     "events_rolling_avg" -> Analytics.rollingRevenueSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,
+    "events_new_users" -> Analytics.newUsersSql,
     "lineitem_profile" -> Profiling.tableProfileSql("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount"),

@@ -753,6 +753,36 @@ object Analytics {
        |                    AND o_orderdate >= TIMESTAMP '$cutoff 00:00:00')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Growth accounting: per day, how many users appear for the FIRST
+    * time, plus the running total. First-seen day is one user-keyed
+    * partial min (the only event-volume shuffle); everything after runs
+    * over |days| rows, so the unpartitioned cumulative window — normally
+    * a scale smell — is a few hundred rows by construction. Integral
+    * arithmetic throughout.
+    */
+  def newUsers(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")).as("day_num"))
+    firstDay.groupBy(col("day_num"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum(col("n_new_users")).over(
+        Window.orderBy(col("day_num")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(timestamp_micros(col("day_num") * lit(86400000000L)).as("day"),
+        col("n_new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
+  val newUsersSql: String =
+    """WITH first_day AS (
+      |  SELECT user_id,
+      |         min(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) AS day_num
+      |  FROM events GROUP BY 1),
+      |daily AS (SELECT day_num, count(*) AS n_new_users FROM first_day GROUP BY 1)
+      |SELECT epoch_ms(day_num * 86400000) AS day, n_new_users,
+      |       CAST(sum(n_new_users) OVER (ORDER BY day_num
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
+
   /** Per-type 3σ outlier rates — the metric-anomaly scan over an event
     * stream. Moments come from one partial-combined aggregate with
     * DECIMAL sums (Σv, Σv² exact and shuffle-order-independent, then one

@@ -82,4 +82,27 @@ class EdgeCaseSpec extends SparkSpec {
     val tc = TextAnalysis.tokenCounts(docs).collect().map(r => r.getLong(0) -> r.getAs[Long]("ws_tokens")).toMap
     assert(tc(1L) == 0L && tc(2L) == 0L && tc(3L) == 4L)
   }
+
+  test("scd2 over an empty changelog is empty, not a crash") {
+    assert(graft.cdc.ChangelogApply.scd2(Seq.empty[ChangeEvent].toDF()).collect().isEmpty)
+  }
+
+  test("bloom contamination with an empty benchmark flags nothing") {
+    // no doc_id % 97 == 0 docs → empty filter → no candidates, no NPE
+    val docs = Seq((1L, "shared span of words here"), (2L, "shared span of words here"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Dedup.bloomContamination(docs, 97, 1).collect().isEmpty)
+  }
+
+  test("zscore on a constant series finds no outliers (variance 0, no division)") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0)).toDF("event_type", "value")
+    val got = graft.ops.Analytics.zscoreOutliers(df).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n_outliers") == 0L)
+    assert(got(0).getAs[Double]("outlier_rate") == 0.0)
+  }
+
+  test("bpe merges on an empty corpus is empty; single-token docs contribute nothing") {
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bpeMerges(docs, 5).collect().isEmpty)
+  }
 }
