@@ -418,6 +418,11 @@ object SparkEntry {
     // codes via broadcast distance tables — full vectors never touched
     "ann_pq_adc" -> ((s, dir) => Similarity.pqAdcTopK(t(s, dir, "embeddings"), 8, 5, 4, 16)),
 
+    // Combined IVF+PQ serving (FAISS IVFPQ shape): probe cells, then ADC
+    // over codes of probed-cell members only — both reductions multiply
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), 8, 5, 32, 2, 4, 16)),
+
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
@@ -710,6 +715,7 @@ object SparkEntry {
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
     "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
+    "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -516,6 +516,114 @@ object Similarity {
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF+PQ top-k — the combined serving architecture of a production
+    * billion-vector index (FAISS IVFPQ): the query probes its `nprobe`
+    * nearest cells, and only vectors ASSIGNED to those cells are scored,
+    * by PQ asymmetric distance over their codes. Candidate count drops
+    * from |corpus| to |corpus|·nprobe/nlist, and each candidate costs m
+    * table lookups instead of a dim-length dot product — the two
+    * reductions multiply.
+    *
+    * Scale shape: centroids and per-query distance tables are fixed-size
+    * broadcast artifacts; the cell-restricted candidate join keys on the
+    * cell id (the assignment frame would be the stored, cell-bucketed
+    * index in production, so the probe prunes to matching buckets); the
+    * ADC lookups are m broadcast joins; per-query top-k is the
+    * WindowGroupLimit partial. The corpus full vectors are touched only
+    * at index build, never at query time.
+    */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ncode: Int): DataFrame = {
+    val e = prepared(emb)
+    val cent = centroids(e, nlist)
+    val assigned = cellAssignments(e, cent).select(col("vec_id"), col("cell"))
+    val (sub, cw, best, _) = pqPrep(emb, m, ncode)
+    val codeCols = (0 until m).map(j =>
+      max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
+    val codes = best.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .select(col("query_id"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("qv"), col("qn")).as("qcos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val dt = sub.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cw), "sub_j")
+      .select(col("query_id"), col("sub_j"), col("cent_id"),
+        round(expr(
+          "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, s) -> a + s)"), 6)
+          .as("d2q"))
+    val cand = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = (0 until m).foldLeft(cand.join(codes, "vec_id")) { (acc, j) =>
+      val dtj = dt.filter(col("sub_j") === j)
+        .select(col("query_id").as(s"q$j"), col("cent_id").as(s"k$j"), col("d2q").as(s"d$j"))
+      acc.join(broadcast(dtj),
+        col("query_id") === col(s"q$j") && col(s"c$j") === col(s"k$j"))
+    }
+    val adc = round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6)
+    scored
+      .select(col("query_id"), col("vec_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfPqTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+                   m: Int, ncode: Int, dim: Int): String = {
+    val sd = dim / m
+    val js = (0 until m).mkString(", ")
+    s"""WITH ${cellSql(nlist)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY round(list_dot_product(cv, qv) / (cn * qn), 6) DESC, cent_id) AS pr
+       |    FROM q, cent)
+       |  WHERE pr <= $nprobe),
+       |samp AS (SELECT vec_id AS pq_cent, v AS pqv FROM e
+       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
+       |cw AS (SELECT pq_cent, j AS sub_j, pqv[j * $sd + 1 : j * $sd + $sd] AS cwv
+       |       FROM samp, unnest([$js]) t(j)),
+       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
+       |        FROM e, unnest([$js]) t(j)),
+       |pq_scored AS (
+       |  SELECT s.vec_id, s.sub_j, c.pq_cent,
+       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
+       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
+       |best AS (
+       |  SELECT vec_id, sub_j,
+       |         arg_min(pq_cent, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + pq_cent) AS code
+       |  FROM pq_scored GROUP BY vec_id, sub_j),
+       |dt AS (SELECT vec_id AS query_id, sub_j, pq_cent, d2 AS d2q
+       |       FROM pq_scored WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id, round(sum(d.d2q), 6) AS adc_dist
+       |  FROM cand c
+       |    JOIN best b ON c.vec_id = b.vec_id
+       |    JOIN dt d ON d.query_id = c.query_id AND d.sub_j = b.sub_j AND d.pq_cent = b.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def pqQuantizeSql(m: Int, ncode: Int, dim: Int): String = {
     val sd = dim / m
     val js = (0 until m).mkString(", ")

@@ -168,6 +168,17 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus feature stream must probe the filter map-side:\n$p")
   }
 
+  test("IVF+PQ: probes/tables broadcast, no cartesian, partial top-k") {
+    val p = plan("ann_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe and distance-table joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // the nq×nlist probe scoring is the only allowed NL join
+      s"unexpected cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must run as partial group-limit:\n$p")
+  }
+
   test("q21: per-order aggregate reuses the join's orderkey partitioning") {
     val p = plan("q21_sole_blame")
     // lineitem ⋈ orders shuffles each side once on orderkey; the per-order
