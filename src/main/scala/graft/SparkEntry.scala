@@ -63,6 +63,24 @@ object SparkEntry {
   private def wideChangelog(s: SparkSession, dir: String): DataFrame =
     Normalizer.normalizeWideDecoded(t(s, dir, "events"))
 
+  /** Scratch dir for the streaming queries' chunk/state/checkpoint trees,
+    * deleted on JVM exit — Bench invokes each query several times and the
+    * copies would otherwise accumulate under /tmp across runs. Deletion
+    * can't happen earlier: the returned DataFrame reads the state dir
+    * lazily.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).
     */
@@ -209,7 +227,7 @@ object SparkEntry {
     // a handful of files); at cluster scale this would be thousands.
     "cdc_stream_apply" -> ((s, dir) => {
       import graft.streaming.StreamingApply
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val tmp = scratchDir("graft_stream")
       val chunks = s"$tmp/chunks"
       // coalesce, not repartition: ANY 4-way split yields the same LWW
       // state (order-insensitive merge), so don't pay a full shuffle just
@@ -250,7 +268,7 @@ object SparkEntry {
     // batch scd2 (same oracle as cdc_scd2_history).
     "cdc_scd2_stream" -> ((s, dir) => {
       import graft.streaming.StreamingScd2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
+      val tmp = scratchDir("graft_sscd2")
       val chunks = s"$tmp/chunks"
       t(s, dir, "events").coalesce(4).write.parquet(chunks)
       val schema = s.read.parquet(chunks).schema
@@ -625,13 +643,9 @@ object SparkEntry {
         " ORDER BY tbl, pk"),
 
     "cdc_enriched_state" ->
-      s"""WITH cl AS ($clSql),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
-         |  FROM cl),
-         |state AS (SELECT tbl, pk, value FROM ranked WHERE rn = 1 AND op <> 'D')
-         |SELECT s.tbl, s.pk, s.value, c.c_name, c.c_mktsegment
-         |FROM state s LEFT JOIN customer c ON s.pk = c.c_custkey
+      s"""SELECT s.tbl, s.pk, s.value, c.c_name, c.c_mktsegment
+         |FROM (${ChangelogApply.materializeSql(clSql)}) s
+         |LEFT JOIN customer c ON s.pk = c.c_custkey
          |ORDER BY tbl, pk""".stripMargin,
 
     "cdc_scd2_history" ->

@@ -149,20 +149,29 @@ object Similarity {
        |         arg_max(cent_id, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
        |  FROM e, cent GROUP BY vec_id, v, nrm)""".stripMargin
 
-  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val e = prepared(emb)
-    val cent = centroids(e, nlist)
-    val assigned = cellAssignments(e, cent)
+  /** Per-query probe cells: the `nprobe` centroids nearest each query
+    * (query_id, qv, qn, cell). Shared by [[ivfTopK]] and [[ivfPqTopK]] so
+    * the probe tie-break (qcos desc, cent_id) has exactly one home.
+    */
+  private def probeCells(e: DataFrame, cent: DataFrame,
+                         nQueries: Int, nprobe: Int): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = q.join(broadcast(cent), lit(true))
+    q.join(broadcast(cent), lit(true))
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id"),
         cosine(col("cv"), col("cn"), col("qv"), col("qn")).as("qcos"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val e = prepared(emb)
+    val cent = centroids(e, nlist)
+    val assigned = cellAssignments(e, cent)
+    val probes = probeCells(e, cent, nQueries, nprobe)
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     probes.join(assigned, Seq("cell"))
@@ -451,58 +460,71 @@ object Similarity {
     */
   def pqAdcTopK(emb: DataFrame, nQueries: Int, k: Int, m: Int, ncode: Int): DataFrame = {
     val (sub, cw, best, _) = pqPrep(emb, m, ncode)
+    val scored = adcScore(pqCodes(best, m), distanceTables(sub, cw, nQueries), m)
+      .filter(col("vec_id") =!= col("query_id"))
+    rankByDistance(scored, k)
+  }
+
+  /** Per-vector code row (vec_id, c0..c{m-1}) pivoted from the
+    * per-subspace assignment.
+    */
+  private def pqCodes(best: DataFrame, m: Int): DataFrame = {
     val codeCols = (0 until m).map(j =>
       max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
-    val codes = best.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
-    // per-query subspace distance tables: nq·m·ncode rows, broadcast
-    val dt = sub.filter(col("vec_id") < nQueries)
+    best.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** Per-query subspace distance tables (query_id, sub_j, cent_id, d2q):
+    * nq·m·ncode rows, the broadcast artifact ADC serving looks up.
+    */
+  private def distanceTables(sub: DataFrame, cw: DataFrame, nQueries: Int): DataFrame =
+    sub.filter(col("vec_id") < nQueries)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cw), "sub_j")
       .select(col("query_id"), col("sub_j"), col("cent_id"),
         round(expr(
           "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, s) -> a + s)"), 6)
           .as("d2q"))
-    val scored = (0 until m).foldLeft(codes) { (acc, j) =>
+
+  /** ADC scoring: m broadcast lookups against the distance tables, summed
+    * in fixed order and rounded before ranking. `seed` must carry
+    * (vec_id, c0..c{m-1}); if it already carries query_id (a cell-
+    * restricted candidate frame) the lookups join on it, otherwise the
+    * first lookup introduces it (all-pairs brute force over codes).
+    */
+  private def adcScore(seed: DataFrame, dt: DataFrame, m: Int): DataFrame = {
+    val seeded = seed.columns.contains("query_id")
+    val scored = (0 until m).foldLeft(seed) { (acc, j) =>
       val dtj = dt.filter(col("sub_j") === j)
         .select(col("query_id").as(s"q$j"), col("cent_id").as(s"k$j"), col("d2q").as(s"d$j"))
-      val cond = if (j == 0) col("c0") === col("k0")
-        else col(s"c$j") === col(s"k$j") && col("q0") === col(s"q$j")
+      val codeEq = col(s"c$j") === col(s"k$j")
+      val cond =
+        if (seeded) codeEq && col("query_id") === col(s"q$j")
+        else if (j == 0) codeEq
+        else codeEq && col("q0") === col(s"q$j")
       acc.join(broadcast(dtj), cond)
     }
     val adc = round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6)
-    val ranked = scored
-      .filter(col("vec_id") =!= col("q0"))
-      .select(col("q0").as("query_id"), col("vec_id"), adc.as("adc_dist"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
-      .filter(col("rank") <= k)
-    ranked.select(col("query_id"), col("vec_id"), col("adc_dist"),
-      col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    val qcol = if (seeded) col("query_id") else col("q0")
+    scored.select(qcol.as("query_id"), col("vec_id"), adc.as("adc_dist"))
   }
 
-  def pqAdcTopKSql(nQueries: Int, k: Int, m: Int, ncode: Int, dim: Int): String = {
-    val sd = dim / m
-    val js = (0 until m).mkString(", ")
+  /** Per-query ascending-distance top-k (WindowGroupLimit partials). */
+  private def rankByDistance(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+
+  def pqAdcTopKSql(nQueries: Int, k: Int, m: Int, ncode: Int, dim: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |samp AS (SELECT vec_id AS cent_id, v FROM e
-       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
-       |cw AS (SELECT cent_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS cwv
-       |       FROM samp, unnest([$js]) t(j)),
-       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
-       |        FROM e, unnest([$js]) t(j)),
-       |scored AS (
-       |  SELECT s.vec_id, s.sub_j, c.cent_id,
-       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
-       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
-       |best AS (
-       |  SELECT vec_id, sub_j,
-       |         arg_min(cent_id, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + cent_id) AS code
-       |  FROM scored GROUP BY vec_id, sub_j),
+       |${pqCtesSql(m, ncode, dim)},
        |dt AS (
        |  SELECT vec_id AS query_id, sub_j, cent_id, d2 AS d2q
-       |  FROM scored WHERE vec_id < $nQueries),
+       |  FROM pq_scored WHERE vec_id < $nQueries),
        |adc AS (
        |  SELECT d.query_id, b.vec_id,
        |         round(sum(d.d2q), 6) AS adc_dist
@@ -514,7 +536,6 @@ object Similarity {
        |  FROM adc)
        |SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   /** IVF+PQ top-k — the combined serving architecture of a production
     * billion-vector index (FAISS IVFPQ): the query probes its `nprobe`
@@ -538,50 +559,43 @@ object Similarity {
     val cent = centroids(e, nlist)
     val assigned = cellAssignments(e, cent).select(col("vec_id"), col("cell"))
     val (sub, cw, best, _) = pqPrep(emb, m, ncode)
-    val codeCols = (0 until m).map(j =>
-      max(when(col("sub_j") === j, col("code"))).as(s"c$j"))
-    val codes = best.groupBy(col("vec_id")).agg(codeCols.head, codeCols.tail: _*)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cent_id"))
-    val probes = q.join(broadcast(cent), lit(true))
-      .select(col("query_id"), col("cent_id"),
-        cosine(col("cv"), col("cn"), col("qv"), col("qn")).as("qcos"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("cent_id").as("cell"))
-    val dt = sub.filter(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cw), "sub_j")
-      .select(col("query_id"), col("sub_j"), col("cent_id"),
-        round(expr(
-          "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, s) -> a + s)"), 6)
-          .as("d2q"))
+    val probes = probeCells(e, cent, nQueries, nprobe).select(col("query_id"), col("cell"))
     val cand = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val scored = (0 until m).foldLeft(cand.join(codes, "vec_id")) { (acc, j) =>
-      val dtj = dt.filter(col("sub_j") === j)
-        .select(col("query_id").as(s"q$j"), col("cent_id").as(s"k$j"), col("d2q").as(s"d$j"))
-      acc.join(broadcast(dtj),
-        col("query_id") === col(s"q$j") && col(s"c$j") === col(s"k$j"))
-    }
-    val adc = round((0 until m).map(j => col(s"d$j")).reduce(_ + _), 6)
-    scored
-      .select(col("query_id"), col("vec_id"), adc.as("adc_dist"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc_dist"),
-        col("rank").cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+    val scored = adcScore(cand.join(pqCodes(best, m), "vec_id"),
+      distanceTables(sub, cw, nQueries), m)
+    rankByDistance(scored, k)
+  }
+
+  /** Shared PQ oracle CTE chain (codebook sample → codewords →
+    * subvectors → per-code distances → per-subspace assignment) over an
+    * existing `e(vec_id, v, ...)` CTE — ONE home for the hash-sample
+    * order and the composite arg_min tie-break, mirroring the Scala
+    * [[pqPrep]]. Used by all three PQ oracles.
+    */
+  private def pqCtesSql(m: Int, ncode: Int, dim: Int): String = {
+    val sd = dim / m
+    val js = (0 until m).mkString(", ")
+    s"""samp AS (SELECT vec_id AS cent_id, v FROM e
+       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
+       |cw AS (SELECT cent_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS cwv
+       |       FROM samp, unnest([$js]) t(j)),
+       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
+       |        FROM e, unnest([$js]) t(j)),
+       |pq_scored AS (
+       |  SELECT s.vec_id, s.sub_j, c.cent_id,
+       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
+       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
+       |best AS (
+       |  SELECT vec_id, sub_j,
+       |         arg_min(cent_id, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + cent_id) AS code,
+       |         min(d2) AS d2
+       |  FROM pq_scored GROUP BY vec_id, sub_j)""".stripMargin
   }
 
   def ivfPqTopKSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
-                   m: Int, ncode: Int, dim: Int): String = {
-    val sd = dim / m
-    val js = (0 until m).mkString(", ")
+                   m: Int, ncode: Int, dim: Int): String =
     s"""WITH ${cellSql(nlist)},
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
        |probes AS (
@@ -591,21 +605,8 @@ object Similarity {
        |             ORDER BY round(list_dot_product(cv, qv) / (cn * qn), 6) DESC, cent_id) AS pr
        |    FROM q, cent)
        |  WHERE pr <= $nprobe),
-       |samp AS (SELECT vec_id AS pq_cent, v AS pqv FROM e
-       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
-       |cw AS (SELECT pq_cent, j AS sub_j, pqv[j * $sd + 1 : j * $sd + $sd] AS cwv
-       |       FROM samp, unnest([$js]) t(j)),
-       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
-       |        FROM e, unnest([$js]) t(j)),
-       |pq_scored AS (
-       |  SELECT s.vec_id, s.sub_j, c.pq_cent,
-       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
-       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
-       |best AS (
-       |  SELECT vec_id, sub_j,
-       |         arg_min(pq_cent, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + pq_cent) AS code
-       |  FROM pq_scored GROUP BY vec_id, sub_j),
-       |dt AS (SELECT vec_id AS query_id, sub_j, pq_cent, d2 AS d2q
+       |${pqCtesSql(m, ncode, dim)},
+       |dt AS (SELECT vec_id AS query_id, sub_j, cent_id, d2 AS d2q
        |       FROM pq_scored WHERE vec_id < $nQueries),
        |cand AS (
        |  SELECT p.query_id, a.vec_id
@@ -615,36 +616,19 @@ object Similarity {
        |  SELECT c.query_id, c.vec_id, round(sum(d.d2q), 6) AS adc_dist
        |  FROM cand c
        |    JOIN best b ON c.vec_id = b.vec_id
-       |    JOIN dt d ON d.query_id = c.query_id AND d.sub_j = b.sub_j AND d.pq_cent = b.code
+       |    JOIN dt d ON d.query_id = c.query_id AND d.sub_j = b.sub_j AND d.cent_id = b.code
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
        |  FROM adc)
        |SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
 
   def pqQuantizeSql(m: Int, ncode: Int, dim: Int): String = {
-    val sd = dim / m
-    val js = (0 until m).mkString(", ")
     val codeSel = (0 until m).map(j => s"max(CASE WHEN sub_j = $j THEN code END) AS c$j").mkString(", ")
     val mseNum = (0 until m).map(j => s"max(CASE WHEN sub_j = $j THEN d2 END)").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |samp AS (SELECT vec_id AS cent_id, v FROM e
-       |         ORDER BY ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $ncode),
-       |cw AS (SELECT cent_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS cwv
-       |       FROM samp, unnest([$js]) t(j)),
-       |sub AS (SELECT vec_id, j AS sub_j, v[j * $sd + 1 : j * $sd + $sd] AS sv
-       |        FROM e, unnest([$js]) t(j)),
-       |scored AS (
-       |  SELECT s.vec_id, s.sub_j, c.cent_id,
-       |         round(list_sum([(s.sv[i] - c.cwv[i]) * (s.sv[i] - c.cwv[i]) FOR i IN range(1, $sd + 1)]), 6) AS d2
-       |  FROM sub s JOIN cw c ON s.sub_j = c.sub_j),
-       |best AS (
-       |  SELECT vec_id, sub_j,
-       |         arg_min(cent_id, CAST(round(d2 * 1000000, 0) AS BIGINT) * 10000000 + cent_id) AS code,
-       |         min(d2) AS d2
-       |  FROM scored GROUP BY vec_id, sub_j)
+       |${pqCtesSql(m, ncode, dim)}
        |SELECT vec_id, $codeSel,
        |       round(($mseNum) / ${dim.toDouble}, 12) AS mse
        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin

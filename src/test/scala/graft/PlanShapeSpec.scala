@@ -172,9 +172,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("ann_ivfpq_topk")
     assert(p.contains("BroadcastHashJoin"),
       s"probe and distance-table joins must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"), // the nq×nlist probe scoring is the only allowed NL join
-      s"unexpected cartesian:\n$p")
+    // the nq×nlist probe scoring may plan as a broadcast NL join, but a
+    // CartesianProduct (both sides shuffled) is never acceptable
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k must run as partial group-limit:\n$p")
   }
