@@ -441,6 +441,10 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), 8, 5, 32, 2, 4, 16)),
 
+    // Index-quality audit: recall@k of IVF vs the exact baseline
+    "ann_recall_audit" -> ((s, dir) =>
+      Similarity.ivfRecallAudit(t(s, dir, "embeddings"), 8, 5, 32, 2)),
+
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
@@ -492,6 +496,10 @@ object SparkEntry {
     // Percentile-anchored quality gate: keep the top 60% by quality
     "text_quality_gate" -> ((s, dir) =>
       Curation.qualityGate(t(s, dir, "documents"), 0.6)),
+
+    // Quality-weighted deterministic sampling: P(keep) = quality, no RNG
+    "text_importance_sample" -> ((s, dir) =>
+      Curation.importanceSample(t(s, dir, "documents"), 10000)),
 
     // Composed curation funnel: quality gate → exact-dedup canonical →
     // per-language stratified keep, with per-stage survivor counts
@@ -730,6 +738,7 @@ object SparkEntry {
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
     "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
+    "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
@@ -759,6 +768,8 @@ object SparkEntry {
     "text_pack_bins" -> Curation.packBinsSql(512, 8),
 
     "text_quality_gate" -> Curation.qualityGateSql(0.6),
+
+    "text_importance_sample" -> Curation.importanceSampleSql(10000),
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),

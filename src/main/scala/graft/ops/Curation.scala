@@ -184,4 +184,43 @@ object Curation {
        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM sampled GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
+
+  /** Quality-weighted (importance) sampling: a doc is kept with
+    * probability equal to its quality score — keep iff
+    * hash(doc_id) % D < round(quality·D). Deterministic: no RNG, so
+    * re-runs and backfills select the IDENTICAL subset (the property a
+    * reproducible training-data pipeline needs), and the acceptance test
+    * is integral arithmetic on both engines (quality has 4 decimals, so
+    * quality·10⁴ is exactly integral — no rounding boundary to disagree
+    * on). The audit output shows per-source kept counts and mean quality
+    * before/after: avg_q_kept > avg_q_all is the up-weighting working.
+    * One lineage over the corpus (quality + source carried together);
+    * a single partial-combined aggregate.
+    */
+  def importanceSample(docs: DataFrame, denom: Int): DataFrame = {
+    val q = TextAnalysis.qualityScoreWith(docs, Seq("source"))
+    val kept = PortableHash.tokenHash(col("doc_id").cast("string")) % denom <
+      round(col("quality") * denom).cast("long")
+    q.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(col("quality").cast("decimal(10,4)")).cast("double") / count(lit(1)), 6)
+          .as("avg_q_all"),
+        round(sum(when(kept, col("quality").cast("decimal(10,4)"))).cast("double") /
+          sum(when(kept, 1L).otherwise(0L)), 6).as("avg_q_kept"))
+      .orderBy("source")
+  }
+
+  def importanceSampleSql(denom: Int): String = {
+    val kept = s"(${PortableHash.tokenHashSql("CAST(doc_id AS VARCHAR)")}) % $denom" +
+      s" < CAST(round(quality * $denom, 0) AS BIGINT)"
+    s"""WITH q AS (${TextAnalysis.qualityScoreSqlWith(Seq("source"))})
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN $kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / count(*), 6) AS avg_q_all,
+       |  round(CAST(sum(CASE WHEN $kept THEN CAST(quality AS DECIMAL(10,4)) END) AS DOUBLE)
+       |        / sum(CASE WHEN $kept THEN 1 ELSE 0 END), 6) AS avg_q_kept
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
 }

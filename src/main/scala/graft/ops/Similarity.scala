@@ -183,6 +183,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Index-quality audit: recall@k of the IVF index against the exact
+    * brute-force baseline — the number every production ANN deployment
+    * watches when tuning nlist/nprobe. Composes the two top-k operators
+    * and joins their result sets per query; both inputs are k·|Q| rows,
+    * so the audit itself costs nothing beyond the searches it compares.
+    */
+  def ivfRecallAudit(emb: DataFrame, nQueries: Int, k: Int,
+                     nlist: Int, nprobe: Int): DataFrame = {
+    val exact = bruteForceTopK(emb, nQueries, k).select(col("query_id"), col("vec_id"))
+    val approx = ivfTopK(emb, nQueries, k, nlist, nprobe)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def ivfRecallAuditSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
+    s"""SELECT b.query_id, count(i.vec_id) AS n_hits,
+       |       round(CAST(count(i.vec_id) AS DOUBLE) / $k, 6) AS recall
+       |FROM (${bruteForceTopKSql(nQueries, k)}) b
+       |LEFT JOIN (${ivfTopKSql(nQueries, k, nlist, nprobe)}) i
+       |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   /** IVF-blocked near-duplicate pairs: when no natural blocking column
     * exists, the IVF cell assignment IS the blocking key — pairwise
     * cosine only within a cell. The unblocked-corpus complement of

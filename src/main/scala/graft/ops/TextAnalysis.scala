@@ -62,18 +62,23 @@ object TextAnalysis {
     *   n_tokens, mean token length, stopword ratio (en markers),
     *   alnum ratio; score = clamped weighted sum, rounded to 4 dp.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame = qualityScoreWith(docs, Nil)
+
+  /** [[qualityScore]] with passthrough columns carried in the SAME
+    * lineage — composing downstream consumers (e.g. per-source sampling)
+    * must not re-join a second projection of the corpus on doc_id.
+    */
+  def qualityScoreWith(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val toks = Tokenize.tokens(col("text"))
     val allStop = markers.flatMap(_._2).distinct.sorted
-    docs.select(col("doc_id"), toks.as("tok"), col("text"))
-      .select(
-        col("doc_id"),
+    docs.select(col("doc_id") +: keep.map(col) :+ toks.as("tok") :+ col("text"): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(
         size(col("tok")).cast("long").as("n_tokens"),
         round(length(concat_ws("", col("tok"))).cast("double") / greatest(size(col("tok")), lit(1)), 4).as("mean_tok_len"),
         round(size(filter(col("tok"), t => t.isin(allStop.map(lit(_)): _*))).cast("double") /
           greatest(size(col("tok")), lit(1)), 4).as("stopword_ratio"),
         round((length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", ""))).cast("double") /
-          greatest(length(col("text")), lit(1)), 4).as("alnum_ratio"))
+          greatest(length(col("text")), lit(1)), 4).as("alnum_ratio")): _*)
       .withColumn("quality",
         round(least(lit(1.0),
           lit(0.3) * least(col("n_tokens") / 64.0, lit(1.0))
@@ -82,17 +87,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val qualityScoreSql: String = {
+  val qualityScoreSql: String = qualityScoreSqlWith(Nil)
+
+  /** SQL mirror of [[qualityScoreWith]]: same CTE chain with passthrough
+    * columns threaded through every stage.
+    */
+  def qualityScoreSqlWith(keep: Seq[String]): String = {
     val allStop = markers.flatMap(_._2).distinct.sorted.map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, text, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+    val k = keep.map(c => s"$c, ").mkString
+    s"""WITH t AS (SELECT doc_id, ${k}text, ${Tokenize.tokensSql("text")} AS tok FROM documents),
        |m AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, $k
        |    CAST(len(tok) AS BIGINT) AS n_tokens,
        |    round(CAST(length(coalesce(list_aggregate(tok, 'string_agg', ''), '')) AS DOUBLE) / greatest(len(tok), 1), 4) AS mean_tok_len,
        |    round(CAST(len(list_filter(tok, t -> t IN ($allStop))) AS DOUBLE) / greatest(len(tok), 1), 4) AS stopword_ratio,
        |    round(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS alnum_ratio
        |  FROM t)
-       |SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, alnum_ratio,
+       |SELECT doc_id, ${k}n_tokens, mean_tok_len, stopword_ratio, alnum_ratio,
        |  round(least(1.0,
        |    0.3 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
        |    + 0.3 * stopword_ratio * 4.0
