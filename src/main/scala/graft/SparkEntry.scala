@@ -515,6 +515,14 @@ object SparkEntry {
     "events_approx_distinct" -> ((s, dir) =>
       Sketches.approxDistinctUsers(t(s, dir, "events"), 64)),
 
+    // Histogram-sketch percentiles (bounded mergeable partials) vs exact audit
+    "events_quantile_sketch" -> ((s, dir) =>
+      Sketches.valueQuantileSketch(t(s, dir, "events"), 64)),
+
+    // Quality gate with a histogram-sketch threshold (single bounded agg)
+    "text_quality_gate_sketch" -> ((s, dir) =>
+      Curation.qualityGateSketch(t(s, dir, "documents"), 0.6, 64)),
+
     // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
@@ -777,6 +785,10 @@ object SparkEntry {
     "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
 
     "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
+
+    "events_quantile_sketch" -> Sketches.valueQuantileSketchSql(64),
+
+    "text_quality_gate_sketch" -> Curation.qualityGateSketchSql(0.6, 64),
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),

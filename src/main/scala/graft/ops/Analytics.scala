@@ -485,6 +485,11 @@ object Analytics {
     * latency shape of the reference's metrics (BASELINE.md) as a data
     * aggregation. Spark `percentile` and DuckDB `quantile_cont` share the
     * linear-interpolation definition; results rounded to 4 dp.
+    *
+    * NOTE: `percentile`'s aggregation buffer holds every group value —
+    * O(|group|) reducer memory at corpus scale. This form is the
+    * fixture-scale audit; [[Sketches.valueQuantileSketch]] is the bounded
+    * (histogram-partial) scale path.
     */
   def valuePercentiles(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

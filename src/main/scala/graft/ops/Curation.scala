@@ -55,9 +55,10 @@ object Curation {
     * threshold, keep the top `keepFraction` of the corpus by quality —
     * the calibration step that makes a quality filter portable across
     * corpora with different score distributions. Exact interpolated
-    * percentile (same engine-parity recipe as the P50/P95/P99 metrics);
-    * at extreme scale `approx_percentile` slots in with identical plan
-    * shape. Output: the derived threshold + survivor counts.
+    * percentile (same engine-parity recipe as the P50/P95/P99 metrics) —
+    * NOTE the exact buffer holds every score, so this form is the
+    * fixture-scale audit; [[qualityGateSketch]] is the bounded scale
+    * path. Output: the derived threshold + survivor counts.
     */
   def qualityGate(docs: DataFrame, keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction < 1, s"keepFraction in (0,1): $keepFraction")
@@ -69,6 +70,73 @@ object Curation {
         max(col("threshold")).as("threshold"),
         count(lit(1)).as("n_total"),
         sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** [[qualityGate]] with the threshold derived from a fixed-bin histogram
+    * sketch instead of the exact `percentile` (whose aggregation buffer
+    * holds EVERY quality score — O(|corpus|) memory on one reducer at
+    * 100 TB). `quality` is bounded in [0, 1] by construction
+    * ([[TextAnalysis.signals]] applies `least(1.0, …)`), so the histogram
+    * needs NO bounds pass: bin = min(floor(q·nBins), nBins−1) is a single
+    * map-side-combined aggregation shipping ≤ nBins counter partials —
+    * bounded at any corpus size. The exact-percentile threshold is kept as
+    * the AUDIT column (the [[Sketches.approxDistinctUsers]] pairing): at
+    * fixture scale it is cheap; at scale you drop it and keep the sketch.
+    *
+    * The sketch threshold is rounded to 4 dp BEFORE the survivor count
+    * compares against it (rounding after would let engine-private
+    * double formatting leak into the keep/drop decision).
+    */
+  def qualityGateSketch(docs: DataFrame, keepFraction: Double, nBins: Int): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1, s"keepFraction in (0,1): $keepFraction")
+    val q = 1.0 - keepFraction
+    val sig = TextAnalysis.signals(docs).select(col("quality"))
+    val binned = sig
+      .groupBy(least(floor(col("quality") * nBins), lit((nBins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = binned
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over())
+    val target = greatest(ceil(lit(q) * col("n")), lit(1L))
+    val prev = col("cum") - col("c")
+    val est = (col("bin") + (target - prev).cast("double") / col("c")) / lit(nBins)
+    val th = cum.agg(
+      round(max(when(col("cum") >= target && prev < target, est)), 4).as("threshold_sketch"))
+    val thExact = sig.agg(
+      round(expr(s"percentile(quality, $q)"), 4).as("threshold_exact"))
+    sig.crossJoin(broadcast(th)).crossJoin(broadcast(thExact))
+      .agg(
+        max(col("threshold_sketch")).as("threshold_sketch"),
+        max(col("threshold_exact")).as("threshold_exact"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("quality") >= col("threshold_sketch"), 1L).otherwise(0L)).as("n_kept_sketch"),
+        sum(when(col("quality") >= col("threshold_exact"), 1L).otherwise(0L)).as("n_kept_exact"))
+  }
+
+  /** Oracle mirror of [[qualityGateSketch]] — histogram rebuilt
+    * declaratively with the same bin/rank/interpolation arithmetic.
+    */
+  def qualityGateSketchSql(keepFraction: Double, nBins: Int): String = {
+    val q = 1.0 - keepFraction
+    val target = s"greatest(CAST(ceil($q * n) AS BIGINT), 1)"
+    s"""WITH ${TextAnalysis.signalsSql},
+       |binned AS (
+       |  SELECT least(CAST(floor(quality * $nBins) AS BIGINT), ${nBins - 1}) AS bin, count(*) AS c
+       |  FROM sig GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum, sum(c) OVER () AS n
+       |  FROM binned),
+       |th AS (
+       |  SELECT round(max(CASE WHEN cum >= $target AND cum - c < $target
+       |                   THEN (bin + CAST($target - (cum - c) AS DOUBLE) / c) / $nBins END), 4) AS threshold_sketch
+       |  FROM cum),
+       |the AS (SELECT round(quantile_cont(quality, $q), 4) AS threshold_exact FROM sig)
+       |SELECT max(th.threshold_sketch) AS threshold_sketch,
+       |       max(the.threshold_exact) AS threshold_exact,
+       |       count(*) AS n_total,
+       |       CAST(sum(CASE WHEN sig.quality >= th.threshold_sketch THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_sketch,
+       |       CAST(sum(CASE WHEN sig.quality >= the.threshold_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact
+       |FROM sig, th, the""".stripMargin
   }
 
   def qualityGateSql(keepFraction: Double): String =

@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.functions.{KmvFunctions, PortableHash}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketch summaries — the approximate-aggregate layer a 100 TB
@@ -42,6 +43,125 @@ object Sketches {
       .withColumn("rel_error",
         round(abs(col("kmv_estimate") - col("n_exact")) / col("n_exact"), 4))
       .orderBy("event_type")
+  }
+
+  /** Per-group quantile estimates from a fixed-bin histogram sketch — the
+    * mergeable, bounded-buffer replacement for exact `percentile` (whose
+    * aggregation buffer holds EVERY group value, i.e. O(|group|) memory on
+    * one reducer at corpus scale).
+    *
+    * Scale shape: two bounded aggregations. Pass 1 ships (min, max, count)
+    * partials per group; pass 2 bins each value against the broadcast
+    * bounds and ships ≤ nBins counter partials per group — so reducer
+    * memory is O(groups · nBins) regardless of corpus size, and both
+    * passes are map-side partial-merged. This is the same role a t-digest
+    * plays, but with a sketch the DuckDB oracle can rebuild declaratively
+    * (bin = floor((v-min)/width); a t-digest's centroid layout is
+    * engine-private, like HLL registers — unverifiable).
+    *
+    * Estimator: rank target = max(ceil(p·n), 1); walk the cumulative
+    * histogram to the first bin with cum ≥ target and interpolate
+    * uniformly within it. All arithmetic is order-independent (integer
+    * counts, double ops in a fixed expression order), so results are
+    * bit-stable across partitionings and engines.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         nBins: Int, ps: Seq[(String, Double)]): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val bounds = df.groupBy(g).agg(
+      min(v).as("v_min"), max(v).as("v_max"), count(lit(1)).as("n"))
+    val width = (col("v_max") - col("v_min")) / lit(nBins)
+    val binned = df.join(broadcast(bounds), groupCol)
+      .select(g,
+        when(col("v_max") === col("v_min"), lit(0L))
+          .otherwise(least(floor((v - col("v_min")) / width), lit((nBins - 1).toLong)))
+          .as("bin"))
+      .groupBy(g, col("bin")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(g).orderBy(col("bin"))
+    val cum = binned.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(bounds), groupCol)
+    val ests = ps.map { case (name, p) =>
+      val target = greatest(ceil(lit(p) * col("n")), lit(1L))
+      val prev = col("cum") - col("c")
+      val est: Column = when(col("v_max") === col("v_min"), col("v_min"))
+        .otherwise(when(col("cum") >= target && prev < target,
+          col("v_min") + (col("v_max") - col("v_min")) / lit(nBins) *
+            (col("bin") + (target - prev).cast("double") / col("c"))))
+      round(max(est), 4).as(name)
+    }
+    cum.groupBy(g).agg(max(col("n")).as("n"), ests: _*)
+  }
+
+  /** Histogram-sketch P50/P95/P99 of `events.value` per event type, with
+    * the exact interpolated percentile kept as the AUDIT column (the same
+    * exact-vs-sketch pairing as [[approxDistinctUsers]]): at fixture scale
+    * the audit is cheap; at 100 TB you drop it and keep the bounded sketch.
+    */
+  def valueQuantileSketch(events: DataFrame, nBins: Int): DataFrame = {
+    val sk = histogramQuantiles(events, "event_type", "value", nBins,
+      Seq(("p50_sketch", 0.5), ("p95_sketch", 0.95), ("p99_sketch", 0.99)))
+    val exact = events.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+      round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+      round(expr("percentile(value, 0.99)"), 4).as("p99_exact"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        col("p50_sketch"), col("p50_exact"),
+        round(abs(col("p50_sketch") - col("p50_exact")), 4).as("p50_err"),
+        col("p95_sketch"), col("p95_exact"),
+        round(abs(col("p95_sketch") - col("p95_exact")), 4).as("p95_err"),
+        col("p99_sketch"), col("p99_exact"),
+        round(abs(col("p99_sketch") - col("p99_exact")), 4).as("p99_err"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle mirror of [[valueQuantileSketch]]: the histogram is rebuilt
+    * declaratively (bin assignment, windowed cumulative counts, the same
+    * rank/interpolation arithmetic in the same expression order).
+    */
+  def valueQuantileSketchSql(nBins: Int): String = {
+    def est(p: Double): String = {
+      val target = s"greatest(CAST(ceil($p * b.n) AS BIGINT), 1)"
+      s"""CASE WHEN b.v_max = b.v_min THEN b.v_min
+         |     WHEN cum >= $target AND cum - c < $target
+         |     THEN b.v_min + (b.v_max - b.v_min) / $nBins *
+         |          (bin + CAST($target - (cum - c) AS DOUBLE) / c) END""".stripMargin
+    }
+    s"""WITH bounds AS (
+       |  SELECT event_type, min(value) AS v_min, max(value) AS v_max, count(*) AS n
+       |  FROM events GROUP BY event_type),
+       |binned AS (
+       |  SELECT e.event_type,
+       |    CASE WHEN b.v_max = b.v_min THEN 0
+       |         ELSE least(CAST(floor((e.value - b.v_min) / ((b.v_max - b.v_min) / $nBins)) AS BIGINT), ${nBins - 1}) END AS bin,
+       |    count(*) AS c
+       |  FROM events e JOIN bounds b USING (event_type)
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bin, c,
+       |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+       |  FROM binned),
+       |sk AS (
+       |  SELECT cm.event_type, max(b.n) AS n,
+       |    round(max(${est(0.5)}), 4) AS p50_sketch,
+       |    round(max(${est(0.95)}), 4) AS p95_sketch,
+       |    round(max(${est(0.99)}), 4) AS p99_sketch
+       |  FROM cum cm JOIN bounds b USING (event_type)
+       |  GROUP BY cm.event_type),
+       |exact AS (
+       |  SELECT event_type,
+       |    round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       |    round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       |    round(quantile_cont(value, 0.99), 4) AS p99_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT s.event_type, s.n,
+       |  s.p50_sketch, x.p50_exact, round(abs(s.p50_sketch - x.p50_exact), 4) AS p50_err,
+       |  s.p95_sketch, x.p95_exact, round(abs(s.p95_sketch - x.p95_exact), 4) AS p95_err,
+       |  s.p99_sketch, x.p99_exact, round(abs(s.p99_sketch - x.p99_exact), 4) AS p99_err
+       |FROM sk s JOIN exact x USING (event_type)
+       |ORDER BY event_type""".stripMargin
   }
 
   /** The oracle rebuilds the sketch declaratively: the k smallest distinct

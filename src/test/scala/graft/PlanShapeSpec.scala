@@ -179,6 +179,28 @@ class PlanShapeSpec extends SparkSpec {
       s"per-query top-k must run as partial group-limit:\n$p")
   }
 
+  test("histogram quantile sketch: bounded partial-merged aggregation, no percentile buffer") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val p = graft.ops.Sketches.histogramQuantiles(events, "event_type", "value", 64,
+      Seq(("p50", 0.5), ("p95", 0.95))).queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"),
+      s"sketch path must never buffer raw values in an aggregate:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"bounds and bin-count passes must combine map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-group bounds must broadcast into the binning scan:\n$p")
+  }
+
+  test("quality gate sketch: histogram threshold is one map-combined aggregation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Curation.qualityGateSketch(docs, 0.6, 64)
+      .queryExecution.executedPlan.toString
+    // the exact-percentile AUDIT column is allowed; the bin histogram
+    // itself must be a partial-merged count aggregation
+    assert(p.contains("partial_count"),
+      s"bin counts must combine map-side:\n$p")
+  }
+
   test("q21: per-order aggregate reuses the join's orderkey partitioning") {
     val p = plan("q21_sole_blame")
     // lineitem ⋈ orders shuffles each side once on orderkey; the per-order
