@@ -67,19 +67,9 @@ object SparkEntry {
     * deleted on JVM exit — Bench invokes each query several times and the
     * copies would otherwise accumulate under /tmp across runs. Deletion
     * can't happen earlier: the returned DataFrame reads the state dir
-    * lazily.
+    * lazily. One shared shutdown hook sweeps all of them ([[Scratch]]).
     */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).

@@ -239,10 +239,12 @@ object Dedup {
     * neighbors' labels). Converges in O(component diameter) rounds — for
     * near-dup graphs the components are small dense clusters, so a
     * handful of rounds; each round is one keyed join + partial-agg min,
-    * no global structure. Every round is `localCheckpoint`ed: iterative
-    * plans otherwise re-derive all prior rounds on each action (a real
-    * cluster would checkpoint to durable storage instead). The oracle
-    * computes the same fixpoint as a recursive min-reachability CTE.
+    * no global structure. Every round is RELIABLY checkpointed (durable
+    * storage via the context checkpoint dir): iterative plans otherwise
+    * re-derive all prior rounds on each action, and executor-memory
+    * checkpoints (`localCheckpoint`) would lose round state on executor
+    * failure — restarting a long CC job from zero. The oracle computes
+    * the same fixpoint as a recursive min-reachability CTE.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame =
     connectedComponents(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
@@ -250,12 +252,26 @@ object Dedup {
   /** Connected components over an undirected pair relation
     * (doc_a, doc_b) → (doc_id, cluster, cluster_size), cluster = min
     * member id. See [[nearDupClusters]] for the algorithm and scale notes.
+    *
+    * Convergence bound: min-label propagation with the neighbor-min seed
+    * reaches the fixpoint in at most `diameter` rounds (+1 confirming
+    * round), and diameter < |V| always — so the loop terminates on any
+    * graph. `maxRounds` (default 64, i.e. diameter-64 chains) is a
+    * circuit-breaker for jobs whose components are pathologically
+    * chain-shaped; raise it per-call rather than letting a mis-specified
+    * edge relation spin — near-dup graphs are small dense clusters whose
+    * diameter is single-digit.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // reliable (durable-storage) checkpoints truncate lineage AND survive
+    // executor loss; on a real cluster point the checkpoint dir at the
+    // job's DFS scratch path before calling (this default serves local runs)
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(graft.Scratch.dir("graft-cc-ckpt"))
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true) // pair generation runs once; rounds reuse the edge list
+      .checkpoint() // pair generation runs once; rounds reuse the edge list
     // seed each node with min(self, direct neighbors) — the same shuffle
     // as the plain distinct-nodes init, but it fuses the first propagation
     // round: diameter-1 components (the bulk of near-dup graphs — pairs
@@ -264,18 +280,20 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .checkpoint()
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
-    require(converged, s"label propagation did not converge in $rounds rounds")
+    require(converged,
+      s"label propagation hit the maxRounds=$maxRounds circuit-breaker " +
+        s"(components with diameter > $maxRounds; raise maxRounds)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))

@@ -67,6 +67,17 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)))
   }
 
+  test("connected components: diameter-10 chain converges (reverse-ordered ids)") {
+    import spark.implicits._
+    // a single chain 10-9-8-…-0 written worst-case for min propagation
+    // (the min label sits at one END of the chain, so it must travel the
+    // full diameter) + checkpointed rounds survive the whole walk
+    val pairs = (0L until 10L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (0L to 10L).map(i => (i, 0L, 11L)))
+  }
+
   test("near-dup clusters: identical docs group end-to-end; unpaired docs absent") {
     val got = Dedup.nearDupClusters(
       corpus(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> (b + " extra unseen tokens here")), 0.99)
