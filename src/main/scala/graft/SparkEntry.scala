@@ -513,12 +513,12 @@ object SparkEntry {
     "text_quality_gate_sketch" -> ((s, dir) =>
       Curation.qualityGateSketch(t(s, dir, "documents"), 0.6, 64)),
 
-    // ---- Multimodal plumbing (stubbed codec, real Spark machinery) ----
+    // ---- Multimodal (real ImageIO PNG codec; synthetic deterministic
+    // images so the lossless round-trip is oracle-checkable) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
-    "mm_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.payloads(t(s, dir, "documents")), 48))
+    "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -782,6 +782,6 @@ object SparkEntry {
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
-    "mm_resize" -> Multimodal.resizeSql(48)
+    "mm_resize" -> Multimodal.resizeSql(8)
   )
 }

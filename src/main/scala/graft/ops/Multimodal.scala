@@ -1,104 +1,243 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media travel as opaque `binary` payload columns next to typed metadata
-  * — the lakehouse pattern for multimodal training data. The Spark-side
-  * machinery here is real and tested: payload schema, per-partition
-  * decoder lifecycle (`mapPartitions` with one decoder instance per
-  * partition — exactly how a JNI image codec would be held), deterministic
-  * batch shape. The codec itself is a STUB (this container ships no
-  * image/audio libraries): [[StubDecoder]] derives width/height/features
-  * from the payload bytes deterministically, so the pipeline is
-  * end-to-end verifiable while the decode call is swappable for a real
-  * libjpeg/ffmpeg binding.
+  * — the lakehouse pattern for multimodal training data. The codec is
+  * REAL: payloads are PNG bytes, encoded and decoded with the JDK's
+  * ImageIO (zero extra dependencies), held one-instance-per-partition
+  * through `mapPartitions` — exactly how a libjpeg/ffmpeg binding would
+  * be held. The harness ships no binary fixtures, so [[imagePayloads]]
+  * manufactures deterministic grayscale images from `doc_id` (pixel
+  * value = fixed formula of (x, y, doc_id)) and encodes them to real
+  * PNGs; because PNG is lossless, the DuckDB oracle reproduces the
+  * decoded features straight from the pixel formula — parity proves the
+  * whole encode → decode → featurize path, not a fake.
   *
-  * The harness has no binary fixtures, so [[payloads]] manufactures the
-  * payload column from `documents.text` (utf-8 bytes) — the plumbing is
-  * identical for real media bytes.
+  * Video-shaped payloads (frame striding, bounded frame counts) keep the
+  * byte-stride form over utf-8 payloads ([[sampleFrames]]): frame GRABS
+  * need a container demuxer the JDK doesn't ship, but the batch shape —
+  * bounded output per record, pure projection — is the Spark-side
+  * contract being exercised.
   */
 object Multimodal {
 
   /** One media record entering the decode stage. */
   final case class MediaPayload(doc_id: Long, payload: Array[Byte])
 
-  /** Decoded features leaving it. */
+  /** A decoded raster: row-major 8-bit grayscale samples. */
+  final case class DecodedImage(width: Int, height: Int, px: Array[Int])
+
+  /** Decoded per-image features. `px_sum` is the plain sample sum;
+    * `px_weighted` weights each sample by its 1-based row-major index —
+    * position-sensitive, so a transposed/flipped decode fails parity.
+    */
   final case class MediaFeatures(
       doc_id: Long,
-      n_bytes: Long,
       width: Int,
       height: Int,
-      feature64: Long,
-      thumb_hex: String)
+      n_px: Long,
+      px_sum: Long,
+      px_weighted: Long)
 
-  /** Decoder SPI — a real implementation wraps libjpeg/ffmpeg/etc. and is
-    * expensive to construct, hence one instance per partition, never per
-    * row.
+  /** Stride-resized image summary (nearest-neighbor downsample). */
+  final case class ResizedImage(
+      doc_id: Long,
+      w_in: Int,
+      h_in: Int,
+      w_out: Int,
+      h_out: Int,
+      px_sum_out: Long,
+      px_md5: String)
+
+  /** Decoder SPI — constructed once per partition, never per row (real
+    * codecs are expensive to initialize; ImageIO itself benefits from
+    * disabling its temp-file cache once per instance).
     */
   trait Decoder extends Serializable {
-    def decode(p: MediaPayload): MediaFeatures
+    def decode(p: MediaPayload): DecodedImage
   }
 
-  /** Deterministic fake decode: md5-derived "dimensions" and "feature".
-    * Byte-for-byte reproducible in SQL (md5 over the same bytes), so even
-    * the stub is oracle-checked. Swap for a real codec in production.
-    */
-  final class StubDecoder extends Decoder {
-    private val md = java.security.MessageDigest.getInstance("MD5")
-    def decode(p: MediaPayload): MediaFeatures = {
-      md.reset()
-      val hex = md.digest(p.payload).map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      MediaFeatures(
-        doc_id = p.doc_id,
-        n_bytes = p.payload.length.toLong,
-        width = (64 + h % 1024).toInt,
-        height = (64 + (h / 1024) % 1024).toInt,
-        feature64 = h,
-        thumb_hex = hex.substring(0, 16))
+  /** The real JDK codec: ImageIO PNG/BMP decode to an 8-bit gray raster. */
+  final class ImageIoDecoder extends Decoder {
+    ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
+    def decode(p: MediaPayload): DecodedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(p.payload))
+      require(img != null, s"payload of doc ${p.doc_id} is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      DecodedImage(w, h, px)
     }
   }
 
-  /** Manufacture the binary payload column from the text fixture. */
+  /** Deterministic synthetic image per doc: width/height and every pixel
+    * are fixed functions of `doc_id`, encoded as a REAL grayscale PNG.
+    * This is the fixture path standing in for a binary media column; the
+    * formula is what lets the SQL oracle verify the lossless round-trip.
+    */
+  def imagePayloads(docs: DataFrame): Dataset[MediaPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id * 7) % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((x * 31 + y * 17 + id * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaPayload(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** The decode stage: one decoder per partition, streamed (no
+    * materialize-the-partition), typed output schema — the typed-Dataset
+    * equivalent of a Pandas-UDF/mapInPandas decode.
+    */
+  def extractFeatures(payloads: Dataset[MediaPayload],
+                      newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder() // per-partition init (real codecs are costly)
+      it.map { p =>
+        val d = dec.decode(p)
+        var sum = 0L
+        var weighted = 0L
+        var i = 0
+        while (i < d.px.length) {
+          sum += d.px(i)
+          weighted += d.px(i).toLong * (i + 1)
+          i += 1
+        }
+        MediaFeatures(p.doc_id, d.width, d.height, d.px.length.toLong, sum, weighted)
+      }
+    }
+  }
+
+  /** Full featurize pipeline: synth image → PNG encode → ImageIO decode →
+    * pixel features, ordered for the oracle.
+    */
+  def featurize(docs: DataFrame): DataFrame =
+    extractFeatures(imagePayloads(docs)).toDF().orderBy("doc_id")
+
+  /** The oracle reproduces the decoded features from the pixel formula —
+    * valid because the PNG round-trip is bit-lossless; any encode/decode
+    * defect (stride, channel order, gamma) breaks the hash.
+    */
+  val featurizeSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS width, 8 + (doc_id * 7) % 9 AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, width, height,
+      |    [((i % width) * 31 + (i // width) * 17 + doc_id * 13) % 256
+      |     FOR i IN range(0, width * height)] AS pxs
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+      |  CAST(width * height AS BIGINT) AS n_px,
+      |  CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS px_sum,
+      |  CAST(list_aggregate([pxs[i + 1] * (i + 1) FOR i IN range(0, width * height)], 'sum') AS BIGINT) AS px_weighted
+      |FROM px ORDER BY doc_id""".stripMargin
+
+  /** Real image resize: decode the PNG, nearest-neighbor downsample by an
+    * integer stride so the longer side fits `maxSide`, fingerprint the
+    * resized raster. Bounded output per record (≤ maxSide² samples), pure
+    * per-row work — no shuffle at any corpus size. The md5 runs over the
+    * 2-hex-chars-per-sample row-major rendering (a deterministic
+    * serialization both engines can produce).
+    */
+  def resize(docs: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    imagePayloads(docs).mapPartitions { it =>
+      val dec = new ImageIoDecoder
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { p =>
+        val d = dec.decode(p)
+        val step = (math.max(d.width, d.height) + maxSide - 1) / maxSide
+        val wOut = (d.width - 1) / step + 1
+        val hOut = (d.height - 1) / step + 1
+        val sb = new StringBuilder(wOut * hOut * 2)
+        var sum = 0L
+        var y = 0
+        while (y < hOut) {
+          var x = 0
+          while (x < wOut) {
+            val v = d.px(y * step * d.width + x * step)
+            sum += v
+            sb.append(f"$v%02x")
+            x += 1
+          }
+          y += 1
+        }
+        md.reset()
+        val hex = md.digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        ResizedImage(p.doc_id, d.width, d.height, wOut, hOut, sum, hex)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  def resizeSql(maxSide: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 9 AS h
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, w, h, (greatest(w, h) + $maxSide - 1) // $maxSide AS step FROM g),
+       |o AS (
+       |  SELECT doc_id, w, h, step,
+       |         (w - 1) // step + 1 AS w_out, (h - 1) // step + 1 AS h_out
+       |  FROM s),
+       |px AS (
+       |  SELECT doc_id, w, h, w_out, h_out,
+       |    [(((i % w_out) * step) * 31 + ((i // w_out) * step) * 17 + doc_id * 13) % 256
+       |     FOR i IN range(0, w_out * h_out)] AS pxs
+       |  FROM o)
+       |SELECT doc_id,
+       |  CAST(w AS INTEGER) AS w_in, CAST(h AS INTEGER) AS h_in,
+       |  CAST(w_out AS INTEGER) AS w_out, CAST(h_out AS INTEGER) AS h_out,
+       |  CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS px_sum_out,
+       |  md5(list_aggregate([lpad(lower(hex(p)), 2, '0') FOR p IN pxs], 'string_agg', '')) AS px_md5
+       |FROM px ORDER BY doc_id""".stripMargin
+
+  /** Manufacture a binary payload column from the text fixture — the
+    * video-shaped path ([[sampleFrames]]) strides raw payload bytes.
+    */
   def payloads(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** The decode stage: one decoder per partition, streamed (no
-    * materialize-the-partition), typed output schema. This is the exact
-    * shape a Pandas-UDF/mapInPandas decode takes in PySpark — here as a
-    * typed `mapPartitions` so it rides Spark's Dataset encoders.
-    */
-  def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
-    val spark = payloads.sparkSession
-    import spark.implicits._
-    payloads.as[MediaPayload].mapPartitions { it =>
-      val dec = new StubDecoder // per-partition init (real codecs are costly)
-      it.map(dec.decode)
-    }
-  }
-
-  /** Full featurize pipeline over documents, ordered for the oracle. */
-  def featurize(docs: DataFrame): DataFrame =
-    extractFeatures(payloads(docs)).toDF().orderBy("doc_id")
-
-  /** DuckDB mirror of the stub decode (text is ASCII in the fixtures, so
-    * md5(text) == md5(utf8 bytes)).
-    */
-  val featurizeSql: String =
-    s"""SELECT doc_id,
-       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-       |  CAST(64 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1024 AS INTEGER) AS width,
-       |  CAST(64 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) // 1024) % 1024 AS INTEGER) AS height,
-       |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS feature64,
-       |  substr(md5(text), 1, 16) AS thumb_hex
-       |FROM documents ORDER BY doc_id""".stripMargin
-
   /** Frame sampling for video-like payloads: every `step`-th byte of the
     * payload as a hex "frame" — the batch-shape part of frame extraction
-    * (striding, bounded output) with the real grab stubbed.
+    * (striding, bounded output). A real grab needs a demuxer the JDK
+    * doesn't ship; the [[Decoder]] SPI is where one would slot in.
     */
   def sampleFrames(payloads: DataFrame, step: Int, maxFrames: Int): DataFrame =
     payloads.select(col("doc_id"),
@@ -113,56 +252,6 @@ object Multimodal {
       .select(col("doc_id"), size(col("frames")).cast("long").as("n_frames"),
         concat_ws(",", col("frames")).as("frame_hex"))
       .orderBy("doc_id")
-
-  /** Resize/downsample stage: bound every payload to ≤ `maxUnits`
-    * samples by stride-sampling (step = ⌈n/maxUnits⌉). This is the stub
-    * standing in for a codec resize (libjpeg scaled decode / ffmpeg
-    * scale filter slot into the [[Decoder]] SPI); the Spark-side
-    * contract — bounded output size per record, deterministic content,
-    * pure projection (no shuffle, no UDF) — is the real, tested part.
-    * Output fingerprinted so the oracle checks the exact resized content.
-    *
-    * The stub's sampling unit is the CHARACTER of the string-decoded
-    * payload (lengths, stride and md5 all measured over characters —
-    * never mixed with byte counts; the fixture is ASCII so the decode is
-    * lossless). A real codec implementation samples bytes/pixels inside
-    * [[Decoder]], where byte semantics belong.
-    */
-  def resize(payloads: DataFrame, maxUnits: Int): DataFrame = {
-    val chars = col("payload").cast("string")
-    val n = length(chars)
-    payloads
-      .select(col("doc_id"), chars.as("chars"), n.as("n_in"),
-        greatest(lit(1), ceil(n.cast("double") / maxUnits).cast("int")).as("step"))
-      .select(col("doc_id"), col("n_in").cast("long").as("n_chars_in"),
-        when(col("n_in") === 0, lit(""))
-          .otherwise(concat_ws("", slice(
-            transform(
-              sequence(lit(0), ((col("n_in") - 1) / col("step")).cast("int")),
-              i => col("chars").substr((i * col("step") + 1).cast("int"), lit(1))),
-            1, maxUnits))).as("resized"))
-      .select(col("doc_id"), col("n_chars_in"),
-        length(col("resized")).cast("long").as("n_chars_out"),
-        md5(col("resized").cast("binary")).as("resized_md5"))
-      .orderBy("doc_id")
-  }
-
-  def resizeSql(maxUnits: Int): String =
-    s"""WITH p AS (
-       |  SELECT doc_id, text AS chars, length(text) AS n_in,
-       |         greatest(1, CAST(ceil(CAST(length(text) AS DOUBLE) / $maxUnits) AS INTEGER)) AS step
-       |  FROM documents),
-       |r AS (
-       |  SELECT doc_id, n_in,
-       |    CASE WHEN n_in = 0 THEN ''
-       |         ELSE list_aggregate(
-       |           [substr(chars, i * step + 1, 1) FOR i IN range(0, (n_in - 1) // step + 1)][1:$maxUnits],
-       |           'string_agg', '') END AS resized
-       |  FROM p)
-       |SELECT doc_id, CAST(n_in AS BIGINT) AS n_chars_in,
-       |       CAST(length(resized) AS BIGINT) AS n_chars_out,
-       |       md5(resized) AS resized_md5
-       |FROM r ORDER BY doc_id""".stripMargin
 
   def sampleFramesSql(step: Int, maxFrames: Int): String =
     s"""WITH f AS (

@@ -39,15 +39,49 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
-  test("multimodal stub decode is deterministic and byte-accurate") {
-    val d = docs(1L -> "hello world", 2L -> "hello world", 3L -> "different payload")
-    val got = Multimodal.featurize(d).collect()
-    assert(got(0).getAs[Long]("n_bytes") == 11L)
-    // identical payloads decode identically (pure function of bytes)
-    assert(got(0).getAs[Long]("feature64") == got(1).getAs[Long]("feature64"))
-    assert(got(0).getAs[Long]("feature64") != got(2).getAs[Long]("feature64"))
-    val w = got(0).getAs[Int]("width"); val h = got(0).getAs[Int]("height")
-    assert(w >= 64 && w < 1088 && h >= 64 && h < 1088)
+  test("multimodal: payloads are real PNGs; ImageIO round-trip is lossless") {
+    val d = docs(0L -> "a", 5L -> "b", 12L -> "c")
+    val payloads = Multimodal.imagePayloads(d).collect()
+    // PNG magic bytes — the payload is a genuine encoded image
+    payloads.foreach { p =>
+      assert(p.payload.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47),
+        s"doc ${p.doc_id} payload is not PNG")
+    }
+    val dec = new Multimodal.ImageIoDecoder
+    payloads.foreach { p =>
+      val img = dec.decode(p)
+      val (w, h) = ((8 + p.doc_id % 9).toInt, (8 + (p.doc_id * 7) % 9).toInt)
+      assert(img.width == w && img.height == h)
+      // every decoded sample equals the synthesis formula (losslessness)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.px(y * w + x) == ((x * 31 + y * 17 + p.doc_id * 13) % 256).toInt,
+          s"pixel ($x,$y) of doc ${p.doc_id} corrupted by the codec round-trip")
+    }
+  }
+
+  test("multimodal features: position-weighted sums over decoded pixels") {
+    val got = Multimodal.featurize(docs(3L -> "x")).collect()(0)
+    val (w, h) = ((8 + 3 % 9), (8 + (3 * 7) % 9))
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x * 31 + y * 17 + 3 * 13) % 256
+    assert(got.getAs[Int]("width") == w && got.getAs[Int]("height") == h)
+    assert(got.getAs[Long]("n_px") == w.toLong * h)
+    assert(got.getAs[Long]("px_sum") == px.map(_.toLong).sum)
+    assert(got.getAs[Long]("px_weighted") ==
+      px.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+  }
+
+  test("multimodal resize: stride downsample bounds the longer side") {
+    val got = Multimodal.resize(docs(8L -> "x"), 8).collect()(0) // 16x... image
+    val (w, h) = ((8 + 8 % 9), (8 + (8 * 7) % 9)) // 16, 14
+    val step = (math.max(w, h) + 7) / 8
+    assert(got.getAs[Int]("w_in") == w && got.getAs[Int]("h_in") == h)
+    assert(got.getAs[Int]("w_out") == (w - 1) / step + 1)
+    assert(got.getAs[Int]("h_out") == (h - 1) / step + 1)
+    assert(got.getAs[Int]("w_out") <= 8 && got.getAs[Int]("h_out") <= 8)
+    // sampled sum matches the formula at strided coordinates
+    val expSum = (for (y <- 0 until (h - 1) / step + 1; x <- 0 until (w - 1) / step + 1)
+      yield ((x * step) * 31 + (y * step) * 17 + 8 * 13) % 256).map(_.toLong).sum
+    assert(got.getAs[Long]("px_sum_out") == expSum)
   }
 
   test("frame sampling strides the payload and caps frames") {
