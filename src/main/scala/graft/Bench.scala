@@ -19,7 +19,7 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache() // drop persists leaked by warmup queries
+    ops.Caches.releaseCaches(); spark.catalog.clearCache() // drop persists leaked by warmup queries
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of 2 runs: steady-state per query, so first-run codegen/JIT and
       // GC debt inherited from earlier queries doesn't land on whichever
@@ -29,7 +29,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+        ops.Caches.releaseCaches(); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
         t
       }.min
@@ -48,7 +48,7 @@ object Bench {
     val applySec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       SparkEntry.queries("cdc_lww_state")(spark, sfDir).count()
-      spark.catalog.clearCache()
+      ops.Caches.releaseCaches(); spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }.min
     val eps = (nEvents / applySec).round

@@ -28,7 +28,7 @@ object Profile {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        spark.catalog.clearCache()
+        ops.Caches.releaseCaches(); spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROFILE $name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")

@@ -813,7 +813,10 @@ object Analytics {
       .groupBy(col("event_type"), col("n"))
       .agg(sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n").as("n_events"), col("n_outliers"),
-        round(col("n_outliers").cast("double") / col("n"), 6).as("outlier_rate"))
+        // explicit NULL when every value was NULL (n = 0): Spark's Divide
+        // nulls on /0 but DuckDB's IEEE doubles yield inf/nan — guard both
+        when(col("n") > 0,
+          round(col("n_outliers").cast("double") / col("n"), 6)).as("outlier_rate"))
       .orderBy("event_type")
   }
 
@@ -829,7 +832,7 @@ object Analytics {
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       |       round(CAST(sum(CASE WHEN (s.n * e.value - s.s1) * (s.n * e.value - s.s1)
       |                                > 9.0 * (s.n * s.s2 - s.s1 * s.s1)
-      |                           THEN 1 ELSE 0 END) AS DOUBLE) / s.n, 6) AS outlier_rate
+      |                           THEN 1 ELSE 0 END) AS DOUBLE) / nullif(s.n, 0), 6) AS outlier_rate
       |FROM events e JOIN stats s ON e.event_type = s.event_type
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
@@ -856,11 +859,15 @@ object Analytics {
         col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val pairs = lineitem
+    // persist: pairs feeds both the per-part best aggregate and the
+    // final equality join — uncached the lineitem scan+join+agg would
+    // run twice (|part x supplier| rows; caller evicts via Caches)
+    val pairs = Caches.tracked(lineitem
       .join(broadcast(pF), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
       .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      .persist())
     val best = pairs.groupBy(col("p_partkey").as("bp"))
       .agg(min(col("cost")).as("best"))
     pairs
@@ -947,9 +954,9 @@ object Analytics {
     // the cache the full lineitem scan+shuffle would run twice (once for
     // the probe, again in the consumer's job). |parts| rows, tiny.
     // Caller owns eviction (clearCache between corpora, as Bench/Verify do).
-    val byPart = lineitem.groupBy(col("l_partkey"))
+    val byPart = Caches.tracked(lineitem.groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("value"))
-      .persist()
+      .persist())
     val r = byPart.agg(sum(col("value")), count(lit(1))).collect()(0)
     val (total, nParts) = (r.getDecimal(0), r.getLong(1))
     byPart
@@ -1019,8 +1026,9 @@ object Analytics {
         (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
       // persist: same scalar-probe-then-reuse shape as importantParts —
       // the max() collect and the equality filter must not each rescan
-      // lineitem. |suppliers| rows; caller evicts.
+      // lineitem. |suppliers| rows; caller evicts via Caches.
       .persist()
+    Caches.tracked(revs)
     val maxRev = revs.agg(max(col("rev"))).collect()(0).getDecimal(0)
     revs.filter(col("rev") === lit(maxRev))
       .join(broadcast(supplier.select("s_suppkey", "s_name")),
@@ -1052,7 +1060,10 @@ object Analytics {
     */
   def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame, brand: String): DataFrame = {
     val pF = part.filter(col("p_brand") === brand).select("p_partkey")
-    val li = lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+    // persist: li feeds the per-part stats AND the final filter scan —
+    // brand-filtered lineitem, a small fraction of the fact table
+    val li = Caches.tracked(
+      lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey")).persist())
     val stats = li.groupBy(col("p_partkey").as("sp"))
       .agg(sum(dec(col("l_quantity"))).as("qsum"), count(lit(1)).as("qcnt"))
     li.join(broadcast(stats), col("p_partkey") === col("sp"))
@@ -1087,9 +1098,12 @@ object Analytics {
                         nation: DataFrame, namePrefix: String, numer: Int, denom: Int,
                         nationName: String): DataFrame = {
     val pF = part.filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
-    val pairs = lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey"))
+    // persist: pairs feeds both the per-part totals and the dominance
+    // filter (same double-consumption shape as minCostSupplier)
+    val pairs = Caches.tracked(lineitem.join(broadcast(pF), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .persist())
     val totals = pairs.groupBy(col("p_partkey").as("tp"))
       .agg(sum(col("qty")).as("total"))
     val dominant = pairs

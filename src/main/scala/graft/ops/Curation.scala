@@ -275,8 +275,10 @@ object Curation {
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
         round(sum(col("quality").cast("decimal(10,4)")).cast("double") / count(lit(1)), 6)
           .as("avg_q_all"),
+        // nullif: a source keeping zero docs must yield NULL on both
+        // engines, not a 0-denominator IEEE artifact
         round(sum(when(kept, col("quality").cast("decimal(10,4)"))).cast("double") /
-          sum(when(kept, 1L).otherwise(0L)), 6).as("avg_q_kept"))
+          nullif(sum(when(kept, 1L).otherwise(0L)), lit(0L)), 6).as("avg_q_kept"))
       .orderBy("source")
   }
 
@@ -288,7 +290,7 @@ object Curation {
        |  CAST(sum(CASE WHEN $kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  round(CAST(sum(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / count(*), 6) AS avg_q_all,
        |  round(CAST(sum(CASE WHEN $kept THEN CAST(quality AS DECIMAL(10,4)) END) AS DOUBLE)
-       |        / sum(CASE WHEN $kept THEN 1 ELSE 0 END), 6) AS avg_q_kept
+       |        / nullif(sum(CASE WHEN $kept THEN 1 ELSE 0 END), 0), 6) AS avg_q_kept
        |FROM q GROUP BY source ORDER BY source""".stripMargin
   }
 }

@@ -204,7 +204,7 @@ object Dedup {
     * unpersisting inside would evict it before the caller's action runs.
     */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs).persist()
+    val sig = Caches.tracked(minhashSignatures(docs).persist())
     val eq = (0 until 16).map(i =>
       when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
     lshCandidates(sig).as("c")
@@ -365,7 +365,7 @@ object Dedup {
     * four (the same narrow-then-rejoin shape as [[minhashLsh]]).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs).persist()
+    val sh = Caches.tracked(simhash(docs).persist())
     val banded = sh.select(col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
@@ -419,10 +419,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     // one tokenize+shingle+hash pass feeds BOTH the signature pipeline and
     // the exact-verify stage (it was the query's duplicated heavy subtree)
-    val th = docFeatures(docs)
+    val th = Caches.tracked(docFeatures(docs)
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
-      .persist()
-    val cand = lshCandidates(minhashSignaturesFromHashes(th).persist())
+      .persist())
+    val cand = lshCandidates(Caches.tracked(minhashSignaturesFromHashes(th).persist()))
     // verify via per-doc hash ARRAYS: the candidate set is LSH-bounded
     // (O(docs), not docs²), so attaching two arrays per pair and
     // intersecting locally beats re-exploding |cand|·|shingles| rows
@@ -480,7 +480,7 @@ object Dedup {
     * output are genuinely novel and safe to admit.
     */
   def incrementalLsh(corpus: DataFrame, batch: DataFrame, threshold: Double): DataFrame = {
-    val sigB = minhashSignatures(batch).persist()
+    val sigB = Caches.tracked(minhashSignatures(batch).persist())
     val sigC = minhashSignatures(corpus)
     val cand = lshBands(sigC).as("c")
       .join(broadcast(lshBands(sigB).as("b")),
@@ -554,9 +554,9 @@ object Dedup {
     * docs' hash sets exactly, as in [[ngramJaccard]].
     */
   def containment(docs: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
-    val th = docFeatures(docs)
+    val th = Caches.tracked(docFeatures(docs)
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
-      .persist()
+      .persist())
     val rare = th.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("h"))
@@ -681,9 +681,14 @@ object Dedup {
     // probe, benchmark hash set, exact verify) and Spark has no CSE across
     // them — uncached, the corpus would tokenize+shingle twice and the
     // benchmark twice. Same caller-evicts convention as minhashLsh.
-    val th = docFeatures(docs)
+    // distinct on (doc_id, h): two distinct shingles colliding to one
+    // 60-bit tokenHash would otherwise double the per-(doc,h) probe count
+    // and fail the n_set = perms membership test — breaking the
+    // no-false-negative invariant (and double-counting n_exact)
+    val th = Caches.tracked(docFeatures(docs)
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
-      .persist()
+      .distinct()
+      .persist())
     val idxArr = array(bloomPerms.map { case (a, b) =>
       minhashPerm(col("h"), a, b) % lit(bloomBits.toLong)
     }: _*)
@@ -706,6 +711,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_bloom"))
       .filter(col("n_bloom") >= minShared)
       .persist()
+    Caches.tracked(candidates)
     val benchH = th.filter(col("doc_id") % benchMod === 0).select(col("h")).distinct()
     // the exact verify runs ONLY over bloom-candidate docs (the semi-join
     // prunes the corpus stream before the benchmark join) — that pruning
@@ -728,7 +734,7 @@ object Dedup {
     }.mkString(", ")
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
        |$featSql,
-       |th AS (SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
+       |th AS (SELECT DISTINCT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
        |member AS (
        |  SELECT unnest([$idxs]) AS idx FROM th WHERE doc_id % $benchMod = 0),
        |bloom AS (

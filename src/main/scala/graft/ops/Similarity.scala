@@ -29,19 +29,11 @@ object Similarity {
 
   import graft.functions.VectorFunctions.dotD
 
-  // intermediate frames persisted on behalf of a lazy result; the caller
-  // owns eviction — call releaseCaches() after consuming the result (the
-  // bench's per-query clearCache() subsumes this; long-lived sessions
-  // calling ivfNearDup repeatedly must evict or accumulate cached RDDs)
-  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def tracked(df: DataFrame): DataFrame = synchronized { cachedFrames += df; df }
-
-  /** Unpersist every intermediate frame cached by prior calls. */
-  def releaseCaches(): Unit = synchronized {
-    cachedFrames.foreach(_.unpersist())
-    cachedFrames.clear()
-  }
+  // intermediate frames persisted on behalf of a lazy result register in
+  // the engine-level [[Caches]] registry; the caller owns eviction —
+  // Caches.releaseCaches() after consuming the result (the bench's
+  // per-query clearCache() subsumes the unpersist)
+  private def tracked(df: DataFrame): DataFrame = Caches.tracked(df)
 
   private def norm(v: Column): Column = sqrt(dotD(v, v))
 
