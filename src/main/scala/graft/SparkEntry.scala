@@ -435,6 +435,11 @@ object SparkEntry {
     "ann_recall_audit" -> ((s, dir) =>
       Similarity.ivfRecallAudit(t(s, dir, "embeddings"), 8, 5, 32, 2)),
 
+    // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
+    // + quantization loss — the number m/ncode/nprobe are tuned against)
+    "ann_ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecallAudit(t(s, dir, "embeddings"), 8, 5, 32, 2, 4, 16)),
+
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
@@ -737,6 +742,7 @@ object SparkEntry {
     "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
     "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
+    "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,

@@ -202,6 +202,60 @@ object Similarity {
        |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
+  /** Recall@k of the COMPRESSED serving index ([[ivfPqTopK]]) against the
+    * exact baseline — the number you tune m/ncode/nprobe against (the IVF
+    * audit above only measures cell-probe loss; this one adds PQ
+    * quantization loss). The exact baseline ranks by squared L2 — the
+    * metric ADC approximates — computed as qn² + xn² − 2·q·x from the
+    * already-available norms (one codegen'd dot product per pair, no
+    * vector subtraction materialized). Both inputs are k·|Q| rows.
+    */
+  def ivfPqRecallAudit(emb: DataFrame, nQueries: Int, k: Int, nlist: Int,
+                       nprobe: Int, m: Int, ncode: Int): DataFrame = {
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("qn") * col("qn") + col("nrm") * col("nrm") -
+          lit(2) * dotD(col("qv"), col("v")), 6).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfPqTopK(emb, nQueries, k, nlist, nprobe, m, ncode)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def ivfPqRecallAuditSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+                          m: Int, ncode: Int, dim: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |l2 AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         round(q.qn * q.qn + e.nrm * e.nrm - 2 * list_dot_product(q.qv, e.v), 6) AS d2
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS r
+       |    FROM l2)
+       |  WHERE r <= $k)
+       |SELECT x.query_id, count(i.vec_id) AS n_hits,
+       |       round(CAST(count(i.vec_id) AS DOUBLE) / $k, 6) AS recall
+       |FROM exact x
+       |LEFT JOIN (${ivfPqTopKSql(nQueries, k, nlist, nprobe, m, ncode, dim)}) i
+       |  ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+
   /** IVF-blocked near-duplicate pairs: when no natural blocking column
     * exists, the IVF cell assignment IS the blocking key — pairwise
     * cosine only within a cell. The unblocked-corpus complement of
