@@ -43,6 +43,49 @@ class ManagementApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("status/components/table-activity endpoints incl. 503/404/400 paths") {
+    import spark.implicits._
+    val changelog = Seq(
+      ("db.users", "I", 1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("db.users", "U", 1L, 11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      ("db.orders", "D", 7L, 12L, java.sql.Timestamp.valueOf("2024-01-01 00:00:09")))
+      .toDF("tbl", "op", "pk", "pos", "ts")
+    val activity = ManagementApi.tableActivityRows(
+      graft.ops.Metrics.tableActivity(changelog))
+    var componentsUp = true
+    val api = new ManagementApi(
+      metricsSnapshot = () => Map.empty,
+      healthSnapshot = () => Resilience.HealthSnapshot(0, 0.0, 0.1),
+      statusSnapshot = () => ManagementApi.EngineStatus("STREAMING", isRunning = true, 2, 1234L),
+      componentsSnapshot = () =>
+        if (componentsUp) Map("binlog-source" -> "running", "apply-worker" -> "running")
+        else Map("binlog-source" -> "running", "apply-worker" -> "circuit-open"),
+      tableActivitySnapshot = () => activity).start()
+    try {
+      val base = s"http://127.0.0.1:${api.boundPort}"
+      val (sc, sb) = get(s"$base/api/v1/status")
+      assert(sc == 200 && sb.contains("\"state\": \"STREAMING\"")
+        && sb.contains("\"activeQueries\": 2"), sb)
+      val (cc, cb) = get(s"$base/api/v1/components")
+      assert(cc == 200 && cb.contains("\"apply-worker\": \"running\""), cb)
+      componentsUp = false
+      val (cc2, cb2) = get(s"$base/api/v1/components")
+      assert(cc2 == 503 && cb2.contains("circuit-open"), cb2)
+      val (tc, tb) = get(s"$base/api/v1/tables/db.users/activity")
+      assert(tc == 200 && tb.contains("\"nEvents\": 2") && tb.contains("\"nUpdates\": 1")
+        && tb.contains("\"lagSeconds\": 4"), tb)
+      val (nc, _) = get(s"$base/api/v1/tables/db.nope/activity")
+      assert(nc == 404)
+      val (bc, _) = get(s"$base/api/v1/tables/db.users")
+      assert(bc == 400)
+    } finally api.stop()
+  }
+
+  test("engineStatus reflects the session's active streaming query set") {
+    val idle = ManagementApi.engineStatus(spark, System.currentTimeMillis() - 50)
+    assert(!idle.isRunning && idle.state == "IDLE" && idle.uptimeMs >= 0)
+  }
+
   test("typed MinHash Aggregator matches the untyped 16-min formulation") {
     import spark.implicits._
     val docs = Seq(
