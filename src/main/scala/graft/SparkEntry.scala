@@ -268,6 +268,22 @@ object SparkEntry {
         .orderBy("tbl", "pk", "valid_from_pos")
     }),
 
+    // Streaming as-of enrichment: every event carries the dimension
+    // version valid just before it (SCD2 interval at pos-1), maintained
+    // incrementally as a per-bucket materialized view over the streaming
+    // SCD2 store — converges to the batch temporal join under any split.
+    "cdc_stream_asof_enrich" -> ((s, dir) => {
+      import graft.streaming.StreamingEnrich
+      val tmp = scratchDir("graft_senrich")
+      val chunks = s"$tmp/chunks"
+      t(s, dir, "events").coalesce(4).write.parquet(chunks)
+      val schema = s.read.parquet(chunks).schema
+      StreamingEnrich.runAvailableNow(s, chunks, schema, Normalizer.normalize,
+        s"$tmp/scd2", s"$tmp/out", s"$tmp/ckpt", nBuckets = 8)
+      StreamingEnrich.enrichedEvents(s, s"$tmp/out")
+        .orderBy("tbl", "pk", "pos")
+    }),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -664,6 +680,9 @@ object SparkEntry {
 
     "cdc_scd2_stream" ->
       (ChangelogApply.scd2Sql(clSql) + " ORDER BY tbl, pk, valid_from_pos"),
+
+    "cdc_stream_asof_enrich" ->
+      graft.streaming.StreamingEnrich.batchSql(clSql),
 
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)
