@@ -12,15 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional comma-separated name filter for targeted local iteration
+    // (the driver never sets it — full sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val queries = SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
     // JVM/codegen warmup at the smallest SF so per-query numbers measure
     // the plan, not first-query JIT + classloading (~15s otherwise lands
     // on whichever query happens to run first).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
     ops.Caches.releaseCaches(); spark.catalog.clearCache() // drop persists leaked by warmup queries
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of 2 runs: steady-state per query, so first-run codegen/JIT and
       // GC debt inherited from earlier queries doesn't land on whichever
       // query happens to run late in the loop (round-1 artifact: tfidf

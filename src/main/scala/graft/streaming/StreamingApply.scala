@@ -92,6 +92,26 @@ object StreamingApply {
       .select(col("tbl") +: col("pk") +: carried.map(c => col(s"last.$c").as(c)): _*)
   }
 
+  /** [[mergeState]] for the bucket-aware apply path: inputs carry a
+    * `bucket` column; ONE exchange on bucket (the reference's R1 hash
+    * route), then the per-key LWW aggregate runs bucket-local — grouping
+    * by (bucket, tbl, pk) is satisfied by hash(bucket) partitioning
+    * because bucket ⊆ the grouping keys, so Catalyst adds no second
+    * exchange and the bucketed write needs no repartition either.
+    */
+  def mergeStateBucketed(prev: DataFrame, batch: DataFrame,
+                         payloadCols: Seq[String], nBuckets: Int): DataFrame = {
+    val cols = stateCols(payloadCols) :+ "bucket"
+    val carried = Seq("op", "ts", "pos") ++ payloadCols
+    prev.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+      .repartition(nBuckets, col("bucket"))
+      .groupBy(col("bucket"), col("tbl"), col("pk"))
+      .agg(max_by(struct(carried.map(col): _*), col("pos")).as("last"))
+      .select(col("bucket") +: col("tbl") +: col("pk") +:
+        carried.map(c => col(s"last.$c").as(c)): _*)
+  }
+
   private def emptyState(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
@@ -120,9 +140,9 @@ object StreamingApply {
   /** Latest version path per bucket among versions strictly below
     * `beforeBatch` (replay of batch N must not read N's own output).
     */
-  private def latestPerBucket(spark: SparkSession, stateDir: String,
+  private def latestPerBucket(listing: Seq[(Long, Int, Path)],
                               beforeBatch: Long): Map[Int, Path] =
-    bucketVersions(spark, stateDir)
+    listing
       .filter(_._1 < beforeBatch)
       .groupBy(_._2)
       .map { case (b, vs) => b -> vs.maxBy(_._1)._3 }
@@ -134,8 +154,15 @@ object StreamingApply {
   def stateBefore(spark: SparkSession, stateDir: String, beforeBatch: Long,
                   buckets: Option[Set[Int]] = None,
                   payloadCols: Seq[String] = defaultPayload,
-                  emptySchema: StructType = graft.model.ChangeEvent.envelopeSchema): DataFrame = {
-    val paths = latestPerBucket(spark, stateDir, beforeBatch)
+                  emptySchema: StructType = graft.model.ChangeEvent.envelopeSchema): DataFrame =
+    stateFromListing(spark, bucketVersions(spark, stateDir), beforeBatch,
+      buckets, payloadCols, emptySchema)
+
+  private def stateFromListing(spark: SparkSession, listing: Seq[(Long, Int, Path)],
+                               beforeBatch: Long, buckets: Option[Set[Int]],
+                               payloadCols: Seq[String],
+                               emptySchema: StructType): DataFrame = {
+    val paths = latestPerBucket(listing, beforeBatch)
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
       .values.map(_.toString).toSeq
     if (paths.isEmpty) emptyState(spark, emptySchema)
@@ -151,7 +178,11 @@ object StreamingApply {
                    payloadCols: Seq[String] = defaultPayload): Unit =
     state.select(stateCols(payloadCols).map(col): _*)
       .withColumn("bucket", bucketOf(nBuckets))
-      .repartition(col("bucket"))
+      // partition count pinned to nBuckets (NOT spark.sql.shuffle
+      // .partitions): each bucket dir gets ONE part file instead of up
+      // to shuffle-partition-count slivers — per-batch state reads then
+      // open O(touched buckets) files, not O(buckets × partitions)
+      .repartition(nBuckets, col("bucket"))
       .write.partitionBy("bucket")
       .mode("overwrite").parquet(s"$stateDir/v=$version")
 
@@ -168,13 +199,20 @@ object StreamingApply {
                  payloadCols: Seq[String] = defaultPayload)(
       batch: DataFrame, batchId: Long): Unit =
     applyBatchWith(stateDir, nBuckets, payloadCols,
-      identity, mergeState(_, _, payloadCols))(batch, batchId)
+      identity, mergeStateBucketed(_, _, payloadCols, nBuckets))(batch, batchId)
 
   /** Generic bucketed apply: [[applyBatch]] with a pluggable batch
     * preparation (pad state-only columns) and state merge — the SAME
     * versioned-bucket/replay/compaction machinery serves any
     * order-insensitive merge (LWW here, interval recompute in
     * [[StreamingScd2]]).
+    *
+    * Merge contract: both frames carry a `bucket` column and the merged
+    * output must retain it. Implementations repartition ONCE on bucket
+    * and key every per-key computation bucket-first ((bucket, tbl, pk)
+    * groupings/windows are bucket-local under hash(bucket) partitioning
+    * since bucket ⊆ the keys), so a micro-batch costs exactly one
+    * exchange and the bucketed write adds none.
     */
   def applyBatchWith(stateDir: String, nBuckets: Int, payloadCols: Seq[String],
                      prepare: DataFrame => DataFrame,
@@ -188,10 +226,26 @@ object StreamingApply {
       val touched = b.select(col("bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       if (touched.nonEmpty) {
-        val prev = stateBefore(spark, stateDir, batchId, Some(touched),
+        // ONE state listing serves both the merge read and the
+        // post-write compaction (a second full walk per micro-batch is
+        // pure fixed overhead — and on object stores, a LIST storm)
+        val listing = bucketVersions(spark, stateDir)
+        // bucket is re-derived, not read back: the per-bucket paths are
+        // read directly so the partition column isn't in the footer
+        val prev = stateFromListing(spark, listing, batchId, Some(touched),
           payloadCols, b.drop("bucket").schema)
-        writeVersion(merge(prev, b), stateDir, batchId, nBuckets, payloadCols)
-        compact(spark, stateDir, buckets = Some(touched))
+          .withColumn("bucket", bucketOf(nBuckets))
+        merge(prev, b)
+          .select((cols :+ "bucket").map(col): _*)
+          .write.partitionBy("bucket")
+          .mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        // compact from the same listing: each touched bucket now holds
+        // {v=batchId} ∪ old versions, so keeping `keepVersions`=2 total
+        // means keeping the single newest PRE-batch version per bucket
+        // (replay entries at v=batchId were just overwritten, never old)
+        dropSuperseded(spark, stateDir,
+          listing.filter { case (v, bkt, _) => v < batchId && touched(bkt) },
+          keepPerBucket = 1)
       }
     } finally { b.unpersist(); () }
   }
@@ -205,14 +259,25 @@ object StreamingApply {
   def compact(spark: SparkSession, stateDir: String, keepVersions: Int = 2,
               buckets: Option[Set[Int]] = None): Unit = {
     require(keepVersions >= 2, "replay of the latest batch needs its predecessor")
+    dropSuperseded(spark, stateDir,
+      bucketVersions(spark, stateDir)
+        .filter { case (_, b, _) => buckets.forall(_.contains(b)) },
+      keepPerBucket = keepVersions)
+  }
+
+  /** Delete all but the newest `keepPerBucket` versions per bucket in
+    * `candidates` (an already-filtered listing — no re-walk), then drain
+    * v= dirs left empty.
+    */
+  private def dropSuperseded(spark: SparkSession, stateDir: String,
+                             candidates: Seq[(Long, Int, Path)],
+                             keepPerBucket: Int): Unit = {
     val hfs = fs(spark, stateDir)
-    bucketVersions(spark, stateDir)
-      .filter { case (_, b, _) => buckets.forall(_.contains(b)) }
-      .groupBy(_._2).foreach { case (_, vs) =>
-        vs.sortBy(-_._1).drop(keepVersions).foreach { case (_, _, path) =>
-          hfs.delete(path, true)
-        }
+    candidates.groupBy(_._2).foreach { case (_, vs) =>
+      vs.sortBy(-_._1).drop(keepPerBucket).foreach { case (_, _, path) =>
+        hfs.delete(path, true)
       }
+    }
     val root = new Path(stateDir)
     if (hfs.exists(root)) hfs.listStatus(root).toSeq
       .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
@@ -243,11 +308,17 @@ object StreamingApply {
       stateDir: String,
       checkpointDir: String,
       nBuckets: Int = defaultBuckets,
-      payloadCols: Seq[String] = defaultPayload): Unit = {
-    val q = spark.readStream
+      payloadCols: Seq[String] = defaultPayload,
+      prepartition: Int = 0): Unit = {
+    // prepartition > 0 spreads each micro-batch's RAW rows before the
+    // normalize projection — a one-file trigger otherwise runs an
+    // expensive decode (wide envelopes: from_json per row) on a single
+    // input partition no matter how many cores the executor has
+    val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changelogDir)
+    val q = (if (prepartition > 0) src.repartition(prepartition) else src)
       .transform(normalize)
       .writeStream
       .foreachBatch(applyBatch(stateDir, nBuckets, payloadCols) _)

@@ -59,9 +59,29 @@ object StreamingScd2 {
       .withColumn("is_current", col("op") =!= "D" && nextPos.isNull)
   }
 
+  /** [[merge]] under the bucket-aware apply contract
+    * ([[StreamingApply.applyBatchWith]]): one exchange on bucket, then
+    * the dedup aggregate and the interval window both run bucket-local —
+    * their (bucket, tbl, pk)-prefixed keys are satisfied by the
+    * hash(bucket) partitioning, so Catalyst adds no further exchange.
+    */
+  def mergeBucketed(prev: DataFrame, batch: DataFrame, nBuckets: Int): DataFrame = {
+    val ev = Seq("bucket", "tbl", "pk", "op", "ts", "pos", "value")
+    val events = prev.select(ev.map(col): _*)
+      .unionByName(batch.select(ev.map(col): _*))
+      .repartition(nBuckets, col("bucket"))
+      .dropDuplicates("bucket", "tbl", "pk", "pos")
+    val nextPos = lead(col("pos"), 1).over(
+      Window.partitionBy(col("bucket"), col("tbl"), col("pk")).orderBy(col("pos")))
+    events
+      .withColumn("valid_to_pos", when(col("op") =!= "D", nextPos))
+      .withColumn("is_current", col("op") =!= "D" && nextPos.isNull)
+  }
+
   def applyBatch(stateDir: String, nBuckets: Int = StreamingApply.defaultBuckets)(
       batch: DataFrame, batchId: Long): Unit =
-    StreamingApply.applyBatchWith(stateDir, nBuckets, payloadCols, pad, merge)(batch, batchId)
+    StreamingApply.applyBatchWith(stateDir, nBuckets, payloadCols, pad,
+      mergeBucketed(_, _, nBuckets))(batch, batchId)
 
   /** The materialized SCD2 table: every non-tombstone event is a version
     * row with its validity interval.
@@ -82,11 +102,13 @@ object StreamingScd2 {
       normalize: DataFrame => DataFrame,
       stateDir: String,
       checkpointDir: String,
-      nBuckets: Int = StreamingApply.defaultBuckets): Unit = {
-    val q = spark.readStream
+      nBuckets: Int = StreamingApply.defaultBuckets,
+      prepartition: Int = 0): Unit = {
+    val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changelogDir)
+    val q = (if (prepartition > 0) src.repartition(prepartition) else src)
       .transform(normalize)
       .writeStream
       .foreachBatch(applyBatch(stateDir, nBuckets) _)

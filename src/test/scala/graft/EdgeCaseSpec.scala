@@ -30,12 +30,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got.forall(p => p >= 0 && p < 64), s"out-of-range partitions: ${got.toSeq}")
   }
 
-  test("empty payload resizes to zero bytes (md5 of empty), short payloads pass through whole") {
-    val r = Multimodal.resize(
-      Multimodal.payloads(Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")), 48)
-      .collect().map(x => x.getLong(0) -> ((x.getAs[Long]("n_chars_out"), x.getAs[String]("resized_md5")))).toMap
-    assert(r(1L) == ((0L, "d41d8cd98f00b204e9800998ecf8427e")))
-    assert(r(2L) == ((3L, "900150983cd24fb0d6963f7d28e17f72"))) // md5("abc"): step 1 keeps all
+  test("resize with maxSide >= image side is the identity (step 1 keeps every pixel)") {
+    // doc 0: 8x8 image, maxSide 16 → step 1, output = input raster
+    val r = Multimodal.resize(Seq((0L, "x")).toDF("doc_id", "text"), 16).collect()(0)
+    assert(r.getAs[Int]("w_out") == r.getAs[Int]("w_in"))
+    assert(r.getAs[Int]("h_out") == r.getAs[Int]("h_in"))
+    val full = (for (y <- 0 until 8; x <- 0 until 8) yield (x * 31 + y * 17) % 256)
+    assert(r.getAs[Long]("px_sum_out") == full.map(_.toLong).sum)
+    // maxSide 1 collapses to a single pixel: the (0,0) sample
+    val one = Multimodal.resize(Seq((0L, "x")).toDF("doc_id", "text"), 1).collect()(0)
+    assert(one.getAs[Int]("w_out") == 1 && one.getAs[Int]("h_out") == 1)
+    assert(one.getAs[Long]("px_sum_out") == 0L) // pixel(0,0) = 0 for doc 0
   }
 
   test("wide materialize over an empty changelog is empty, not a crash") {
