@@ -86,6 +86,43 @@ object SparkEntry {
       chunks
     })
 
+  /** A LIVE in-JVM Derby database holding the normalized changelog — the
+    * upstream server the graft-jdbc-cdc source tails. Loaded once per
+    * process per sfDir (executor-side batched inserts over real JDBC);
+    * returns (url, rowCount). ts travels as epoch MICROS so the
+    * round-trip back to TimestampType is exact.
+    */
+  private val derbyCache = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private def derbyChangelog(s: SparkSession, dir: String): (String, Long) =
+    derbyCache.getOrElseUpdate(dir, {
+      val url = s"jdbc:derby:memory:graft_cdc_${math.abs(dir.hashCode)};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        "CREATE TABLE CHANGELOG (pos BIGINT PRIMARY KEY, tbl VARCHAR(8), " +
+          "pk BIGINT, op VARCHAR(1), ts_us BIGINT, value DOUBLE)")
+      conn.close()
+      val cl = changelog(s, dir)
+        .select(col("pos"), col("tbl"), col("pk"), col("op"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      cl.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val c = java.sql.DriverManager.getConnection(url)
+          val ps = c.prepareStatement("INSERT INTO CHANGELOG VALUES (?, ?, ?, ?, ?, ?)")
+          var n = 0
+          it.foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+            ps.setLong(3, r.getLong(2)); ps.setString(4, r.getString(3))
+            ps.setLong(5, r.getLong(4)); ps.setDouble(6, r.getDouble(5))
+            ps.addBatch(); n += 1
+            if (n % 1000 == 0) { ps.executeBatch(); () }
+          }
+          ps.executeBatch()
+          c.close()
+        }
+      }
+      (url, cl.count())
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).
     */
@@ -280,6 +317,31 @@ object SparkEntry {
         prepartition = s.sparkContext.defaultParallelism)
       StreamingScd2.currentHistory(s, s"$tmp/state")
         .orderBy("tbl", "pk", "valid_from_pos")
+    }),
+
+    // Live-database CDC: the graft-jdbc-cdc DSv2 source tails a RUNNING
+    // Derby holding the changelog (real JDBC polls, admission-capped
+    // micro-batches, parallel range readers), folding each batch into
+    // the bucketed LWW store — the reference's binlog-client→apply
+    // pipeline with an actual live server upstream.
+    "cdc_jdbc_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingApply
+      val (url, nRows) = derbyChangelog(s, dir)
+      val tmp = scratchDir("graft_jdbcstream")
+      val q = s.readStream.format("graft-jdbc-cdc")
+        .option("url", url).option("table", "CHANGELOG")
+        .option("posColumn", "pos")
+        .option("maxPerBatch", math.max(1L, (nRows + 3) / 4).toString) // ~4 polls
+        .option("numPartitions", s.sparkContext.defaultParallelism.toString)
+        .load()
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        .writeStream
+        .foreachBatch(StreamingApply.applyBatch(s"$tmp/state", nBuckets = 8) _)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingApply.currentState(s, s"$tmp/state").orderBy("tbl", "pk")
     }),
 
     // Streaming as-of enrichment: every event carries the dimension
@@ -696,6 +758,9 @@ object SparkEntry {
 
     "cdc_stream_asof_enrich" ->
       graft.streaming.StreamingEnrich.batchSql(clSql),
+
+    "cdc_jdbc_stream" ->
+      (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)

@@ -1,0 +1,260 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, ResultSet, Types}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch source that TAILS A LIVE DATABASE over
+  * JDBC — the runnable counterpart of the reference's live binlog client
+  * (reference: reader/MySQLBinlogReader.scala:63-123 — a `BinaryLogClient`
+  * connected to a running MySQL, pushing ordered events into a
+  * backpressured queue). The harness has no MySQL server, but it has a
+  * real in-process database (Derby ships in /opt/spark/jars), so this
+  * source exercises genuine live connectivity: every poll and every
+  * partition read opens a real JDBC connection to a running DB.
+  *
+  * Semantics: the upstream table is an APPEND-ONLY changelog with a
+  * monotone position column (what a binlog is, relationally). Progress:
+  *   - offset           = highest consumed position ([[PosOffset]])
+  *   - `latestOffset`   = a driver-side poll `pos > start ORDER BY pos`
+  *     capped by admission control (`maxPerBatch` — the reference's
+  *     1000-event reader-queue backpressure, MySQLBinlogReader.scala:27)
+  *   - a micro-batch    = the (start, end] position range, split into
+  *     `numPartitions` value-range chunks read IN PARALLEL by executor
+  *     connections (the PK-range chunking of snapshot reads, applied to
+  *     the log itself)
+  *   - replay           = re-reading a committed range returns identical
+  *     rows (the log is append-only), so checkpoint recovery is exact.
+  *
+  * Schema is inferred from live JDBC metadata (`WHERE 1=0` probe), the
+  * same discovery path as the reference's information_schema scan;
+  * column names are lowercased (Derby/MySQL uppercase unquoted
+  * identifiers).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-jdbc-cdc")
+  *     .option("url", "jdbc:derby:memory:cdc")
+  *     .option("table", "CHANGELOG")
+  *     .option("posColumn", "pos")      // monotone BIGINT column
+  *     .option("maxPerBatch", "1000")   // admission control
+  *     .option("numPartitions", "4")    // parallel range readers
+  *     .load()
+  * }}}
+  */
+class JdbcCdcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jdbc-cdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JdbcCdcSource.probeSchema(
+      JdbcCdcSource.required(options.asScala.toMap, "url"),
+      JdbcCdcSource.required(options.asScala.toMap, "table"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    new JdbcCdcTable(
+      JdbcCdcSource.required(opts, "url"),
+      JdbcCdcSource.required(opts, "table"),
+      opts.getOrElse("posColumn", "pos"),
+      opts.get("maxPerBatch").map(_.toLong).getOrElse(Long.MaxValue),
+      opts.get("numPartitions").map(_.toInt).getOrElse(4),
+      opts.get("startPos").map(_.toLong).getOrElse(Long.MinValue),
+      schema)
+  }
+}
+
+object JdbcCdcSource {
+
+  private[sources] def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw new IllegalArgumentException(s"graft-jdbc-cdc requires '$key'"))
+
+  /** Live schema probe: `WHERE 1=0` + ResultSetMetaData → StructType.
+    * Names lowercased; the JDBC type lattice maps onto Spark types the
+    * same way [[graft.model.TypeMapper]] maps MySQL's.
+    */
+  def probeSchema(url: String, table: String): StructType = {
+    withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0")
+      val md = rs.getMetaData
+      StructType((1 to md.getColumnCount).map { i =>
+        StructField(md.getColumnName(i).toLowerCase, sparkType(
+          md.getColumnType(i), md.getPrecision(i), md.getScale(i)))
+      })
+    }
+  }
+
+  private def sparkType(jdbcType: Int, precision: Int, scale: Int): DataType = jdbcType match {
+    case Types.BIGINT => LongType
+    case Types.INTEGER | Types.SMALLINT | Types.TINYINT => IntegerType
+    case Types.DOUBLE | Types.FLOAT => DoubleType
+    case Types.REAL => FloatType
+    case Types.DECIMAL | Types.NUMERIC => DecimalType(math.max(precision, 1), math.max(scale, 0))
+    case Types.BOOLEAN | Types.BIT => BooleanType
+    case Types.TIMESTAMP => TimestampType
+    case Types.DATE => DateType
+    case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
+    case _ => StringType // VARCHAR/CHAR/CLOB/unknown → text
+  }
+
+  private[sources] def withConnection[T](url: String)(f: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Catalyst value extraction for one ResultSet column. */
+  private[sources] def extract(rs: ResultSet, i: Int, dt: DataType): Any = {
+    val v = dt match {
+      case LongType => rs.getLong(i)
+      case IntegerType => rs.getInt(i)
+      case DoubleType => rs.getDouble(i)
+      case FloatType => rs.getFloat(i)
+      case BooleanType => rs.getBoolean(i)
+      case _: DecimalType => Decimal(rs.getBigDecimal(i))
+      case TimestampType =>
+        val ts = rs.getTimestamp(i)
+        if (ts == null) null else DateTimeUtils.fromJavaTimestamp(ts)
+      case DateType =>
+        val d = rs.getDate(i)
+        if (d == null) null else DateTimeUtils.fromJavaDate(d)
+      case BinaryType => rs.getBytes(i)
+      case _ => UTF8String.fromString(rs.getString(i))
+    }
+    if (rs.wasNull()) null else v
+  }
+}
+
+private[sources] class JdbcCdcTable(url: String, table: String, posCol: String,
+                                    maxPerBatch: Long, numPartitions: Int,
+                                    startPos: Long, schema0: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-jdbc-cdc($url/$table)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new JdbcCdcMicroBatchStream(url, table, posCol, maxPerBatch,
+            numPartitions, startPos, schema0)
+      }
+    }
+}
+
+/** Monotone-position offset (the FilePosition half of the reference's
+  * BinlogPosition duality, model/BinlogPosition.scala:32-49).
+  */
+case class PosOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class JdbcCdcMicroBatchStream(
+    url: String, table: String, posCol: String, maxPerBatch: Long,
+    numPartitions: Int, startPos: Long, schema: StructType)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = PosOffset(startPos)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** Poll the live table for up to `cap` new positions past `start` —
+    * one driver-side ordered scan of position values only (never rows).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PosOffset].pos
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => Long.MaxValue
+    }
+    JdbcCdcSource.withConnection(url) { conn =>
+      val st = conn.createStatement()
+      if (cap < Int.MaxValue) st.setMaxRows(cap.toInt)
+      val rs = st.executeQuery(
+        s"SELECT $posCol FROM $table WHERE $posCol > $s ORDER BY $posCol")
+      var end = s
+      while (rs.next()) end = rs.getLong(1)
+      PosOffset(end)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch == Long.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxRows(maxPerBatch)
+
+  override def reportLatestOffset(): Offset =
+    JdbcCdcSource.withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MAX($posCol) FROM $table")
+      PosOffset(if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else startPos)
+    }
+
+  /** Value-range chunking of (start, end]: `numPartitions` parallel
+    * executor reads, each over its own live connection — the snapshot
+    * PK-stride pattern applied to the log range.
+    */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PosOffset].pos
+    val e = end.asInstanceOf[PosOffset].pos
+    if (e <= s) Array.empty
+    else {
+      // BigInt bounds: the first batch spans (Long.MinValue, maxSeen], so
+      // (e - s) overflows a Long — every derived lo/hi is back inside
+      // [s, e] and safe to narrow
+      val n = math.max(1, numPartitions)
+      val (bs, be) = (BigInt(s), BigInt(e))
+      val width = (be - bs + n - 1) / n
+      (0 until n).iterator
+        .map(k => (bs + width * k, (bs + width * (k + 1)).min(be)))
+        .filter { case (lo, hi) => lo < hi }
+        .map { case (lo, hi) =>
+          JdbcCdcInputPartition(url, table, posCol, lo.toLong, hi.toLong): InputPartition
+        }
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcCdcReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset = PosOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = () // the log is durable upstream
+
+  override def stop(): Unit = ()
+}
+
+private[sources] case class JdbcCdcInputPartition(
+    url: String, table: String, posCol: String, lo: Long, hi: Long) extends InputPartition
+
+private[sources] class JdbcCdcReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JdbcCdcInputPartition]
+    new PartitionReader[InternalRow] {
+      private val conn = DriverManager.getConnection(p.url)
+      private val rs = conn.createStatement().executeQuery(
+        s"SELECT ${schema.fieldNames.mkString(", ")} FROM ${p.table} " +
+          s"WHERE ${p.posCol} > ${p.lo} AND ${p.posCol} <= ${p.hi} ORDER BY ${p.posCol}")
+      override def next(): Boolean = rs.next()
+      override def get(): InternalRow =
+        InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          JdbcCdcSource.extract(rs, i + 1, f.dataType)
+        }.toSeq)
+      override def close(): Unit = { rs.close(); conn.close() }
+    }
+  }
+}
