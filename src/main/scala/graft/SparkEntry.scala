@@ -354,7 +354,8 @@ object SparkEntry {
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
       StreamingEnrich.runAvailableNow(s, chunks, schema, Normalizer.normalize,
-        s"$tmp/scd2", s"$tmp/out", s"$tmp/ckpt", nBuckets = 8)
+        s"$tmp/scd2", s"$tmp/out", s"$tmp/ckpt", nBuckets = 8,
+        prepartition = s.sparkContext.defaultParallelism)
       StreamingEnrich.enrichedEvents(s, s"$tmp/out")
         .orderBy("tbl", "pk", "pos")
     }),

@@ -117,11 +117,13 @@ object StreamingEnrich {
       scd2Dir: String,
       outDir: String,
       checkpointDir: String,
-      nBuckets: Int = StreamingApply.defaultBuckets): Unit = {
-    val q = spark.readStream
+      nBuckets: Int = StreamingApply.defaultBuckets,
+      prepartition: Int = 0): Unit = {
+    val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(changelogDir)
+    val q = (if (prepartition > 0) src.repartition(prepartition) else src)
       .transform(normalize)
       .writeStream
       .foreachBatch(applyBatch(scd2Dir, outDir, nBuckets) _)
