@@ -584,6 +584,11 @@ object SparkEntry {
     "text_quality_gate" -> ((s, dir) =>
       Curation.qualityGate(t(s, dir, "documents"), 0.6)),
 
+    // PII scrub: redact emails/URLs/phones/ID runs over a deterministic
+    // synthetic-PII corpus, per-category counts as the audit trail
+    "text_pii_scrub" -> ((s, dir) =>
+      Scrub.scrubPii(Scrub.taintedCorpus(t(s, dir, "documents")))),
+
     // Quality-weighted deterministic sampling: P(keep) = quality, no RNG
     "text_importance_sample" -> ((s, dir) =>
       Curation.importanceSample(t(s, dir, "documents"), 10000)),
@@ -872,6 +877,8 @@ object SparkEntry {
     "text_quality_gate" -> Curation.qualityGateSql(0.6),
 
     "text_importance_sample" -> Curation.importanceSampleSql(10000),
+
+    "text_pii_scrub" -> Scrub.scrubPiiSql,
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),

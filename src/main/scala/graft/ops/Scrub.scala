@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training corpora: detect and redact emails, URLs,
+  * phone numbers and long ID-like digit runs, keeping per-category
+  * counts as the audit trail (the compliance artifact a data pipeline
+  * must emit alongside the scrubbed text).
+  *
+  * Pure per-row projections — regexp count + chained regexp_replace —
+  * so the operator is map-only at any corpus size: no shuffle, no UDF,
+  * fully inside whole-stage codegen.
+  *
+  * Patterns are written in the common Java-regex ∩ RE2 dialect
+  * (character classes, bounded repeats, \b word boundaries — no
+  * lookarounds, which RE2 lacks) so Spark and the DuckDB oracle execute
+  * the SAME expressions; redactions apply in a fixed order (url →
+  * email → phone → id) in both engines.
+  *
+  * The fixture corpus contains no PII, so [[taintedCorpus]] plants
+  * synthetic PII deterministically from doc_id (the [[Dedup.nearDupCorpus]]
+  * device) — every planted category is value-checked end-to-end.
+  */
+object Scrub {
+
+  /** (name, pattern, replacement) in application order. The categories
+    * are disjoint by construction on the tainted fixture (fixture ids
+    * are < 6 digits, planted ID runs are ≥ 9).
+    */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("urls", """https://\S+""", "<URL>"),
+    ("emails", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "<EMAIL>"),
+    ("phones", """\b[0-9]{3}-[0-9]{4}\b""", "<PHONE>"),
+    ("ids", """\b[0-9]{6,}\b""", "<ID>"))
+
+  /** Fixture docs with synthetic PII appended by doc_id rule —
+    * reproduced verbatim in the oracle.
+    */
+  def taintedCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    def planted(mod: Int, c: Column): Column =
+      when(col("doc_id") % mod === 0, c).otherwise(lit(""))
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      planted(5, concat(lit(" contact user"), id, lit("@example.com"))),
+      planted(7, concat(lit(" visit https://site"), id, lit(".example.org/p"), id)),
+      planted(11, concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+      planted(13, concat(lit(" ref "), (col("doc_id") * 7919L + 123456789L).cast("string")))
+    ).as("text"))
+  }
+
+  // NOTE: continuation `||` stays at END of line — a leading `||` would
+  // lose its first pipe to the EMBEDDING query's stripMargin
+  val taintedCorpusSql: String =
+    """SELECT doc_id,
+      |  text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' visit https://site' || CAST(doc_id AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0 THEN ' ref ' || CAST(doc_id * 7919 + 123456789 AS VARCHAR) ELSE '' END
+      |  AS text
+      |FROM documents""".stripMargin
+
+  /** Per-doc scrub: category counts (on the original text) + the
+    * redacted text's fingerprint + total redactions.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val counts = rules.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    val scrubbed = rules.foldLeft(col("text")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    docs.select(
+      Seq(col("doc_id")) ++ counts ++ Seq(
+        md5(scrubbed.cast("binary")).as("scrubbed_md5")): _*)
+      .withColumn("n_redactions",
+        rules.map(r => col(s"n_${r._1}")).reduce(_ + _))
+      .orderBy("doc_id")
+  }
+
+  val scrubPiiSql: String = {
+    val counts = rules.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val scrubbed = rules.foldLeft("text") { case (c, (_, pat, repl)) =>
+      s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    val total = rules.map(r => s"n_${r._1}").mkString(" + ")
+    s"""WITH tainted AS ($taintedCorpusSql),
+       |c AS (
+       |  SELECT doc_id,
+       |  $counts,
+       |  md5($scrubbed) AS scrubbed_md5
+       |  FROM tainted)
+       |SELECT doc_id, n_urls, n_emails, n_phones, n_ids, scrubbed_md5,
+       |       n_urls + n_emails + n_phones + n_ids AS n_redactions
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+}
