@@ -85,4 +85,64 @@ object Engine {
   def currentState(spark: SparkSession, result: RunResult,
                    payloadCols: Seq[String] = StreamingApply.defaultPayload): DataFrame =
     StreamingApply.currentState(spark, result.statePath, payloadCols)
+
+  /** The same lifecycle against a LIVE database: every phase reads the
+    * running server the way the reference's engine reads MySQL.
+    *
+    *   1. SNAPSHOT — partitioned `read.jdbc` stride on the position
+    *     column (the reference's PK-range snapshot workers,
+    *     snapshot/SnapshotWorker.scala:240-297); the `pos < low`
+    *     predicate pushes down into the remote queries.
+    *   2. CATCHUP — the bounded `[low, high)` range from the same
+    *     partitioned reader, merged over the snapshot (overlap absorbed
+    *     by the idempotent LWW merge).
+    *   3. STREAMING — the graft-jdbc-cdc source tails the server from
+    *     `high` onward in admission-capped micro-batches.
+    *
+    * `decode` adapts the table's wire row to the changelog envelope
+    * (e.g. epoch-micros → TimestampType).
+    */
+  def runLive(spark: SparkSession, url: String, table: String, posCol: String,
+              decode: DataFrame => DataFrame,
+              low: Long, high: Long, workDir: String,
+              numPartitions: Int = 4,
+              maxPerBatch: Long = Long.MaxValue,
+              payloadCols: Seq[String] = StreamingApply.defaultPayload): RunResult = {
+    require(validTransition(Init, Snapshot))
+    val bounds = graft.sources.JdbcCdcSource.withConnection(url) { conn =>
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MIN($posCol), MAX($posCol) FROM $table")
+      rs.next(); (rs.getLong(1), rs.getLong(2))
+    }
+    val live = spark.read.jdbc(url, table, posCol,
+      bounds._1, math.max(bounds._1 + 1, bounds._2), numPartitions,
+      new java.util.Properties())
+
+    val snap = ChangelogApply.materializeEnvelope(
+      decode(live.filter(col(posCol) < low)), payloadCols)
+    snap.write.mode("overwrite").parquet(s"$workDir/snapshot")
+
+    require(validTransition(Snapshot, Catchup))
+    val catchup = decode(live.filter(col(posCol) >= low && col(posCol) < high))
+    val caught = StreamingApply.mergeState(
+      spark.read.parquet(s"$workDir/snapshot"), catchup, payloadCols)
+    StreamingApply.writeVersion(caught, s"$workDir/state", -1L, payloadCols = payloadCols)
+
+    require(validTransition(Catchup, Streaming))
+    val q = spark.readStream.format("graft-jdbc-cdc")
+      .option("url", url).option("table", table).option("posColumn", posCol)
+      .option("startPos", (high - 1).toString) // source reads pos > startPos
+      .option("maxPerBatch", maxPerBatch.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+      .transform(decode)
+      .writeStream
+      .foreachBatch(StreamingApply.applyBatch(s"$workDir/state", payloadCols = payloadCols) _)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    RunResult(low, high, s"$workDir/state")
+  }
 }

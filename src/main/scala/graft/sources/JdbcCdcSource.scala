@@ -109,7 +109,10 @@ object JdbcCdcSource {
     case _ => StringType // VARCHAR/CHAR/CLOB/unknown → text
   }
 
-  private[sources] def withConnection[T](url: String)(f: Connection => T): T = {
+  /** Loan-pattern driver-side connection (also used by Engine.runLive's
+    * watermark probes).
+    */
+  def withConnection[T](url: String)(f: Connection => T): T = {
     val conn = DriverManager.getConnection(url)
     try f(conn) finally conn.close()
   }

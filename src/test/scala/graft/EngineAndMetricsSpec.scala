@@ -37,6 +37,36 @@ class EngineAndMetricsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("live lifecycle: JDBC snapshot + catchup + jdbc-cdc tail equals one-shot LWW") {
+    // the upstream server is a RUNNING Derby; all three phases read it
+    // over real JDBC (partitioned snapshot strides, then the streaming
+    // source's admission-capped polls)
+    val url = "jdbc:derby:memory:engine_live;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE CHANGELOG (pos BIGINT PRIMARY KEY, tbl VARCHAR(8), " +
+        "pk BIGINT, op VARCHAR(1), ts_us BIGINT, value DOUBLE)")
+    val ps = conn.prepareStatement("INSERT INTO CHANGELOG VALUES (?, ?, ?, ?, ?, ?)")
+    events.foreach { e =>
+      ps.setLong(1, e.pos); ps.setString(2, e.tbl); ps.setLong(3, e.pk)
+      ps.setString(4, e.op); ps.setLong(5, e.ts.getTime * 1000); ps.setDouble(6, e.value)
+      ps.addBatch()
+    }
+    ps.executeBatch(); conn.close()
+    val decode = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select("tbl", "pk", "op", "ts", "pos", "value")
+    val dir = Files.createTempDirectory("graft_engine_live").toString
+    val result = Engine.runLive(spark, url, "CHANGELOG", "pos", decode,
+      low = 3L, high = 6L, workDir = s"$dir/work",
+      numPartitions = 2, maxPerBatch = 2) // ≥ 2 streaming polls for pos 6-8
+    val got = Engine.currentState(spark, result)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val direct = ChangelogApply.materialize(events.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got == direct)
+  }
+
   test("lifecycle over the WIDE envelope: full row images survive snapshot/catchup/streaming") {
     val dir = Files.createTempDirectory("graft_engine_w").toString
     val wide = events.toDF()
