@@ -599,6 +599,11 @@ object SparkEntry {
       Curation.funnel(t(s, dir, "documents"), 0.65,
         Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
 
+    // LSH tuning audit: precision/recall of the banded candidate set vs
+    // a df-bounded exact-Jaccard ground truth (the band/row knob's number)
+    "dedup_lsh_audit" -> ((s, dir) =>
+      Dedup.lshQualityAudit(t(s, dir, "documents"), 0.8, 8)),
+
     // Z-order write layout: per-file min/max pruning stats on BOTH dims
     "events_zorder_layout" -> ((s, dir) =>
       Layout.zorderFileStats(t(s, dir, "events"), 16)),
@@ -882,6 +887,8 @@ object SparkEntry {
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
+
+    "dedup_lsh_audit" -> Dedup.lshQualityAuditSql(0.8, 8),
 
     "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
 

@@ -459,6 +459,89 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** LSH candidate-generator quality audit — precision AND recall of the
+    * banded-MinHash candidate set against an exact ground truth (the
+    * [[graft.ops.Similarity.ivfRecallAudit]] pattern applied to dedup):
+    * the number you tune nBands/rowsPerBand against, since banding
+    * trades exactly these two off (more bands → recall↑ precision↓).
+    *
+    * Ground truth universe: pairs sharing ≥ 1 RARE shingle (df ≤ maxDf)
+    * whose exact shingle Jaccard ≥ threshold — the same df-bounded
+    * posting device as [[containment]], which keeps the quadratic term
+    * bounded by posting-list occupancy (an unbounded all-pairs truth is
+    * exactly what can't exist at corpus scale). High-Jaccard pairs share
+    * most of their shingles, so on near-dup-shaped corpora the rare-
+    * shingle universe covers them; the audit measures LSH against that
+    * declared universe.
+    *
+    * Output (one row): truth size, candidate volume, hits, recall,
+    * precision — candidate volume ÷ hits is also the exact-verify
+    * overhead multiplier the candidate-then-verify pipeline pays.
+    */
+  def lshQualityAudit(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val th = Caches.tracked(docFeatures(nearDupCorpus(docs))
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist())
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    val rare = th.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val posting = th.join(rare, "h")
+    val trueCand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = trueCand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") > 0 &&
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_true"))
+    val lsh = lshCandidates(minhashSignaturesFromHashes(th))
+      .withColumn("in_lsh", lit(1))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_true")).cast("long").as("n_true"),
+        sum(col("in_lsh")).cast("long").as("n_lsh_candidates"),
+        sum(when(col("is_true") === 1 && col("in_lsh") === 1, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_lsh_candidates"), col("n_hit"),
+        round(col("n_hit").cast("double") / nullif(col("n_true"), lit(0L)), 6).as("recall"),
+        round(col("n_hit").cast("double") / nullif(col("n_lsh_candidates"), lit(0L)), 6).as("precision"))
+  }
+
+  def lshQualityAuditSql(threshold: Double, maxDf: Int): String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
+       |rare AS (SELECT h FROM th GROUP BY h HAVING count(*) <= $maxDf),
+       |posting AS (SELECT t.doc_id, t.h FROM th t JOIN rare r ON t.h = r.h),
+       |tcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM posting a JOIN posting b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truth AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM tcand c JOIN by_doc a ON c.doc_a = a.doc_id
+       |               JOIN by_doc b ON c.doc_b = b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= $threshold),
+       |j AS (
+       |  SELECT t.doc_a IS NOT NULL AS is_true, l.doc_a IS NOT NULL AS in_lsh
+       |  FROM truth t FULL OUTER JOIN cand l
+       |    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
+       |SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_candidates,
+       |       CAST(sum(CASE WHEN is_true AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       round(CAST(sum(CASE WHEN is_true AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6) AS recall,
+       |       round(CAST(sum(CASE WHEN is_true AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / nullif(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0), 6) AS precision
+       |FROM j""".stripMargin
+
   // ----------------------------------------------- incremental (streaming) dedup
 
   /** Incremental near-dup check of a NEW batch against the EXISTING
