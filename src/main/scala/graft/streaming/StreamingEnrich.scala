@@ -38,21 +38,28 @@ object StreamingEnrich {
     .add("prev_from_pos", LongType)
 
   /** The temporal join itself: events × history on the same key with the
-    * validity interval containing `pos − 1`. Equi-keys (tbl, pk) drive
-    * the join (one shuffle each side at scale, or bucket-local here);
+    * validity interval containing `pos − 1`. Equi-keys drive the join;
     * the interval predicate filters the ≤ versions-per-key matches — at
-    * most one version interval can contain any position.
+    * most one version interval can contain any position. With
+    * `bucketed = true` both sides carry a `bucket` column and share one
+    * hash(bucket) partitioning, so the join (keys prefixed with bucket)
+    * adds no exchange; the output keeps `bucket` for the aligned write.
     */
-  def enrichAgainst(history: DataFrame, events: DataFrame): DataFrame = {
+  def enrichAgainst(history: DataFrame, events: DataFrame,
+                    bucketed: Boolean = false): DataFrame = {
     val probe = col("e.pos") - 1
+    val keyEq =
+      if (bucketed) col("e.bucket") === col("v.bucket") &&
+        col("e.tbl") === col("v.tbl") && col("e.pk") === col("v.pk")
+      else col("e.tbl") === col("v.tbl") && col("e.pk") === col("v.pk")
+    val out = Seq(col("e.tbl").as("tbl"), col("e.pk").as("pk"), col("e.op").as("op"),
+      col("e.ts").as("ts"), col("e.pos").as("pos"), col("e.value").as("value"),
+      col("v.value").as("prev_value"), col("v.valid_from_pos").as("prev_from_pos"))
     events.as("e").join(history.as("v"),
-      col("e.tbl") === col("v.tbl") && col("e.pk") === col("v.pk") &&
-        col("v.valid_from_pos") <= probe &&
+      keyEq && col("v.valid_from_pos") <= probe &&
         (col("v.valid_to_pos").isNull || col("v.valid_to_pos") > probe),
       "left")
-      .select(col("e.tbl").as("tbl"), col("e.pk").as("pk"), col("e.op").as("op"),
-        col("e.ts").as("ts"), col("e.pos").as("pos"), col("e.value").as("value"),
-        col("v.value").as("prev_value"), col("v.valid_from_pos").as("prev_from_pos"))
+      .select((if (bucketed) col("e.bucket").as("bucket") +: out else out): _*)
   }
 
   /** foreachBatch body: fold into SCD2, then rewrite the enrichment of
@@ -64,23 +71,38 @@ object StreamingEnrich {
                  nBuckets: Int = StreamingApply.defaultBuckets)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    StreamingScd2.applyBatch(scd2Dir, nBuckets)(batch, batchId)
-    val touched = batch
-      .select(StreamingApply.bucketOf(nBuckets).as("bucket")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    if (touched.nonEmpty) {
-      // the merged history of the touched buckets (events + intervals,
-      // tombstones included) — written by the applyBatch above
-      val hist = StreamingApply.stateBefore(spark, scd2Dir, batchId + 1,
-        Some(touched), StreamingScd2.payloadCols, StreamingScd2.stateSchema)
-      val events = hist.select("tbl", "pk", "op", "ts", "pos", "value")
-      val versions = hist.filter(col("op") =!= "D")
-        .select(col("tbl"), col("pk"), col("value"),
-          col("pos").as("valid_from_pos"), col("valid_to_pos"))
-      StreamingApply.writeVersion(enrichAgainst(versions, events),
-        outDir, batchId, nBuckets, payloadCols)
-      StreamingApply.compact(spark, outDir, buckets = Some(touched))
-    }
+    // persisted: consumed by the SCD2 fold AND the touched probe — the
+    // probe would otherwise re-run the source scan + normalize
+    val b = batch.persist()
+    try {
+      StreamingScd2.applyBatch(scd2Dir, nBuckets)(b, batchId)
+      val touched = b
+        .select(StreamingApply.bucketOf(nBuckets).as("bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      if (touched.nonEmpty) {
+        // the merged history of the touched buckets (events + intervals,
+        // tombstones included) — written by the applyBatch above. ONE
+        // repartition on bucket feeds both join sides: with bucket in the
+        // join keys, hash(bucket) partitioning satisfies the join's
+        // distribution, so the temporal join adds no further exchange.
+        val hist = StreamingApply.stateBefore(spark, scd2Dir, batchId + 1,
+            Some(touched), StreamingScd2.payloadCols, StreamingScd2.stateSchema)
+          .withColumn("bucket", StreamingApply.bucketOf(nBuckets))
+          .repartition(nBuckets, col("bucket"))
+        val events = hist.select("bucket", "tbl", "pk", "op", "ts", "pos", "value")
+        val versions = hist.filter(col("op") =!= "D")
+          .select(col("bucket"), col("tbl"), col("pk"), col("value"),
+            col("pos").as("valid_from_pos"), col("valid_to_pos"))
+        // aligned write: the join output is already hash(bucket)
+        // partitioned — writeVersion's repartition would re-shuffle it
+        enrichAgainst(versions, events, bucketed = true)
+          .select((Seq("tbl", "pk", "op", "ts", "pos") ++ payloadCols :+ "bucket")
+            .map(col): _*)
+          .write.partitionBy("bucket")
+          .mode("overwrite").parquet(s"$outDir/v=$batchId")
+        StreamingApply.compact(spark, outDir, buckets = Some(touched))
+      }
+    } finally { b.unpersist(); () }
   }
 
   /** The enriched changelog: latest version of every output bucket. */

@@ -201,6 +201,31 @@ class PlanShapeSpec extends SparkSpec {
       s"bin counts must combine map-side:\n$p")
   }
 
+  test("bucketed micro-batch merge: exactly ONE exchange (LWW and SCD2)") {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import spark.implicits._
+    val env = (1L to 50L).map(i => ("t0", i % 7, if (i % 5 == 0) "D" else "U", i, i * 1.5))
+      .toDF("tbl", "pk", "op", "pos", "value")
+      .withColumn("ts", timestamp_micros(col("pos") * 1000000L))
+      .withColumn("bucket", graft.streaming.StreamingApply.bucketOf(8))
+    val prev = env.limit(0)
+    val lww = graft.streaming.StreamingApply
+      .mergeStateBucketed(prev, env, Seq("value"), 8)
+      .queryExecution.executedPlan.toString
+    assert(lww.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"bucketed LWW merge must shuffle exactly once on bucket:\n$lww")
+    assert(lww.contains("partial_max_by") || lww.contains("max_by"),
+      s"LWW aggregate missing:\n$lww")
+    val scd2env = env.withColumn("valid_to_pos", lit(null).cast("long"))
+      .withColumn("is_current", lit(false))
+    val scd2 = graft.streaming.StreamingScd2
+      .mergeBucketed(scd2env.limit(0), scd2env, 8)
+      .queryExecution.executedPlan.toString
+    assert(scd2.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"bucketed SCD2 merge must shuffle exactly once on bucket:\n$scd2")
+    assert(scd2.contains("Window"), s"interval window missing:\n$scd2")
+  }
+
   test("q21: per-order aggregate reuses the join's orderkey partitioning") {
     val p = plan("q21_sole_blame")
     // lineitem ⋈ orders shuffles each side once on orderkey; the per-order
