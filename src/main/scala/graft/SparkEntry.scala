@@ -599,6 +599,24 @@ object SparkEntry {
       Curation.funnel(t(s, dir, "documents"), 0.65,
         Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
 
+    // Skew devices, oracle-proven result-identical to the plain forms:
+    // salted exact count-distinct (hot key's values scatter over salt
+    // partials) and a salted broadcast-defeating join
+    "events_salted_distinct" -> ((s, dir) =>
+      Salting.saltedCountDistinct(t(s, dir, "events"), "event_type", "user_id", 8)
+        .orderBy("event_type")),
+
+    "events_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id").as("k"), col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      Salting.saltedJoin(ev, dim, "k", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // LSH tuning audit: precision/recall of the banded candidate set vs
     // a df-bounded exact-Jaccard ground truth (the band/row knob's number)
     "dedup_lsh_audit" -> ((s, dir) =>
@@ -889,6 +907,16 @@ object SparkEntry {
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
 
     "dedup_lsh_audit" -> Dedup.lshQualityAuditSql(0.8, 8),
+
+    "events_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
 
