@@ -268,10 +268,18 @@ object Dedup {
     // executor loss; on a real cluster point the checkpoint dir at the
     // job's DFS scratch path before calling (this default serves local runs)
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(graft.Scratch.dir("graft-cc-ckpt"))
-    val edges = pairs
+    // persist-then-checkpoint: Dataset.checkpoint materializes through
+    // one job and WRITES through a second — uncached, each round's plan
+    // would execute twice (the checkpoint-write job re-derives it)
+    def durable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cached = df.persist()
+      val ck = cached.checkpoint()
+      cached.unpersist()
+      ck
+    }
+    val edges = durable(pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .checkpoint() // pair generation runs once; rounds reuse the edge list
+      .toDF("src", "dst")) // pair generation runs once; rounds reuse the edge list
     // seed each node with min(self, direct neighbors) — the same shuffle
     // as the plain distinct-nodes init, but it fuses the first propagation
     // round: diameter-1 components (the bulk of near-dup graphs — pairs
@@ -283,10 +291,9 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+      val next = durable(labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .checkpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       rounds += 1
