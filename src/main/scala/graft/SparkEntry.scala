@@ -599,6 +599,11 @@ object SparkEntry {
       Curation.funnel(t(s, dir, "documents"), 0.65,
         Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1)),
 
+    // Repetition truncation: cut each doc at its first repeated 3-gram
+    // (the degenerate-generation cutoff, as a transformation)
+    "text_repetition_truncate" -> ((s, dir) =>
+      TextAnalysis.repetitionTruncate(t(s, dir, "documents"))),
+
     // Skew devices, oracle-proven result-identical to the plain forms:
     // salted exact count-distinct (hot key's values scatter over salt
     // partials) and a salted broadcast-defeating join
@@ -902,6 +907,8 @@ object SparkEntry {
     "text_importance_sample" -> Curation.importanceSampleSql(10000),
 
     "text_pii_scrub" -> Scrub.scrubPiiSql,
+
+    "text_repetition_truncate" -> TextAnalysis.repetitionTruncateSql,
 
     "pipeline_curation" -> Curation.funnelSql(0.65,
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),

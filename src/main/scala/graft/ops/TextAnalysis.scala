@@ -293,6 +293,54 @@ object TextAnalysis {
        |       ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS rep_ratio
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Repetition TRUNCATION — the transformation counterpart of
+    * [[repetition]]'s metric (the degenerate-generation cutoff heuristic):
+    * cut the document just before the first 3-token shingle that already
+    * occurred earlier in the same document, i.e. keep tokens
+    * `[0, i+2)` where `i` is the first repeated shingle's start (whole
+    * doc when nothing repeats).
+    *
+    * Pure projection; the O(span²) prefix-containment scan is per-row
+    * and bounded by document length. The repeated-shingle probe binds
+    * `sh` through a projection first (lambda bodies re-evaluate UNBOUND
+    * child expressions per element — the 14× shingle pitfall), and the
+    * index sequence is guarded against Spark's descending `sequence(1, 0)`.
+    */
+  def repetitionTruncate(docs: DataFrame): DataFrame = {
+    val bound = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), col("tok"), Tokenize.shingles3(col("tok")).as("sh"))
+    // 0-based starts i ≥ 1 whose shingle appeared in sh[0..i-1]
+    val idxs = when(size(col("sh")) > 1, sequence(lit(1), size(col("sh")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val reps = filter(idxs,
+      i => array_contains(slice(col("sh"), lit(1), i), element_at(col("sh"), i + 1)))
+    bound
+      .select(col("doc_id"), col("tok"),
+        when(size(reps) > 0, element_at(reps, 1)).as("first_rep"))
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens_in"),
+        coalesce(col("first_rep") + 2, size(col("tok"))).cast("long").as("n_tokens_out"),
+        col("first_rep").isNotNull.as("truncated"),
+        md5(concat_ws(" ",
+          slice(col("tok"), lit(1), coalesce(col("first_rep") + 2, size(col("tok")))))
+          .cast("binary")).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionTruncateSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |s AS (SELECT doc_id, tok, ${Tokenize.shingles3Sql("tok")} AS sh FROM t),
+       |r AS (
+       |  SELECT doc_id, tok,
+       |    [i FOR i IN range(1, greatest(len(sh), 1)) IF list_contains(sh[1:i], sh[i + 1])][1] AS first_rep
+       |  FROM s)
+       |SELECT doc_id,
+       |  CAST(len(tok) AS BIGINT) AS n_tokens_in,
+       |  CAST(coalesce(first_rep + 2, len(tok)) AS BIGINT) AS n_tokens_out,
+       |  first_rep IS NOT NULL AS truncated,
+       |  md5(coalesce(list_aggregate(tok[1:coalesce(first_rep + 2, len(tok))], 'string_agg', ' '), '')) AS out_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Cross-document boilerplate detection (the C4/RefinedWeb span-dedup
     * family): a doc's 3-token spans that also occur in ≥ `minDocs` OTHER
     * documents are boilerplate (headers, footers, templates); report the
