@@ -123,6 +123,8 @@ object SparkEntry {
       (url, cl.count())
     })
 
+  private val hourlyStreamSeq = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).
     */
@@ -342,6 +344,27 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       StreamingApply.currentState(s, s"$tmp/state").orderBy("tbl", "pk")
+    }),
+
+    // Watermarked streaming analytics, oracle-checked: the hourly window
+    // aggregate emitted by append-mode streaming equals the batch hourly
+    // aggregate restricted to watermark-finalized windows
+    // (window_end <= max_ts - delay)
+    "events_hourly_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"hourly_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val q = StreamingAnalytics.windowedCounts(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("ts"), col("event_type"), col("value")))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_hstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("hour", "event_type")
     }),
 
     // Streaming as-of enrichment: every event carries the dimension
@@ -795,6 +818,17 @@ object SparkEntry {
 
     "cdc_jdbc_stream" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
+
+    "events_hourly_stream" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.hour, w.event_type, w.n_events, w.sum_value FROM w, mx
+        |WHERE w.hour + INTERVAL 1 HOUR <= mx.mx - INTERVAL 2 HOUR
+        |ORDER BY w.hour, w.event_type""".stripMargin,
 
     "cdc_op_stats" ->
       s"""WITH cl AS ($clSql)

@@ -27,7 +27,10 @@ object StreamingAnalytics {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // DECIMAL accumulation then double: per-window sums must not depend
+      // on shuffle arrival order (the engine-parity recipe)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
