@@ -519,6 +519,10 @@ object SparkEntry {
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // Same groups via alternating large-star/small-star contraction — the
+    // O(log n)-round scale path for high-diameter components (same oracle)
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.nearDupClustersStars(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -896,6 +900,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
+    "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),

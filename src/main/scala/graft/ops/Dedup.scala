@@ -262,21 +262,28 @@ object Dedup {
     * edge relation spin — near-dup graphs are small dense clusters whose
     * diameter is single-digit.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  /** Reliable (durable-storage) checkpoints truncate lineage AND survive
+    * executor loss; on a real cluster point the checkpoint dir at the
+    * job's DFS scratch path before calling (this default serves local runs).
+    */
+  private def ensureCheckpointDir(pairs: DataFrame): Unit = {
     val sc = pairs.sparkSession.sparkContext
-    // reliable (durable-storage) checkpoints truncate lineage AND survive
-    // executor loss; on a real cluster point the checkpoint dir at the
-    // job's DFS scratch path before calling (this default serves local runs)
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(graft.Scratch.dir("graft-cc-ckpt"))
-    // persist-then-checkpoint: Dataset.checkpoint materializes through
-    // one job and WRITES through a second — uncached, each round's plan
-    // would execute twice (the checkpoint-write job re-derives it)
-    def durable(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val cached = df.persist()
-      val ck = cached.checkpoint()
-      cached.unpersist()
-      ck
-    }
+  }
+
+  /** Persist-then-checkpoint: Dataset.checkpoint materializes through
+    * one job and WRITES through a second — uncached, each round's plan
+    * would execute twice (the checkpoint-write job re-derives it).
+    */
+  private def durable(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    val ck = cached.checkpoint()
+    cached.unpersist()
+    ck
+  }
+
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    ensureCheckpointDir(pairs)
     val edges = durable(pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")) // pair generation runs once; rounds reuse the edge list
@@ -306,6 +313,87 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path for HIGH-DIAMETER graphs, where min-label
+    * propagation's O(diameter) rounds would dominate. Each round halves
+    * long chains (O(log² n) rounds worst-case, O(log n) in practice), so a
+    * pathological chain-of-near-dups component that would take
+    * [[connectedComponents]] hundreds of keyed joins collapses in ~a dozen.
+    *
+    * Both phases are a single groupBy-min plus a join per round — no
+    * global structure, partial aggregation does the min map-side — and
+    * every round is reliably checkpointed like the min-label variant. The
+    * edge set can only shrink or re-point (never grows beyond 2|E|), so
+    * per-round cost is bounded by the input edge count.
+    *
+    *   - large-star: every node u attaches each strictly-LARGER neighbor
+    *     to m = min(Γ(u) ∪ u) — long chains fold toward their minimum.
+    *   - small-star: every edge keys at its larger endpoint u; u and its
+    *     smaller neighbors all attach to m = min of that neighborhood —
+    *     partial stars flatten one level.
+    *
+    * Fixpoint = the edge set is round-invariant, at which point the graph
+    * is a union of stars centered at component minima; labels read off the
+    * star centers. Same output contract as [[connectedComponents]]
+    * (doc_id, cluster = min member id, cluster_size) — the two are
+    * interchangeable, checked against the same oracle.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 32): DataFrame =
+    connectedComponentsStarsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponentsStars]] exposing the round count the loop took —
+    * the number the O(log n) claim is specced against. */
+  def connectedComponentsStarsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 32): (DataFrame, Int) = {
+    ensureCheckpointDir(pairs)
+    // canonical undirected edge set: (a < b), self-loops dropped, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var edges = durable(canon(
+      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // large-star: m = min over the full neighborhood (both directions)
+      val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("nv"))
+        .select(col("u"), least(col("u"), col("nv")).as("m"))
+      val large = canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")))
+      // small-star over the large-star output: key at the larger endpoint
+      // (strictly larger — canon removed self-loops), re-point everything
+      // in that neighborhood, the key included, at its minimum
+      val dir = large.select(col("b").as("u"), col("a").as("v"))
+      val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = durable(canon(
+        dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
+          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))))
+      // fixpoint test: next ⊆ edges and equal cardinality ⇒ equal sets
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"large-star/small-star hit the maxRounds=$maxRounds circuit-breaker " +
+        "(rounds grow ~log(n); raise maxRounds only for astronomically deep graphs)")
+    // fixpoint edges are (center=min, member) stars; centers label themselves
+    val labels = edges.select(col("b").as("id"), col("a").as("label"))
+      .unionAll(edges.select(col("a"), col("a")).distinct().toDF("id", "label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+    (out, rounds)
+  }
+
+  /** [[nearDupClusters]] with the star-contraction component algorithm —
+    * identical result (same oracle), diameter-robust round bound. */
+  def nearDupClustersStars(docs: DataFrame, threshold: Double): DataFrame =
+    connectedComponentsStars(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
 
   def nearDupClustersSql(threshold: Double): String = {
     val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")

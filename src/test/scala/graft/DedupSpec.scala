@@ -78,6 +78,40 @@ class DedupSpec extends SparkSpec {
     assert(got == (0L to 10L).map(i => (i, 0L, 11L)))
   }
 
+  test("star-contraction components: same result as min-label on chains + stars") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStars(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)))
+  }
+
+  test("star-contraction components: chain-64 converges in O(log n) rounds") {
+    import spark.implicits._
+    // one 65-node chain with the min at the far end — min-label propagation
+    // needs 64 rounds here; star contraction must collapse it in ~log n
+    val pairs = (0L until 64L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.connectedComponentsStarsWithRounds(pairs, maxRounds = 16)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (0L to 64L).map(i => (i, 0L, 65L)))
+    assert(rounds <= 12, s"expected ~log(65) star rounds, took $rounds")
+  }
+
+  test("star-contraction components: random graph agrees with min-label result") {
+    import spark.implicits._
+    // deterministic pseudo-random edge soup: mixes chains, stars, singleton pairs
+    val edges = (0 until 80).map { i =>
+      val a = (i * 37 + 11) % 50; val b = (i * 53 + 29) % 50
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val byStars = Dedup.connectedComponentsStars(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byLabels = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(byStars == byLabels)
+  }
+
   test("near-dup clusters: identical docs group end-to-end; unpaired docs absent") {
     val got = Dedup.nearDupClusters(
       corpus(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> (b + " extra unseen tokens here")), 0.99)
