@@ -666,6 +666,10 @@ object SparkEntry {
     "events_quantile_sketch" -> ((s, dir) =>
       Sketches.valueQuantileSketch(t(s, dir, "events"), 64)),
 
+    // Count-Min heavy hitters: d×w bounded counter grid vs exact top-N audit
+    "events_heavy_hitters" -> ((s, dir) =>
+      Sketches.countMinHeavyHitters(t(s, dir, "events"), 4, 256, 20)),
+
     // Quality gate with a histogram-sketch threshold (single bounded agg)
     "text_quality_gate_sketch" -> ((s, dir) =>
       Curation.qualityGateSketch(t(s, dir, "documents"), 0.6, 64)),
@@ -969,6 +973,7 @@ object SparkEntry {
     "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
 
     "events_quantile_sketch" -> Sketches.valueQuantileSketchSql(64),
+    "events_heavy_hitters" -> Sketches.countMinHeavyHittersSql(4, 256, 20),
 
     "text_quality_gate_sketch" -> Curation.qualityGateSketchSql(0.6, 64),
 

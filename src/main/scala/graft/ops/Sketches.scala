@@ -164,6 +164,75 @@ object Sketches {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Count-Min sketch heavy hitters: estimate per-key frequencies from a
+    * d×w counter grid, audited against the exact counts for the top-N
+    * keys (the same exact-vs-sketch pairing as [[approxDistinctUsers]]).
+    *
+    * Scale shape: the sketch build is ONE pass — each row explodes into d
+    * (row, bucket) coordinates (d a small constant) and a groupBy counts
+    * cells, so map-side partials merge and the full sketch is d·w counters
+    * (a few KB) REGARDLESS of corpus size; sketches from different
+    * partitions/days merge by cell-wise addition, which is exactly what
+    * the partial aggregation already does. The exact top-N and its join
+    * are the AUDIT path you drop at 100 TB (candidates then come from the
+    * stream itself or a per-partition candidate heap).
+    *
+    * Estimator: est(k) = min over the d rows of cell[r][hash_r(k) % w] —
+    * each cell only ever ADDS other keys' collisions, so est ≥ exact
+    * always (the one-sided Count-Min guarantee; `overcount` exposes it,
+    * and the spec + oracle assert it never goes negative).
+    */
+  def countMinHeavyHitters(events: DataFrame, d: Int, w: Int, topN: Int): DataFrame = {
+    def coords(k: Column): Column = array((0 until d).map(i =>
+      struct(lit(i).as("r"),
+        (PortableHash.tokenHash(concat(lit(s"cm$i:"), k)) % lit(w.toLong)).as("b"))): _*)
+    val cells = events
+      .select(explode(coords(col("user_id").cast("string"))).as("c"))
+      .select(col("c.r").as("r"), col("c.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(topN)
+    val probes = top
+      .select(col("user_id"), col("n_exact"),
+        explode(coords(col("user_id").cast("string"))).as("c"))
+      .select(col("user_id"), col("n_exact"), col("c.r").as("r"), col("c.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("user_id"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle mirror of [[countMinHeavyHitters]]: the d coordinate sets are
+    * unrolled as a UNION ALL per hash row with the same `cm<i>:` seed
+    * prefixes, so every cell count — and therefore every min-estimate —
+    * is bit-identical.
+    */
+  def countMinHeavyHittersSql(d: Int, w: Int, topN: Int): String = {
+    def bucket(i: Int, key: String): String =
+      s"${PortableHash.tokenHashSql(s"'cm$i:' || CAST($key AS VARCHAR)")} % $w"
+    val cellRows = (0 until d).map(i =>
+      s"SELECT $i AS r, ${bucket(i, "user_id")} AS b FROM events").mkString("\n    UNION ALL ")
+    val probeRows = (0 until d).map(i =>
+      s"SELECT user_id, n_exact, $i AS r, ${bucket(i, "user_id")} AS b FROM top").mkString("\n    UNION ALL ")
+    s"""WITH cells AS (
+       |  SELECT r, b, count(*) AS cnt FROM (
+       |    $cellRows)
+       |  GROUP BY r, b),
+       |top AS (
+       |  SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id
+       |  ORDER BY n_exact DESC, user_id LIMIT $topN),
+       |probes AS (
+       |    $probeRows),
+       |est AS (
+       |  SELECT p.user_id, p.n_exact, min(c.cnt) AS cm_est
+       |  FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+       |  GROUP BY p.user_id, p.n_exact)
+       |SELECT user_id, n_exact, cm_est, cm_est - n_exact AS overcount
+       |FROM est ORDER BY user_id""".stripMargin
+  }
+
   /** The oracle rebuilds the sketch declaratively: the k smallest distinct
     * hashes per group are just `row_number() OVER (ORDER BY h) <= k` —
     * that reproducibility (vs. HLL's engine-private register layout) is

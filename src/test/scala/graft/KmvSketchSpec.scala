@@ -70,4 +70,38 @@ class KmvSketchSpec extends SparkSpec {
     // standard error of KMV is ~1/sqrt(k-2) ≈ 12.7%; 3 sigma band
     assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
   }
+
+  test("Count-Min estimates never undercount; heavy key is near-exact at low load") {
+    import spark.implicits._
+    // zipf-ish: key 1 dominates, long tail of singletons keeps cells busy
+    val rows = Seq.fill(500)(1L) ++ Seq.fill(120)(2L) ++ (100L to 400L)
+    val df = rows.map(u => (u, "click")).toDF("user_id", "event_type")
+    val got = Sketches.countMinHeavyHitters(df, 4, 256, 10).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"Count-Min undercounted ${r.getAs[Long]("user_id")}: $r")
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("n_exact"))
+    }
+    // 922 increments over 4x256 cells: the dominant key's min-row is very
+    // unlikely to share all 4 cells with the tail — demand a tight estimate
+    val top = got.find(_.getAs[Long]("user_id") == 1L).get
+    assert(top.getAs[Long]("n_exact") == 500L)
+    assert(top.getAs[Long]("cm_est") - 500L <= 10L)
+  }
+
+  test("Count-Min sketch cells merge additively across disjoint shards") {
+    import spark.implicits._
+    // the sketch of a union equals cell-wise addition of shard sketches —
+    // checked end-to-end: estimates over the union frame equal estimates
+    // computed when the same rows arrive as two batches unioned afterward
+    // (partial aggregation order cannot matter for a sum of counts)
+    val a = (1 to 300).map(i => ((i % 7).toLong, "a")).toDF("user_id", "event_type")
+    val b = (1 to 200).map(i => ((i % 5).toLong, "b")).toDF("user_id", "event_type")
+    val whole = Sketches.countMinHeavyHitters(a.unionAll(b), 4, 64, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val swapped = Sketches.countMinHeavyHitters(b.unionAll(a), 4, 64, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(whole == swapped)
+  }
 }
