@@ -670,6 +670,11 @@ object SparkEntry {
     "events_heavy_hitters" -> ((s, dir) =>
       Sketches.countMinHeavyHitters(t(s, dir, "events"), 4, 256, 20)),
 
+    // Theta-sketch segment overlap: distinct union/intersection/Jaccard
+    // per event-type pair from k-bounded KMV sketches vs exact audit
+    "events_segment_overlap" -> ((s, dir) =>
+      Sketches.segmentOverlap(t(s, dir, "events"), 64)),
+
     // Quality gate with a histogram-sketch threshold (single bounded agg)
     "text_quality_gate_sketch" -> ((s, dir) =>
       Curation.qualityGateSketch(t(s, dir, "documents"), 0.6, 64)),
@@ -974,6 +979,7 @@ object SparkEntry {
 
     "events_quantile_sketch" -> Sketches.valueQuantileSketchSql(64),
     "events_heavy_hitters" -> Sketches.countMinHeavyHittersSql(4, 256, 20),
+    "events_segment_overlap" -> Sketches.segmentOverlapSql(64),
 
     "text_quality_gate_sketch" -> Curation.qualityGateSketchSql(0.6, 64),
 

@@ -164,6 +164,132 @@ object Sketches {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Audience-overlap estimates between event-type segments from KMV
+    * (theta-style) sketches: distinct-user union, intersection, and
+    * Jaccard per segment pair — WITHOUT ever co-shuffling the raw id sets.
+    *
+    * Scale shape: one k-bounded sketch per segment (the same mergeable
+    * partial aggregate as [[approxDistinctUsers]]), then all set algebra
+    * happens on the k-long sketch arrays — the pair join moves
+    * O(segments² · k) longs, never user ids. At 100 TB the exact audit
+    * columns (a distinct self-join) are what you drop; the sketch path's
+    * cost does not grow with the corpus at all once the sketches exist.
+    *
+    * Estimator (theta sketch): θ = k-th smallest hash of the UNION of the
+    * two sketches; every retained hash below θ represents 1/frac(θ) users.
+    * Hashes of A∩B below θ are guaranteed present in BOTH sketches
+    * (each sketch's own threshold is ≥ θ), so the intersection estimate
+    * c/frac(θ) is unbiased; below k the sketches are exact and so are the
+    * "estimates".
+    */
+  def segmentOverlap(events: DataFrame, k: Int): DataFrame = {
+    KmvFunctions.register(events.sparkSession)
+    val h = PortableHash.tokenHash(col("user_id").cast("string"))
+    val sks = events.groupBy(col("event_type"))
+      .agg(KmvFunctions.kmvMinHashes(h, k).as("sk"),
+        count_distinct(col("user_id")).as("n"))
+    val du = events.select(col("event_type"), col("user_id")).distinct()
+    val interExact = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("seg_a"), col("y.event_type").as("seg_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    // theta must be BOUND through a projection before the filter lambda:
+    // HOF lambdas re-evaluate unbound child expressions per element
+    val frac = (col("theta").cast("double") + lit(1.0)) / lit(KmvFunctions.HashSpace)
+    sks.as("a").join(broadcast(sks.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("seg_a"), col("b.event_type").as("seg_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        array_sort(array_union(col("a.sk"), col("b.sk"))).as("u"),
+        array_intersect(col("a.sk"), col("b.sk")).as("common"))
+      .withColumn("is_full", size(col("u")) >= k)
+      .withColumn("theta", when(col("is_full"), element_at(col("u"), k)))
+      .withColumn("c", when(col("is_full"),
+          size(filter(col("common"), x => x < col("theta"))))
+        .otherwise(size(col("common"))).cast("long"))
+      .withColumn("union_est", round(
+        when(col("is_full"), lit((k - 1).toDouble) / frac)
+          .otherwise(size(col("u")).cast("double")), 4))
+      .withColumn("inter_est", round(
+        when(col("is_full"), col("c").cast("double") / frac)
+          .otherwise(col("c").cast("double")), 4))
+      .join(interExact, Seq("seg_a", "seg_b"), "left")
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - coalesce(col("inter_exact"), lit(0L))).as("union_exact"),
+        col("union_est"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        col("inter_est"),
+        round(col("inter_est") / col("union_est"), 4).as("jaccard_est"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** Oracle mirror of [[segmentOverlap]]: sketches rebuilt as row_number
+    * ≤ k over distinct hashes, union/theta/common via plain joins, the
+    * estimate arithmetic in the same expression order.
+    */
+  def segmentOverlapSql(k: Int): String =
+    s"""WITH nx AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY event_type),
+       |hh AS (
+       |  SELECT DISTINCT event_type,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |ranked AS (
+       |  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hh),
+       |sk AS (SELECT event_type, h FROM ranked WHERE rn <= $k),
+       |pairs AS (
+       |  SELECT a.event_type AS seg_a, b.event_type AS seg_b, a.n AS n_a, b.n AS n_b
+       |  FROM nx a JOIN nx b ON a.event_type < b.event_type),
+       |uh AS (
+       |  SELECT DISTINCT p.seg_a, p.seg_b, s.h
+       |  FROM pairs p JOIN sk s ON s.event_type = p.seg_a OR s.event_type = p.seg_b),
+       |ur AS (
+       |  SELECT seg_a, seg_b, h,
+       |         row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+       |  FROM uh),
+       |ustat AS (
+       |  SELECT seg_a, seg_b, count(*) AS usize,
+       |         max(CASE WHEN rn = $k THEN h END) AS theta
+       |  FROM ur GROUP BY seg_a, seg_b),
+       |cm AS (
+       |  SELECT p.seg_a, p.seg_b, x.h
+       |  FROM pairs p
+       |  JOIN sk x ON x.event_type = p.seg_a
+       |  JOIN sk y ON y.event_type = p.seg_b AND y.h = x.h),
+       |cstat AS (
+       |  SELECT u.seg_a, u.seg_b, u.usize, u.theta,
+       |         count(CASE WHEN u.usize >= $k THEN (CASE WHEN c.h < u.theta THEN 1 END)
+       |                    ELSE (CASE WHEN c.h IS NOT NULL THEN 1 END) END) AS c
+       |  FROM ustat u LEFT JOIN cm c ON c.seg_a = u.seg_a AND c.seg_b = u.seg_b
+       |  GROUP BY u.seg_a, u.seg_b, u.usize, u.theta),
+       |est AS (
+       |  SELECT seg_a, seg_b,
+       |    round(CASE WHEN usize >= $k
+       |          THEN ${(k - 1).toDouble} / ((theta + 1.0) / ${KmvFunctions.HashSpace})
+       |          ELSE CAST(usize AS DOUBLE) END, 4) AS union_est,
+       |    round(CASE WHEN usize >= $k
+       |          THEN CAST(c AS DOUBLE) / ((theta + 1.0) / ${KmvFunctions.HashSpace})
+       |          ELSE CAST(c AS DOUBLE) END, 4) AS inter_est
+       |  FROM cstat),
+       |ix AS (
+       |  SELECT x.event_type AS seg_a, y.event_type AS seg_b, count(*) AS inter_exact
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) x
+       |  JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY x.event_type, y.event_type)
+       |SELECT p.seg_a, p.seg_b, p.n_a, p.n_b,
+       |       p.n_a + p.n_b - coalesce(i.inter_exact, 0) AS union_exact,
+       |       e.union_est,
+       |       coalesce(i.inter_exact, 0) AS inter_exact,
+       |       e.inter_est,
+       |       round(e.inter_est / e.union_est, 4) AS jaccard_est
+       |FROM pairs p
+       |JOIN est e ON e.seg_a = p.seg_a AND e.seg_b = p.seg_b
+       |LEFT JOIN ix i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
+       |ORDER BY p.seg_a, p.seg_b""".stripMargin
+
   /** Count-Min sketch heavy hitters: estimate per-key frequencies from a
     * d×w counter grid, audited against the exact counts for the top-N
     * keys (the same exact-vs-sketch pairing as [[approxDistinctUsers]]).

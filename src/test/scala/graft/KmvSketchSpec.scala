@@ -71,6 +71,32 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.4, s"estimate $est too far from $n")
   }
 
+  test("segment overlap: exact below k; estimates track a known 50% overlap") {
+    import spark.implicits._
+    // segments p/q: users 1-2000 and 1001-3000 → union 3000, inter 1000;
+    // tiny segment r: users 1-30 (sketch never fills → exact path)
+    val rows = (1 to 2000).map(u => (u.toLong, "p")) ++
+      (1001 to 3000).map(u => (u.toLong, "q")) ++
+      (1 to 30).map(u => (u.toLong, "r"))
+    val got = Sketches.segmentOverlap(rows.toDF("user_id", "event_type"), 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val pq = got(("p", "q"))
+    assert(pq.getAs[Long]("union_exact") == 3000L)
+    assert(pq.getAs[Long]("inter_exact") == 1000L)
+    // theta estimators carry ~1/sqrt(k) noise; 3-sigma bands
+    assert(math.abs(pq.getAs[Double]("union_est") - 3000.0) / 3000.0 < 0.45)
+    assert(math.abs(pq.getAs[Double]("inter_est") - 1000.0) / 1000.0 < 0.75)
+    // p∩r is all 30 of r's users; both sketches exact for those hashes —
+    // but p's sketch is FULL, so only common hashes below theta count.
+    // r-vs-p lands on the (r, p)? ordering: "p" < "r" → pair is (p, r)
+    val pr = got(("p", "r"))
+    assert(pr.getAs[Long]("inter_exact") == 30L)
+    assert(pr.getAs[Double]("inter_est") >= 0.0)
+    // q∩r empty → zero on both paths
+    val qr = got(("q", "r"))
+    assert(qr.getAs[Long]("inter_exact") == 0L)
+  }
+
   test("Count-Min estimates never undercount; heavy key is near-exact at low load") {
     import spark.implicits._
     // zipf-ish: key 1 dominates, long tail of singletons keeps cells busy
