@@ -86,6 +86,40 @@ object SparkEntry {
       chunks
     })
 
+  /** Event chunks with every row duplicated IN-chunk and the previous
+    * chunk's tail replayed at the next chunk's head — the adversarial
+    * input for streaming dedup. Originals arrive in event-time order (so
+    * none are late-dropped); every duplicate is excluded deterministically
+    * by ONE of the two mechanisms (dedup state if still within the
+    * watermark horizon, the late filter if beyond it), so the streamed
+    * output equals the batch DISTINCT regardless of where the horizon
+    * falls. Built once per process per sfDir, like [[chunkedEvents]].
+    */
+  private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def replayedChunks(s: SparkSession, dir: String): String =
+    replayCache.getOrElseUpdate(dir, {
+      val root = scratchDir("graft_replay")
+      val out = s"$root/chunks"
+      new java.io.File(out).mkdirs()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events").withColumn("rn", row_number().over(w)).persist()
+      val n = ev.count()
+      val per = (n + 3) / 4
+      (0 until 4).foreach { i =>
+        val lo = i * per; val hi = (i + 1) * per
+        val slice = ev.filter(col("rn") > lo && col("rn") <= hi)
+        val prevTail = ev.filter(col("rn") > lo - 50 && col("rn") <= lo)
+        slice.unionAll(slice).unionAll(prevTail).drop("rn")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+        val part = new java.io.File(s"$root/tmp$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
+      }
+      ev.unpersist()
+      out
+    })
+
   /** A LIVE in-JVM Derby database holding the normalized changelog — the
     * upstream server the graft-jdbc-cdc source tails. Loaded once per
     * process per sfDir (executor-side batched inserts over real JDBC);
@@ -365,6 +399,28 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy("hour", "event_type")
+    }),
+
+    // Streaming exact dedup, oracle-checked: a replayed stream (each
+    // chunk duplicated in place + the previous chunk's tail re-sent)
+    // deduped on a content fingerprint equals the batch DISTINCT —
+    // duplicates die in dedup state or the late filter, never survive
+    "events_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = replayedChunks(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"stream_dedup_${hourlyStreamSeq.incrementAndGet()}"
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .withColumn("fp", md5(to_json(struct(
+          col("event_id"), col("user_id"), col("event_type"), col("value"), col("props")))))
+      val q = StreamingAnalytics.streamingDedup(in, "fp")
+        .drop("fp")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_sdedup")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_id")
     }),
 
     // Streaming as-of enrichment: every event carries the dimension
@@ -831,6 +887,10 @@ object SparkEntry {
 
     "cdc_jdbc_stream" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
+
+    "events_stream_dedup" ->
+      """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "events_hourly_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),

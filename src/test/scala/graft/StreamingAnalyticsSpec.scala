@@ -63,6 +63,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact-replay dedup excludes duplicates on BOTH paths: state and late filter") {
+    val ms = MemoryStream[(Timestamp, String, Long)](spark, numPartitions = 1)
+    val q = StreamingAnalytics
+      .streamingDedup(ms.toDF().toDF("ts", "fp", "doc_id"), "fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("replay_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((ts(60), "fpA", 1L), (ts(61), "fpB", 2L))
+      q.processAllAvailable()
+      // replay fpA@60 while still inside the 1h horizon → dedup STATE drops it
+      ms.addData((ts(60), "fpA", 3L))
+      q.processAllAvailable()
+      // advance the watermark far past minute 60 (wm = 300 - 60 = 240)
+      ms.addData((ts(300), "fpD", 4L))
+      q.processAllAvailable()
+      // replay fpA@60 again — its state is evicted, but the LATE filter
+      // (event time < watermark) excludes it; replays never resurface
+      ms.addData((ts(60), "fpA", 5L))
+      q.processAllAvailable()
+      // same fp at a NEW in-horizon event time is a different event: kept
+      ms.addData((ts(301), "fpA", 6L))
+      q.processAllAvailable()
+      val got = spark.table("replay_out").collect()
+        .map(r => (r.getString(1), r.getTimestamp(0).getTime / 60000L) -> r.getLong(2)).toMap
+      assert(got == Map(("fpA", 60L) -> 1L, ("fpB", 61L) -> 2L,
+        ("fpD", 300L) -> 4L, ("fpA", 301L) -> 6L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the window, bounded state") {
     val clicks = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
     val buys = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
