@@ -714,6 +714,11 @@ object SparkEntry {
     "events_zorder_layout" -> ((s, dir) =>
       Layout.zorderFileStats(t(s, dir, "events"), 16)),
 
+    // Hilbert-curve layout audit: same pruning-stats contract as z-order,
+    // tighter per-file rectangles (no Z-shaped locality jumps)
+    "events_hilbert_layout" -> ((s, dir) =>
+      Layout.hilbertFileStats(t(s, dir, "events"), 16)),
+
     // Mergeable KMV distinct sketch vs the exact count (k-bounded partials)
     "events_approx_distinct" -> ((s, dir) =>
       Sketches.approxDistinctUsers(t(s, dir, "events"), 64)),
@@ -1034,6 +1039,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
+    "events_hilbert_layout" -> Layout.hilbertFileStatsSql(16),
 
     "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
 

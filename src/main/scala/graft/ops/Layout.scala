@@ -78,6 +78,116 @@ object Layout {
       .orderBy("file_id")
   }
 
+  /** Hilbert d-value for 16-bit coords in `xCol`/`yCol`, appended as
+    * `out`. The classic xy→d walk (16 unrolled steps of quadrant pick +
+    * reflect/swap rotation) expressed as stacked projections: each step's
+    * (x, y, d) is BOUND through `withColumn` so intermediates are named
+    * columns — CollapseProject keeps multiply-referenced non-cheap
+    * expressions in separate projections, so the plan stays linear in the
+    * step count (a single collapsed expression tree would blow up
+    * exponentially) and everything remains whole-stage codegen.
+    *
+    * Hilbert beats Morton on locality: every unit step along the curve
+    * moves exactly one grid cell (no Z-shaped jumps), so equal-size file
+    * ranges cover tighter (x, y) rectangles — better min/max pruning on
+    * the same stats. The cost is this longer arithmetic at WRITE time
+    * only; readers just see better-clustered files.
+    */
+  def hilbertD(df: DataFrame, xCol: String, yCol: String, out: String): DataFrame = {
+    val n = 1L << 16
+    var cur = df.withColumn("_hx", col(xCol)).withColumn("_hy", col(yCol))
+      .withColumn(out, lit(0L))
+    for (k <- 15 to 0 by -1) {
+      val s = 1L << k
+      cur = cur
+        .withColumn("_rx", when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("_ry", when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+      // quadrant = (3*rx) XOR ry, spelled as the same CASE both engines run
+      val quad = when(col("_rx") === 0 && col("_ry") === 0, lit(0L))
+        .when(col("_rx") === 0, lit(1L))
+        .when(col("_ry") === 1, lit(2L))
+        .otherwise(lit(3L))
+      // rotation: reflect when (rx=1, ry=0), then swap — using the PRE-step
+      // coords still visible in this projection
+      val nx = when(col("_ry") === 0,
+        when(col("_rx") === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+        .otherwise(col("_hx"))
+      val ny = when(col("_ry") === 0,
+        when(col("_rx") === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+        .otherwise(col("_hy"))
+      cur = cur.withColumn(out, col(out) + lit(s * s) * quad)
+        .withColumn("_nx", nx).withColumn("_ny", ny)
+        .withColumn("_hx", col("_nx")).withColumn("_hy", col("_ny"))
+        .drop("_nx", "_ny", "_rx", "_ry")
+    }
+    cur.drop("_hx", "_hy")
+  }
+
+  /** Hilbert-curve layout audit — same contract and output schema as
+    * [[zorderFileStats]] (file assignment by the top d-value bits,
+    * per-file min/max pruning stats on both dims), with the Morton
+    * interleave swapped for the Hilbert walk. Run both and compare
+    * per-file spans: Hilbert's are tighter on the same data.
+    */
+  def hilbertFileStats(events: DataFrame, nFiles: Int): DataFrame = {
+    require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0, s"nFiles must be a power of two, got $nFiles")
+    val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
+    val withDay = events.select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val b = withDay.agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+      min(col("day")).as("dlo"), max(col("day")).as("dhi")).collect()(0)
+    val scaled = withDay
+      .withColumn("hx", scale16(col("user_id"), lit(b.getLong(0)), lit(b.getLong(1))))
+      .withColumn("hy", scale16(col("day"), lit(b.getLong(2)), lit(b.getLong(3))))
+    hilbertD(scaled, "hx", "hy", "hd")
+      .withColumn("file_id", shiftright(col("hd"), shift))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("file_id")
+  }
+
+  /** Oracle mirror of [[hilbertFileStats]]: the 16 walk steps unroll into
+    * chained CTE pairs (quadrant bits, then rotate+accumulate) with the
+    * same CASE arithmetic, so every d-value is bit-identical.
+    */
+  def hilbertFileStatsSql(nFiles: Int): String = {
+    val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
+    val n = 1L << 16
+    val su = "CASE WHEN b.uhi = b.ulo THEN 0 ELSE ((user_id - b.ulo) * 65535) // (b.uhi - b.ulo) END"
+    val sd = "CASE WHEN b.dhi = b.dlo THEN 0 ELSE ((day - b.dlo) * 65535) // (b.dhi - b.dlo) END"
+    val steps = (15 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      s"""r$i AS (
+         |  SELECT user_id, day, hx, hy, hd,
+         |         CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |         CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h$i),
+         |h${i + 1} AS (
+         |  SELECT user_id, day,
+         |         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END) ELSE hx END AS hx,
+         |         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END) ELSE hy END AS hy,
+         |         hd + CAST(${s * s} AS BIGINT) * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS hd
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+       |b AS (
+       |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+       |         min(day) AS dlo, max(day) AS dhi FROM d),
+       |h0 AS (
+       |  SELECT user_id, day, $su AS hx, $sd AS hy, CAST(0 AS BIGINT) AS hd FROM d, b),
+       |$steps,
+       |z AS (SELECT user_id, hd >> $shift AS file_id, day FROM h16)
+       |SELECT file_id, count(*) AS n_rows,
+       |       count(DISTINCT user_id) AS n_users,
+       |       min(user_id) AS min_user, max(user_id) AS max_user,
+       |       min(day) AS min_day, max(day) AS max_day
+       |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   def zorderFileStatsSql(nFiles: Int): String = {
     val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
     val su = "CASE WHEN b.uhi = b.ulo THEN 0 ELSE ((user_id - b.ulo) * 65535) // (b.uhi - b.ulo) END"

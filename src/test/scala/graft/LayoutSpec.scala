@@ -50,4 +50,66 @@ class LayoutSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == 100)
     assert(stats.forall(r => r.getAs[Long]("min_user") == 7L && r.getAs[Long]("max_user") == 7L))
   }
+
+  /** Plain-Scala Hilbert xy2d (the classic reflect/swap walk) — the
+    * reference the columnar unrolling must reproduce bit-for-bit. */
+  private def hilbertRef(xi: Long, yi: Long): Long = {
+    val n = 1L << 16
+    var x = xi; var y = yi; var d = 0L; var s = 1L << 15
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("columnar Hilbert walk matches the reference implementation") {
+    import spark.implicits._
+    // corners, edges, and a deterministic pseudo-random scatter
+    val coords = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 0L), (0L, 1L), (32768L, 32767L)) ++
+      (0 until 200).map(i => ((i * 48271L) % 65536L, (i * 69621L) % 65536L))
+    val got = Layout.hilbertD(coords.toDF("x", "y"), "x", "y", "hd")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    coords.foreach { case (x, y) =>
+      assert(got((x, y)) == hilbertRef(x, y), s"mismatch at ($x, $y)")
+    }
+    // the four quadrant anchors in curve order
+    assert(got((0L, 0L)) == 0L)
+    assert(got((65535L, 0L)) == (1L << 32) - 1) // curve ends at (n-1, 0)
+  }
+
+  test("Hilbert locality: unit curve steps move exactly one grid cell") {
+    // d→(x,y) inverse for spot-checking adjacency along the curve
+    def d2xy(di: Long): (Long, Long) = {
+      val n = 1L << 16
+      var x = 0L; var y = 0L; var t = di; var s = 1L
+      while (s < n) {
+        val rx = (t / 2) % 2
+        val ry = (t ^ rx) % 2
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    (0 until 500).foreach { i =>
+      val d = (i * 2654435761L) % ((1L << 32) - 1)
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step at d=$d: ($x1,$y1)->($x2,$y2)")
+      // and the forward walk inverts the inverse
+      assert(hilbertRef(x1, y1) == d)
+    }
+  }
 }
