@@ -579,6 +579,10 @@ object SparkEntry {
     // O(log n)-round scale path for high-diameter components (same oracle)
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.nearDupClustersStars(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // The keep-one decision after clustering: longest member survives,
+    // every doc flagged canonical/dropped (singletons are their own cluster)
+    "dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalDocs(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -975,6 +979,7 @@ object SparkEntry {
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),
+    "dedup_canonical" -> Dedup.canonicalDocsSql(0.5),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),

@@ -395,7 +395,10 @@ object Dedup {
   def nearDupClustersStars(docs: DataFrame, threshold: Double): DataFrame =
     connectedComponentsStars(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
 
-  def nearDupClustersSql(threshold: Double): String = {
+  /** Shared oracle CTE chain: LSH pairs → recursive min-reachability →
+    * components + sizes (consumed by [[nearDupClustersSql]] and
+    * [[canonicalDocsSql]]). */
+  private def clustersCteSql(threshold: Double): String = {
     val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH RECURSIVE corpus AS ($nearDupCorpusSql),
        |$sigSql,
@@ -413,11 +416,57 @@ object Dedup {
        |  UNION
        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
        |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
-       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)""".stripMargin
+  }
+
+  def nearDupClustersSql(threshold: Double): String =
+    s"""${clustersCteSql(threshold)}
        |SELECT c.id AS doc_id, c.cluster, s.cluster_size
        |FROM comp c JOIN sizes s ON c.cluster = s.cluster
        |ORDER BY doc_id""".stripMargin
+
+  /** The keep-one decision that FOLLOWS clustering — the step a real
+    * curation pipeline actually runs. Every corpus doc gets its cluster
+    * (its own id when unclustered), the cluster size, and an
+    * `is_canonical` flag: the longest member survives (keep-longest —
+    * the standard heuristic for near-dup groups, where shorter members
+    * are usually truncations), ties broken on min doc_id so the choice
+    * is deterministic under any partitioning.
+    *
+    * Scale shape: clustering as [[nearDupClusters]]; the survivor pick is
+    * one window over (cluster) — a single shuffle keyed by cluster id,
+    * with near-dup clusters small by construction (no giant-partition
+    * skew; a pathological mega-cluster would already have been flagged by
+    * the cluster_size audit).
+    */
+  def canonicalDocs(corpus: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = corpus.select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
+    val clusters = nearDupClusters(corpus, threshold)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("doc_len").desc, col("doc_id"))
+    lens.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("doc_len"))
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+      .orderBy("doc_id")
   }
+
+  def canonicalDocsSql(threshold: Double): String =
+    s"""${clustersCteSql(threshold)},
+       |lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len FROM corpus),
+       |alld AS (
+       |  SELECT l.doc_id,
+       |         coalesce(c.cluster, l.doc_id) AS cluster,
+       |         coalesce(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+       |         l.doc_len
+       |  FROM lens l LEFT JOIN comp c ON l.doc_id = c.id
+       |              LEFT JOIN sizes s ON c.cluster = s.cluster)
+       |SELECT doc_id, cluster, cluster_size, doc_len,
+       |       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster ORDER BY doc_len DESC, doc_id) = 1
+       |            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+       |FROM alld ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- simhash
 

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     assert(byStars == byLabels)
   }
 
+  test("canonical pick: longest cluster member survives, singletons self-canonical") {
+    val got = Dedup.canonicalDocs(
+      corpus(1L -> a, 2L -> a, 3L -> aNear, 20L -> b), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    // 1, 2, 3 cluster together (0.99 needs near-identical); 3 is longest → canonical
+    assert(byId(3L)._4 == 1 && byId(1L)._4 == 0 && byId(2L)._4 == 0)
+    assert(byId(1L)._2 == 1L && byId(1L)._3 == 3L)
+    // 20 never clustered: its own cluster of 1, canonical by default
+    assert(byId(20L) == ((20L, 20L, 1L, 1)))
+    // exactly one canonical per cluster
+    val perCluster = got.groupBy(_._2).map { case (_, rs) => rs.map(_._4).sum }
+    assert(perCluster.forall(_ == 1))
+  }
+
   test("near-dup clusters: identical docs group end-to-end; unpaired docs absent") {
     val got = Dedup.nearDupClusters(
       corpus(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> (b + " extra unseen tokens here")), 0.99)
