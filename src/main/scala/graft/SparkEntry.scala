@@ -410,7 +410,10 @@ object SparkEntry {
       val chunks = replayedChunks(s, dir)
       val schema = s.read.parquet(chunks).schema
       val name = s"stream_dedup_${hourlyStreamSeq.incrementAndGet()}"
+      // one file per micro-batch = ONE input partition: spread the raw
+      // rows before the fingerprint projection or it runs single-threaded
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fp", md5(to_json(struct(
           col("event_id"), col("user_id"), col("event_type"), col("value"), col("props")))))
       val q = StreamingAnalytics.streamingDedup(in, "fp")
@@ -421,6 +424,29 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name).orderBy("event_id")
+    }),
+
+    // Streaming gap sessionization, oracle-checked: flatMapGroupsWithState
+    // emits a session when the next event closes it (deterministic for
+    // every session but each user's last) or when the event-time timeout
+    // fires (deterministic given the final watermark) — so the streamed
+    // output equals the batch sessionization minus still-open sessions
+    "events_sessionize_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      import s.implicits._
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"sess_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[StreamingAnalytics.SessionInput]
+      val q = StreamingAnalytics.sessionize(in, 1800000L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_sessstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "start_ms")
     }),
 
     // Streaming as-of enrichment: every event carries the dimension
@@ -658,6 +684,10 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogprob(t(s, dir, "documents"))),
 
+    // Bigram LM with interpolated unigram backoff — the next LM-filter step
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogprob(t(s, dir, "documents"), 0.75)),
+
     // Domain-weights rebalancing: actual vs target source composition
     "text_source_mix" -> ((s, dir) =>
       Curation.sourceMix(t(s, dir, "documents"),
@@ -722,6 +752,15 @@ object SparkEntry {
     // tighter per-file rectangles (no Z-shaped locality jumps)
     "events_hilbert_layout" -> ((s, dir) =>
       Layout.hilbertFileStats(t(s, dir, "events"), 16)),
+
+    // OPTIMIZE bin-packing: sliver files from the z-order layout grouped
+    // to a target row budget by quantized cumulative assignment
+    "files_compaction_plan" -> ((s, dir) =>
+      Layout.compactionPlan(Layout.zorderFileStats(t(s, dir, "events"), 64), 2000L)),
+
+    // Hash vs equi-width range placement loads; rel_load >> 1 = straggler
+    "events_partition_balance" -> ((s, dir) =>
+      Layout.partitionBalance(t(s, dir, "events"), 16)),
 
     // Mergeable KMV distinct sketch vs the exact count (k-bounded partials)
     "events_approx_distinct" -> ((s, dir) =>
@@ -901,6 +940,30 @@ object SparkEntry {
       """SELECT DISTINCT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // All arithmetic in MILLISECONDS: the streaming side sessionizes on
+    // Timestamp.getTime, and the watermark/timeout comparison is strict
+    "events_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |mx AS (SELECT max(ms) AS mx FROM e),
+        |g AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (
+        |  SELECT user_id, ms,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        |         CAST(count(*) AS INTEGER) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |lastsid AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT se.user_id, se.start_ms, se.end_ms, se.n_events
+        |FROM sess se JOIN lastsid l ON se.user_id = l.user_id, mx
+        |WHERE se.sid < l.last_sid OR se.end_ms + 1800000 < mx.mx - 7200000
+        |ORDER BY se.user_id, se.start_ms""".stripMargin,
+
     "events_hourly_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),
         |w AS (
@@ -1014,6 +1077,7 @@ object SparkEntry {
     "text_boilerplate" -> TextAnalysis.boilerplateSql(3),
 
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql,
+    "text_bigram_logprob" -> TextAnalysis.bigramLogprobSql(0.75),
 
     "text_source_mix" -> Curation.sourceMixSql(
       Map("src0" -> 3.0, "src1" -> 2.0), 1.0),
@@ -1045,6 +1109,8 @@ object SparkEntry {
 
     "events_zorder_layout" -> Layout.zorderFileStatsSql(16),
     "events_hilbert_layout" -> Layout.hilbertFileStatsSql(16),
+    "files_compaction_plan" -> Layout.compactionPlanSql(64, 2000L),
+    "events_partition_balance" -> Layout.partitionBalanceSql(16),
 
     "events_approx_distinct" -> Sketches.approxDistinctUsersSql(64),
 

@@ -372,8 +372,11 @@ object Dedup {
       val next = durable(canon(
         dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
           .unionAll(smins.select(col("u").as("x"), col("m").as("y")))))
-      // fixpoint test: next ⊆ edges and equal cardinality ⇒ equal sets
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // fixpoint = equal edge sets; both sides are distinct, so "every
+      // pair occurs exactly twice in the union" is set equality in ONE
+      // aggregate job (count + except would be two)
+      converged = next.unionAll(edges).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
       edges = next
       rounds += 1
     }

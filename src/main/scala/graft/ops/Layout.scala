@@ -188,6 +188,90 @@ object Layout {
        |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
   }
 
+  /** Small-file compaction planner (the OPTIMIZE bin-packing step): files
+    * in id order are assigned to merge groups by quantized cumulative row
+    * count — group k covers the cumulative range [k·target, (k+1)·target).
+    * Exact greedy packing is inherently sequential (each boundary depends
+    * on the previous); the quantized-cumsum assignment is its parallel
+    * equivalent, overshooting a group by at most one file. Runs over the
+    * file MANIFEST (one row per file), so the single-partition cumulative
+    * window is over metadata-sized input even when the table is 100 TB.
+    */
+  def compactionPlan(fileStats: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fileStats.select(col("file_id"), col("n_rows"))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(before), lit(0L)))
+      .withColumn("merge_group", floor(col("cum_before") / lit(targetRows.toDouble)))
+      .groupBy(col("merge_group"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("rows_total"),
+        min(col("file_id")).as("file_min"), max(col("file_id")).as("file_max"))
+      .orderBy("merge_group")
+  }
+
+  /** [[compactionPlan]] over the z-order file layout of events — the
+    * maintenance pass a lakehouse writer schedules when the audit shows
+    * sliver files. */
+  def compactionPlanSql(nFiles: Int, targetRows: Long): String =
+    s"""WITH fs AS (${zorderFileStatsSql(nFiles)}),
+       |cum AS (
+       |  SELECT file_id, n_rows,
+       |         coalesce(sum(n_rows) OVER (ORDER BY file_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM fs)
+       |SELECT CAST(cum_before // $targetRows AS BIGINT) AS merge_group,
+       |       count(*) AS n_files,
+       |       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |       min(file_id) AS file_min, max(file_id) AS file_max
+       |FROM cum GROUP BY merge_group ORDER BY merge_group""".stripMargin
+
+  /** Partition-balance audit: per-bucket row loads under the two
+    * placement strategies a 1000-executor shuffle actually chooses
+    * between — multiplicative HASH partitioning (uniform by construction,
+    * robust to value clustering) and equi-width RANGE partitioning
+    * (cluster-friendly for scans, but skewed whenever the key density
+    * is non-uniform). `rel_load` = bucket share × nBuckets; a value far
+    * above 1 is the straggler partition that caps cluster throughput.
+    * The global key bounds are a scalar probe; everything else is one
+    * partial-agged groupBy per strategy.
+    */
+  def partitionBalance(events: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val b = events.agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"),
+      count(lit(1)).as("total")).collect()(0)
+    val (lo, hi, total) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val hashB = graft.functions.PortableHash.routerPartition(col("user_id"), nBuckets)
+    val rangeB = ((col("user_id") - lit(lo)) * lit(nBuckets.toLong)) / (lit(hi) - lit(lo) + lit(1L))
+    def loads(method: String, bucket: Column) = events
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit(method).as("method"), col("bucket"), col("n_rows"),
+        round(col("n_rows").cast("double") * lit(nBuckets.toLong) / lit(total), 4).as("rel_load"))
+    loads("hash", hashB)
+      .unionAll(loads("range", floor(rangeB).cast("long")))
+      .orderBy("method", "bucket")
+  }
+
+  def partitionBalanceSql(nBuckets: Int): String = {
+    val hash = graft.functions.PortableHash.routerPartitionSql("user_id", nBuckets)
+    s"""WITH b AS (
+       |  SELECT min(user_id) AS lo, max(user_id) AS hi, count(*) AS total FROM events),
+       |h AS (
+       |  SELECT 'hash' AS method, CAST($hash AS BIGINT) AS bucket FROM events),
+       |r AS (
+       |  SELECT 'range' AS method,
+       |         ((user_id - b.lo) * $nBuckets) // (b.hi - b.lo + 1) AS bucket
+       |  FROM events, b),
+       |u AS (SELECT * FROM h UNION ALL SELECT * FROM r),
+       |g AS (SELECT method, bucket, count(*) AS n_rows FROM u GROUP BY method, bucket)
+       |SELECT g.method, g.bucket, g.n_rows,
+       |       round(CAST(g.n_rows AS DOUBLE) * $nBuckets / b.total, 4) AS rel_load
+       |FROM g, b ORDER BY g.method, g.bucket""".stripMargin
+  }
+
   def zorderFileStatsSql(nFiles: Int): String = {
     val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
     val su = "CASE WHEN b.uhi = b.ulo THEN 0 ELSE ((user_id - b.ulo) * 65535) // (b.uhi - b.ulo) END"

@@ -437,6 +437,60 @@ object TextAnalysis {
        |FROM tok JOIN counts USING (term), total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-doc mean bigram log-likelihood under the corpus bigram LM with
+    * interpolated unigram backoff: p(w2|w1) = λ·C(w1w2)/C(w1·) +
+    * (1−λ)·C(w2)/N — the next step up from [[unigramLogprob]] in LM-based
+    * quality filtering (a fluent doc scores high under BOTH; gibberish
+    * with plausible unigrams only fools the unigram model).
+    *
+    * Scale shape: two tokenize passes (bigram + unigram), each collapsing
+    * through map-side partial counts; C(w1·) derives from the pair-vocab
+    * frame, never a third corpus pass. The count joins are broadcast here
+    * (token vocabulary is bounded); at a 100 TB corpus the bigram table
+    * outgrows a broadcast and the same plan runs as a shuffle join keyed
+    * by pair — still linear, no change to the lineage.
+    */
+  def bigramLogprob(docs: DataFrame, lambda: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n_total"))
+    val bi = docs.select(col("doc_id"),
+      explode(Tokenize.bigrams(Tokenize.tokens(col("text")))).as("pair"))
+    val bc = bi.groupBy(col("pair")).agg(count(lit(1)).as("cb"))
+    val w1c = bc.groupBy(substring_index(col("pair"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cw1"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("cw1")) +
+      lit(1.0 - lambda) * (col("cu").cast("double") / col("n_total"))
+    bi
+      .join(broadcast(bc), "pair")
+      .join(broadcast(w1c), substring_index(col("pair"), " ", 1) === col("w1"))
+      .join(broadcast(uni), substring_index(col("pair"), " ", -1) === col("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(p)), 6).as("mean_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramLogprobSql(lambda: Double): String =
+    s"""WITH tokd AS (SELECT doc_id, ${Tokenize.tokensSql("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS term FROM tokd),
+       |uni AS (SELECT term, count(*) AS cu FROM tok GROUP BY term),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |bi AS (SELECT doc_id, unnest(${Tokenize.bigramsSql("t")}) AS pair FROM tokd),
+       |bc AS (SELECT pair, count(*) AS cb FROM bi GROUP BY pair),
+       |w1c AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS cw1
+       |        FROM bc GROUP BY split_part(pair, ' ', 1))
+       |SELECT b.doc_id,
+       |  round(avg(ln($lambda * (CAST(cb AS DOUBLE) / cw1) +
+       |                ${1.0 - lambda} * (CAST(cu AS DOUBLE) / n_total))), 6) AS mean_logprob,
+       |  count(*) AS n_bigrams
+       |FROM bi b
+       |JOIN bc USING (pair)
+       |JOIN w1c ON split_part(b.pair, ' ', 1) = w1c.w1
+       |JOIN uni ON split_part(b.pair, ' ', 2) = uni.term, tot
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   /** Document fingerprints: order-sensitive content hash (md5 of the
     * normalized token stream) + a 60-bit integer prefix for compact
     * join keys — duplicate doc_ids share fingerprints.

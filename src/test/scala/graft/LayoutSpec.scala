@@ -51,6 +51,39 @@ class LayoutSpec extends SparkSpec {
     assert(stats.forall(r => r.getAs[Long]("min_user") == 7L && r.getAs[Long]("max_user") == 7L))
   }
 
+  test("compaction plan: quantized cumsum groups respect the target within one file") {
+    import spark.implicits._
+    val files = Seq((0L, 500L), (1L, 500L), (2L, 500L), (3L, 500L),
+      (4L, 3000L), (5L, 100L), (6L, 100L)).toDF("file_id", "n_rows")
+    val got = Layout.compactionPlan(files, 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // groups: [0,1] (1000), [2,3] (1000), [4] (3000 oversized alone), [5,6] tail
+    assert(got.map(_._3).sum == 5200L)
+    val byGroup = got.map(r => r._1 -> r).toMap
+    assert(byGroup(0L)._4 == 0L && byGroup(0L)._5 == 1L && byGroup(0L)._3 == 1000L)
+    assert(byGroup(1L)._4 == 2L && byGroup(1L)._5 == 3L)
+    assert(byGroup(2L)._4 == 4L && byGroup(2L)._5 == 4L) // big file alone
+    // file ranges never interleave across groups
+    val sorted = got.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array(a, b) => assert(a._5 < b._4) case _ => }
+  }
+
+  test("partition balance: loads sum to the corpus; hash flattens a clustered key") {
+    import spark.implicits._
+    // user ids clustered in a narrow band plus one far outlier: equi-width
+    // ranges put almost everything in one bucket; the hash spreads it
+    val df = ((1 to 900).map(i => 1000L + i) :+ 100000L)
+      .map(u => (u, "e")).toDF("user_id", "event_type")
+    val got = Layout.partitionBalance(df, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (hash, range) = got.partition(_._1 == "hash")
+    assert(hash.map(_._3).sum == 901L && range.map(_._3).sum == 901L)
+    val rangeMax = range.map(_._4).max
+    val hashMax = hash.map(_._4).max
+    assert(rangeMax > 7.0, s"clustered range load should hit ~8x, got $rangeMax")
+    assert(hashMax < 2.0, s"hash load should stay near 1x, got $hashMax")
+  }
+
   /** Plain-Scala Hilbert xy2d (the classic reflect/swap walk) — the
     * reference the columnar unrolling must reproduce bit-for-bit. */
   private def hilbertRef(xi: Long, yi: Long): Long = {

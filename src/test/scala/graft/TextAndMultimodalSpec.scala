@@ -39,6 +39,20 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("bigram LM: interpolated probabilities match hand computation") {
+    // corpus "a b a b": uni a:2 b:2 (N=4); bigrams "a b":2 "b a":1;
+    // C(a·)=2, C(b·)=1 → p(b|a)=0.75·(2/2)+0.25·(2/4)=0.875
+    //                    p(a|b)=0.75·(1/1)+0.25·(2/4)=0.875
+    val got = TextAnalysis.bigramLogprob(docs(1L -> "a b a b"), 0.75).collect()(0)
+    assert(got.getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(got.getAs[Double]("mean_logprob") - math.log(0.875)) < 1e-5)
+    // a fluent doc (seen bigrams) outscores one with unseen transitions
+    val two = TextAnalysis.bigramLogprob(docs(
+      1L -> "x y x y x y x y", 2L -> "y y x x y y x x"), 0.75)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_logprob")).toMap
+    assert(two(1L) > two(2L))
+  }
+
   test("multimodal: payloads are real PNGs; ImageIO round-trip is lossless") {
     val d = docs(0L -> "a", 5L -> "b", 12L -> "c")
     val payloads = Multimodal.imagePayloads(d).collect()
