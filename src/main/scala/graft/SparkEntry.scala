@@ -197,6 +197,29 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")),
 
+    // Mid-stream DDL: the upstream renames value→amount halfway through
+    // the changelog; decode routes each event through the registry
+    // version in force at its pos (a final-schema-only decode would null
+    // out every pre-DDL amount — n_decoded pins the round trip complete)
+    "cdc_evolving_decode" -> ((s, dir) => {
+      val wide = Normalizer.normalizeWide(t(s, dir, "events"))
+      val b = wide.agg(min(col("pos")).as("lo"), max(col("pos")).as("hi")).collect()(0)
+      val p = (b.getLong(0) + b.getLong(1)) / 2
+      val evolved = wide.withColumn("payload_json",
+        when(col("pos") >= p,
+          regexp_replace(col("payload_json"), "\"value\":", "\"amount\":"))
+          .otherwise(col("payload_json")))
+      val ddl = (0 to 3).map(i => s"ALTER TABLE t$i RENAME COLUMN value TO amount")
+      SchemaEvolution.evolvingDecode(evolved, Normalizer.fixtureRegistry, ddl, p)
+        .withColumn("amount_all", coalesce(col("amount"), col("value")))
+        .groupBy(col("tbl"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("amount_all")).as("n_decoded"),
+          sum(col("k")).as("sum_k"),
+          sum(col("amount_all").cast("decimal(18,2)")).cast("double").as("sum_amount"))
+        .orderBy("tbl")
+    }),
+
     "cdc_snapshot_merge" -> ((s, dir) => {
       val base = t(s, dir, "customer")
         .select(col("c_custkey").as("key"), col("c_acctbal").as("base_value"))
@@ -642,6 +665,11 @@ object SparkEntry {
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
+    // Matryoshka truncation: recall@k retrieving with only the first d
+    // components — the index-size-vs-quality tradeoff curve
+    "ann_dim_truncation" -> ((s, dir) =>
+      Similarity.dimTruncationAudit(t(s, dir, "embeddings"), 8, 5, Seq(8, 16, 32))),
+
     "ann_ivfpq_recall" -> ((s, dir) =>
       Similarity.ivfPqRecallAudit(t(s, dir, "embeddings"), 8, 5, 32, 2, 4, 16)),
 
@@ -687,6 +715,10 @@ object SparkEntry {
     // Bigram LM with interpolated unigram backoff — the next LM-filter step
     "text_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogprob(t(s, dir, "documents"), 0.75)),
+
+    // Vocab sizing: occurrence coverage of the top-S terms per size S
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), Seq(8, 16, 32))),
 
     // Domain-weights rebalancing: actual vs target source composition
     "text_source_mix" -> ((s, dir) =>
@@ -815,6 +847,16 @@ object SparkEntry {
          |       CAST(sum(k) AS BIGINT) AS sum_k,
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the rename round-trips exactly, so the oracle is the raw aggregate;
+    // n_decoded = n_events is the completeness claim (a final-schema-only
+    // decode would halve it)
+    "cdc_evolving_decode" ->
+      s"""WITH cl AS ($wideClSql)
+         |SELECT tbl, count(*) AS n_events, count(value) AS n_decoded,
+         |       CAST(sum(k) AS BIGINT) AS sum_k,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+         |FROM cl GROUP BY tbl ORDER BY tbl""".stripMargin,
 
     "cdc_snapshot_merge" ->
       s"""WITH cl AS ($clSql),
@@ -1055,6 +1097,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
     "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
+    "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
@@ -1078,6 +1121,7 @@ object SparkEntry {
 
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql,
     "text_bigram_logprob" -> TextAnalysis.bigramLogprobSql(0.75),
+    "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql(Seq(8, 16, 32)),
 
     "text_source_mix" -> Curation.sourceMixSql(
       Map("src0" -> 3.0, "src1" -> 2.0), 1.0),

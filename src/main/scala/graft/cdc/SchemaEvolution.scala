@@ -137,4 +137,27 @@ object SchemaEvolution {
     */
   def replay(reg: SchemaRegistry, statements: Seq[String]): SchemaRegistry =
     statements.foldLeft(reg)(applyDdl)
+
+  /** Decode a wide changelog whose schema changed MID-STREAM: events with
+    * pos < `boundary` decode under `v0`, events at/after decode under
+    * `replay(v0, ddl)` — per-position versioned decode. The reference's
+    * schema cache only ever holds the CURRENT shape (a refresh overwrites
+    * history, normalizer/MySQLEventNormalizer.scala:164-171), so a
+    * consumer replaying from an old offset there mis-decodes every
+    * pre-DDL event; keeping both registry versions and routing by pos
+    * makes replays correct across the DDL.
+    *
+    * Columns existing in only one version surface as null on the other
+    * side (`unionByName` alignment); a RENAME is made whole downstream
+    * with `coalesce(new, old)`. Both branches stay scan-local `from_json`
+    * projections — the pos predicate splits the scan, no shuffle.
+    */
+  def evolvingDecode(envelope: org.apache.spark.sql.DataFrame, v0: SchemaRegistry,
+                     ddl: Seq[String], boundary: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v1 = replay(v0, ddl)
+    val pre = v0.decode(envelope.filter(col("pos") < boundary))
+    val post = v1.decode(envelope.filter(col("pos") >= boundary))
+    pre.unionByName(post, allowMissingColumns = true)
+  }
 }

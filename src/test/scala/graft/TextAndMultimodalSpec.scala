@@ -53,6 +53,16 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(two(1L) > two(2L))
   }
 
+  test("vocab coverage: monotone in size, saturates at full vocab") {
+    val got = TextAnalysis.vocabCoverage(docs(
+      1L -> "a a a a b b c", 2L -> "a b c d"), Seq(1, 2, 8))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    // counts: a:5 b:3 c:2 d:1 (total 11)
+    assert(got(1) == ((1L, 5L, math.rint(5.0 / 11 * 1e6) / 1e6)))
+    assert(got(2) == ((2L, 8L, math.rint(8.0 / 11 * 1e6) / 1e6)))
+    assert(got(8) == ((4L, 11L, 1.0))) // only 4 distinct terms exist
+  }
+
   test("multimodal: payloads are real PNGs; ImageIO round-trip is lossless") {
     val d = docs(0L -> "a", 5L -> "b", 12L -> "c")
     val payloads = Multimodal.imagePayloads(d).collect()
