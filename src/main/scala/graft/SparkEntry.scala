@@ -197,6 +197,22 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("event_type")),
 
+    // Dead-letter accounting: deterministically injected corruption
+    // (truncated payloads at pos%97=0, an unregistered shard at
+    // pos%101=0) is classified per event and quarantined, never thrown —
+    // the oracle regenerates dispositions from the injection rule, so the
+    // from_json-based classifier is checked against ground truth
+    "cdc_dlq_stats" -> ((s, dir) => {
+      val wide = Normalizer.normalizeWide(t(s, dir, "events"))
+      val corrupted = wide
+        .withColumn("tbl",
+          when(col("pos") % 101 === 0, lit("t9")).otherwise(col("tbl")))
+        .withColumn("payload_json",
+          when(col("pos") % 97 === 0, substring(col("payload_json"), 1, 10))
+            .otherwise(col("payload_json")))
+      DeadLetter.stats(DeadLetter.classify(corrupted, Normalizer.fixtureRegistry))
+    }),
+
     // Mid-stream DDL: the upstream renames value→amount halfway through
     // the changelog; decode routes each event through the registry
     // version in force at its pos (a final-schema-only decode would null
@@ -847,6 +863,20 @@ object SparkEntry {
          |       CAST(sum(k) AS BIGINT) AS sum_k,
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_dlq_stats" ->
+      s"""WITH cl AS ($wideClSql),
+         |d AS (
+         |  SELECT CASE WHEN pos % 101 = 0 THEN 't9' ELSE tbl END AS tbl,
+         |         CASE WHEN pos % 101 = 0 THEN 'unregistered_table'
+         |              WHEN pos % 97 = 0 THEN 'unparseable'
+         |              ELSE 'ok' END AS disposition
+         |  FROM cl)
+         |SELECT tbl, count(*) AS n_events,
+         |       count(CASE WHEN disposition = 'ok' THEN 1 END) AS n_ok,
+         |       count(CASE WHEN disposition = 'unparseable' THEN 1 END) AS n_unparseable,
+         |       count(CASE WHEN disposition = 'unregistered_table' THEN 1 END) AS n_unregistered
+         |FROM d GROUP BY tbl ORDER BY tbl""".stripMargin,
 
     // the rename round-trips exactly, so the oracle is the raw aggregate;
     // n_decoded = n_events is the completeness claim (a final-schema-only

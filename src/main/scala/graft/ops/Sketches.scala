@@ -214,7 +214,7 @@ object Sketches {
       .withColumn("inter_est", round(
         when(col("is_full"), col("c").cast("double") / frac)
           .otherwise(col("c").cast("double")), 4))
-      .join(interExact, Seq("seg_a", "seg_b"), "left")
+      .join(broadcast(interExact), Seq("seg_a", "seg_b"), "left")
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
         (col("n_a") + col("n_b") - coalesce(col("inter_exact"), lit(0L))).as("union_exact"),
         col("union_est"),

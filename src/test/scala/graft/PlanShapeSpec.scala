@@ -246,4 +246,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges <= 2,
       s"expected the daily-agg + window exchanges only, got $hashExchanges:\n$p")
   }
+
+  test("Count-Min: sketch build is one partial-agged count; cells broadcast to probes") {
+    val p = plan("events_heavy_hitters")
+    assert(p.contains("partial_count"),
+      s"cell counts must combine map-side (the sketch IS the partial agg):\n$p")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin")),
+      s"the d*w cell grid must broadcast to the probe side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the sketch path may shuffle-join:\n$p")
+  }
+
+  test("segment overlap: set algebra on sketch arrays only — no raw-id join") {
+    val p = plan("events_segment_overlap")
+    // the id-level work is the two aggregations (sketch build + exact
+    // audit); the pair join must be a broadcast of segment-count rows
+    assert(p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") ||
+      l.contains("BroadcastHashJoin")),
+      s"segment pairing must broadcast the sketch frame:\n$p")
+    assert(p.contains("partial_kmv_minhashes"),
+      s"KMV sketch must aggregate with partials:\n$p")
+  }
+
+  test("Hilbert walk: stays scan-local — no exchange before the stats aggregate") {
+    val p = plan("events_hilbert_layout")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // two keyed exchanges total, both belonging to the aggregate (the
+    // count_distinct two-phase); the 16-step walk itself is projections
+    // inside the scan stage and must add none
+    assert(hashExchanges <= 2,
+      s"the d-value walk must not shuffle (agg exchanges only), got $hashExchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("bigram LM: all count frames broadcast; the corpus bigram stream never shuffles") {
+    val p = plan("text_bigram_logprob")
+    assert(!p.contains("SortMergeJoin"),
+      s"count joins must broadcast at this scale (shuffle join only beyond broadcast size):\n$p")
+    assert(p.contains("partial_count"),
+      s"vocabulary counts must combine map-side:\n$p")
+  }
+
+  test("DLQ classify: a single projection — no shuffle, no join") {
+    val p = plan("cdc_dlq_stats")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one exchange for the per-table stats aggregate; classification adds none
+    assert(hashExchanges == 1,
+      s"disposition must be scan-local (1 stats exchange expected), got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"classification must not join:\n$p")
+  }
 }
