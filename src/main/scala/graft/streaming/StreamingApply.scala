@@ -294,6 +294,32 @@ object StreamingApply {
     stateBefore(spark, stateDir, Long.MaxValue, None, payloadCols, emptySchema)
       .filter(col("op") =!= "D")
 
+  /** [[applyBatch]] with dead-letter quarantine in front: each micro-batch
+    * of the WIDE envelope is classified ([[graft.cdc.DeadLetter]]), non-ok
+    * rows land under `dlqDir/v=<batchId>` (queryable, replayable after the
+    * fix), and only `ok` rows decode through the registry into the state
+    * merge — one malformed payload must never stall replication of the
+    * other 100 TB/day. The DLQ write is keyed by batchId exactly like the
+    * state write, so a replayed micro-batch overwrites its own quarantine
+    * output: crash-restart stays idempotent on BOTH paths.
+    */
+  def applyBatchQuarantined(stateDir: String, dlqDir: String,
+                            reg: graft.cdc.SchemaRegistry,
+                            nBuckets: Int = defaultBuckets,
+                            payloadCols: Seq[String] = defaultPayload)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val classified = graft.cdc.DeadLetter.classify(batch, reg).persist()
+    try {
+      val bad = classified.filter(col("disposition") =!= "ok")
+      if (!bad.isEmpty)
+        bad.write.mode("overwrite").parquet(s"$dlqDir/v=$batchId")
+      val ok = reg.decode(classified.filter(col("disposition") === "ok")
+        .drop("disposition"))
+      applyBatchWith(stateDir, nBuckets, payloadCols,
+        identity, mergeStateBucketed(_, _, payloadCols, nBuckets))(ok, batchId)
+    } finally classified.unpersist()
+  }
+
   /** Run a bounded streaming apply over a directory of changelog parquet
     * files (one micro-batch per file via maxFilesPerTrigger=1 — multiple
     * genuinely independent micro-batches, arbitrary file order) and block

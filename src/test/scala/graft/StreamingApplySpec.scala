@@ -109,6 +109,42 @@ class StreamingApplySpec extends SparkSpec {
       r1.getDouble(r1.fieldIndex("value")) == 1.5)
   }
 
+  test("quarantined apply: bad rows land in the DLQ, good rows merge, replay idempotent") {
+    import graft.cdc.Normalizer
+    val dir = Files.createTempDirectory("graft_dlq").toString
+    val ms = MemoryStream[(String, Long, String, Timestamp, Long, String)](spark, numPartitions = 1)
+    def pay(k: Long, v: Double) = s"""{"event_type":"click","k":$k,"value":$v}"""
+    val q = ms.toDF().toDF("tbl", "pk", "op", "ts", "pos", "payload_json")
+      .writeStream
+      .foreachBatch(StreamingApply.applyBatchQuarantined(
+        s"$dir/state", s"$dir/dlq", Normalizer.fixtureRegistry,
+        payloadCols = Normalizer.payloadCols) _)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      ms.addData(
+        ("t0", 1L, "I", new Timestamp(1000), 1L, pay(10, 1.0)),
+        ("t0", 2L, "I", new Timestamp(2000), 2L, """{"event_t"""), // malformed
+        ("t9", 3L, "I", new Timestamp(3000), 3L, pay(30, 3.0)))    // unknown tbl
+      q.processAllAvailable()
+      ms.addData(
+        ("t0", 1L, "U", new Timestamp(4000), 4L, pay(11, 1.5)),
+        ("t0", 4L, "I", new Timestamp(5000), 5L, null))            // null payload
+      q.processAllAvailable()
+    } finally q.stop()
+    // state holds only the decoded good rows; the latest ok update wins
+    val st = StreamingApply.currentState(spark, s"$dir/state", Normalizer.payloadCols)
+      .collect().map(r => r.getLong(r.fieldIndex("pk")) ->
+        (r.getLong(r.fieldIndex("k")), r.getDouble(r.fieldIndex("value")))).toMap
+    assert(st == Map(1L -> ((11L, 1.5))))
+    // the DLQ preserves every rejected row with its disposition
+    val dlq = spark.read.parquet(s"$dir/dlq/v=*")
+      .collect().map(r => r.getAs[Long]("pk") -> r.getAs[String]("disposition")).toMap
+    assert(dlq == Map(2L -> "unparseable", 3L -> "unregistered_table",
+      4L -> "null_payload"))
+  }
+
   test("mergeState keeps tombstones so deletes survive compaction boundaries") {
     val s1 = StreamingApply.mergeState(Seq.empty[ChangeEvent].toDF(), Seq(ev(9, "I", 0, 1.0)).toDF())
     val s2 = StreamingApply.mergeState(s1, Seq(ev(9, "D", 1, 0.0)).toDF())
