@@ -326,6 +326,8 @@ object SparkEntry {
     }),
 
     "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
+    // Event-time vs log-order disorder per table: the LWW-by-pos audit
+    "cdc_out_of_order" -> ((s, dir) => Metrics.outOfOrderAudit(changelog(s, dir))),
 
     // Bounded-concurrency snapshot plan: chunk tasks → (wave, slot) under
     // an admission cap of 6 concurrent workers (reference actor tick-loop
@@ -648,6 +650,12 @@ object SparkEntry {
     // every doc flagged canonical/dropped (singletons are their own cluster)
     "dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalDocs(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // Provenance view of duplication: near-dup pairs as a source-pair matrix
+    "dedup_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceDup(t(s, dir, "documents"), 0.5)),
+    // Cluster-granular train/val/test split; n_leaked_clusters proves 0 leakage
+    "dedup_leakage_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), 0.5, testPct = 10, valPct = 10)),
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -662,6 +670,8 @@ object SparkEntry {
 
     // One Lloyd iteration over the IVF cells: index-quality refinement
     "emb_kmeans_refine" -> ((s, dir) => Similarity.kmeansRefine(t(s, dir, "embeddings"), 32)),
+    // PQ/OPQ preprocessing audit: per-dimension whitening statistics
+    "emb_whitening" -> ((s, dir) => Similarity.whiten(t(s, dir, "embeddings"))),
 
     // Product quantization: 4 subspace codes/vector + reconstruction MSE
     "emb_pq_codes" -> ((s, dir) => Similarity.pqQuantize(t(s, dir, "embeddings"), 4, 16)),
@@ -740,6 +750,15 @@ object SparkEntry {
     "text_source_mix" -> ((s, dir) =>
       Curation.sourceMix(t(s, dir, "documents"),
         Map("src0" -> 3.0, "src1" -> 2.0), 1.0)),
+
+    // Temperature-scaled mixing: weight ~ tokens^alpha, epochs at a budget
+    "text_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMix(t(s, dir, "documents"), alpha = 0.5,
+        budgetTokens = 1000000L)),
+
+    // Crawl-order diversity signal: fraction of shingles unseen in earlier docs
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"))),
 
     // Context-window packing plan: token-budget bins per hash bucket
     "text_pack_bins" -> ((s, dir) =>
@@ -981,6 +1000,7 @@ object SparkEntry {
       Normalizer.payloadCols),
 
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
+    "cdc_out_of_order" -> Metrics.outOfOrderAuditSql(clSql),
 
     "cdc_snapshot_waves" ->
       (SnapshotScheduler.wavesSql(Metrics.pkChunksSql(clSql, 40L), 6) +
@@ -1115,6 +1135,8 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),
     "dedup_canonical" -> Dedup.canonicalDocsSql(0.5),
+    "dedup_cross_source" -> Dedup.crossSourceDupSql(0.5),
+    "dedup_leakage_split" -> Dedup.leakageSafeSplitSql(0.5, 10, 10),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
@@ -1122,6 +1144,7 @@ object SparkEntry {
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
+    "emb_whitening" -> Similarity.whitenSql,
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
     "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
@@ -1155,6 +1178,10 @@ object SparkEntry {
 
     "text_source_mix" -> Curation.sourceMixSql(
       Map("src0" -> 3.0, "src1" -> 2.0), 1.0),
+
+    "text_temperature_mix" -> Curation.temperatureMixSql(0.5, 1000000L),
+
+    "text_ngram_novelty" -> TextAnalysis.ngramNoveltySql,
 
     "text_pack_bins" -> Curation.packBinsSql(512, 8),
 

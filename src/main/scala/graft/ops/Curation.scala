@@ -293,4 +293,64 @@ object Curation {
        |        / nullif(sum(CASE WHEN $kept THEN 1 ELSE 0 END), 0), 6) AS avg_q_kept
        |FROM q GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * formula, e.g. mC4/XLM-R): sampling weight ∝ n_tokens^alpha, so
+    * alpha = 1 reproduces natural proportions and alpha → 0 approaches
+    * uniform — small sources get up-sampled, dominant ones damped. For
+    * each source the plan reports the natural token share, the
+    * temperature share, the boost factor (temp/natural — how many times
+    * over-represented the source becomes), and the number of epochs the
+    * source's data is repeated when a training run draws `budgetTokens`
+    * tokens from the mix.
+    *
+    * Scale shape: one partial-combined aggregate keyed on source (token
+    * counts sum as exact BIGINTs); the share arithmetic runs over the
+    * |sources|-row frame via empty-frame windows (same device as
+    * [[sourceMix]]). Parity: pow(·, alpha) is evaluated per source row
+    * and rounded to 6 dp, then summed as DECIMAL — the cross-source sum
+    * is exact, never an order-dependent float reduction.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double, budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("w",
+        round(pow(col("n_tokens").cast("double"), alpha), 6).cast("decimal(38,6)"))
+    perSource
+      .withColumn("tok_total", sum(col("n_tokens")).over())
+      .withColumn("w_total", sum(col("w")).over())
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tok_total").cast("double"), 6)
+          .as("natural_share"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("temp_share"),
+        round((col("w").cast("double") / col("w_total").cast("double")) /
+          (col("n_tokens").cast("double") / col("tok_total").cast("double")), 6)
+          .as("boost"),
+        round(lit(budgetTokens.toDouble) *
+          (col("w").cast("double") / col("w_total").cast("double")) /
+          col("n_tokens").cast("double"), 6).as("epochs_at_budget"))
+      .orderBy("source")
+  }
+
+  def temperatureMixSql(alpha: Double, budgetTokens: Long): String =
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CAST(len(${graft.functions.Tokenize.tokensSql("text")}) AS BIGINT)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |weighted AS (
+       |  SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), $alpha), 6) AS DECIMAL(38,6)) AS w
+       |  FROM per_source),
+       |tot AS (SELECT sum(n_tokens) AS tok_total, sum(w) AS w_total FROM weighted)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE), 6) AS natural_share,
+       |  round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS temp_share,
+       |  round((CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) /
+       |        (CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)), 6) AS boost,
+       |  round($budgetTokens.0 * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) /
+       |        CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
+       |FROM weighted, tot ORDER BY source""".stripMargin
 }

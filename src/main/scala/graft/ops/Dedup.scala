@@ -1027,4 +1027,128 @@ object Dedup {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------- cross-source duplication matrix
+
+  /** Which SOURCES duplicate each other: the LSH near-dup pair relation
+    * aggregated into a source-pair matrix (n_pairs + distinct docs
+    * involved per unordered source pair). This is the provenance view a
+    * corpus owner reads before dropping a source — heavy within-source
+    * duplication means a source re-crawls itself (dedup it in place);
+    * heavy cross-source duplication means two sources mirror each other
+    * (keep one). Pair sources are canonicalized with least/greatest so
+    * (A,B) and (B,A) land in one cell.
+    *
+    * Scale shape: the pair relation is tiny next to the corpus; its two
+    * provenance lookups are keyed joins on doc_id against the corpus
+    * spine (shuffle-join at scale — the spine is NOT assumed
+    * broadcastable), then one partial-combined aggregate on the
+    * source-pair key. The planted near-dup copies ([[nearDupCorpus]])
+    * map back to their origin doc's source via id mod the copy offset.
+    */
+  def crossSourceDup(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashLsh(nearDupCorpus(docs), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val withSrc = pairs
+      .join(src.as("sa"), pairs("doc_a") % 1000000L === col("sa.doc_id"))
+      .join(src.as("sb"), pairs("doc_b") % 1000000L === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_lo"),
+        greatest(col("sa.source"), col("sb.source")).as("source_hi"),
+        col("doc_a"), col("doc_b"))
+    withSrc.groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_a")).as("n_docs_a"),
+        count_distinct(col("doc_b")).as("n_docs_b"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  def crossSourceDupSql(threshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+       |              JOIN sig y ON c.doc_b = y.doc_id
+       |  WHERE ($eq) / 16.0 >= $threshold),
+       |src AS (SELECT doc_id, source FROM documents),
+       |tagged AS (
+       |  SELECT least(sa.source, sb.source) AS source_lo,
+       |         greatest(sa.source, sb.source) AS source_hi,
+       |         p.doc_a, p.doc_b
+       |  FROM pairs p JOIN src sa ON p.doc_a % 1000000 = sa.doc_id
+       |               JOIN src sb ON p.doc_b % 1000000 = sb.doc_id)
+       |SELECT source_lo, source_hi, count(*) AS n_pairs,
+       |       count(DISTINCT doc_a) AS n_docs_a,
+       |       count(DISTINCT doc_b) AS n_docs_b
+       |FROM tagged GROUP BY source_lo, source_hi
+       |ORDER BY source_lo, source_hi""".stripMargin
+  }
+
+  // ----------------------------------------------------- leakage-safe split
+
+  /** Train/validation/test assignment that cannot leak near-duplicates
+    * across splits: the unit of assignment is the near-dup CLUSTER, not
+    * the document. Every doc resolves to its cluster id (its own id when
+    * unclustered), the cluster id is hashed to a stable percent bucket,
+    * and the whole cluster lands in one split — the standard fix for
+    * eval contamination via near-identical train/test docs (doc-level
+    * random splits put two copies of the same page on both sides). The
+    * output is the per-split audit: doc/cluster counts plus
+    * `n_leaked_clusters`, the number of clusters straddling splits —
+    * structurally zero here, and the column is the PROOF (computed from
+    * the assignment, not asserted).
+    *
+    * Scale shape: clustering as [[nearDupClusters]] (keyed label
+    * propagation); the split decision is a pure hash projection on the
+    * cluster id; the audit is one aggregate per cluster then one per
+    * split. Adding corpus requires no re-split of old clusters — the
+    * hash is content-independent and stable.
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double,
+                       testPct: Int, valPct: Int): DataFrame = {
+    val corpus = nearDupCorpus(docs)
+    val clusters = nearDupClusters(corpus, threshold)
+    val assigned = corpus.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("bucket",
+        PortableHash.tokenHash(col("cluster").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "validation")
+          .otherwise("train"))
+    val perCluster = assigned.groupBy(col("cluster"))
+      .agg(count_distinct(col("split")).as("n_splits"))
+    assigned.join(perCluster, Seq("cluster"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        count_distinct(when(col("n_splits") > 1, col("cluster"))).as("n_leaked_clusters"))
+      .orderBy(col("split"))
+  }
+
+  def leakageSafeSplitSql(threshold: Double, testPct: Int, valPct: Int): String =
+    s"""${clustersCteSql(threshold)},
+       |assigned AS (
+       |  SELECT cr.doc_id,
+       |         coalesce(c.cluster, cr.doc_id) AS cluster,
+       |         (${PortableHash.tokenHashSql("CAST(coalesce(c.cluster, cr.doc_id) AS VARCHAR)")}) % 100 AS bucket
+       |  FROM corpus cr LEFT JOIN comp c ON cr.doc_id = c.id),
+       |labeled AS (
+       |  SELECT doc_id, cluster,
+       |         CASE WHEN bucket < $testPct THEN 'test'
+       |              WHEN bucket < ${testPct + valPct} THEN 'validation'
+       |              ELSE 'train' END AS split
+       |  FROM assigned),
+       |per_cluster AS (
+       |  SELECT cluster, count(DISTINCT split) AS n_splits FROM labeled GROUP BY cluster)
+       |SELECT l.split, count(*) AS n_docs,
+       |       count(DISTINCT l.cluster) AS n_clusters,
+       |       count(DISTINCT CASE WHEN p.n_splits > 1 THEN l.cluster END) AS n_leaked_clusters
+       |FROM labeled l JOIN per_cluster p ON l.cluster = p.cluster
+       |GROUP BY l.split ORDER BY l.split""".stripMargin
 }

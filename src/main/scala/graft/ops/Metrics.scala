@@ -100,4 +100,58 @@ object Metrics {
        |       least(min_pk + (chunk_id + 1) * width, max_pk + 1) AS chunk_hi,
        |       n_rows, n_chunks
        |FROM chunks ORDER BY tbl, chunk_id""".stripMargin
+
+  /** Event-time disorder audit: per table, how badly does event time (ts)
+    * disagree with log order (pos) WITHIN a key's change sequence? For
+    * every (tbl, pk) the events are walked in pos order; an event is
+    * "late" when its ts is older than the newest ts already seen on that
+    * key. This is the audit that justifies (or falsifies) the engine's
+    * LWW-by-pos merge: a nonzero inversion count is exactly the set of
+    * rows a ts-based merge would have resolved differently, and
+    * max_late_s is the watermark horizon a streaming consumer needs to
+    * avoid dropping those events (cf. [[graft.cdc.Watermark]]).
+    *
+    * Scale shape: one window partitioned by (tbl, pk) — the same keyed
+    * shuffle every other per-key CDC op uses, never a global per-table
+    * sort (a whole-table pos ordering would serialize 100 TB through one
+    * partition; intra-key disorder is the LWW-relevant measure and keys
+    * are the unit of parallelism). Lateness is floored to whole seconds
+    * on each side before differencing (engine-parity: epoch-µs
+    * truncation differs at the sub-second edge).
+    */
+  def outOfOrderAudit(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val es = floor(col("ts").cast("double")).cast("long")
+    changelog
+      .withColumn("run_max_s", max(es).over(w))
+      .withColumn("late_s", greatest(col("run_max_s") - es, lit(0L)))
+      .groupBy(col("tbl"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(sum(when(col("late_s") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("late_rate"),
+        max(col("late_s")).as("max_late_s"),
+        sum(col("late_s")).as("total_late_s"))
+      .orderBy(col("tbl"))
+  }
+
+  def outOfOrderAuditSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |runs AS (
+       |  SELECT tbl, pk,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+       |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+       |      PARTITION BY tbl, pk ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max_s
+       |  FROM cl),
+       |lat AS (SELECT tbl, greatest(run_max_s - es, 0) AS late_s FROM runs)
+       |SELECT tbl, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  round(CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_rate,
+       |  max(late_s) AS max_late_s,
+       |  CAST(sum(late_s) AS BIGINT) AS total_late_s
+       |FROM lat GROUP BY tbl ORDER BY tbl""".stripMargin
 }

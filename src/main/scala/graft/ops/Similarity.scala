@@ -792,4 +792,68 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Per-dimension whitening statistics (mean-center + unit-variance) —
+    * the standard preprocessing before PQ/OPQ codebook training: product
+    * quantizers allocate the same number of codewords to every subspace,
+    * so un-whitened dimensions with 10× the variance eat the quantization
+    * budget of the other 63. Emits, per dimension, the corpus mean and
+    * population sd plus the min/max of the whitened values — the audit
+    * that (a) the transform parameters are right and (b) no dimension
+    * hides an outlier that survives standardization.
+    *
+    * Scale shape: one narrow posexplode (never materialized — it feeds
+    * map-side partial aggregation keyed on the 64-value dim key), a
+    * broadcast of the 64-row stats frame back onto the second pass, and a
+    * final 64-group aggregate. Means/second-moments accumulate as exact
+    * DECIMAL sums (shuffle-order independence), sd is derived per row
+    * from the two exact sums, and z-values round to 6 dp before min/max
+    * so the extremes are engine-identical.
+    */
+  def whiten(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("dim"), col("x"))
+    val stats = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,8)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(20,8)")).as("sxx"))
+      .withColumn("mean_raw", col("sx").cast("double") / col("n"))
+      .withColumn("sd_raw",
+        sqrt(greatest(col("sxx").cast("double") / col("n") -
+          col("mean_raw") * col("mean_raw"), lit(0.0))))
+    dims.join(broadcast(stats), Seq("dim"))
+      .select(col("dim"), col("n"),
+        round(col("mean_raw"), 6).as("mean"),
+        round(col("sd_raw"), 6).as("sd"),
+        round((col("x") - col("mean_raw")) / nullif(col("sd_raw"), lit(0.0)), 6).as("z"))
+      .groupBy(col("dim"))
+      .agg(max(col("n")).as("n"), max(col("mean")).as("mean"), max(col("sd")).as("sd"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("dim"))
+  }
+
+  val whitenSql: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (
+      |  SELECT t.pos AS dim, e.v[t.pos + 1] AS x
+      |  FROM e, unnest(range(0, len(e.v))) AS t(pos)),
+      |stats AS (
+      |  SELECT dim, count(*) AS n,
+      |         sum(CAST(x AS DECIMAL(20,8))) AS sx,
+      |         sum(CAST(x * x AS DECIMAL(20,8))) AS sxx
+      |  FROM dims GROUP BY dim),
+      |derived AS (
+      |  SELECT dim, n,
+      |         CAST(sx AS DOUBLE) / n AS mean_raw,
+      |         sqrt(greatest(CAST(sxx AS DOUBLE) / n -
+      |              (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0)) AS sd_raw
+      |  FROM stats)
+      |SELECT d.dim, max(s.n) AS n,
+      |       max(round(s.mean_raw, 6)) AS mean,
+      |       max(round(s.sd_raw, 6)) AS sd,
+      |       min(round((d.x - s.mean_raw) / nullif(s.sd_raw, 0.0), 6)) AS min_z,
+      |       max(round((d.x - s.mean_raw) / nullif(s.sd_raw, 0.0), 6)) AS max_z
+      |FROM dims d JOIN derived s ON d.dim = s.dim
+      |GROUP BY d.dim ORDER BY d.dim""".stripMargin
 }

@@ -578,4 +578,59 @@ object TextAnalysis {
        |SELECT pair, count(*) AS n_occurrences
        |FROM pairs GROUP BY pair
        |ORDER BY n_occurrences DESC, pair LIMIT $topN""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * 3-token shingles never seen in any EARLIER doc (doc_id order = crawl
+    * order). The running novelty of a corpus is the diversity signal
+    * curation dashboards track — novelty collapsing toward zero means the
+    * crawl is re-fetching the same phrasing and further ingest buys no
+    * new data (the same signal that motivates near-dup dedup, but as a
+    * scalar per doc instead of a pair relation).
+    *
+    * Scale shape: one distinct-shingle explode, first-occurrence via a
+    * min window keyed on the shingle hash (the shuffle every
+    * inverted-index op pays), one per-doc partial-combined aggregate, and
+    * a keyed left join back to the corpus spine so shingle-free docs
+    * surface with novelty NULL (division guarded on both engines). No
+    * global order, no iterative pass: "earlier" is resolved per shingle
+    * by min(doc_id), not by walking the corpus sequentially.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val th = docs.select(col("doc_id"),
+        explode(array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text"))))).as("feat"))
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+    val perDoc = th
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_shingles"), lit(0L)), lit(0L)), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |feat AS (
+       |  SELECT DISTINCT doc_id, unnest(${Tokenize.shingles3Sql("tok")}) AS feat FROM tok),
+       |th AS (SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
+       |firsts AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_doc FROM th),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM firsts GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_shingles, 0) AS n_shingles,
+       |  coalesce(p.n_novel, 0) AS n_novel,
+       |  round(CAST(coalesce(p.n_novel, 0) AS DOUBLE) /
+       |        nullif(coalesce(p.n_shingles, 0), 0), 6) AS novelty
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }
