@@ -298,10 +298,23 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      // convergence detection rides the checkpoint materialization as an
+      // observed metric — the standalone "did anything change" pass would
+      // re-scan the round output (an extra job locally, an extra full
+      // pass over |V| rows per round on a cluster)
+      val obs = org.apache.spark.sql.Observation()
       val next = durable(labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
-      converged = next.filter(col("label") < col("old")).isEmpty
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .observe(obs, count(when(col("label") < col("old"), 1)).as("n_changed")))
+      // the metric event is posted by the checkpoint job but delivered on
+      // an async listener bus — a bounded wait covers the delivery gap;
+      // the explicit emptiness check remains as the timeout fallback
+      converged = scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "seconds"))) match {
+        case scala.util.Success(row) => row.getAs[Long]("n_changed") == 0L
+        case _ => next.filter(col("label") < col("old")).isEmpty
+      }
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
