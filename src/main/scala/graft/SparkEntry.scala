@@ -656,6 +656,9 @@ object SparkEntry {
     // Cluster-granular train/val/test split; n_leaked_clusters proves 0 leakage
     "dedup_leakage_split" -> ((s, dir) =>
       Dedup.leakageSafeSplit(t(s, dir, "documents"), 0.5, testPct = 10, valPct = 10)),
+    // Mixture-design view: per-source token mass surviving keep-one dedup
+    "dedup_effective_tokens" -> ((s, dir) =>
+      Dedup.effectiveTokens(t(s, dir, "documents"), 0.5)),
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -705,6 +708,8 @@ object SparkEntry {
     "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
+    // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
+    "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), 5)),
     "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
 
     // Intra-doc repetition ratio (boilerplate / degenerate-text gate)
@@ -1136,6 +1141,7 @@ object SparkEntry {
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),
     "dedup_canonical" -> Dedup.canonicalDocsSql(0.5),
     "dedup_cross_source" -> Dedup.crossSourceDupSql(0.5),
+    "dedup_effective_tokens" -> Dedup.effectiveTokensSql(0.5),
     "dedup_leakage_split" -> Dedup.leakageSafeSplitSql(0.5, 10, 10),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
@@ -1157,6 +1163,7 @@ object SparkEntry {
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
+    "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 
     "text_repetition" -> TextAnalysis.repetitionSql,

@@ -365,8 +365,22 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var edges = durable(canon(
-      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))))
+    // (count, hash-sum) signature of an edge set, observed for free on the
+    // checkpoint job: inequality PROVES the round changed something, so the
+    // exact set-equality job runs only when the signature repeats — once,
+    // at the actual fixpoint, instead of every round. DECIMAL sum keeps the
+    // aggregate exact and overflow-free under ANSI mode.
+    def edgeObs(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("hs"))
+    def readObs(obs: org.apache.spark.sql.Observation): Option[(Long, String)] =
+      scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "seconds"))).toOption
+        .map(r => (r.getAs[Long]("n"), String.valueOf(r.getAs[Any]("hs"))))
+    val obs0 = org.apache.spark.sql.Observation()
+    var edges = durable(edgeObs(canon(
+      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))), obs0))
+    var prevSig = readObs(obs0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -382,14 +396,22 @@ object Dedup {
       // in that neighborhood, the key included, at its minimum
       val dir = large.select(col("b").as("u"), col("a").as("v"))
       val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = durable(canon(
+      val obs = org.apache.spark.sql.Observation()
+      val next = durable(edgeObs(canon(
         dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
-          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))))
-      // fixpoint = equal edge sets; both sides are distinct, so "every
-      // pair occurs exactly twice in the union" is set equality in ONE
-      // aggregate job (count + except would be two)
-      converged = next.unionAll(edges).groupBy(col("a"), col("b"))
+          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))), obs))
+      val sig = readObs(obs)
+      // a changed signature proves non-convergence with no extra job; a
+      // repeated one (or an unavailable metric) falls through to the exact
+      // check: both sides are distinct, so "every pair occurs exactly
+      // twice in the union" is set equality in ONE aggregate job
+      val maybeEqual = (prevSig, sig) match {
+        case (Some(a), Some(b)) => a == b
+        case _                  => true
+      }
+      converged = maybeEqual && next.unionAll(edges).groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
+      prevSig = sig
       edges = next
       rounds += 1
     }
@@ -483,6 +505,62 @@ object Dedup {
        |       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster ORDER BY doc_len DESC, doc_id) = 1
        |            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
        |FROM alld ORDER BY doc_id""".stripMargin
+
+  /** Dedup-discounted per-source token accounting — the number a mixture
+    * designer actually weighs sources by: raw token mass vs the mass that
+    * SURVIVES keep-one near-dup dedup. Survivor = the cluster's min
+    * doc_id (the component label itself — no extra window), singletons
+    * survive by definition. The synthetic re-crawled half of the harness
+    * corpus is labeled source `recrawl`, so its near-total overlap with
+    * the originals shows up as a collapsed surviving share.
+    *
+    * Scale shape: rides [[nearDupClusters]] (LSH + components — no new
+    * pairwise work); token counts are a map-side projection; the final
+    * aggregate is integer partials per source with one division at the
+    * end, so the result is shuffle-order independent.
+    */
+  def effectiveTokens(docs: DataFrame, threshold: Double): DataFrame = {
+    val corpus = nearDupCorpus(docs)
+    val clusters = nearDupClusters(corpus, threshold).select(col("doc_id"), col("cluster"))
+    val toks = corpus.select(col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("tokens"))
+    val srcOf = docs.select(col("doc_id").as("orig_id"), col("source"))
+    toks
+      .join(clusters, Seq("doc_id"), "left")
+      .join(srcOf, col("doc_id") % 1000000L === col("orig_id"))
+      .select(
+        when(col("doc_id") >= 1000000L, lit("recrawl")).otherwise(col("source")).as("source"),
+        col("tokens"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).cast("long").as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("kept_docs"),
+        sum(col("tokens")).as("raw_tokens"),
+        sum(col("kept") * col("tokens")).as("kept_tokens"))
+      .withColumn("dup_token_rate",
+        round(lit(1.0) - col("kept_tokens").cast("double") / nullif(col("raw_tokens"), lit(0L)), 6))
+      .orderBy(col("source"))
+  }
+
+  def effectiveTokensSql(threshold: Double): String =
+    s"""${clustersCteSql(threshold)},
+       |toks AS (SELECT doc_id, CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS tokens
+       |         FROM corpus),
+       |tagged AS (
+       |  SELECT CASE WHEN t.doc_id >= 1000000 THEN 'recrawl' ELSE s.source END AS source,
+       |         t.tokens,
+       |         CASE WHEN coalesce(c.cluster, t.doc_id) = t.doc_id THEN 1 ELSE 0 END AS kept
+       |  FROM toks t
+       |  LEFT JOIN comp c ON t.doc_id = c.id
+       |  JOIN documents s ON t.doc_id % 1000000 = s.doc_id)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(kept) AS BIGINT) AS kept_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS raw_tokens,
+       |       CAST(sum(kept * tokens) AS BIGINT) AS kept_tokens,
+       |       round(1.0 - CAST(sum(kept * tokens) AS DOUBLE) / nullif(sum(tokens), 0), 6)
+       |         AS dup_token_rate
+       |FROM tagged GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------- simhash
 

@@ -179,6 +179,102 @@ object TextAnalysis {
        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ bm25
+
+  /** Fixed retrieval workload for [[bm25TopK]]: query id = the phrase
+    * itself, terms drawn from the fixture vocabulary. Shared verbatim by
+    * the Spark plan and the oracle VALUES list.
+    */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "spark query join"  -> Seq("spark", "query", "join"),
+    "stream window agg" -> Seq("stream", "window", "agg"),
+    "hash merge sort"   -> Seq("hash", "merge", "sort"),
+    "fast scan filter"  -> Seq("fast", "scan", "filter"))
+
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** BM25 ranked retrieval: top-k documents per query under
+    * Okapi BM25 (k1 = 1.2, b = 0.75, idf = ln((N-df+0.5)/(df+0.5)+1)).
+    *
+    * Scale shape: the query term list is a broadcast local relation, so
+    * the corpus-sized tf frame streams through a broadcast-hash join and
+    * only rows matching a query term survive into scoring; df for query
+    * terms and the (N, Σdl) corpus stats are one-row/tiny broadcast
+    * aggregates. The per-(query, doc) sum runs over ≤|query| rounded
+    * DECIMAL terms (order-independent), then ranks with a per-query
+    * window — partial top-k via WindowGroupLimit, never a global sort.
+    * Double math is written in the identical shape on both engines;
+    * per-term scores are rounded before the sum, the sum before the rank.
+    */
+  def bm25TopK(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(
+      bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query", "term"))
+    val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(Tokenize.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfq = tf.join(qterms.select(col("term")).distinct(), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val per = tf.join(qterms, "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query"), col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * lit(bm25K1 + 1)) /
+            (col("tf") + lit(bm25K1) *
+              (lit(1 - bm25B) + lit(bm25B) * col("dl") * col("n_docs") / col("sum_dl"))),
+          9).as("s"))
+    val agg = per.groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("s").cast("decimal(28,9)")).as("sd"))
+      .select(col("query"), col("doc_id"), round(col("sd").cast("double"), 6).as("bm25"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query")).orderBy(col("bm25").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query"), col("rank"))
+  }
+
+  def bm25TopKSql(k: Int): String = {
+    val values = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |q(query, term) AS (VALUES $values),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+       |dfq AS (SELECT tf.term, count(*) AS df
+       |        FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+       |        GROUP BY 1),
+       |per AS (
+       |  SELECT q.query, f.doc_id,
+       |         round(
+       |           ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0) *
+       |             (f.tf * ${bm25K1 + 1}e0) /
+       |             (f.tf + ${bm25K1}e0 *
+       |               (${1 - bm25B}e0 + ${bm25B}e0 * l.dl * s.n_docs / s.sum_dl)),
+       |           9) AS s
+       |  FROM tf f JOIN q ON f.term = q.term
+       |            JOIN dl l ON f.doc_id = l.doc_id
+       |            JOIN dfq d ON f.term = d.term, stats s),
+       |agg AS (
+       |  SELECT query, doc_id,
+       |         round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+       |  FROM per GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM agg)
+       |SELECT query, doc_id, bm25, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query, rank""".stripMargin
+  }
+
   /** Deterministic hash sampling: the reproducible (cross-engine,
     * cross-run) alternative to `sample()` for pipeline debugging at
     * scale — keep a doc iff md5-hash(doc_id) mod k == 0.
