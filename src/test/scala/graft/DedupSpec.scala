@@ -191,4 +191,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 2L)))
   }
+
+  test("effectiveTokens: originals all survive, recrawl mass is discounted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "web"),
+      (2L, "colorless green ideas sleep furiously while philosophers argue about meaning and truth", "web"),
+      (3L, "stock markets rallied sharply as investors priced in another round of rate cuts", "books")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.effectiveTokens(docs, 0.5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("web", "books", "recrawl"))
+    // survivor = min doc_id of the cluster: every original outranks its
+    // +1M re-crawl copy, so real sources keep their full mass
+    for (s <- Seq("web", "books")) {
+      assert(rows(s).getAs[Long]("kept_docs") == rows(s).getAs[Long]("n_docs"))
+      assert(rows(s).getAs[Double]("dup_token_rate") == 0.0)
+    }
+    val re = rows("recrawl")
+    assert(re.getAs[Long]("n_docs") == 3L)
+    // every synthetic copy pairs with its original → zero surviving mass
+    assert(re.getAs[Long]("kept_docs") == 0L)
+    assert(re.getAs[Double]("dup_token_rate") == 1.0)
+    assert(re.getAs[Long]("raw_tokens") > 0L)
+  }
 }

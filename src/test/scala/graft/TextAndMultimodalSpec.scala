@@ -32,6 +32,25 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("bm25: rarer-term match on shorter doc outranks; ranks contiguous per query") {
+    val rows = TextAnalysis.bm25TopK(docs(
+      1L -> "spark join spark",
+      2L -> "spark query",
+      3L -> "filter scan scan"), 5).collect()
+    val byQ = rows.groupBy(_.getString(0))
+    // only the workload queries whose terms occur in the corpus emit rows
+    assert(byQ.keySet == Set("spark query join", "fast scan filter"))
+    val sq = byQ("spark query join").sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getAs[Double]("bm25"), r.getLong(3)))
+    // d2 matches 'spark' plus the rarest term 'query' on a shorter doc →
+    // outranks d1's double-'spark' + 'join'; d3 matches nothing
+    assert(sq.map(_._1).toSeq == Seq(2L, 1L))
+    assert(sq.map(_._3).toSeq == Seq(1L, 2L))
+    assert(sq(0)._2 > sq(1)._2)
+    val fs = byQ("fast scan filter")
+    assert(fs.map(_.getLong(1)).toSeq == Seq(3L) && fs.head.getLong(3) == 1L)
+  }
+
   test("quality: longer stopword-rich text scores higher than symbol soup") {
     val got = TextAnalysis.qualityScore(docs(
       1L -> ("the cat is on the mat and the dog is in the house " * 4),
