@@ -860,7 +860,9 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
-    "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8))
+    "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8)),
+    // real JDK WAV codec path: synth PCM → WAV encode → AudioSystem decode
+    "mm_audio_features" -> ((s, dir) => Multimodal.audioFeaturize(t(s, dir, "documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1230,6 +1232,7 @@ object SparkEntry {
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
-    "mm_resize" -> Multimodal.resizeSql(8)
+    "mm_resize" -> Multimodal.resizeSql(8),
+    "mm_audio_features" -> Multimodal.audioFeaturizeSql
   )
 }

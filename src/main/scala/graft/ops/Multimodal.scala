@@ -1,8 +1,10 @@
 package graft.ops
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -20,6 +22,11 @@ import org.apache.spark.sql.functions._
   * PNGs; because PNG is lossless, the DuckDB oracle reproduces the
   * decoded features straight from the pixel formula — parity proves the
   * whole encode → decode → featurize path, not a fake.
+  *
+  * Audio takes the same real-codec path through the JDK's
+  * `javax.sound.sampled` WAV support ([[audioPayloads]] /
+  * [[JavaSoundDecoder]]): PCM-in-WAV is lossless, so the oracle
+  * recomputes clip features from the integer sample formula.
   *
   * Video-shaped payloads (frame striding, bounded frame counts) keep the
   * byte-stride form over utf-8 payloads ([[sampleFrames]]): frame GRABS
@@ -166,6 +173,136 @@ object Multimodal {
       |  CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS px_sum,
       |  CAST(list_aggregate([pxs[i + 1] * (i + 1) FOR i IN range(0, width * height)], 'sum') AS BIGINT) AS px_weighted
       |FROM px ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ audio
+
+  /** One audio record entering the decode stage. */
+  final case class AudioPayload(doc_id: Long, payload: Array[Byte])
+
+  /** A decoded clip: header sample rate + signed 16-bit samples. */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Int])
+
+  /** Decoded per-clip features — all integer-exact so the oracle can
+    * recompute them from the sample formula without float drift.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      amp_sum: Long,
+      abs_sum: Long,
+      peak: Long,
+      zero_cross: Long)
+
+  trait AudioDecoder extends Serializable {
+    def decode(p: AudioPayload): DecodedAudio
+  }
+
+  /** The real JDK audio codec: `javax.sound.sampled.AudioSystem` parses
+    * the RIFF/WAVE container (chunk walk, fmt validation) — the audio
+    * sibling of [[ImageIoDecoder]], zero extra dependencies.
+    */
+  final class JavaSoundDecoder extends AudioDecoder {
+    def decode(p: AudioPayload): DecodedAudio = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(p.payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+          s"doc ${p.doc_id}: expected 16-bit mono PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        val bb = ByteBuffer.wrap(bytes)
+          .order(if (fmt.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(i * 2).toInt; i += 1 }
+        DecodedAudio(fmt.getSampleRate.toInt, out)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic synthetic clip per doc: length, sample rate and every
+    * sample are fixed integer functions of `doc_id` (a wrapping sawtooth
+    * — it crosses zero, so `zero_cross` is a real signal), written
+    * through the REAL WAV encoder. PCM-in-WAV is lossless, so the oracle
+    * recomputes features from the formula; any container/endianness/
+    * sign-extension defect in the codec path breaks the hash.
+    */
+  def audioPayloads(docs: DataFrame): Dataset[AudioPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (256 + id % 257).toInt
+        val sr = (8000 + (id % 3) * 4000).toFloat
+        val pcm = new Array[Byte](n * 2)
+        val bb = ByteBuffer.wrap(pcm).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          bb.putShort(i * 2, (((i * 37 + id * 101) % 4096) - 2048).toShort)
+          i += 1
+        }
+        val format = new AudioFormat(sr, 16, 1, true, false)
+        val ais = new AudioInputStream(new ByteArrayInputStream(pcm), format, n.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        AudioPayload(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** The audio decode stage: one codec per partition, streamed, typed
+    * output — same contract as [[extractFeatures]] for images.
+    */
+  def audioFeatures(payloads: Dataset[AudioPayload],
+                    newDecoder: () => AudioDecoder = () => new JavaSoundDecoder)
+      : Dataset[AudioFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        var sum = 0L
+        var abs = 0L
+        var peak = 0L
+        var zc = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          val s = d.samples(i)
+          sum += s
+          abs += math.abs(s)
+          peak = math.max(peak, math.abs(s).toLong)
+          if (i > 0 && (d.samples(i - 1) < 0) != (s < 0)) zc += 1
+          i += 1
+        }
+        AudioFeatures(p.doc_id, d.sampleRate, d.samples.length.toLong, sum, abs, peak, zc)
+      }
+    }
+  }
+
+  /** Full audio pipeline: synth PCM → WAV encode → AudioSystem decode →
+    * sample features, ordered for the oracle.
+    */
+  def audioFeaturize(docs: DataFrame): DataFrame =
+    audioFeatures(audioPayloads(docs)).toDF().orderBy("doc_id")
+
+  val audioFeaturizeSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 256 + doc_id % 257 AS n, 8000 + (doc_id % 3) * 4000 AS sr
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, sr,
+      |    [((i * 37 + doc_id * 101) % 4096) - 2048 FOR i IN range(0, n)] AS smp
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(sr AS INTEGER) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_aggregate(smp, 'sum') AS BIGINT) AS amp_sum,
+      |  CAST(list_aggregate([abs(x) FOR x IN smp], 'sum') AS BIGINT) AS abs_sum,
+      |  CAST(list_aggregate([abs(x) FOR x IN smp], 'max') AS BIGINT) AS peak,
+      |  CAST(list_aggregate([CASE WHEN (smp[i] < 0) <> (smp[i + 1] < 0) THEN 1 ELSE 0 END
+      |                       FOR i IN range(1, n)], 'sum') AS BIGINT) AS zero_cross
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** Real image resize: decode the PNG, nearest-neighbor downsample by an
     * integer stride so the longer side fits `maxSide`, fingerprint the

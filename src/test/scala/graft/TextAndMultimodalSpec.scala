@@ -32,6 +32,26 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("audio codec: WAV round-trip is sample-exact and header-faithful") {
+    import Multimodal._
+    val ids = Seq(0L, 1L, 5L, 256L)
+    val feats = audioFeatures(audioPayloads(
+      ids.toDF("doc_id"))).collect().map(f => f.doc_id -> f).toMap
+    for (id <- ids) {
+      val f = feats(id)
+      // header fields survive the container round-trip
+      assert(f.sample_rate == (8000 + (id % 3) * 4000).toInt)
+      assert(f.n_samples == 256 + id % 257)
+      // recompute features straight from the formula — any endianness /
+      // sign-extension / offset defect in the codec path shifts these
+      val smp = (0 until f.n_samples.toInt).map(i => ((i * 37 + id * 101) % 4096 - 2048).toInt)
+      assert(f.amp_sum == smp.map(_.toLong).sum)
+      assert(f.peak == smp.map(s => math.abs(s).toLong).max)
+      assert(f.zero_cross == smp.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+      assert(f.zero_cross > 0, "sawtooth must actually cross zero")
+    }
+  }
+
   test("bm25: rarer-term match on shorter doc outranks; ranks contiguous per query") {
     val rows = TextAnalysis.bm25TopK(docs(
       1L -> "spark join spark",
