@@ -862,7 +862,9 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
     "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8)),
     // real JDK WAV codec path: synth PCM → WAV encode → AudioSystem decode
-    "mm_audio_features" -> ((s, dir) => Multimodal.audioFeaturize(t(s, dir, "documents")))
+    "mm_audio_features" -> ((s, dir) => Multimodal.audioFeaturize(t(s, dir, "documents"))),
+    // container demux + sparse ImageIO decode of only the sampled frames
+    "mm_video_frames" -> ((s, dir) => Multimodal.videoFrameFeatures(t(s, dir, "documents"), 2, 4))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1233,6 +1235,7 @@ object SparkEntry {
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
     "mm_resize" -> Multimodal.resizeSql(8),
-    "mm_audio_features" -> Multimodal.audioFeaturizeSql
+    "mm_audio_features" -> Multimodal.audioFeaturizeSql,
+    "mm_video_frames" -> Multimodal.videoFrameFeaturesSql(2, 4)
   )
 }

@@ -28,11 +28,11 @@ import org.apache.spark.sql.functions._
   * [[JavaSoundDecoder]]): PCM-in-WAV is lossless, so the oracle
   * recomputes clip features from the integer sample formula.
   *
-  * Video-shaped payloads (frame striding, bounded frame counts) keep the
-  * byte-stride form over utf-8 payloads ([[sampleFrames]]): frame GRABS
-  * need a container demuxer the JDK doesn't ship, but the batch shape —
-  * bounded output per record, pure projection — is the Spark-side
-  * contract being exercised.
+  * Video has two rungs: [[sampleFrames]] keeps the pure-projection
+  * byte-stride form, and [[sampleVideoFrames]] demuxes a real container
+  * (offset-table header over PNG frame blobs) and ImageIO-decodes ONLY
+  * the sampled frames — the bounded-IO property a 100 TB video column
+  * needs from its demuxer.
   */
 object Multimodal {
 
@@ -303,6 +303,128 @@ object Multimodal {
       |  CAST(list_aggregate([CASE WHEN (smp[i] < 0) <> (smp[i + 1] < 0) THEN 1 ELSE 0 END
       |                       FOR i IN range(1, n)], 'sum') AS BIGINT) AS zero_cross
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ video
+
+  /** One video record entering the demux stage. */
+  final case class VideoPayload(doc_id: Long, payload: Array[Byte])
+
+  /** One sampled, decoded frame. */
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int, px_sum: Long)
+
+  /** MJPEG-style container for the video path: `GMJ1` magic, little-endian
+    * int32 frame count, an int32 offset table (blob-relative), then the
+    * PNG frame blobs back-to-back. Not a standard codec — the JDK ships
+    * no demuxer — but the demux CONTRACT is the real one: the offset
+    * table lets [[sampleVideoFrames]] slice and decode ONLY the sampled
+    * frames, never touching the rest of the payload, which is the
+    * property that makes frame sampling affordable on a 100 TB video
+    * column.
+    */
+  private val videoMagic = Array[Byte]('G', 'M', 'J', '1')
+
+  def videoPayloads(docs: DataFrame): Dataset[VideoPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { id =>
+        val nf = (3 + id % 4).toInt
+        val w = (4 + id % 3).toInt
+        val h = (4 + (id + 1) % 3).toInt
+        val blobs = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((x * 7 + y * 11 + f * 19 + id * 23) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val header = ByteBuffer.allocate(4 + 4 + 4 * nf).order(ByteOrder.LITTLE_ENDIAN)
+        header.put(videoMagic).putInt(nf)
+        var off = 0
+        blobs.foreach { b => header.putInt(off); off += b.length }
+        val out = new ByteArrayOutputStream()
+        out.write(header.array())
+        blobs.foreach(out.write)
+        VideoPayload(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** Demux + sparse decode: parse the header, pick frames `0, step,
+    * 2·step, …` (at most `maxFrames`), slice each one's blob via the
+    * offset table and decode it with the real ImageIO codec. Unsampled
+    * frames are never decoded — bounded work per record regardless of
+    * clip length.
+    */
+  def sampleVideoFrames(payloads: Dataset[VideoPayload], step: Int, maxFrames: Int)
+      : Dataset[VideoFrame] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { p =>
+        val bb = ByteBuffer.wrap(p.payload).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(java.util.Arrays.equals(magic, videoMagic),
+          s"doc ${p.doc_id}: not a GMJ1 container")
+        val nf = bb.getInt
+        val offsets = Array.fill(nf)(bb.getInt)
+        val blobStart = 4 + 4 + 4 * nf
+        (0 until nf by step).take(maxFrames).map { f =>
+          val from = blobStart + offsets(f)
+          val until = if (f + 1 < nf) blobStart + offsets(f + 1) else p.payload.length
+          val img = ImageIO.read(new ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(p.payload, from, until)))
+          require(img != null, s"doc ${p.doc_id} frame $f: undecodable blob")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          VideoFrame(p.doc_id, f, img.getWidth, img.getHeight, sum)
+        }
+      }
+    }
+  }
+
+  /** Full video pipeline: synth frames → container encode → demux →
+    * sparse ImageIO decode, ordered for the oracle.
+    */
+  def videoFrameFeatures(docs: DataFrame, step: Int, maxFrames: Int): DataFrame =
+    sampleVideoFrames(videoPayloads(docs), step, maxFrames)
+      .toDF().orderBy("doc_id", "frame_idx")
+
+  def videoFrameFeaturesSql(step: Int, maxFrames: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, 3 + doc_id % 4 AS nf,
+       |         4 + doc_id % 3 AS w, 4 + (doc_id + 1) % 3 AS h
+       |  FROM documents),
+       |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx FROM g),
+       |sampled AS (
+       |  SELECT * FROM f
+       |  WHERE frame_idx % $step = 0 AND frame_idx // $step < $maxFrames)
+       |SELECT doc_id,
+       |  CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(list_aggregate(
+       |    [((i % w) * 7 + (i // w) * 11 + frame_idx * 19 + doc_id * 23) % 256
+       |     FOR i IN range(0, w * h)], 'sum') AS BIGINT) AS px_sum
+       |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Real image resize: decode the PNG, nearest-neighbor downsample by an
     * integer stride so the longer side fits `maxSide`, fingerprint the

@@ -52,6 +52,25 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video demux decodes only the sampled frames") {
+    import Multimodal._
+    val p = videoPayloads(Seq(1L).toDF("doc_id")).collect()(0)
+    // locate frame 1's blob through the container header and corrupt it
+    val bb = java.nio.ByteBuffer.wrap(p.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(4) // magic
+    val nf = bb.getInt // id=1 → 4 frames
+    val offs = Array.fill(nf)(bb.getInt)
+    val blobStart = 8 + 4 * nf
+    val corrupted = p.payload.clone()
+    java.util.Arrays.fill(corrupted, blobStart + offs(1), blobStart + offs(2), 0xAB.toByte)
+    val ds = Seq(VideoPayload(1L, corrupted)).toDS()
+    // step=2 never touches frame 1 → the corruption is invisible
+    val frames = sampleVideoFrames(ds, 2, 4).collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    // step=1 samples it → the decode failure surfaces
+    assertThrows[Exception](sampleVideoFrames(ds, 1, 4).collect())
+  }
+
   test("bm25: rarer-term match on shorter doc outranks; ranks contiguous per query") {
     val rows = TextAnalysis.bm25TopK(docs(
       1L -> "spark join spark",
