@@ -174,6 +174,11 @@ object SparkEntry {
     "cdc_lww_state" -> ((s, dir) =>
       ChangelogApply.materialize(changelog(s, dir)).orderBy("tbl", "pk")),
 
+    // Kafka-style compaction: latest per key survives, tombstones GC'd
+    // once the retention frontier passes them
+    "cdc_log_compaction" -> ((s, dir) =>
+      ChangelogApply.compactLog(changelog(s, dir), 0.6).orderBy("tbl", "pk")),
+
     // Wide envelope: full multi-column after-images through the
     // encode→schema-registry-decode round trip, then LWW per key.
     "cdc_lww_state_wide" -> ((s, dir) =>
@@ -875,6 +880,9 @@ object SparkEntry {
 
     "cdc_lww_state" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
+
+    "cdc_log_compaction" ->
+      (ChangelogApply.compactLogSql(clSql, 0.6) + " ORDER BY tbl, pk"),
 
     "cdc_lww_state_wide" ->
       (ChangelogApply.materializeWideSql(wideClSql, Normalizer.payloadCols) +

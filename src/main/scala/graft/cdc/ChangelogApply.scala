@@ -57,6 +57,45 @@ object ChangelogApply {
        |SELECT tbl, pk, op, ts, pos, value
        |FROM ranked WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** Kafka-style log compaction with tombstone GC: the compacted log
+    * keeps exactly the LATEST event per (tbl, pk) — INCLUDING delete
+    * tombstones, which replicas that have not yet consumed the delete
+    * still need — except tombstones at or below the retention frontier
+    * (`min(pos) + gcFraction·(max−min)`), which every replica has
+    * provably passed and can be physically dropped.
+    *
+    * Scale shape: one (tbl, pk) shuffle for the max_by partial-aggregate
+    * (same cost as [[materialize]]); the frontier is a one-row aggregate
+    * broadcast into the filter — no second pass over the log.
+    */
+  def compactLog(changelog: DataFrame, gcFraction: Double): DataFrame = {
+    val last = changelog.groupBy(col("tbl"), col("pk"))
+      .agg(max_by(struct(col("op"), col("ts"), col("pos"), col("value")), col("pos")).as("last"))
+    val frontier = changelog.agg(
+      (min(col("pos")) +
+        floor(lit(gcFraction) * (max(col("pos")) - min(col("pos")))).cast("long"))
+        .as("gc_frontier"))
+    last.crossJoin(broadcast(frontier))
+      .filter(!(col("last.op") === "D" && col("last.pos") <= col("gc_frontier")))
+      .select(col("tbl"), col("pk"),
+        col("last.op").as("op"),
+        col("last.ts").as("ts"),
+        col("last.pos").as("pos"),
+        col("last.value").as("value"),
+        (col("last.op") === "D").as("is_tombstone"))
+  }
+
+  def compactLogSql(clCte: String, gcFraction: Double): String =
+    s"""WITH cl AS ($clCte),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl),
+       |f AS (SELECT min(pos) + CAST(floor(${gcFraction}e0 * (max(pos) - min(pos))) AS BIGINT)
+       |        AS gc_frontier FROM cl)
+       |SELECT tbl, pk, op, ts, pos, value, (op = 'D') AS is_tombstone
+       |FROM ranked, f
+       |WHERE rn = 1 AND NOT (op = 'D' AND pos <= f.gc_frontier)""".stripMargin
+
   /** Merge a snapshot (base table state) with changelog deltas:
     * full-outer join by key; a delta overrides the base row, a trailing
     * Delete removes it, an Insert/Update with no base row creates it.

@@ -118,6 +118,32 @@ class CdcSemanticsSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("log compaction preserves materialized state and is a fixpoint (property)") {
+    for (m <- samples(genKeyed, 8) if m.values.exists(_.nonEmpty)) {
+      val events = mkEvents(m)
+      val cl = df(events)
+      val compacted = ChangelogApply.compactLog(cl, 0.6)
+      // the defining law: replicas replaying the compacted log reach the
+      // same state as replicas that consumed everything
+      val fromFull = ChangelogApply.materialize(cl).collect().toSet
+      val fromCompacted = ChangelogApply.materialize(
+        compacted.drop("is_tombstone")).collect().toSet
+      assert(fromFull == fromCompacted, s"events=$events")
+      // direct model check: survivors are exactly the per-key latest,
+      // minus delete-tombstones at or below the retention frontier
+      val posns = events.map(_.pos)
+      val frontier = posns.min + math.floor(0.6 * (posns.max - posns.min)).toLong
+      val expected = events.groupBy(e => (e.tbl, e.pk)).values
+        .map(_.maxBy(_.pos))
+        .filterNot(e => e.op == "D" && e.pos <= frontier)
+        .map(e => ((e.tbl, e.pk), (e.op, e.pos, e.op == "D"))).toMap
+      val got = compacted.collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getString(2), r.getLong(4), r.getBoolean(6)))).toMap
+      assert(got == expected, s"frontier=$frontier events=$events")
+    }
+  }
+
   test("delete then re-insert resurrects the key with the new value") {
     val events = Seq(
       ChangeEvent("t0", 7L, "I", new Timestamp(0), 0L, 1.0),
