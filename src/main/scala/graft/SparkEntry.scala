@@ -607,6 +607,33 @@ object SparkEntry {
           "l_extendedprice", "l_discount"),
         Seq("l_returnflag", "l_linestatus"))),
 
+    // Referential-integrity audit: zeros on the consistent warehouse
+    // edges, exact orphan counts on a deliberately-corrupted ingest batch
+    // (every 10th event's user_id shifted out of the customer key space)
+    "quality_orphan_fks" -> ((s, dir) => {
+      import graft.ops.FkEdge
+      val dirtyEvents = t(s, dir, "events").withColumn("user_id",
+        when(col("event_id") % 10 === 0, col("user_id") + 1000000L)
+          .otherwise(col("user_id")))
+      Profiling.orphanAudit(Seq(
+        FkEdge("customer", t(s, dir, "customer"), "c_nationkey",
+          "nation", t(s, dir, "nation"), "n_nationkey"),
+        FkEdge("events_ingest", dirtyEvents, "user_id",
+          "customer", t(s, dir, "customer"), "c_custkey"),
+        FkEdge("lineitem", t(s, dir, "lineitem"), "l_orderkey",
+          "orders", t(s, dir, "orders"), "o_orderkey"),
+        FkEdge("lineitem", t(s, dir, "lineitem"), "l_partkey",
+          "part", t(s, dir, "part"), "p_partkey"),
+        FkEdge("lineitem", t(s, dir, "lineitem"), "l_suppkey",
+          "supplier", t(s, dir, "supplier"), "s_suppkey"),
+        FkEdge("nation", t(s, dir, "nation"), "n_regionkey",
+          "region", t(s, dir, "region"), "r_regionkey"),
+        FkEdge("orders", t(s, dir, "orders"), "o_custkey",
+          "customer", t(s, dir, "customer"), "c_custkey"),
+        FkEdge("supplier", t(s, dir, "supplier"), "s_nationkey",
+          "nation", t(s, dir, "nation"), "n_nationkey")))
+    }),
+
     // same result via the heap TypedImperativeAggregate (O(n log k) with
     // k-bounded partials vs the window's per-partition full sort)
     "events_top3_agg" -> ((s, dir) => {
@@ -1132,6 +1159,17 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount"),
       Seq("l_returnflag", "l_linestatus")),
+    "quality_orphan_fks" -> Profiling.orphanAuditSql(Seq(
+      ("customer", "customer", "c_nationkey", "nation", "nation", "n_nationkey"),
+      ("events_ingest",
+        "(SELECT CASE WHEN event_id % 10 = 0 THEN user_id + 1000000 ELSE user_id END AS user_id FROM events)",
+        "user_id", "customer", "customer", "c_custkey"),
+      ("lineitem", "lineitem", "l_orderkey", "orders", "orders", "o_orderkey"),
+      ("lineitem", "lineitem", "l_partkey", "part", "part", "p_partkey"),
+      ("lineitem", "lineitem", "l_suppkey", "supplier", "supplier", "s_suppkey"),
+      ("nation", "nation", "n_regionkey", "region", "region", "r_regionkey"),
+      ("orders", "orders", "o_custkey", "customer", "customer", "c_custkey"),
+      ("supplier", "supplier", "s_nationkey", "nation", "nation", "n_nationkey"))),
     "events_top3_agg" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,
