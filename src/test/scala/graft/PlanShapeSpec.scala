@@ -295,4 +295,30 @@ class PlanShapeSpec extends SparkSpec {
       s"disposition must be scan-local (1 stats exchange expected), got $hashExchanges:\n$p")
     assert(!p.contains("Join"), s"classification must not join:\n$p")
   }
+
+  test("bm25: query workload and corpus stats broadcast; tf never sort-merge-joins them") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query terms / df / stats must broadcast:\n$p")
+    // the only sort allowed is the final per-query ranking window + output
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized side may shuffle for a tiny-side join:\n$p")
+  }
+
+  test("orphan audit: anti-joins run on per-key aggregates, not raw child rows") {
+    val p = plan("quality_orphan_fks")
+    assert(p.contains("LeftAnti"), s"RI check must be an anti join:\n$p")
+    // every anti join's streamed side is the child aggregated per key:
+    // partial_count before the join proves the map-side shrink happened
+    assert(p.contains("partial_count"), s"child must pre-aggregate per key:\n$p")
+  }
+
+  test("log compaction: one keyed shuffle, frontier broadcast into the filter") {
+    val p = plan("cdc_log_compaction")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"compaction must shuffle once on (tbl, pk), got $hashExchanges:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"gc frontier must broadcast, not shuffle:\n$p")
+  }
 }
