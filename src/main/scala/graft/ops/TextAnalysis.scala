@@ -148,7 +148,8 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(Tokenize.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val tf = Caches.tracked(
+      tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist())
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df_), "term")
@@ -213,8 +214,13 @@ object TextAnalysis {
     val qterms = broadcast(
       bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query", "term"))
     val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col("doc_id"), size(Tokenize.tokens(col("text"))).cast("long").as("dl"))
+    // tf feeds BOTH the df aggregate and the scoring join; dl feeds BOTH
+    // the corpus stats and the per-doc norm — persist each once (tracked,
+    // caller evicts) instead of re-tokenizing the corpus per subtree
+    val tf = Caches.tracked(
+      tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist())
+    val dl = Caches.tracked(docs.select(col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("dl")).persist())
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfq = tf.join(qterms.select(col("term")).distinct(), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -455,8 +461,8 @@ object TextAnalysis {
     // pipeline was a prior 14x hotspot — never recompute it per branch).
     // Short docs (< 3 tokens) keep their empty array here and surface
     // with ratio 0, matching repetition()'s contract.
-    val spanArrays = docs.select(col("doc_id"),
-      array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text")))).as("sh")).persist()
+    val spanArrays = Caches.tracked(docs.select(col("doc_id"),
+      array_distinct(Tokenize.shingles3(Tokenize.tokens(col("text")))).as("sh")).persist())
     val spans = spanArrays.select(col("doc_id"), explode(col("sh")).as("span"))
     // spans is distinct per (doc_id, span) by construction — plain count
     // IS the document frequency (no distinct-aggregate rewrite)
