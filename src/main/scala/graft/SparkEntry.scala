@@ -742,6 +742,8 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), 5)),
+    // tokenizer application: first-12-token encode against a top-16 vocab
+    "text_token_ids" -> ((s, dir) => TextAnalysis.tokenIds(t(s, dir, "documents"), 16, 12)),
     "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
 
     // Intra-doc repetition ratio (boilerplate / degenerate-text gate)
@@ -1214,6 +1216,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
+    "text_token_ids" -> TextAnalysis.tokenIdsSql(16, 12),
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 
     "text_repetition" -> TextAnalysis.repetitionSql,

@@ -180,6 +180,58 @@ object TextAnalysis {
        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer application: encode each document's first `maxLen` tokens
+    * against a corpus-derived vocabulary (top `vocabSize` terms by count,
+    * lexicographic tie-break), OOV = −1 — the relational view of the
+    * ids-array a training pipeline feeds the model, kept exploded so it
+    * stays oracle-checkable and late-projectable.
+    *
+    * Scale shape: the vocabulary is bounded by construction (vocabSize
+    * rows after a count aggregate — the one global-window rank runs over
+    * vocab-scale data, same device as the IVF centroid relation) and
+    * broadcasts into the encode join; the corpus side is a bounded
+    * posexplode projection (≤ maxLen rows per doc), never shuffled.
+    */
+  def tokenIds(docs: DataFrame, vocabSize: Int, maxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), posexplode(Tokenize.tokens(col("text"))))
+      .withColumnRenamed("col", "term")
+      .filter(col("pos") < maxLen)
+    val counts = docs.select(explode(Tokenize.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val vocab = counts
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("token_id") < vocabSize)
+      .select(col("term"), col("token_id"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  def tokenIdsSql(vocabSize: Int, maxLen: Int): String =
+    s"""WITH tokd AS (
+       |  SELECT doc_id, ${Tokenize.tokensSql("text")} AS t FROM documents),
+       |counts AS (
+       |  SELECT term, count(*) AS n
+       |  FROM (SELECT unnest(t) AS term FROM tokd) GROUP BY 1),
+       |vocab AS (
+       |  SELECT term, token_id FROM (
+       |    SELECT term,
+       |           CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id
+       |    FROM counts)
+       |  WHERE token_id < $vocabSize),
+       |pe AS (
+       |  SELECT doc_id,
+       |         unnest([i - 1 FOR i IN range(1, least(len(t), $maxLen) + 1)]) AS pos,
+       |         unnest([t[i] FOR i IN range(1, least(len(t), $maxLen) + 1)]) AS term
+       |  FROM tokd)
+       |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, p.term,
+       |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+       |FROM pe p LEFT JOIN vocab v ON p.term = v.term
+       |ORDER BY p.doc_id, p.pos""".stripMargin
+
   // ------------------------------------------------------------------ bm25
 
   /** Fixed retrieval workload for [[bm25TopK]]: query id = the phrase
