@@ -657,6 +657,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
+    // random-hyperplane (cosine) LSH: label-free embedding near-dup
+    "dedup_hyperplane_lsh" -> ((s, dir) => Dedup.hyperplaneLsh(t(s, dir, "embeddings"), 16, 4, 64, 0.3)),
+    "ann_hyperplane_recall" -> ((s, dir) => Dedup.hyperplaneRecall(t(s, dir, "embeddings"), 16, 4, 64, 0.3)),
+
+    // Substring-level dedup: maximal cross-document duplicated token
+    // spans (suffix-array-style) via positional shingles + islands merge
+    "dedup_spans" -> ((s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), 8)),
 
     // Quote/subset detection: posting-list candidates on rare shingles,
     // exact containment verify (the pair shape Jaccard-LSH can't see)
@@ -1184,6 +1191,10 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
+    "dedup_hyperplane_lsh" -> Dedup.hyperplaneLshSql(16, 4, 64, 0.3),
+    "ann_hyperplane_recall" -> Dedup.hyperplaneRecallSql(16, 4, 64, 0.3),
+
+    "dedup_spans" -> Dedup.duplicateSpansSql(8),
 
     "dedup_containment" -> Dedup.containmentSql(4, 0.6),
 

@@ -1119,6 +1119,266 @@ object Dedup {
        |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------- random-hyperplane (cosine) LSH
+
+  /** Deterministic pseudo-random hyperplane component for bit `j`,
+    * dimension `d`: a splitmix64 step over the flat index, mapped onto
+    * [-1, 1). Data-independent (all LSH needs) and a pure function of
+    * (j, d), so the SAME literal constants are embedded in the Spark plan
+    * and rendered into the oracle SQL — zero cross-engine arithmetic to
+    * diverge. Signs of projections onto symmetric (not necessarily
+    * Gaussian) directions preserve the angular-collision property
+    * Pr[sign match] = 1 − θ/π that makes the banding math work.
+    */
+  private def hyperplaneComponent(j: Int, d: Int): Double = {
+    var z = j.toLong * 1000003L + d + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    2.0 * ((z >>> 11).toDouble / (1L << 53).toDouble) - 1.0
+  }
+
+  private def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(hyperplaneComponent(j, _))
+
+  private def hyperplaneSqlLit(j: Int, dim: Int): String =
+    hyperplane(j, dim).mkString("[", ", ", "]")
+
+  /** Random-hyperplane (cosine) LSH near-duplicates over embeddings — the
+    * vector-space member of the LSH family ([[minhashLsh]] = Jaccard over
+    * shingles, [[simhashPairs]] = Hamming over text features, this =
+    * angle over embeddings). Each vector gets `nBits` sign bits (one per
+    * hyperplane projection); bits pack into `nBits/bandBits` band values;
+    * vectors sharing any band value become candidates; candidates are
+    * verified by exact cosine ≥ threshold. Unlike [[embeddingNearDup]]
+    * (which blocks on a trusted `label` column) this needs NO prior
+    * blocking key — the signature IS the blocking key, which is the form
+    * that works when no cluster labels exist.
+    *
+    * Projections are rounded to 6 dp BEFORE the sign test (the repo-wide
+    * boundary convention) so ulp-level fold differences between engines
+    * cannot flip a bit.
+    *
+    * Scale shape: signatures are one codegen'd map-only projection
+    * (nBits dot products against broadcast-literal hyperplanes); the
+    * bucket self-join shuffles on (band, value) exactly like the MinHash
+    * band join; verification joins the candidate pairs back to the
+    * narrow persisted (vec_id, v, norm) frame. Nothing is all-pairs. At
+    * fixture scale bandBits=4 keeps recall high; a production corpus
+    * widens bands (16+ bits ⇒ 65k+ buckets per band) — selectivity is a
+    * parameter, not a structural change.
+    */
+  def hyperplaneLsh(emb: DataFrame, nBits: Int, bandBits: Int,
+                    dim: Int, threshold: Double): DataFrame = {
+    require(nBits % bandBits == 0, s"bandBits $bandBits must divide nBits $nBits")
+    import graft.functions.VectorFunctions.dotD
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    // persisted: feeds the signature projection once and the verify join
+    // twice; caller evicts via Caches.releaseCaches()
+    val e = Caches.tracked(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+      .persist())
+    val bits: Seq[Column] = (0 until nBits).map { j =>
+      (round(dotD(col("v"), lit(hyperplane(j, dim))), 6) >= 0).cast("int")
+    }
+    val nBands = nBits / bandBits
+    val bandStructs = (0 until nBands).map { g =>
+      val value = (0 until bandBits)
+        .map(i => bits(g * bandBits + i) * lit(1 << i))
+        .reduce(_ + _).cast("long")
+      struct(lit(g).as("band"), value.as("bval"))
+    }
+    val sig = e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+    val cand = sig.as("a")
+      .join(sig.as("b"), col("a.band") === col("b.band") &&
+        col("a.bval") === col("b.bval") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    cand.join(e.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(e.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"), col("n_bands"),
+        round(dotD(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Shared CTE text for the hyperplane-LSH oracle: `e` (prepared
+    * vectors), `bits` (sign bits against the SAME literal hyperplanes the
+    * Spark plan embeds), `sig` (band values), `cand` (bucket join),
+    * `verified` (exact-cosine check).
+    */
+  private def hyperplaneCteSql(nBits: Int, bandBits: Int,
+                               dim: Int, threshold: Double): String = {
+    val nBands = nBits / bandBits
+    val bitCols = (0 until nBits).map { j =>
+      s"CASE WHEN round(list_dot_product(v, ${hyperplaneSqlLit(j, dim)}), 6) >= 0 THEN 1 ELSE 0 END AS b$j"
+    }.mkString(",\n|         ")
+    val bandSelects = (0 until nBands).map { g =>
+      val value = (0 until bandBits).map(i => s"${1 << i} * b${g * bandBits + i}").mkString(" + ")
+      s"SELECT vec_id, $g AS band, CAST($value AS BIGINT) AS bval FROM bits"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id,
+       |         $bitCols
+       |  FROM e),
+       |sig AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_bands
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT c.vec_a, c.vec_b, c.n_bands,
+       |         round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cosine
+       |  FROM cand c JOIN e x ON c.vec_a = x.vec_id
+       |              JOIN e y ON c.vec_b = y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= $threshold)""".stripMargin
+  }
+
+  def hyperplaneLshSql(nBits: Int, bandBits: Int, dim: Int, threshold: Double): String =
+    s"""${hyperplaneCteSql(nBits, bandBits, dim, threshold)}
+       |SELECT vec_a, vec_b, n_bands, cosine FROM verified
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Recall of the hyperplane-LSH pass against the exact all-pairs
+    * baseline — the number you tune (nBits, bandBits) against, mirroring
+    * [[Similarity.recallAudit]] for IVF. One row: exact pair count, LSH
+    * pair count (verified, so every LSH pair IS an exact pair — precision
+    * is 1 by construction and recall is the only free metric), recall.
+    *
+    * Scale shape: the audit's exact side is all-pairs and runs on a
+    * SAMPLE at corpus scale (here: the whole 500-vector fixture); the
+    * LSH side reuses the production path unchanged.
+    */
+  def hyperplaneRecall(emb: DataFrame, nBits: Int, bandBits: Int,
+                       dim: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    val lsh = hyperplaneLsh(emb, nBits, bandBits, dim, threshold)
+      .agg(count(lit(1)).as("n_lsh"))
+    val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dotD(col("v"), col("v"))))
+    val exact = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dotD(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6) >= threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    // both sides are one-row aggregates — the crossJoin is a broadcast of
+    // a scalar, the accepted pattern for composing audit counters
+    exact.crossJoin(lsh)
+      .select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / nullif(col("n_exact"), lit(0L)).cast("double"), 4)
+          .as("recall"))
+  }
+
+  def hyperplaneRecallSql(nBits: Int, bandBits: Int, dim: Int, threshold: Double): String =
+    s"""${hyperplaneCteSql(nBits, bandBits, dim, threshold)},
+       |lsh AS (SELECT count(*) AS n_lsh FROM verified),
+       |exact AS (
+       |  SELECT count(*) AS n_exact
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $threshold)
+       |SELECT e.n_exact, l.n_lsh,
+       |       round(CAST(l.n_lsh AS DOUBLE) / CAST(nullif(e.n_exact, 0) AS DOUBLE), 4) AS recall
+       |FROM exact e, lsh l""".stripMargin
+
+  // --------------------------------------------- duplicate span detection
+
+  /** Cross-document duplicate SPAN detection — substring-level dedup in
+    * the suffix-array style (find the duplicated REGIONS inside documents,
+    * not just whole-document near-dup pairs; the operation that removes a
+    * boilerplate header or a quoted paragraph while keeping the rest of
+    * the doc). Whole-doc strategies above can't see a 20-token run shared
+    * between two otherwise-different pages; this is the operator that can.
+    *
+    * Distributed re-expression of the suffix-array scan: a positional
+    * 3-shingle is "duplicated" when its hash occurs in ≥ 2 distinct docs;
+    * per doc, maximal runs of duplicated shingle positions merge into
+    * spans (gaps-and-islands: a new island starts when the next duplicated
+    * start position no longer touches the previous shingle's 3-token
+    * extent). Only spans ≥ `minSpanTokens` are reported — chance 3-gram
+    * collisions produce isolated short islands, genuine duplication
+    * produces long runs, so the span-length threshold is the precision
+    * knob (suffix-array dedup uses 50-token spans at corpus scale).
+    *
+    * Scale shape: one positional-shingle explode (≈ tokens-per-corpus
+    * rows, the same frame size MinHash already pays), a two-phase
+    * distinct+count on the shingle hash (map-side partials — the df
+    * relation is shingle-vocabulary-sized, not corpus-sized), a hash join
+    * of positions against the duplicated-hash set, and ONE window per doc
+    * ordered by position (the per-doc sort is bounded by doc length).
+    * Nothing is all-pairs; nothing is driver-side.
+    *
+    * Output: one row per (doc, span): token-index [span_start, span_end)
+    * (0-based, end-exclusive), span_tokens = length, n_dup_shingles =
+    * duplicated shingle starts inside the span.
+    */
+  def duplicateSpans(docs: DataFrame, minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3 // shingle width, shared with the whole dedup family
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(Tokenize.shingles3(Tokenize.tokens(col("text")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        PortableHash.tokenHash(col("col")).as("h"))
+    // duplicated = hash in ≥ 2 distinct docs; distinct-then-count keeps
+    // both phases partial-merged (no count(distinct) expand)
+    val dup = sh.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("h")
+    val hits = sh.join(dup, "h").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits
+      .withColumn("gap",
+        when(col("pos") - lag("pos", 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("island", sum("gap").over(byPos))
+    islands.groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).as("span_end"),
+        count(lit(1)).as("n_dup_shingles"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_dup_shingles")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def duplicateSpansSql(minSpanTokens: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Tokenize.tokensSql("text")} AS toks FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 3
+       |           THEN [{'pos': CAST(i - 1 AS BIGINT),
+       |                  'h': ${PortableHash.tokenHashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}}
+       |                 FOR i IN range(1, len(toks) - 1)]
+       |           ELSE [] END AS ss
+       |  FROM toks),
+       |sh AS (SELECT doc_id, unnest(ss, recursive := true) FROM shl),
+       |dup AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM sh)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.h = d.h),
+       |islands AS (
+       |  SELECT doc_id, pos,
+       |         SUM(CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM hits))
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       |       max(pos) + 3 - min(pos) AS span_tokens,
+       |       count(*) AS n_dup_shingles
+       |FROM islands
+       |GROUP BY doc_id, island
+       |HAVING max(pos) + 3 - min(pos) >= $minSpanTokens
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // --------------------------------------- cross-source duplication matrix
 
   /** Which SOURCES duplicate each other: the LSH near-dup pair relation

@@ -215,4 +215,66 @@ class DedupSpec extends SparkSpec {
     assert(re.getAs[Double]("dup_token_rate") == 1.0)
     assert(re.getAs[Long]("raw_tokens") > 0L)
   }
+
+  test("duplicateSpans: planted shared run is recovered exactly; disjoint doc clean") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ") + " " + shared),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"c$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only shingles fully inside the 12-token shared run are duplicated:
+    // starts 10..19 in doc 1 (prefix 10 tokens), 7..16 in doc 2 → spans
+    // of exactly 12 tokens from 10 duplicated shingle starts; doc 3 none
+    assert(got.toSeq == Seq((1L, 10L, 22L, 12L, 10L), (2L, 7L, 19L, 12L, 10L)))
+  }
+
+  test("duplicateSpans: span-length threshold drops short chance collisions") {
+    import spark.implicits._
+    // docs share ONE isolated 3-gram ("x y z") → a 3-token island only
+    val docs = Seq(
+      (1L, "a1 a2 a3 x y z a4 a5 a6"),
+      (2L, "b1 b2 x y z b3 b4 b5 b6")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, 8).count() == 0L)
+    val loose = Dedup.duplicateSpans(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(loose == Seq((1L, 3L), (2L, 3L)))
+  }
+
+  test("hyperplane LSH: identical vectors collide in every band; opposite vectors absent") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)
+    val emb = Seq(
+      (1L, v),
+      (2L, v.clone()),         // identical → all 16 bits equal, 4/4 bands
+      (3L, v.map(x => -x))     // antipodal → every bit flips, cosine -1
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.hyperplaneLsh(emb, 16, 4, 64, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 4L, 1.0)))
+    ops.Caches.releaseCaches()
+  }
+
+  test("hyperplane recall: verified pairs are a subset of exact pairs (precision 1)") {
+    import spark.implicits._
+    // deterministic pseudo-random cloud: recall ≤ 1 structurally, and the
+    // n_lsh count can never exceed n_exact because every LSH pair is
+    // cosine-verified against the same threshold
+    val emb = (1L to 40L).map { id =>
+      (id, Array.tabulate(64)(i => (math.sin(id * 131 + i * 17) * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Dedup.hyperplaneRecall(emb, 16, 4, 64, 0.3).collect()(0)
+    val (nExact, nLsh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"))
+    assert(nLsh <= nExact)
+    if (nExact > 0) {
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    ops.Caches.releaseCaches()
+  }
 }
