@@ -527,6 +527,11 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "events_hourly" -> ((s, dir) => Analytics.hourlyEvents(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
+    // last-touch attribution: carry-forward window, no range self-join
+    "events_attribution" -> ((s, dir) =>
+      Analytics.lastTouchAttribution(t(s, dir, "events"), 3600L)),
+    // entity resolution: block on brand, levenshtein-verify dirty names
+    "er_fuzzy_resolve" -> ((s, dir) => EntityResolution.resolve(t(s, dir, "part"), 1)),
     "events_topk_users" -> ((s, dir) => Analytics.topPurchasers(t(s, dir, "events"), 10)),
     "events_json_extract" -> ((s, dir) => Analytics.jsonExtract(t(s, dir, "events"))),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(t(s, dir, "lineitem"))),
@@ -1132,6 +1137,8 @@ object SparkEntry {
     "q5_nation_revenue" -> Analytics.nationRevenueSql,
     "events_hourly" -> Analytics.hourlyEventsSql,
     "events_sessionize" -> Analytics.sessionizeSql,
+    "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
+    "er_fuzzy_resolve" -> EntityResolution.resolveSql(1),
     "events_topk_users" -> Analytics.topPurchasersSql(10),
     "events_json_extract" -> Analytics.jsonExtractSql,
     "q6_forecast_revenue" -> Analytics.forecastRevenueSql,

@@ -199,6 +199,62 @@ object Analytics {
       |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the most recent
+    * click by the same user within `windowSec` — the point-in-time self
+    * lookup every clickstream pipeline needs.
+    *
+    * Deliberately NOT a range self-join (purchases × clicks per user can
+    * go quadratic inside a hot window): one carry-forward window per user
+    * propagates the latest click (id, time) down the user's timeline, and
+    * purchases just read it. One shuffle on user_id, per-user sort bounded
+    * by timeline length, zero joins — the shape survives 100× because a
+    * user's history grows, not the pairing.
+    *
+    * Lag is reported in exact microseconds (no division — nothing to
+    * diverge between engines). Purchases with no in-window click keep
+    * NULL click_id/lag_us.
+    */
+  def lastTouchAttribution(events: DataFrame, windowSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winUs = windowSec * 1000000L
+    val carried = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(byUser))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true)
+          .over(byUser))
+    carried.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("us") - col("click_us") <= winUs, col("click_id")).as("click_id"),
+        when(col("us") - col("click_us") <= winUs, col("us") - col("click_us")).as("lag_us"))
+      .orderBy("purchase_id")
+  }
+
+  def lastTouchAttributionSql(windowSec: Long): String = {
+    val winUs = windowSec * 1000000L
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, event_type, us,
+       |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+       |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+       |  FROM e)
+       |SELECT event_id AS purchase_id, user_id,
+       |       CASE WHEN us - click_us <= $winUs THEN click_id END AS click_id,
+       |       CASE WHEN us - click_us <= $winUs THEN us - click_us END AS lag_us
+       |FROM w WHERE event_type = 'purchase'
+       |ORDER BY purchase_id""".stripMargin
+  }
+
   /** Top-k users by purchase value (limit/top-k, SURVEY.md §2.6). */
   def topPurchasers(events: DataFrame, k: Int): DataFrame =
     events.filter(col("event_type") === "purchase")

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage): match dirty/free-text records back
+  * to a canonical registry — the data-cleaning operation a training-data
+  * pipeline runs when merging catalog-shaped sources that spell the same
+  * entity differently.
+  *
+  * The classic two-stage shape:
+  *   1. BLOCK on a reliable structured attribute (here `p_brand`) so the
+  *      pairing is per-block, never registry × records. At 100 TB the
+  *      block join shuffles both sides on the key; a skewed block salts
+  *      or falls back to df-bounded token blocking ([[Dedup.containment]]
+  *      shows that device) — the structure is a parameter, the invariant
+  *      is "no unblocked pairing".
+  *   2. VERIFY candidates with an edit-distance bound. `levenshtein` is a
+  *      codegen'd built-in in Spark AND a native function in the oracle
+  *      engine, so the verify stage is cross-engine value-checked.
+  *
+  * Best match per dirty record = lowest distance, ties to the lowest
+  * entity id (duplicate names inside a block stay deterministic).
+  */
+object EntityResolution {
+
+  /** Deterministic "dirty" reading of each registry name: delete one
+    * character at a position keyed by the entity id. Pure projection —
+    * the fixture supplies the registry; the corruption is reproduced
+    * verbatim in the oracle, so the resolver is graded on real string
+    * algebra, not on a lucky generator.
+    */
+  private val dirtyExpr =
+    "concat(substr(name, 1, del_pos - 1), substr(name, del_pos + 1, length(name)))"
+
+  /** Resolve every dirty record against the registry: block on brand,
+    * verify levenshtein ≤ `maxDist`, rank (distance, entity_id).
+    *
+    * Output per dirty record: the matched entity, the edit distance, and
+    * how many in-block candidates survived the verify (n_candidates > 1
+    * ⇒ ambiguous name — the rows a human reviews).
+    */
+  def resolve(part: DataFrame, maxDist: Int): DataFrame = {
+    val registry = part.select(col("p_partkey").as("entity_id"),
+      lower(col("p_name")).as("name"), col("p_brand").as("blk"))
+    val dirty = registry
+      .withColumn("del_pos", (col("entity_id") % length(col("name"))) + 1)
+      .select((col("entity_id") + 1000000L).as("dirty_id"),
+        expr(dirtyExpr).as("dirty_name"), col("blk"))
+    val verified = dirty.join(registry, "blk")
+      .withColumn("dist", levenshtein(col("dirty_name"), col("name")))
+      .filter(col("dist") <= maxDist)
+    val byDirty = Window.partitionBy(col("dirty_id"))
+    val ranked = verified
+      .withColumn("rk", row_number().over(
+        byDirty.orderBy(col("dist"), col("entity_id"))))
+      .withColumn("n_candidates", count(lit(1)).over(byDirty))
+    ranked.filter(col("rk") === 1)
+      .select(col("dirty_id"), col("entity_id").as("matched_id"),
+        col("dist").cast("long").as("dist"), col("n_candidates"))
+      .orderBy("dirty_id")
+  }
+
+  def resolveSql(maxDist: Int): String =
+    s"""WITH registry AS (
+       |  SELECT p_partkey AS entity_id, lower(p_name) AS name, p_brand AS blk
+       |  FROM part),
+       |dirty AS (
+       |  SELECT entity_id + 1000000 AS dirty_id,
+       |         concat(substr(name, 1, CAST(del_pos - 1 AS INTEGER)),
+       |                substr(name, CAST(del_pos + 1 AS INTEGER), length(name))) AS dirty_name,
+       |         blk
+       |  FROM (SELECT entity_id, name, blk,
+       |               (entity_id % length(name)) + 1 AS del_pos FROM registry)),
+       |verified AS (
+       |  SELECT d.dirty_id, r.entity_id,
+       |         levenshtein(d.dirty_name, r.name) AS dist
+       |  FROM dirty d JOIN registry r ON d.blk = r.blk
+       |  WHERE levenshtein(d.dirty_name, r.name) <= $maxDist),
+       |ranked AS (
+       |  SELECT dirty_id, entity_id, dist,
+       |         row_number() OVER (PARTITION BY dirty_id ORDER BY dist, entity_id) AS rk,
+       |         count(*) OVER (PARTITION BY dirty_id) AS n_candidates
+       |  FROM verified)
+       |SELECT dirty_id, entity_id AS matched_id, CAST(dist AS BIGINT) AS dist, n_candidates
+       |FROM ranked WHERE rk = 1
+       |ORDER BY dirty_id""".stripMargin
+}

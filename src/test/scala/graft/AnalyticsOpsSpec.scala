@@ -54,4 +54,50 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("2026-01-05", 0L, 2L), ("2026-01-05", 2L, 1L)))
   }
+
+  test("attribution: last in-window click wins; stale and missing clicks give NULL") {
+    val ev = events(
+      // user 1: two clicks, the later one (id 1) should be credited
+      (1L, "2026-01-05 10:00:00", "click"),   // event_id 0
+      (1L, "2026-01-05 10:30:00", "click"),   // event_id 1
+      (1L, "2026-01-05 10:45:00", "purchase"),// event_id 2 → click 1, lag 15 min
+      // user 2: click 2h before purchase → outside the 1h window
+      (2L, "2026-01-05 08:00:00", "click"),   // event_id 3
+      (2L, "2026-01-05 10:00:00", "purchase"),// event_id 4 → NULL
+      // user 3: purchase with no click at all
+      (3L, "2026-01-05 10:00:00", "purchase"))// event_id 5 → NULL
+    val got = Analytics.lastTouchAttribution(ev, 3600L).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((2L, 1L, 900L * 1000000L), (4L, -1L, -1L), (5L, -1L, -1L)))
+  }
+
+  test("attribution: a click at the same timestamp as the purchase counts (comes first by id)") {
+    val ev = events(
+      (1L, "2026-01-05 10:00:00", "click"),    // event_id 0
+      (1L, "2026-01-05 10:00:00", "purchase")) // event_id 1 → click 0, lag 0
+    val got = Analytics.lastTouchAttribution(ev, 3600L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L, 0L)))
+  }
+
+  test("entity resolution: every dirty record resolves to its origin; duplicate names tie to min id") {
+    import org.apache.spark.sql.DataFrame
+    val registry: DataFrame = Seq(
+      (10L, "red widget", "Brand#1"),
+      (11L, "blue bolt", "Brand#1"),
+      (12L, "blue bolt", "Brand#1"),  // duplicate name in the same block
+      (13L, "red widget", "Brand#2")  // same name, different block
+    ).toDF("p_partkey", "p_name", "p_brand")
+    val got = ops.EntityResolution.resolve(registry, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 11 and 12 corrupt to 1-distance readings of "blue bolt"; both match
+    // BOTH registry rows (ambiguous) and tie-break to the min id 11
+    assert(got(1000010L) == (10L, 1L, 1L))
+    assert(got(1000011L) == (11L, 1L, 2L))
+    assert(got(1000012L) == (11L, 1L, 2L))
+    // blocked: dirty "red widget" of Brand#2 never sees Brand#1's copy
+    assert(got(1000013L) == (13L, 1L, 1L))
+  }
 }

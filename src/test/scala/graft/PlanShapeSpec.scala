@@ -321,4 +321,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"gc frontier must broadcast, not shuffle:\n$p")
   }
+
+  test("attribution: zero joins — carry-forward window, never a range self-join") {
+    val p = plan("events_attribution")
+    assert(!p.contains("Join"),
+      s"attribution must not pair purchases with clicks via a join:\n$p")
+    assert(p.contains("Window"), s"carry-forward window missing:\n$p")
+    assert(!p.contains("No Partition Defined") &&
+      p.contains("windowspecdefinition(user_id"),
+      s"window must be partitioned by user:\n$p")
+  }
+
+  test("duplicate spans: no cartesian, df relation pre-aggregated, per-doc window") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must stay equi-join shaped:\n$p")
+    assert(p.contains("partial_count"),
+      s"duplicated-hash df must partial-aggregate map-side:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"islands window must be per-doc, not global:\n$p")
+  }
+
+  test("hyperplane LSH: band bucket equi-join, no cartesian, one persisted vector frame") {
+    val p = plan("dedup_hyperplane_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the banded bucket equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"verify joins must reuse the persisted (vec_id, v, norm) frame:\n$p")
+    ops.Caches.releaseCaches()
+  }
+
+  test("entity resolution: blocked equi-join (never registry × records), ranked per dirty id") {
+    val p = plan("er_fuzzy_resolve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must go through the blocking key:\n$p")
+    assert(p.contains("windowspecdefinition(dirty_id"),
+      s"best-match ranking must be per dirty record:\n$p")
+  }
 }
