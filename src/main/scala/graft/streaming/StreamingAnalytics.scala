@@ -103,6 +103,50 @@ object StreamingAnalytics {
       }
       .start()
 
+  final case class AttribInput(event_id: Long, user_id: Long,
+                               ts: java.sql.Timestamp, event_type: String)
+  final case class ClickState(click_id: Long, click_us: Long)
+  final case class AttribOut(purchase_id: Long, user_id: Long,
+                             click_id: Option[Long], lag_us: Option[Long])
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming last-touch attribution — the incremental counterpart of
+    * [[graft.ops.Analytics.lastTouchAttribution]]. State per user is ONE
+    * (click_id, click_us) pair (constant-size — no history buffering);
+    * each purchase reads it and emits immediately. Given in-event-time
+    * delivery per user, the streamed output over any batch split equals
+    * the batch carry-forward window (proved by the batch-split spec);
+    * within a batch rows are sorted by (event time µs, event_id), the
+    * same total order the batch window uses.
+    */
+  def attribution(events: Dataset[AttribInput], windowUs: Long): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AttribInput], state: GroupState[ClickState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = List.newBuilder[AttribOut]
+          var st = state.getOption
+          for (e <- sorted) e.event_type match {
+            case "click" => st = Some(ClickState(e.event_id, usOf(e.ts)))
+            case "purchase" =>
+              val t = usOf(e.ts)
+              out += (st match {
+                case Some(c) if t - c.click_us <= windowUs =>
+                  AttribOut(e.event_id, user, Some(c.click_id), Some(t - c.click_us))
+                case _ => AttribOut(e.event_id, user, None, None)
+              })
+            case _ => ()
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

@@ -142,4 +142,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
       assert(sessions(1).start_ms == ts(95).getTime && sessions(1).n_events == 1)
     } finally q.stop()
   }
+
+  test("streaming attribution: click state carries across batch boundaries; matches batch op") {
+    import graft.streaming.StreamingAnalytics.{AttribInput, AttribOut}
+    val rows = Seq(
+      AttribInput(0L, 1L, ts(10), "click"),
+      AttribInput(1L, 1L, ts(20), "click"),
+      AttribInput(2L, 1L, ts(30), "purchase"),  // → click 1, lag 10 min
+      AttribInput(3L, 2L, ts(10), "click"),
+      AttribInput(4L, 2L, ts(200), "purchase"), // 190 min > 60 → None
+      AttribInput(5L, 3L, ts(50), "purchase"),  // no click ever → None
+      AttribInput(6L, 1L, ts(90), "purchase"))  // click 1 again (70 min) → None
+    val ms = MemoryStream[AttribInput](spark, numPartitions = 1)
+    val q = StreamingAnalytics.attribution(ms.toDS(), 3600L * 1000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // split so user 1's click and its purchase land in DIFFERENT batches
+      ms.addData(rows.take(2): _*); q.processAllAvailable()
+      ms.addData(rows.slice(2, 5): _*); q.processAllAvailable()
+      ms.addData(rows.drop(5): _*); q.processAllAvailable()
+      val got = spark.table("attrib_out").as[AttribOut].collect()
+        .sortBy(_.purchase_id)
+      assert(got.map(o => (o.purchase_id, o.click_id, o.lag_us)).toSeq == Seq(
+        (2L, Some(1L), Some(600L * 1000000L)),
+        (4L, None, None), (5L, None, None), (6L, None, None)))
+      // batch-split invariance: same rows through the batch operator
+      val batch = graft.ops.Analytics.lastTouchAttribution(
+        rows.toDF(), 3600L).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      assert(batch == got.map(o => (o.purchase_id, o.click_id, o.lag_us)).toSeq)
+    } finally q.stop()
+  }
 }
