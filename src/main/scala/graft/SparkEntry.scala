@@ -174,6 +174,21 @@ object SparkEntry {
     "cdc_lww_state" -> ((s, dir) =>
       ChangelogApply.materialize(changelog(s, dir)).orderBy("tbl", "pk")),
 
+    // incremental materialized-view maintenance from changelog deltas,
+    // with the full-recompute audit columns proving the telescoped sum
+    "cdc_view_maintenance" -> ((s, dir) =>
+      ChangelogApply.viewMaintenance(changelog(s, dir))),
+
+    // pt-table-checksum-style source<->target range reconciliation over a
+    // deterministically drifted target (dropped pks + perturbed values)
+    "cdc_reconcile_ranges" -> ((s, dir) => {
+      val st = ChangelogApply.materialize(changelog(s, dir))
+      val target = st.filter(!(col("pk") % 97 === 13))
+        .withColumn("value",
+          when(col("pk") % 89 === 7, col("value") + 1.0).otherwise(col("value")))
+      ChangelogApply.reconcileRanges(st, target, 64L)
+    }),
+
     // Kafka-style compaction: latest per key survives, tombstones GC'd
     // once the retention frontier passes them
     "cdc_log_compaction" -> ((s, dir) =>
@@ -527,6 +542,8 @@ object SparkEntry {
         t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "events_hourly" -> ((s, dir) => Analytics.hourlyEvents(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
+    // first-order Markov transitions over per-user event paths
+    "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
     // last-touch attribution: carry-forward window, no range self-join
     "events_attribution" -> ((s, dir) =>
       Analytics.lastTouchAttribution(t(s, dir, "events"), 3600L)),
@@ -922,6 +939,39 @@ object SparkEntry {
     "cdc_lww_state" ->
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
+    "cdc_view_maintenance" -> ChangelogApply.viewMaintenanceSql(clSql),
+
+    "cdc_reconcile_ranges" -> {
+      val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
+        "CAST(value AS DECIMAL(18,2)))), 1, 15)) AS BIGINT)"
+      s"""WITH cl AS ($clSql),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+         |  FROM cl),
+         |src AS (SELECT tbl, pk, pos, value FROM ranked WHERE rn = 1 AND op <> 'D'),
+         |tgt AS (
+         |  SELECT tbl, pk, pos,
+         |         CASE WHEN pk % 89 = 7 THEN value + 1.0e0 ELSE value END AS value
+         |  FROM src WHERE NOT pk % 97 = 13),
+         |ssum AS (
+         |  SELECT tbl, pk // 64 AS chunk, count(*) AS n_src,
+         |         sum(CAST($h AS DECIMAL(38,0))) AS h_src
+         |  FROM src GROUP BY 1, 2),
+         |tsum AS (
+         |  SELECT tbl, pk // 64 AS chunk, count(*) AS n_tgt,
+         |         sum(CAST($h AS DECIMAL(38,0))) AS h_tgt
+         |  FROM tgt GROUP BY 1, 2),
+         |cmp AS (
+         |  SELECT tbl, chunk,
+         |         coalesce(n_src, 0) AS n_src, coalesce(n_tgt, 0) AS n_tgt,
+         |         coalesce(h_src, CAST(0 AS DECIMAL(38,0))) =
+         |           coalesce(h_tgt, CAST(0 AS DECIMAL(38,0))) AS checksum_match
+         |  FROM ssum FULL OUTER JOIN tsum USING (tbl, chunk))
+         |SELECT tbl, chunk, n_src, n_tgt, checksum_match
+         |FROM cmp WHERE NOT checksum_match OR n_src <> n_tgt
+         |ORDER BY tbl, chunk""".stripMargin
+    },
+
     "cdc_log_compaction" ->
       (ChangelogApply.compactLogSql(clSql, 0.6) + " ORDER BY tbl, pk"),
 
@@ -1137,6 +1187,7 @@ object SparkEntry {
     "q5_nation_revenue" -> Analytics.nationRevenueSql,
     "events_hourly" -> Analytics.hourlyEventsSql,
     "events_sessionize" -> Analytics.sessionizeSql,
+    "events_transitions" -> Analytics.markovTransitionsSql,
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
     "er_fuzzy_resolve" -> EntityResolution.resolveSql(1),
     "events_topk_users" -> Analytics.topPurchasersSql(10),

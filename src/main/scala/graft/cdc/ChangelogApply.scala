@@ -332,4 +332,116 @@ object ChangelogApply {
        |SELECT tbl, pk, value, pos AS valid_from_pos, valid_to_pos,
        |       valid_to_pos IS NULL AS is_current
        |FROM v WHERE op <> 'D'""".stripMargin
+
+  /** Incremental materialized-view maintenance: keep `SELECT tbl,
+    * count(*), sum(value) GROUP BY tbl` up to date from changelog DELTAS
+    * — never by re-aggregating the table.
+    *
+    * Each event contributes the difference against the pk's previous live
+    * version (lag over the same (tbl, pk)-by-pos order the LWW merge
+    * shuffles on): an insert (or the first event of a pk, or a
+    * resurrection after a delete) adds (+1, +value); an update adds
+    * (0, value − prev); a delete of a live row adds (−1, −prev); a
+    * no-op delete adds nothing. Per pk the deltas TELESCOPE to exactly
+    * the pk's contribution to the view, so summing deltas per tbl equals
+    * aggregating the LWW state — the audit columns (`*_full`, recomputed
+    * from [[materialize]]) assert that identity inside the result.
+    *
+    * Scale shape: the window reuses the LWW shuffle key; the delta sum is
+    * a partial-merged aggregate over |tables| groups. At 100 TB the view
+    * update per micro-batch touches O(batch) rows + the stored per-pk
+    * prev image — never the accumulated table. Value deltas subtract in
+    * DECIMAL(18,2) (exact, order-independent), cast to double at the edge.
+    */
+  def viewMaintenance(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+    val dv = col("value").cast("decimal(18,2)")
+    val deltas = changelog
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("prev_v", lag(dv, 1).over(w))
+      .withColumn("alive", col("prev_op").isNotNull && col("prev_op") =!= "D")
+      .select(col("tbl"),
+        when(col("op") === "D", when(col("alive"), lit(-1L)).otherwise(lit(0L)))
+          .when(col("alive"), lit(0L)).otherwise(lit(1L)).as("d_cnt"),
+        when(col("op") === "D",
+            when(col("alive"), -col("prev_v")).otherwise(lit(0).cast("decimal(18,2)")))
+          .when(col("alive"), dv - col("prev_v")).otherwise(dv).as("d_sum"))
+    val maintained = deltas.groupBy(col("tbl"))
+      .agg(sum(col("d_cnt")).as("n_rows"),
+        sum(col("d_sum")).cast("double").as("sum_value"))
+    val full = materialize(changelog).groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_rows_full"),
+        sum(dv).cast("double").as("sum_value_full"))
+    maintained.join(full, "tbl")
+      .select(col("tbl"), col("n_rows"), col("sum_value"),
+        col("n_rows_full"), col("sum_value_full"),
+        (col("n_rows") === col("n_rows_full") &&
+          col("sum_value") === col("sum_value_full")).as("consistent"))
+      .orderBy(col("tbl"))
+  }
+
+  /** Oracle SQL for [[viewMaintenance]] given a changelog CTE body. */
+  def viewMaintenanceSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |lagged AS (
+       |  SELECT tbl, op, CAST(value AS DECIMAL(18,2)) AS dv,
+       |         lag(op) OVER (PARTITION BY tbl, pk ORDER BY pos) AS prev_op,
+       |         lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY tbl, pk ORDER BY pos) AS prev_v
+       |  FROM cl),
+       |deltas AS (
+       |  SELECT tbl,
+       |         CASE WHEN op = 'D' THEN CASE WHEN alive THEN -1 ELSE 0 END
+       |              WHEN alive THEN 0 ELSE 1 END AS d_cnt,
+       |         CASE WHEN op = 'D' THEN CASE WHEN alive THEN -prev_v ELSE CAST(0 AS DECIMAL(18,2)) END
+       |              WHEN alive THEN dv - prev_v ELSE dv END AS d_sum
+       |  FROM (SELECT *, prev_op IS NOT NULL AND prev_op <> 'D' AS alive FROM lagged)),
+       |maintained AS (
+       |  SELECT tbl, CAST(sum(d_cnt) AS BIGINT) AS n_rows,
+       |         CAST(sum(d_sum) AS DOUBLE) AS sum_value
+       |  FROM deltas GROUP BY tbl),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl),
+       |fullagg AS (
+       |  SELECT tbl, count(*) AS n_rows_full,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_full
+       |  FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY tbl)
+       |SELECT m.tbl, m.n_rows, m.sum_value, f.n_rows_full, f.sum_value_full,
+       |       (m.n_rows = f.n_rows_full AND m.sum_value = f.sum_value_full) AS consistent
+       |FROM maintained m JOIN fullagg f ON m.tbl = f.tbl
+       |ORDER BY m.tbl""".stripMargin
+
+  /** Source↔target reconciliation by range checksums (the
+    * pt-table-checksum device): chunk each side's state by pk range,
+    * reduce every chunk to (row count, order-independent content
+    * checksum), and compare chunk summaries — the only thing that ever
+    * crosses the network is |chunks| summary rows, never row data. A 100
+    * TB table reconciles with one map-side partial aggregate per side
+    * plus a join over summaries.
+    *
+    * The checksum is a SUM of per-row [[graft.functions.PortableHash]]
+    * values in DECIMAL(38,0) — commutative (shuffle-order independent),
+    * overflow-free, and bit-identical in the oracle. `target` is any
+    * frame with the same (tbl, pk, pos, value) shape; drifted or missing
+    * rows surface as chunk mismatches with per-chunk row counts, so the
+    * repair job knows exactly which pk ranges to re-copy.
+    */
+  def reconcileRanges(source: DataFrame, target: DataFrame, chunkSize: Long): DataFrame = {
+    def summarize(df: DataFrame, cnt: String, sum_ : String): DataFrame = df
+      .select(col("tbl"), expr(s"pk div $chunkSize").as("chunk"),
+        graft.functions.PortableHash.tokenHash(
+          concat_ws("|", col("pk"), col("pos"), col("value").cast("decimal(18,2)")))
+          .cast("decimal(38,0)").as("h"))
+      .groupBy(col("tbl"), col("chunk"))
+      .agg(count(lit(1)).as(cnt), sum(col("h")).as(sum_))
+    summarize(source, "n_src", "h_src")
+      .join(summarize(target, "n_tgt", "h_tgt"), Seq("tbl", "chunk"), "full_outer")
+      .select(col("tbl"), col("chunk"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"),
+        (coalesce(col("h_src"), lit(0).cast("decimal(38,0)")) ===
+          coalesce(col("h_tgt"), lit(0).cast("decimal(38,0)"))).as("checksum_match"))
+      .filter(!col("checksum_match") || col("n_src") =!= col("n_tgt"))
+      .orderBy(col("tbl"), col("chunk"))
+  }
 }

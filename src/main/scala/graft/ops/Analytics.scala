@@ -1234,4 +1234,45 @@ object Analytics {
       |WHERE n_supp > 1 AND n_ret = 1
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event paths:
+    * P(next event_type | current event_type), estimated from every
+    * adjacent pair in each user's timeline.
+    *
+    * One lag window per user (shuffle on user_id, per-user sort bounded
+    * by timeline length — the sessionize shape) feeds a partial-aggregated
+    * count per (prev, next); the row-normalizing totals come from a
+    * window over the |event_types|² matrix, which is bounded by the type
+    * vocabulary, not the corpus. Probability is rounded to 6 dp AFTER the
+    * exact integer division operands are fixed, so engines agree.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("n_prev", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_prev"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+      |         event_type AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, next_type, count(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
 }
