@@ -28,9 +28,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // µs-precision NTZ fixtures (isAdjustedToUTC=false): under the
+          // UTC session timezone this cast reinterprets the same wall
+          // values as the same instants the nanos→micros path produced,
+          // so everything downstream (streaming watermarks, unix_micros)
+          // keeps seeing plain TimestampType.
+          d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 
