@@ -203,6 +203,18 @@ object SparkEntry {
     "cdc_log_compaction" -> ((s, dir) =>
       ChangelogApply.compactLog(changelog(s, dir), 0.6).orderBy("tbl", "pk")),
 
+    // State-level diff between the mid-log snapshot and head: the change
+    // set a snapshot-at-cut consumer applies to catch up (I/U/D per pk),
+    // computed in ONE (tbl, pk) aggregation via conditional max_by
+    "cdc_snapshot_diff" -> ((s, dir) =>
+      ChangelogApply.snapshotDiff(changelog(s, dir))),
+
+    // Time-weighted average value per table from version exposure
+    // intervals (event time until the pk's next version) — the
+    // state-duration integral, not the event-count average
+    "cdc_time_weighted_avg" -> ((s, dir) =>
+      ChangelogApply.timeWeightedAvg(changelog(s, dir))),
+
     // Wide envelope: full multi-column after-images through the
     // encode→schema-registry-decode round trip, then LWW per key.
     "cdc_lww_state_wide" -> ((s, dir) =>
@@ -687,6 +699,10 @@ object SparkEntry {
       Dedup.simhashPairs(Dedup.nearDupCorpus(t(s, dir, "documents")), 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // PPJoin-style prefix filtering: LOSSLESS set-similarity join
+    // (recall exactly 1.0 by construction, unlike banded MinHash)
+    "dedup_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.75)),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.3)),
     // random-hyperplane (cosine) LSH: label-free embedding near-dup
     "dedup_hyperplane_lsh" -> ((s, dir) => Dedup.hyperplaneLsh(t(s, dir, "embeddings"), 16, 4, 64, 0.3)),
@@ -949,6 +965,10 @@ object SparkEntry {
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
     "cdc_view_maintenance" -> ChangelogApply.viewMaintenanceSql(clSql),
+
+    "cdc_snapshot_diff" -> ChangelogApply.snapshotDiffSql(clSql),
+
+    "cdc_time_weighted_avg" -> ChangelogApply.timeWeightedAvgSql(clSql),
 
     "cdc_reconcile_ranges" -> {
       val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
@@ -1257,6 +1277,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
+    "dedup_prefix_join" -> Dedup.prefixFilterJoinSql(0.75),
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupSql(0.3),
     "dedup_hyperplane_lsh" -> Dedup.hyperplaneLshSql(16, 4, 64, 0.3),
     "ann_hyperplane_recall" -> Dedup.hyperplaneRecallSql(16, 4, 64, 0.3),

@@ -444,4 +444,120 @@ object ChangelogApply {
       .filter(!col("checksum_match") || col("n_src") =!= col("n_tgt"))
       .orderBy(col("tbl"), col("chunk"))
   }
+
+  /** Snapshot diff: the state-level change set between two positions of
+    * the same changelog — what a consumer that snapshotted at `cut` must
+    * apply to catch up to head (reference: the snapshot→catchup handoff,
+    * core/MySQLCDC.scala:109-160, computes exactly this set by replay).
+    *
+    * One aggregation computes BOTH snapshots: `max_by` over a
+    * conditionally-null ordering key ignores rows past the cutoff (max_by
+    * skips null keys), so the old and new images per pk come out of a
+    * single (tbl, pk) shuffle — no second scan, no full-outer self-join
+    * of two materialized states (the naive shape: 2 shuffles + a join).
+    * The diff is state-based: a key rewritten to the same value is not a
+    * change. At 100 TB this is the same cost as one LWW materialize.
+    */
+  def snapshotDiff(changelog: DataFrame): DataFrame = {
+    val cut = changelog.agg(expr("(min(pos) + max(pos)) div 2").as("cut"))
+    changelog.crossJoin(broadcast(cut))
+      .groupBy(col("tbl"), col("pk"))
+      .agg(
+        max_by(struct(col("op"), col("pos"), col("value")),
+          when(col("pos") <= col("cut"), col("pos"))).as("o"),
+        max_by(struct(col("op"), col("pos"), col("value")), col("pos")).as("n"))
+      .withColumn("old_alive", col("o").isNotNull && col("o.op") =!= "D")
+      .withColumn("new_alive", col("n.op") =!= "D")
+      .select(col("tbl"), col("pk"),
+        when(!col("old_alive") && col("new_alive"), lit("I"))
+          .when(col("old_alive") && !col("new_alive"), lit("D"))
+          .when(col("old_alive") && col("new_alive") &&
+            !(col("o.value") <=> col("n.value")), lit("U"))
+          .as("change"),
+        when(col("old_alive"), col("o.value")).as("old_value"),
+        when(col("new_alive"), col("n.value")).as("new_value"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("tbl"), col("pk"))
+  }
+
+  /** Oracle SQL for [[snapshotDiff]] given a changelog CTE body. */
+  def snapshotDiffSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |cut AS (SELECT (min(pos) + max(pos)) // 2 AS cut FROM cl),
+       |old_r AS (
+       |  SELECT tbl, pk, op, value,
+       |         row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl, cut WHERE pos <= cut),
+       |old_s AS (SELECT tbl, pk, value FROM old_r WHERE rn = 1 AND op <> 'D'),
+       |new_r AS (
+       |  SELECT tbl, pk, op, value,
+       |         row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl),
+       |new_s AS (SELECT tbl, pk, value FROM new_r WHERE rn = 1 AND op <> 'D'),
+       |j AS (
+       |  SELECT coalesce(o.tbl, n.tbl) AS tbl, coalesce(o.pk, n.pk) AS pk,
+       |         o.value AS old_value, n.value AS new_value,
+       |         o.pk IS NOT NULL AS old_alive, n.pk IS NOT NULL AS new_alive
+       |  FROM old_s o FULL OUTER JOIN new_s n ON o.tbl = n.tbl AND o.pk = n.pk)
+       |SELECT tbl, pk,
+       |       CASE WHEN NOT old_alive THEN 'I'
+       |            WHEN NOT new_alive THEN 'D'
+       |            ELSE 'U' END AS change,
+       |       old_value, new_value
+       |FROM j
+       |WHERE (NOT old_alive) OR (NOT new_alive)
+       |   OR (old_value IS DISTINCT FROM new_value)
+       |ORDER BY tbl, pk""".stripMargin
+
+  /** Time-weighted average per table: each live row version contributes
+    * its value weighted by how long it was current (event time until the
+    * pk's next version, or the table's horizon = max event time). The
+    * state-duration integral a monitoring consumer wants from a changelog
+    * — a plain AVG over events weights a key that flapped 1000 times
+    * 1000×, TWA weights it by wall-clock exposure.
+    *
+    * Scale shape: the lead() window rides the same (tbl, pk) shuffle key
+    * as the LWW merge; the horizon is a |tables|-row aggregate broadcast
+    * back; the final per-table aggregate is partial-merged. Durations are
+    * integral microseconds, value×duration sums in DECIMAL (exact,
+    * shuffle-order independent), double division only at the edge.
+    * Out-of-order pos/ts pairs clamp to zero duration rather than
+    * subtracting exposure (`greatest(dur, 0)`).
+    */
+  def timeWeightedAvg(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+    val base = changelog.select(col("tbl"), col("pk"), col("op"), col("pos"),
+      col("value").cast("decimal(18,2)").as("dv"), expr("unix_micros(ts)").as("us"))
+    val tmax = base.groupBy(col("tbl")).agg(max(col("us")).as("horizon"))
+    base.join(broadcast(tmax), "tbl")
+      .withColumn("dur",
+        greatest(coalesce(lead(col("us"), 1).over(w), col("horizon")) - col("us"), lit(0L)))
+      .filter(col("op") =!= "D")
+      .groupBy(col("tbl"))
+      .agg(
+        round(sum(col("dv") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double"), 6).as("twap"),
+        sum(col("dur")).as("total_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("tbl"))
+  }
+
+  /** Oracle SQL for [[timeWeightedAvg]] given a changelog CTE body. */
+  def timeWeightedAvgSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |base AS (
+       |  SELECT tbl, pk, op, pos, CAST(value AS DECIMAL(18,2)) AS dv, epoch_us(ts) AS us
+       |  FROM cl),
+       |tmax AS (SELECT tbl, max(us) AS horizon FROM base GROUP BY tbl),
+       |iv AS (
+       |  SELECT b.tbl, b.op, b.dv,
+       |         greatest(coalesce(lead(b.us) OVER (PARTITION BY b.tbl, b.pk ORDER BY b.pos),
+       |                           t.horizon) - b.us, 0) AS dur
+       |  FROM base b JOIN tmax t ON b.tbl = t.tbl)
+       |SELECT tbl,
+       |       round(CAST(sum(dv * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap,
+       |       CAST(sum(dur) AS BIGINT) AS total_us,
+       |       count(*) AS n_intervals
+       |FROM iv WHERE op <> 'D'
+       |GROUP BY tbl ORDER BY tbl""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.{PortableHash, Tokenize}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -716,6 +717,86 @@ object Dedup {
     * precision — candidate volume ÷ hits is also the exact-verify
     * overhead multiplier the candidate-then-verify pipeline pays.
     */
+  /** LOSSLESS set-similarity join by prefix filtering (the PPJoin/
+    * AllPairs candidate device): order each doc's shingle hashes by
+    * ascending global document frequency (rarest first, hash as the
+    * deterministic tie-break) and keep only the first
+    * `|x| − ⌈t·|x|⌉ + 1` as the doc's PREFIX. Two sets with Jaccard ≥ t
+    * must overlap in ≥ ⌈t·max(|a|,|b|)⌉ elements, which is more than
+    * either can lose to its suffix — so every qualifying pair shares at
+    * least one prefix token, and candidates = prefix self-join misses
+    * NOTHING. Unlike MinHash-LSH (probabilistic recall, tuned by bands),
+    * this join's recall is exactly 1.0 by construction; the price is
+    * candidate volume governed by prefix-token rarity, which the
+    * global-frequency ordering minimizes (rare tokens → short postings).
+    *
+    * Scale shape: df is a partial-merged aggregate over token hashes;
+    * the rank/size windows ride ONE doc_id shuffle; the self-join
+    * explodes only prefix postings (rare by construction — the frequent
+    * tokens every doc shares are exactly the ones the prefix excludes);
+    * verify reuses the one cached (doc_id, h) frame as bounded arrays.
+    * Threshold is 0.75 = 3/4: exactly representable in binary, so the
+    * ⌈t·n⌉ boundary arithmetic is bit-identical between engines.
+    */
+  def prefixFilterJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    val th = Caches.tracked(docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist())
+    val dfreq = th.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val pref = th.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle SQL for [[prefixFilterJoin]] over the near-dup corpus. */
+  def prefixFilterJoinSql(threshold: Double): String =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$featSql,
+       |th AS (
+       |  SELECT doc_id, ${PortableHash.tokenHashSql("feat")} AS h FROM feat),
+       |dfreq AS (SELECT h, count(*) AS df FROM th GROUP BY h),
+       |pre AS (
+       |  SELECT t.doc_id, t.h,
+       |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h) AS rn,
+       |         count(*) OVER (PARTITION BY t.doc_id) AS n
+       |  FROM th t JOIN dfreq d ON t.h = d.h),
+       |pref AS (
+       |  SELECT doc_id, h FROM pre
+       |  WHERE rn <= n - CAST(ceil($threshold * n) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b, len(list_intersect(a.sh, b.sh)) AS inter,
+       |         a.n AS na, b.n AS nb
+       |  FROM cand c JOIN by_doc a ON c.doc_a = a.doc_id
+       |              JOIN by_doc b ON c.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM scored
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def lshQualityAudit(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val th = Caches.tracked(docFeatures(nearDupCorpus(docs))
       .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
