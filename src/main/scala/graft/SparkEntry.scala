@@ -562,6 +562,8 @@ object SparkEntry {
       Analytics.nationRevenue(t(s, dir, "region"), t(s, dir, "nation"),
         t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))),
     "events_hourly" -> ((s, dir) => Analytics.hourlyEvents(t(s, dir, "events"))),
+    // sliding 1h/30min window: overlapping-window actives via one Expand
+    "events_sliding_users" -> ((s, dir) => Analytics.slidingActiveUsers(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
@@ -865,6 +867,11 @@ object SparkEntry {
     // synthetic-PII corpus, per-category counts as the audit trail
     "text_pii_scrub" -> ((s, dir) =>
       Scrub.scrubPii(Scrub.taintedCorpus(t(s, dir, "documents")))),
+
+    // k-anonymity release audit: ROLLUP generalization ladder over the
+    // customer quasi-identifiers, rows-at-risk share per level
+    "quality_k_anonymity" -> ((s, dir) =>
+      Scrub.kAnonymity(t(s, dir, "customer"), 5)),
 
     // Quality-weighted deterministic sampling: P(keep) = quality, no RNG
     "text_importance_sample" -> ((s, dir) =>
@@ -1215,6 +1222,7 @@ object SparkEntry {
     "q3_top_revenue" -> Analytics.topRevenueOrdersSql,
     "q5_nation_revenue" -> Analytics.nationRevenueSql,
     "events_hourly" -> Analytics.hourlyEventsSql,
+    "events_sliding_users" -> Analytics.slidingActiveUsersSql,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_transitions" -> Analytics.markovTransitionsSql,
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
@@ -1349,6 +1357,7 @@ object SparkEntry {
     "text_importance_sample" -> Curation.importanceSampleSql(10000),
 
     "text_pii_scrub" -> Scrub.scrubPiiSql,
+    "quality_k_anonymity" -> Scrub.kAnonymitySql(5),
 
     "text_repetition_truncate" -> TextAnalysis.repetitionTruncateSql,
 

@@ -131,6 +131,39 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** SLIDING 1-hour window every 30 minutes: events and distinct users
+    * per overlapping window — the dashboard rate the tumbling hourly
+    * query can't show (a spike straddling an hour boundary splits across
+    * two tumbling buckets but lands whole in one sliding window).
+    *
+    * Spark's `window(ts, size, slide)` assigns each event to its
+    * size/slide = 2 covering windows via a single Expand — row volume
+    * ×2 into a partial-merged aggregate, no self-join, no window
+    * function. The distinct-user count shuffles (window, user) once;
+    * at 100 TB the expansion factor stays the constant 2, independent
+    * of data volume. The oracle reproduces the window assignment with
+    * integral µs arithmetic (w ∈ {⌊us/slide⌋·slide − j·slide}).
+    */
+  def slidingActiveUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("n_users"))
+      .orderBy("w_start")
+
+  val slidingActiveUsersSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+      |w AS (
+      |  SELECT unnest([us // 1800000000 * 1800000000,
+      |                 (us // 1800000000 - 1) * 1800000000]) AS w_us,
+      |         user_id
+      |  FROM e)
+      |SELECT epoch_ms(w_us // 1000) AS w_start,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY w_us ORDER BY w_start""".stripMargin
+
   /** 7-day rolling revenue per event type: daily pre-aggregation first
     * (the shuffle carries one row per (type, day), not per event), then a
     * RANGE window over epoch-day numbers so calendar gaps are honored —

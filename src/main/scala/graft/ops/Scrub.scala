@@ -98,4 +98,61 @@ object Scrub {
        |       n_urls + n_emails + n_phones + n_ids AS n_redactions
        |FROM c ORDER BY doc_id""".stripMargin
   }
+
+  /** k-anonymity audit across the generalization ladder: ROLLUP over the
+    * quasi-identifier columns (nation, market segment, account-balance
+    * band) gives every suppress-from-the-right generalization level in
+    * ONE aggregate, and a second tiny aggregate per level reports how
+    * identifiable the release would be — group count, smallest group,
+    * groups under k, and the share of rows living in those groups. The
+    * standard release decision: publish at the first level whose
+    * rows-at-risk share is acceptable.
+    *
+    * Scale shape: rollup's Expand multiplies rows by (#QI + 1) = 4, all
+    * absorbed by map-side partial aggregation into |distinct QI combos|
+    * partials; the per-level summary aggregates |groups| rows. No
+    * windows, no joins. The suppression level is recovered from the
+    * rollup NULLs (QI columns are non-null by fixture contract), which
+    * keeps the SQL portable — no grouping_id() dialect dependence.
+    */
+  def kAnonymity(customer: DataFrame, k: Int): DataFrame = {
+    val qi = customer.select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    val groups = qi.rollup(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("g_n"))
+      .withColumn("n_suppressed",
+        col("bal_band").isNull.cast("int") + col("segment").isNull.cast("int") +
+          col("nation").isNull.cast("int"))
+    groups.groupBy(col("n_suppressed"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("g_n")).as("min_group_n"),
+        sum(when(col("g_n") < k, 1L).otherwise(0L)).as("at_risk_groups"),
+        sum(when(col("g_n") < k, col("g_n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("g_n")).as("n_rows"))
+      .withColumn("pct_rows_at_risk",
+        round(col("rows_at_risk").cast("double") * 100d / col("n_rows").cast("double"), 6))
+      .orderBy(col("n_suppressed"))
+  }
+
+  /** Oracle SQL for [[kAnonymity]]. */
+  def kAnonymitySql(k: Int): String =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+       |  FROM customer),
+       |groups AS (
+       |  SELECT nation, segment, bal_band, count(*) AS g_n,
+       |         CAST(bal_band IS NULL AS INT) + CAST(segment IS NULL AS INT) +
+       |           CAST(nation IS NULL AS INT) AS n_suppressed
+       |  FROM qi GROUP BY ROLLUP (nation, segment, bal_band))
+       |SELECT n_suppressed, count(*) AS n_groups, min(g_n) AS min_group_n,
+       |       CAST(sum(CASE WHEN g_n < $k THEN 1 ELSE 0 END) AS BIGINT) AS at_risk_groups,
+       |       CAST(sum(CASE WHEN g_n < $k THEN g_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |       CAST(sum(g_n) AS BIGINT) AS n_rows,
+       |       round(CAST(sum(CASE WHEN g_n < $k THEN g_n ELSE 0 END) AS DOUBLE) * 100
+       |             / CAST(sum(g_n) AS DOUBLE), 6) AS pct_rows_at_risk
+       |FROM groups GROUP BY n_suppressed ORDER BY n_suppressed""".stripMargin
 }
