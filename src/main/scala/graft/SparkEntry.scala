@@ -564,6 +564,33 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => Analytics.hourlyEvents(t(s, dir, "events"))),
     // sliding 1h/30min window: overlapping-window actives via one Expand
     "events_sliding_users" -> ((s, dir) => Analytics.slidingActiveUsers(t(s, dir, "events"))),
+
+    // market-basket co-occurrence: top part pairs bought in one order;
+    // self-join fan-out bounded by basket width, top-N via ordered take
+    "lineitem_basket_pairs" -> ((s, dir) => Analytics.basketPairs(t(s, dir, "lineitem"), 20)),
+
+    // PSI drift gate: value-distribution shift per event type between
+    // the stream's first and second halves, 10 smoothed equal-width bins
+    "quality_psi_drift" -> ((s, dir) => Profiling.psiDrift(t(s, dir, "events"))),
+
+    // streaming sliding windows: append-mode 1h/30min windows over the
+    // chunked replay equal the batch assignment on finalized windows
+    "events_sliding_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"sliding_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val q = StreamingAnalytics.slidingCounts(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("ts"), col("value")))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_slstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("w_start")
+    }),
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
@@ -1223,6 +1250,25 @@ object SparkEntry {
     "q5_nation_revenue" -> Analytics.nationRevenueSql,
     "events_hourly" -> Analytics.hourlyEventsSql,
     "events_sliding_users" -> Analytics.slidingActiveUsersSql,
+
+    "lineitem_basket_pairs" -> Analytics.basketPairsSql(20),
+
+    "quality_psi_drift" -> Profiling.psiDriftSql,
+
+    "events_sliding_stream" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (
+        |  SELECT unnest([us // 1800000000 * 1800000000,
+        |                 (us // 1800000000 - 1) * 1800000000]) AS w_us,
+        |         value
+        |  FROM e)
+        |SELECT epoch_ms(w_us // 1000) AS w_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w, mx
+        |WHERE w_us + 3600000000 <= epoch_us(mx.mx) - 7200000000
+        |GROUP BY w_us ORDER BY w_start""".stripMargin,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_transitions" -> Analytics.markovTransitionsSql,
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),

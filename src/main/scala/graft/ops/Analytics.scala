@@ -1308,4 +1308,33 @@ object Analytics {
       |SELECT prev_type, next_type, n,
       |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** Market-basket co-occurrence: the top part pairs bought together in
+    * one order. The standard frequent-itemset-of-size-2 mining pass.
+    *
+    * Scale shape: the self-join keys on l_orderkey, where fan-out per key
+    * is bounded by basket width (~7 lineitems/order in TPC-H — NOT data
+    * volume), so the quadratic term is width²·|orders|, linear in corpus
+    * size; the pair counts partial-aggregate map-side, and the top-N is
+    * a TakeOrderedAndProject (per-partition heaps + driver merge of N
+    * rows), never a global sort. Ties at the boundary break on the
+    * deterministic total order (n_orders DESC, part_a, part_b).
+    */
+  def basketPairs(lineitem: DataFrame, topN: Int): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("pk")).distinct()
+    items.as("a")
+      .join(items.as("b"), col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  def basketPairsSql(topN: Int): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem)
+       |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+       |FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, part_a, part_b
+       |LIMIT $topN""".stripMargin
 }

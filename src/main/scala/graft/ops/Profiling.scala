@@ -104,4 +104,74 @@ object Profiling {
     s"""${rows.mkString("\nUNION ALL\n")}
        |ORDER BY child_tbl, fk""".stripMargin
   }
+
+  /** Distribution-drift audit: Population Stability Index of `value` per
+    * event type between the first and second halves of the stream (split
+    * at the midpoint event time). PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over 10
+    * equal-width bins spanning the type's observed range; the standard
+    * release gate before retraining on refreshed data (< 0.1 stable,
+    * > 0.25 drifted).
+    *
+    * Laplace-smoothed bin shares ((c+1)/(N+10)) keep empty bins finite
+    * without dropping them — an asymmetric occupancy difference is
+    * precisely the drift signal. Scale shape: the midpoint and per-type
+    * ranges are tiny one-row/|types|-row aggregates broadcast back; bin
+    * counts partial-aggregate map-side into ≤ 10·|types| partials; both
+    * halves bin in the SAME single scan (conditional sums, no
+    * per-half subtrees). All bin/half arithmetic is written identically
+    * in both engines, so the binning is bit-reproducible; only the final
+    * 10-term PSI sum is rounded (6 dp).
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val mid = events.agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    val ranges = events.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val byBin = events
+      .crossJoin(broadcast(mid))
+      .join(broadcast(ranges), "event_type")
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(floor((col("value") - col("mn")) * lit(10.0) / (col("mx") - col("mn"))), lit(9L)))
+          .otherwise(lit(0L)))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(us <= col("mid_us"), 1L).otherwise(0L)).as("c_p"),
+        sum(when(us > col("mid_us"), 1L).otherwise(0L)).as("c_q"))
+    val totals = byBin.groupBy(col("event_type"))
+      .agg(sum(col("c_p")).as("n_p"), sum(col("c_q")).as("n_q"))
+    val p = (col("c_p") + lit(1L)).cast("double") / (col("n_p") + lit(10L)).cast("double")
+    val q = (col("c_q") + lit(1L)).cast("double") / (col("n_q") + lit(10L)).cast("double")
+    byBin.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(sum((p - q) * log(p / q)), 6).as("psi"),
+        count(lit(1)).as("n_bins"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle SQL for [[psiDrift]]. */
+  val psiDriftSql: String =
+    """WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
+      |ranges AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      |           FROM events GROUP BY event_type),
+      |by_bin AS (
+      |  SELECT e.event_type,
+      |         CASE WHEN r.mx > r.mn
+      |              THEN least(CAST(floor((e.value - r.mn) * 10.0 / (r.mx - r.mn)) AS BIGINT), 9)
+      |              ELSE 0 END AS bin,
+      |         CAST(sum(CASE WHEN epoch_us(e.ts) <= m.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+      |         CAST(sum(CASE WHEN epoch_us(e.ts) > m.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_q
+      |  FROM events e JOIN ranges r ON e.event_type = r.event_type CROSS JOIN mid m
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, CAST(sum(c_p) AS BIGINT) AS n_p, CAST(sum(c_q) AS BIGINT) AS n_q
+      |  FROM by_bin GROUP BY event_type)
+      |SELECT b.event_type,
+      |       round(sum((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 10 AS DOUBLE)
+      |                  - CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 10 AS DOUBLE))
+      |                 * ln((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 10 AS DOUBLE))
+      |                      / (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 10 AS DOUBLE)))), 6) AS psi,
+      |       count(*) AS n_bins
+      |FROM by_bin b JOIN totals t ON b.event_type = t.event_type
+      |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
 }

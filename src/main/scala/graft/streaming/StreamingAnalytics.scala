@@ -34,6 +34,21 @@ object StreamingAnalytics {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING 1-hour windows every 30 minutes, streaming: each event lands
+    * in its two covering windows (one Expand per micro-batch), state holds
+    * one running (count, sum) pair per open window, and append mode emits
+    * a window exactly once when the watermark passes its end — the
+    * streaming counterpart of
+    * [[graft.ops.Analytics.slidingActiveUsers]]'s batch assignment.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup keyed on (fingerprint, ts): drops exact
     * replays of the same event — two occurrences of a fingerprint at
     * DIFFERENT event times both pass. For content dedup use

@@ -277,4 +277,32 @@ class DedupSpec extends SparkSpec {
     }
     ops.Caches.releaseCaches()
   }
+
+  test("prefix-filter join: LOSSLESS — equals brute-force all-pairs Jaccard") {
+    import spark.implicits._
+    // varied overlap structure: near-dups, a half-overlap pair, disjoint
+    val docs = corpus(
+      1L -> a, 2L -> aNear, 3L -> b,
+      4L -> (a.split(" ").take(60).mkString(" ") + " extra tail tokens here"),
+      5L -> Seq.tabulate(40)(i => s"tok${i % 37} word${i + 30}").mkString(" "))
+    val t = 0.75
+    val got = Dedup.prefixFilterJoin(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: exact shingle-set Jaccard over all pairs
+    def shingles(s: String): Set[Seq[String]] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.toSeq).toSet
+    val sets = Map(1L -> a, 2L -> aNear, 3L -> b,
+      4L -> (a.split(" ").take(60).mkString(" ") + " extra tail tokens here"),
+      5L -> Seq.tabulate(40)(i => s"tok${i % 37} word${i + 30}").mkString(" "))
+      .map { case (k, v) => k -> shingles(v) }
+    val want = (for {
+      x <- sets.keys; y <- sets.keys if x < y
+      inter = (sets(x) & sets(y)).size
+      j = inter.toDouble / (sets(x).size + sets(y).size - inter)
+      if j >= t
+    } yield (x, y)).toSet
+    assert(got == want, s"prefix join must be lossless: got $got want $want")
+    ops.Caches.releaseCaches()
+  }
 }

@@ -358,4 +358,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(dirty_id"),
       s"best-match ranking must be per dirty record:\n$p")
   }
+
+  test("snapshot diff: ONE (tbl, pk) shuffle computes both images; cut broadcast") {
+    val p = plan("cdc_snapshot_diff")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"old+new images must come from one aggregation (got $hashExchanges hash exchanges):\n$p")
+    assert(p.contains("partial_max_by"), s"map-side partial max_by missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("FullOuter"),
+      s"snapshot diff must not materialize-and-join two states:\n$p")
+  }
+
+  test("time-weighted avg: horizon broadcast back, lead window on the (tbl, pk) key") {
+    val p = plan("cdc_time_weighted_avg")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-table horizon must broadcast, not shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"changelog must not shuffle for the horizon:\n$p")
+    assert(p.contains("windowspecdefinition(tbl"),
+      s"exposure intervals must ride the (tbl, pk) window:\n$p")
+  }
+
+  test("prefix-filter join: candidates via posting equi-join, never all-pairs") {
+    val p = plan("dedup_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix postings must pair through the h equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"verify must reuse the one persisted (doc_id, h) frame:\n$p")
+    ops.Caches.releaseCaches()
+  }
+
+  test("sliding windows: one Expand (factor 2), no self-join") {
+    val p = plan("events_sliding_users")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1,
+      s"sliding assignment must be a single Expand:\n$p")
+    assert(!p.contains("Join"), s"sliding windows must not self-join:\n$p")
+  }
+
+  test("k-anonymity: one Expand serves the whole rollup ladder") {
+    val p = plan("quality_k_anonymity")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1,
+      s"generalization ladder must be one rollup Expand:\n$p")
+    assert(p.contains("partial_count"), s"map-side partials missing:\n$p")
+    assert(!p.contains("Join"), s"ladder must not union/join per-level aggregates:\n$p")
+  }
 }
