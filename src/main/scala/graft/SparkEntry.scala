@@ -569,6 +569,28 @@ object SparkEntry {
     // self-join fan-out bounded by basket width, top-N via ordered take
     "lineitem_basket_pairs" -> ((s, dir) => Analytics.basketPairs(t(s, dir, "lineitem"), 20)),
 
+    // trailing-edge debounce: first event of each (user, type) burst
+    // survives; per-type keep ratios as the fan-out audit
+    "events_debounce" -> ((s, dir) => Analytics.debounce(t(s, dir, "events"), 1800L)),
+
+    // frequent session paths: top event-type trigrams by distinct-session
+    // support — sequence mining over the sessionizer's session ids
+    "events_top_paths" -> ((s, dir) => Analytics.topSessionPaths(t(s, dir, "events"), 15)),
+
+    // explicit bloom runtime filter: constant-size broadcast bit array
+    // prunes the probe side before the exact join; false passes ledgered
+    "lineitem_bloom_semijoin" -> ((s, dir) =>
+      RuntimeFilters.bloomSemiJoin(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // reproducible hash-uniforms, top-k by ln(u)/w via ordered take
+    "text_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), 100)),
+
+    // right-to-erasure propagation: purge ledger across changelog AND
+    // materialized state, with an order-independent retained checksum
+    "cdc_gdpr_purge" -> ((s, dir) => Scrub.gdprPurge(changelog(s, dir))),
+
     // PSI drift gate: value-distribution shift per event type between
     // the stream's first and second halves, 10 smoothed equal-width bins
     "quality_psi_drift" -> ((s, dir) => Profiling.psiDrift(t(s, dir, "events"))),
@@ -1252,6 +1274,16 @@ object SparkEntry {
     "events_sliding_users" -> Analytics.slidingActiveUsersSql,
 
     "lineitem_basket_pairs" -> Analytics.basketPairsSql(20),
+
+    "lineitem_bloom_semijoin" -> RuntimeFilters.bloomSemiJoinSql,
+
+    "events_debounce" -> Analytics.debounceSql(1800L),
+
+    "events_top_paths" -> Analytics.topSessionPathsSql(15),
+
+    "text_weighted_sample" -> Sampling.weightedSampleSql(100),
+
+    "cdc_gdpr_purge" -> Scrub.gdprPurgeSql(clSql),
 
     "quality_psi_drift" -> Profiling.psiDriftSql,
 

@@ -1337,4 +1337,103 @@ object Analytics {
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $topN""".stripMargin
+
+  /** Debounce: keep the first event of each burst — a burst continues
+    * while consecutive events of the same (user, type) arrive within the
+    * gap (trailing-edge rule: each event compares to its immediate
+    * predecessor). The de-duplication a notification/trigger pipeline
+    * applies before fan-out. Per-type keep ratios are the audit.
+    *
+    * One lag window on the (user_id, event_type) shuffle key, then a
+    * partial-merged per-type aggregate — per-key sort cost is bounded by
+    * a user's own timeline, never corpus size.
+    */
+  def debounce(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("keep",
+        col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_ratio",
+        round(col("n_kept").cast("double") / col("n_events").cast("double"), 6))
+      .orderBy("event_type")
+  }
+
+  def debounceSql(gapSeconds: Long): String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds * 1000000L}
+       |         THEN 1 ELSE 0 END AS keep
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id))
+       |SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_ratio
+       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Frequent session paths: the top event-type TRIGRAMS walked inside
+    * one session (the >30 min-gap sessions of [[sessionize]]), ranked by
+    * how many distinct sessions contain them — sequence mining one level
+    * deeper than [[eventTransitions]]'s Markov bigrams (support counts
+    * sessions, so a single looping session can't dominate).
+    *
+    * Scale shape: session ids ride the user_id shuffle (running sum over
+    * the same key), the trigram window partitions by (user_id, sid) —
+    * a superset of the user_id clustering, so NO second exchange forms;
+    * the distinct-session count packs (user, sid) into one BIGINT and
+    * partial-aggregates; top-N is an ordered take. Tie-break on path.
+    */
+  def topSessionPaths(events: DataFrame, topN: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("sid")).orderBy(col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_session")).over(byUser))
+      .withColumn("t2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      // session key packs into one BIGINT (sids are bounded by a user's
+      // own event count — far under the 100000 packing radix)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"),
+        (col("user_id") * lit(100000L) + col("sid")).as("skey"))
+      .groupBy(col("path"))
+      .agg(count_distinct(col("skey")).as("n_sessions"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  def topSessionPathsSql(topN: Int): String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |s AS (
+       |  SELECT user_id, event_id, event_type,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id) AS sid
+       |  FROM g),
+       |tri AS (
+       |  SELECT concat_ws('>', event_type,
+       |                   lead(event_type, 1) OVER ws,
+       |                   lead(event_type, 2) OVER ws) AS path,
+       |         lead(event_type, 1) OVER ws AS t2,
+       |         lead(event_type, 2) OVER ws AS t3,
+       |         user_id * 100000 + sid AS skey
+       |  FROM s WINDOW ws AS (PARTITION BY user_id, sid ORDER BY event_id))
+       |SELECT path, count(DISTINCT skey) AS n_sessions, count(*) AS n_occurrences
+       |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+       |GROUP BY path ORDER BY n_sessions DESC, path
+       |LIMIT $topN""".stripMargin
 }

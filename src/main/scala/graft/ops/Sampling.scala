@@ -60,4 +60,38 @@ object Sampling {
        |  CAST(max($rate) AS BIGINT) AS rate
        |FROM $table GROUP BY $keyCol ORDER BY $keyCol""".stripMargin
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws key = ln(u)/w from a uniform u and its weight w; the
+    * k LARGEST keys are exactly a weight-proportional WOR draw. The
+    * uniform comes from the 60-bit [[PortableHash]] of the doc id — no
+    * RNG, so the sample is reproducible across engines and backfills
+    * (the same property [[graft.ops.Curation]]'s importance sampler
+    * uses), and u = (h+1)/2^60 ∈ (0, 1] never takes ln(0).
+    *
+    * Scale shape: key assignment is a map-only projection; the top-k is
+    * a TakeOrderedAndProject (per-partition heaps, driver merges k
+    * rows) — a 100 TB corpus is one scan plus k rows of driver state,
+    * never a global sort. Keys are rounded to 9 dp before ranking with
+    * doc_id as the total-order tie-break, so both engines cut the same
+    * boundary.
+    */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val h = PortableHash.tokenHash(concat(lit("ws|"), col("doc_id").cast("string")))
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976L).cast("double")
+    docs.select(col("doc_id"), col("n_chars"),
+        round(log(u) / col("n_chars").cast("double"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSampleSql(k: Int): String = {
+    val h = PortableHash.tokenHashSql("concat('ws|', CAST(doc_id AS VARCHAR))")
+    s"""SELECT doc_id, n_chars,
+       |  round(ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+       |        / CAST(n_chars AS DOUBLE), 9) AS es_key
+       |FROM documents
+       |ORDER BY es_key DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -155,4 +155,58 @@ object Scrub {
        |       round(CAST(sum(CASE WHEN g_n < $k THEN g_n ELSE 0 END) AS DOUBLE) * 100
        |             / CAST(sum(g_n) AS DOUBLE), 6) AS pct_rows_at_risk
        |FROM groups GROUP BY n_suppressed ORDER BY n_suppressed""".stripMargin
+
+  /** Right-to-erasure propagation audit: given a deterministic purge set
+    * (pk ≡ 17 mod 131 stands in for the uploaded request list), report
+    * per table how the purge lands at BOTH layers a CDC pipeline must
+    * erase — the raw changelog (events to redact) and the materialized
+    * state (rows to delete) — plus an order-independent checksum of the
+    * retained state, the artifact a compliance job files as proof.
+    *
+    * Scale shape: one pass over the changelog (conditional sums) plus the
+    * standard one-shuffle LWW materialize; the checksum is a SUM of
+    * per-row [[graft.functions.PortableHash]] values in DECIMAL(38,0)
+    * (commutative — the [[graft.cdc.ChangelogApply.reconcileRanges]]
+    * device), so no ordering constraint ever forms.
+    */
+  def gdprPurge(changelog: DataFrame): DataFrame = {
+    val flagged = col("pk") % 131 === 17
+    val rowHash = graft.functions.PortableHash.tokenHash(
+      concat_ws("|", col("pk"), col("pos"), col("value").cast("decimal(18,2)")))
+      .cast("decimal(38,0)")
+    val ev = changelog.groupBy(col("tbl")).agg(
+      count(lit(1)).as("n_events"),
+      sum(when(flagged, 1L).otherwise(0L)).as("n_events_redacted"))
+    val st = graft.cdc.ChangelogApply.materialize(changelog).groupBy(col("tbl")).agg(
+      count(lit(1)).as("n_state_rows"),
+      sum(when(flagged, 1L).otherwise(0L)).as("n_state_purged"),
+      sum(when(!flagged, rowHash).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("retained_checksum"))
+    ev.join(st, "tbl").orderBy("tbl")
+  }
+
+  /** Oracle SQL for [[gdprPurge]] given a changelog CTE body. */
+  def gdprPurgeSql(clCte: String): String = {
+    val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
+      "CAST(value AS DECIMAL(18,2)))), 1, 15)) AS BIGINT)"
+    s"""WITH cl AS ($clCte),
+       |ev AS (
+       |  SELECT tbl, count(*) AS n_events,
+       |         CAST(sum(CASE WHEN pk % 131 = 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_events_redacted
+       |  FROM cl GROUP BY tbl),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl),
+       |state AS (SELECT tbl, pk, pos, value FROM ranked WHERE rn = 1 AND op <> 'D'),
+       |st AS (
+       |  SELECT tbl, count(*) AS n_state_rows,
+       |         CAST(sum(CASE WHEN pk % 131 = 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_state_purged,
+       |         sum(CASE WHEN pk % 131 = 17 THEN CAST(0 AS DECIMAL(38,0))
+       |                  ELSE CAST($h AS DECIMAL(38,0)) END) AS retained_checksum
+       |  FROM state GROUP BY tbl)
+       |SELECT e.tbl, e.n_events, e.n_events_redacted,
+       |       s.n_state_rows, s.n_state_purged, s.retained_checksum
+       |FROM ev e JOIN st s ON e.tbl = s.tbl
+       |ORDER BY e.tbl""".stripMargin
+  }
 }
