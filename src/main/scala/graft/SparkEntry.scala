@@ -1008,7 +1008,11 @@ object SparkEntry {
     // real JDK WAV codec path: synth PCM → WAV encode → AudioSystem decode
     "mm_audio_features" -> ((s, dir) => Multimodal.audioFeaturize(t(s, dir, "documents"))),
     // container demux + sparse ImageIO decode of only the sampled frames
-    "mm_video_frames" -> ((s, dir) => Multimodal.videoFrameFeatures(t(s, dir, "documents"), 2, 4))
+    "mm_video_frames" -> ((s, dir) => Multimodal.videoFrameFeatures(t(s, dir, "documents"), 2, 4)),
+
+    // image near-dup via average-hash over the REAL PNG decode: banded
+    // signature blocking + hamming verify recovers the planted noisy twins
+    "mm_phash_dedup" -> ((s, dir) => Multimodal.phashPairs(t(s, dir, "documents"), 3))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1470,6 +1474,7 @@ object SparkEntry {
     "mm_features" -> Multimodal.featurizeSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
     "mm_resize" -> Multimodal.resizeSql(8),
+    "mm_phash_dedup" -> Multimodal.phashPairsSql(3),
     "mm_audio_features" -> Multimodal.audioFeaturizeSql,
     "mm_video_frames" -> Multimodal.videoFrameFeaturesSql(2, 4)
   )

@@ -520,4 +520,176 @@ object Multimodal {
        |SELECT doc_id, CAST(len(frames) AS BIGINT) AS n_frames,
        |       list_aggregate(frames, 'string_agg', ',') AS frame_hex
        |FROM f ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** Average-hash signature split into four 16-bit bands (b0 = grid rows
+    * 0-1 … b3 = rows 6-7). Bands instead of one 64-bit word keep every
+    * value positive (no sign-bit shift) and double as the LSH blocking
+    * key: hamming ≤ 3 pigeonholes into ≥ 1 identical band.
+    */
+  final case class PhashSig(img_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Twin corpus for image near-dup: per doc, a base image and a
+    * lightly-noised copy under img_id + 1000000 (the [[graft.ops.Dedup]]
+    * planted-duplicate device in pixel space). The pixel formula is
+    * MULTIPLICATIVE in doc_id — unlike [[imagePayloads]]'s additive
+    * formula, two different docs' images are decorrelated, not constant
+    * offsets of each other, so only planted twins land near in hash
+    * space. Noise: +5 (clamped at 255) on the ~1/11 of pixels where
+    * (x + y + id) ≡ 0 mod 11.
+    */
+  def phashPayloads(docs: DataFrame): Dataset[MediaPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap(id => Seq(id, id + 1000000L))
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { imgId =>
+          val pert = imgId >= 1000000L
+          val src = if (pert) imgId - 1000000L else imgId
+          val w = (16 + src % 9).toInt
+          val h = (16 + (src * 7) % 9).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = ((x * 31L + y * 17L + 7L) * ((src % 97L) + 3L) + src * 13L) % 256L
+              val v =
+                if (pert && (x + y + src) % 11L == 0L) math.min(base + 5L, 255L)
+                else base
+              raster.setSample(x, y, 0, v.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          MediaPayload(imgId, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Average-hash over the REAL decode: sample an 8×8 grid
+    * (x = ⌊col·w/8⌋, y = ⌊row·h/8⌋), threshold each sample against the
+    * integral grid mean, pack bits row-major into the four band words.
+    */
+  def perceptualHashes(payloads: Dataset[MediaPayload],
+                       newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[PhashSig] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        val s = new Array[Long](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          val x = (i % 8) * d.width / 8
+          val y = (i / 8) * d.height / 8
+          s(i) = d.px(y * d.width + x).toLong
+          sum += s(i)
+          i += 1
+        }
+        val m = sum / 64
+        def band(b: Int): Long = {
+          var v = 0L
+          var j = 0
+          while (j < 16) { if (s(b * 16 + j) > m) v |= (1L << j); j += 1 }
+          v
+        }
+        PhashSig(p.doc_id, band(0), band(1), band(2), band(3))
+      }
+    }
+  }
+
+  /** Image near-dup pairs: banded blocking on the signature (each band
+    * is an exact-match bucket key), then hamming-verify ≤ maxHamming —
+    * the [[graft.ops.Dedup.simhashPairs]] candidate shape applied to a
+    * REAL codec path. The signature frame is corpus-count rows of five
+    * longs; the self-join explodes only band buckets, never all pairs.
+    */
+  def phashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = Caches.tracked(perceptualHashes(phashPayloads(docs)).toDF().persist())
+    val bands = sigs.select(col("img_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("doc_a"), col("b.img_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.toDF("doc_a", "a0", "a1", "a2", "a3"), "doc_a")
+      .join(sigs.toDF("doc_b", "c0", "c1", "c2", "c3"), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: rebuilds the signatures from the pixel formula (valid
+    * because the PNG round-trip is bit-lossless — the [[featurizeSql]]
+    * contract) and mirrors the banding + hamming verify.
+    */
+  def phashPairsSql(maxHamming: Int): String = {
+    val bandCols = (0 until 4).map { b =>
+      s"""CAST(list_aggregate([CASE WHEN s[${b * 16} + j + 1] > m THEN 1 << j ELSE 0 END
+         |      FOR j IN range(0, 16)], 'sum') AS BIGINT) AS b$b""".stripMargin
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT img_id, $b AS band, b$b AS bv FROM bands"
+    }.mkString("\n  UNION ALL\n  ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(x.b$b, y.b$b))").mkString(" + ")
+    s"""WITH base AS (SELECT doc_id AS src FROM documents),
+       |imgs AS (
+       |  SELECT src, src AS img_id, 0 AS pert FROM base
+       |  UNION ALL
+       |  SELECT src, src + 1000000, 1 FROM base),
+       |dims AS (
+       |  SELECT img_id, src, pert, 16 + src % 9 AS w, 16 + (src * 7) % 9 AS h
+       |  FROM imgs),
+       |coords AS (
+       |  SELECT img_id, src, pert, w, h,
+       |    [((i % 8) * w) // 8 FOR i IN range(0, 64)] AS xs,
+       |    [((i // 8) * h) // 8 FOR i IN range(0, 64)] AS ys
+       |  FROM dims),
+       |samp AS (
+       |  SELECT img_id,
+       |    [((xs[i + 1] * 31 + ys[i + 1] * 17 + 7) * ((src % 97) + 3) + src * 13) % 256
+       |     + CASE WHEN pert = 1 AND (xs[i + 1] + ys[i + 1] + src) % 11 = 0
+       |            THEN 5 ELSE 0 END
+       |     FOR i IN range(0, 64)] AS s0
+       |  FROM coords),
+       |clamped AS (
+       |  SELECT img_id, [least(s0[i + 1], 255) FOR i IN range(0, 64)] AS s
+       |  FROM samp),
+       |withm AS (
+       |  SELECT img_id, s, list_aggregate(s, 'sum') // 64 AS m FROM clamped),
+       |bands AS (
+       |  SELECT img_id,
+       |    $bandCols
+       |  FROM withm),
+       |bandrows AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id)
+       |SELECT c.doc_a, c.doc_b, CAST($ham AS INTEGER) AS hamming
+       |FROM cand c JOIN bands x ON c.doc_a = x.img_id
+       |            JOIN bands y ON c.doc_b = y.img_id
+       |WHERE $ham <= $maxHamming
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
 }
