@@ -577,6 +577,15 @@ object SparkEntry {
     // support — sequence mining over the sessionizer's session ids
     "events_top_paths" -> ((s, dir) => Analytics.topSessionPaths(t(s, dir, "events"), 15)),
 
+    // cohort LTV: cumulative value per signup-week cohort by age —
+    // running total over cohort×age CELLS, never event rows
+    "events_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(t(s, dir, "events"))),
+
+    // distributed OLS from sufficient statistics: per-brand price~quantity
+    // slope in one scan of exact DECIMAL moments
+    "part_price_slope" -> ((s, dir) =>
+      Analytics.priceSlope(t(s, dir, "lineitem"), t(s, dir, "part"))),
+
     // explicit bloom runtime filter: constant-size broadcast bit array
     // prunes the probe side before the exact join; false passes ledgered
     "lineitem_bloom_semijoin" -> ((s, dir) =>
@@ -1284,6 +1293,10 @@ object SparkEntry {
     "events_debounce" -> Analytics.debounceSql(1800L),
 
     "events_top_paths" -> Analytics.topSessionPathsSql(15),
+
+    "events_cohort_ltv" -> Analytics.cohortLtvSql,
+
+    "part_price_slope" -> Analytics.priceSlopeSql,
 
     "text_weighted_sample" -> Sampling.weightedSampleSql(100),
 

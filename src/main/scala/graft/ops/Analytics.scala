@@ -1412,6 +1412,93 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Cohort lifetime value: per signup-week cohort, the CUMULATIVE value
+    * per surviving user by cohort age — [[retention]]'s counting matrix
+    * upgraded to the revenue integral a growth model fits against.
+    *
+    * Scale shape: first-touch per user rides one user_id shuffle; the
+    * (cohort, age) cell aggregate partial-merges in DECIMAL; the running
+    * total is a window over |cohorts|·|ages| CELLS (weeks² rows — never
+    * event-count data), so the cumulative pass is effectively free.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val cells = events.join(first, Seq("user_id"))
+      .select(
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        expr("CAST(datediff(date_trunc('week', ts), date_trunc('week', first_ts)) / 7 AS BIGINT)").as("week_n"),
+        col("user_id"), col("value"))
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).as("week_value"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_n"))
+    cells
+      .withColumn("cum_value", sum(col("week_value")).over(w))
+      .select(col("cohort_week"), col("week_n"), col("n_users"),
+        col("week_value").cast("double").as("week_value"),
+        col("cum_value").cast("double").as("cum_value"))
+      .orderBy("cohort_week", "week_n")
+  }
+
+  val cohortLtvSql: String =
+    """WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+      |         CAST(date_diff('day', date_trunc('week', f.first_ts), date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_n,
+      |         count(DISTINCT e.user_id) AS n_users,
+      |         sum(CAST(e.value AS DECIMAL(18,2))) AS week_value
+      |  FROM events e JOIN first f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_n, n_users,
+      |       CAST(week_value AS DOUBLE) AS week_value,
+      |       CAST(sum(week_value) OVER (PARTITION BY cohort_week ORDER BY week_n) AS DOUBLE) AS cum_value
+      |FROM cells ORDER BY cohort_week, week_n""".stripMargin
+
+  /** Per-brand OLS price-vs-quantity slope — a regression computed
+    * entirely from the five classical sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx²), each an exact DECIMAL partial-merged aggregate: ONE scan,
+    * one |brands|-group shuffle, division to doubles only at the edge.
+    * The moments device generalizes to covariance/correlation matrices —
+    * distributed regression is an aggregation problem, not an iterative
+    * one, when the model is linear.
+    */
+  def priceSlope(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      // the DECIMAL sums are exact and engine-identical; combine them in
+      // DOUBLE (identical ops both sides) to dodge cross-engine decimal
+      // overflow/rescale rules on n·Σxy-sized products
+      .select(col("p_brand"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6).as("slope"),
+        round(col("sy").cast("double") / col("n"), 6).as("mean_price"))
+      .orderBy("p_brand")
+  }
+
+  val priceSlopeSql: String =
+    """WITH m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand)
+      |SELECT p_brand, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+      |       round(CAST(sy AS DOUBLE) / n, 6) AS mean_price
+      |FROM m ORDER BY p_brand""".stripMargin
+
   def topSessionPathsSql(topN: Int): String =
     s"""WITH g AS (
        |  SELECT user_id, event_id, event_type,
