@@ -535,8 +535,10 @@ object ChangelogApply {
       .filter(col("op") =!= "D")
       .groupBy(col("tbl"))
       .agg(
+        // nullif: a table whose every live interval is zero-length must
+        // be NULL in BOTH engines (Spark's x/0 is NULL, DuckDB's is inf)
         round(sum(col("dv") * col("dur")).cast("double") /
-          sum(col("dur")).cast("double"), 6).as("twap"),
+          expr("nullif(CAST(sum(dur) AS DOUBLE), 0.0d)"), 6).as("twap"),
         sum(col("dur")).as("total_us"),
         count(lit(1)).as("n_intervals"))
       .orderBy(col("tbl"))
@@ -555,7 +557,8 @@ object ChangelogApply {
        |                           t.horizon) - b.us, 0) AS dur
        |  FROM base b JOIN tmax t ON b.tbl = t.tbl)
        |SELECT tbl,
-       |       round(CAST(sum(dv * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap,
+       |       round(CAST(sum(dv * dur) AS DOUBLE)
+       |             / nullif(CAST(sum(dur) AS DOUBLE), 0.0), 6) AS twap,
        |       CAST(sum(dur) AS BIGINT) AS total_us,
        |       count(*) AS n_intervals
        |FROM iv WHERE op <> 'D'

@@ -1474,10 +1474,12 @@ object Analytics {
       // DOUBLE (identical ops both sides) to dodge cross-engine decimal
       // overflow/rescale rules on n·Σxy-sized products
       .select(col("p_brand"), col("n"),
+        // nullif: a zero-variance brand (all quantities equal) must be
+        // NULL in both engines, not Spark-NULL vs DuckDB-inf
         round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 6).as("slope"),
+          nullif(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"), lit(0.0)), 6).as("slope"),
         round(col("sy").cast("double") / col("n"), 6).as("mean_price"))
       .orderBy("p_brand")
   }
@@ -1494,8 +1496,8 @@ object Analytics {
       |SELECT p_brand, n,
       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+      |             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope,
       |       round(CAST(sy AS DOUBLE) / n, 6) AS mean_price
       |FROM m ORDER BY p_brand""".stripMargin
 

@@ -79,8 +79,10 @@ object Sampling {
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     val h = PortableHash.tokenHash(concat(lit("ws|"), col("doc_id").cast("string")))
     val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976L).cast("double")
+    // nullif: a zero-weight doc's key must be NULL (= excluded from the
+    // ordered take) in both engines, not Spark-NULL vs DuckDB -inf
     docs.select(col("doc_id"), col("n_chars"),
-        round(log(u) / col("n_chars").cast("double"), 9).as("es_key"))
+        round(log(u) / nullif(col("n_chars").cast("double"), lit(0.0)), 9).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
   }
@@ -89,7 +91,7 @@ object Sampling {
     val h = PortableHash.tokenHashSql("concat('ws|', CAST(doc_id AS VARCHAR))")
     s"""SELECT doc_id, n_chars,
        |  round(ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0)
-       |        / CAST(n_chars AS DOUBLE), 9) AS es_key
+       |        / nullif(CAST(n_chars AS DOUBLE), 0.0), 9) AS es_key
        |FROM documents
        |ORDER BY es_key DESC, doc_id
        |LIMIT $k""".stripMargin

@@ -175,4 +175,21 @@ class TextAndMultimodalSpec extends SparkSpec {
       Multimodal.payloads(docs(1L -> ("x" * 1000))), 32, 8).collect()(0)
     assert(capped.getAs[Long]("n_frames") == 8L)
   }
+
+  test("phash: planted noisy twins pair up; unrelated images stay apart") {
+    import spark.implicits._
+    val ids = (1L to 12L).toDF("doc_id")
+    val pairs = Multimodal.phashPairs(ids, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twins = pairs.filter { case (a, b, _) => b - a == 1000000L }
+    // the clamped +5 noise moves few grid samples: most twins survive the
+    // hamming <= 3 verify (deterministic corpus, deterministic outcome)
+    assert(twins.length >= 9, s"expected >= 9/12 twins, got: ${twins.toSeq}")
+    assert(twins.forall(_._3 <= 3))
+    // different source images are decorrelated by the multiplicative
+    // pixel formula — no cross pairs at this threshold
+    val cross = pairs.filterNot { case (a, b, _) => b - a == 1000000L }
+    assert(cross.isEmpty, s"unrelated images paired: ${cross.toSeq}")
+    ops.Caches.releaseCaches()
+  }
 }
