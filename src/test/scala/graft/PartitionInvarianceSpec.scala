@@ -28,7 +28,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     "text_contamination_bloom", // bit_or word fold + candidate counts
     "q11_important_parts",   // scalar probe + decimal share threshold
     "q21_sole_blame",        // conditional distinct + min-over-case
-    "cdc_scd2_history")      // per-key interval chaining
+    "cdc_scd2_history",      // per-key interval chaining
+    "cdc_snapshot_diff",     // conditional max_by dual images
+    "cdc_time_weighted_avg", // decimal exposure integral
+    "dedup_prefix_join",     // df-ordered prefixes + exact verify
+    "quality_psi_drift",     // broadcast ranges + smoothed ln sum
+    "part_price_slope",      // decimal sufficient statistics
+    "mm_phash_dedup",        // decode-side signatures + banded verify
+    "text_weighted_sample",  // rounded ES keys, ordered take
+    "events_top_paths")      // packed session keys, distinct support
 
   test("query results are identical under 7 and 32 shuffle partitions") {
     val conf = spark.conf
