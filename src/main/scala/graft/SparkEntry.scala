@@ -585,6 +585,15 @@ object SparkEntry {
     // running total over cohort×age CELLS, never event rows
     "events_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(t(s, dir, "events"))),
 
+    // DAU/WAU/MAU + stickiness: distinct (user, day) pre-agg exploded
+    // into constant-length trailing windows, conditional DISTINCT counts
+    "events_active_users" -> ((s, dir) => Analytics.activeUsers(t(s, dir, "events"))),
+
+    // language-ID confusion matrix vs the declared lang ground truth —
+    // the precision/recall audit before the heuristic gates a corpus
+    "text_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.languageIdConfusion(t(s, dir, "documents"))),
+
     // distributed OLS from sufficient statistics: per-brand price~quantity
     // slope in one scan of exact DECIMAL moments
     "part_price_slope" -> ((s, dir) =>
@@ -1299,6 +1308,10 @@ object SparkEntry {
     "events_top_paths" -> Analytics.topSessionPathsSql(15),
 
     "events_cohort_ltv" -> Analytics.cohortLtvSql,
+
+    "events_active_users" -> Analytics.activeUsersSql,
+
+    "text_langid_confusion" -> TextAnalysis.languageIdConfusionSql,
 
     "part_price_slope" -> Analytics.priceSlopeSql,
 

@@ -1412,6 +1412,53 @@ object Analytics {
       .limit(topN)
   }
 
+  /** DAU / WAU / MAU actives with DAU/MAU stickiness — the engagement
+    * header of every product dashboard, built scale-first: events first
+    * collapse to DISTINCT (user, day) pairs (bounded by activity, not
+    * event volume), then each pair is exploded into the ≤ 30 trailing
+    * windows it feeds, and one aggregate computes all three trailing
+    * distinct counts via conditional DISTINCTs. No per-day self-joins,
+    * no 30-day range joins — the explode factor is the constant window
+    * length. Days with no activity are not reported (dau > 0), matching
+    * the dashboard convention.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events.select(
+      expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("day_num"),
+      col("user_id")).distinct()
+    ud.select(col("user_id"), col("day_num"),
+        explode(sequence(col("day_num"), col("day_num") + lit(29L))).as("w_day"))
+      .groupBy(col("w_day"))
+      .agg(
+        count_distinct(when(col("w_day") === col("day_num"), col("user_id"))).as("dau"),
+        count_distinct(when(col("w_day") - col("day_num") < 7, col("user_id"))).as("wau"),
+        count_distinct(col("user_id")).as("mau"))
+      .filter(col("dau") > 0)
+      .select(
+        timestamp_micros(col("w_day") * lit(86400000000L)).cast("date").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day_num,
+      |         user_id
+      |  FROM events),
+      |contrib AS (
+      |  SELECT user_id, day_num, day_num + o AS w_day
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 30)) AS o)),
+      |agg AS (
+      |  SELECT w_day,
+      |         count(DISTINCT CASE WHEN w_day = day_num THEN user_id END) AS dau,
+      |         count(DISTINCT CASE WHEN w_day - day_num < 7 THEN user_id END) AS wau,
+      |         count(DISTINCT user_id) AS mau
+      |  FROM contrib GROUP BY w_day)
+      |SELECT CAST(epoch_ms(w_day * 86400000) AS DATE) AS day, dau, wau, mau,
+      |       round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+      |FROM agg WHERE dau > 0 ORDER BY day""".stripMargin
+
   /** Cohort lifetime value: per signup-week cohort, the CUMULATIVE value
     * per surviving user by cohort age — [[retention]]'s counting matrix
     * upgraded to the revenue integral a growth model fits against.

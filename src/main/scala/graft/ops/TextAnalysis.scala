@@ -58,6 +58,54 @@ object TextAnalysis {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier-evaluation artifact for [[languageId]]: the confusion
+    * matrix of predicted vs DECLARED language (the fixture's `lang`
+    * column as ground truth), plus per-cell share of the declared
+    * class — precision/recall read straight off the matrix. The audit
+    * every heuristic filter needs before it gates a corpus.
+    *
+    * Scale shape: the per-doc prediction is the same map-only
+    * projection as [[languageId]]; the matrix is a ≤ |langs|² -group
+    * partial-merged aggregate. Nothing new shuffles.
+    */
+  def languageIdConfusion(docs: DataFrame): DataFrame = {
+    val toks = Tokenize.tokens(col("text"))
+    val withHits = docs.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        markers.map { case (l, ws) => hitCount(toks, ws).as(s"hits_$l") }): _*)
+    val best = greatest(markers.map(m => col(s"hits_${m._1}")): _*)
+    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(best > 0 && col(s"hits_$l") === best, l).otherwise(acc)
+    }
+    val cells = withHits.select(col("lang").as("true_lang"), pred.as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("true_lang")).agg(sum(col("n")).as("n_true"))
+    cells.join(broadcast(totals), "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6).as("share_of_true"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val languageIdConfusionSql: String = {
+    val hits = markers.map { case (l, ws) => s"${hitCountSql(ws)} AS hits_$l" }.mkString(", ")
+    val best = s"greatest(${markers.map(m => s"hits_${m._1}").mkString(", ")})"
+    val pred = markers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN best > 0 AND hits_$l = best THEN '$l' ELSE $acc END"
+    }
+    s"""WITH t AS (SELECT doc_id, lang, ${Tokenize.tokensSql("text")} AS tok FROM documents),
+       |h AS (SELECT doc_id, lang, $hits FROM t),
+       |b AS (SELECT *, $best AS best FROM h),
+       |cells AS (
+       |  SELECT lang AS true_lang, $pred AS pred_lang, count(*) AS n
+       |  FROM b GROUP BY 1, 2),
+       |totals AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1)
+       |SELECT c.true_lang, c.pred_lang, c.n,
+       |       round(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE), 6) AS share_of_true
+       |FROM cells c JOIN totals t ON c.true_lang = t.true_lang
+       |ORDER BY c.true_lang, c.pred_lang""".stripMargin
+  }
+
   /** Quality score: length/punctuation/stopword heuristics.
     *   n_tokens, mean token length, stopword ratio (en markers),
     *   alnum ratio; score = clamped weighted sum, rounded to 4 dp.
