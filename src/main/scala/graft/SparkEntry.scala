@@ -617,6 +617,25 @@ object SparkEntry {
     // the stream's first and second halves, 10 smoothed equal-width bins
     "quality_psi_drift" -> ((s, dir) => Profiling.psiDrift(t(s, dir, "events"))),
 
+    // KMV sketch inside watermarked streaming state: distinct users per
+    // finalized hour from k-bounded mergeable sketch state
+    "events_distinct_stream" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"distinct_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val q = Sketches.streamingApproxDistinct(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("ts"), col("event_type"), col("user_id")), 64)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_dstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("hour", "event_type")
+    }),
+
     // streaming sliding windows: append-mode 1h/30min windows over the
     // chunked replay equal the batch assignment on finalized windows
     "events_sliding_stream" -> ((s, dir) => {
@@ -1320,6 +1339,8 @@ object SparkEntry {
     "cdc_gdpr_purge" -> Scrub.gdprPurgeSql(clSql),
 
     "quality_psi_drift" -> Profiling.psiDriftSql,
+
+    "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
 
     "events_sliding_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),

@@ -364,6 +364,54 @@ object Sketches {
     * that reproducibility (vs. HLL's engine-private register layout) is
     * why KMV is the checkable choice here.
     */
+  /** The KMV sketch INSIDE a watermarked streaming aggregation: distinct
+    * users per finalized hourly window, estimated from k-bounded
+    * mergeable state. This is the sketch's real deployment shape — the
+    * streaming state per open (window, type) group is ≤ k longs instead
+    * of a distinct-user set, so state size is bounded by windows·k, not
+    * by traffic. Append mode emits each window once, when the watermark
+    * passes its end.
+    */
+  def streamingApproxDistinct(events: DataFrame, k: Int): DataFrame = {
+    KmvFunctions.register(events.sparkSession)
+    val h = PortableHash.tokenHash(col("user_id").cast("string"))
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(KmvFunctions.kmvMinHashes(h, k).as("sk"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        size(col("sk")).cast("long").as("sketch_size"),
+        round(
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              ((element_at(col("sk"), k).cast("double") + lit(1.0)) / lit(KmvFunctions.HashSpace))),
+          4).as("kmv_estimate"))
+  }
+
+  /** Oracle for [[streamingApproxDistinct]]: the batch KMV estimate per
+    * hourly window, restricted to watermark-finalized windows.
+    */
+  def streamingApproxDistinctSql(k: Int): String =
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events),
+       |h AS (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |ranked AS (
+       |  SELECT hour, event_type, h,
+       |         row_number() OVER (PARTITION BY hour, event_type ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT hour, event_type, count(*) AS sketch_size,
+       |         max(CASE WHEN rn = $k THEN h END) AS kth
+       |  FROM ranked WHERE rn <= $k GROUP BY 1, 2)
+       |SELECT hour, event_type, CAST(sketch_size AS BIGINT) AS sketch_size,
+       |       round(CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} / ((kth + 1.0) / ${KmvFunctions.HashSpace}) END, 4) AS kmv_estimate
+       |FROM sk, mx
+       |WHERE hour + INTERVAL 1 HOUR <= mx.mx - INTERVAL 2 HOUR
+       |ORDER BY hour, event_type""".stripMargin
+
   def approxDistinctUsersSql(k: Int): String =
     s"""WITH exact AS (
        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
