@@ -617,6 +617,10 @@ object SparkEntry {
     // the stream's first and second halves, 10 smoothed equal-width bins
     "quality_psi_drift" -> ((s, dir) => Profiling.psiDrift(t(s, dir, "events"))),
 
+    // Benford first-digit audit: observed vs log10(1+1/d) shares over
+    // order totals — the fabricated-data screen
+    "quality_benford" -> ((s, dir) => Profiling.benfordAudit(t(s, dir, "orders"))),
+
     // KMV sketch inside watermarked streaming state: distinct users per
     // finalized hour from k-bounded mergeable sketch state
     "events_distinct_stream" -> ((s, dir) => {
@@ -1341,6 +1345,8 @@ object SparkEntry {
     "quality_psi_drift" -> Profiling.psiDriftSql,
 
     "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
+
+    "quality_benford" -> Profiling.benfordAuditSql,
 
     "events_sliding_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),

@@ -105,6 +105,47 @@ object Profiling {
        |ORDER BY child_tbl, fk""".stripMargin
   }
 
+  /** Benford's-law first-digit audit over order totals — the classic
+    * fabricated-data screen: naturally-occurring amounts follow
+    * P(d) = log₁₀(1 + 1/d); synthetic or tampered ledgers don't. Output
+    * is the observed vs expected share per leading digit with absolute
+    * deviation — a data-quality artifact, not a verdict.
+    *
+    * Scale shape: one 9-group partial-merged aggregate; the total for
+    * shares is a window over the NINE digit rows. The leading digit is
+    * extracted from the BIGINT's decimal string (floor first — Spark's
+    * double→long cast truncates where DuckDB's rounds, the one cast the
+    * two engines disagree on).
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val v = floor(col("o_totalprice")).cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val byDigit = orders.filter(col("o_totalprice") >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    byDigit
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+      .withColumn("benford",
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 6))
+      .select(col("digit"), col("n"), col("share"), col("benford"),
+        round(abs(col("share") - col("benford")), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+      |SELECT digit, n,
+      |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+      |       round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS benford,
+      |       round(abs(round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+      |                 - round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)), 6) AS abs_dev
+      |FROM g ORDER BY digit""".stripMargin
+
   /** Distribution-drift audit: Population Stability Index of `value` per
     * event type between the first and second halves of the stream (split
     * at the midpoint event time). PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over 10
