@@ -594,6 +594,10 @@ object SparkEntry {
     "text_langid_confusion" -> ((s, dir) =>
       TextAnalysis.languageIdConfusion(t(s, dir, "documents"))),
 
+    // Zipf rank-frequency slope: corpus-statistics health check via the
+    // sufficient-statistics OLS over the tiny term-count frame
+    "text_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(t(s, dir, "documents"), 100)),
+
     // distributed OLS from sufficient statistics: per-brand price~quantity
     // slope in one scan of exact DECIMAL moments
     "part_price_slope" -> ((s, dir) =>
@@ -1335,6 +1339,8 @@ object SparkEntry {
     "events_active_users" -> Analytics.activeUsersSql,
 
     "text_langid_confusion" -> TextAnalysis.languageIdConfusionSql,
+
+    "text_zipf_fit" -> TextAnalysis.zipfFitSql(100),
 
     "part_price_slope" -> Analytics.priceSlopeSql,
 

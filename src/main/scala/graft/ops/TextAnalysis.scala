@@ -58,6 +58,50 @@ object TextAnalysis {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
+    * top terms — natural language sits near slope −1, and a corpus that
+    * doesn't is synthetic, templated, or mis-tokenized (here the fixture
+    * reports its 31-word vocabulary's shape honestly). Ranks come from a
+    * global ordered take of the tiny term-count frame (|vocab| rows, not
+    * corpus rows); the fit reuses the sufficient-statistics device of
+    * [[graft.ops.Analytics.priceSlope]] — regression is aggregation.
+    */
+  def zipfFit(docs: DataFrame, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(Tokenize.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val xy = counts.select(
+      log(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))).cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        round((col("n_terms").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("n_terms").cast("double") * col("sxx") - col("sx") * col("sx"),
+            lit(0.0)), 6).as("zipf_slope"))
+  }
+
+  def zipfFitSql(topN: Int): String =
+    s"""WITH tok AS (SELECT unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |counts AS (
+       |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+       |  ORDER BY cnt DESC, term LIMIT $topN),
+       |xy AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+       |         ln(CAST(cnt AS DOUBLE)) AS y
+       |  FROM counts),
+       |m AS (
+       |  SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM xy)
+       |SELECT n_terms,
+       |       round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |             / nullif(CAST(n_terms AS DOUBLE) * sxx - sx * sx, 0.0), 6) AS zipf_slope
+       |FROM m""".stripMargin
+
   /** Classifier-evaluation artifact for [[languageId]]: the confusion
     * matrix of predicted vs DECLARED language (the fixture's `lang`
     * column as ground truth), plus per-cell share of the declared
