@@ -791,6 +791,32 @@ object SparkEntry {
         .orderBy("user_id", "rank")
     }),
 
+    // the SAME heap aggregate as genuine streaming state: complete-mode
+    // aggregation over the chunked replay; the final emitted table equals
+    // the batch top-k (k-bounded buffers merge across micro-batches)
+    "events_topk_stream" -> ((s, dir) => {
+      import graft.functions.TopKFunctions
+      TopKFunctions.register(s)
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"topk_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .agg(TopKFunctions.topKByValue(col("value"), col("event_id"), 3).as("top"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_topkstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("user_id"), col("p.id").as("event_id"), col("p.value").as("value"),
+          (col("i") + 1).cast("long").as("rank"))
+        .orderBy("user_id", "rank")
+    }),
+
     // ---- Training-data pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -1420,6 +1446,15 @@ object SparkEntry {
       ("orders", "orders", "o_custkey", "customer", "customer", "c_custkey"),
       ("supplier", "supplier", "s_nationkey", "nation", "nation", "n_nationkey"))),
     "events_top3_agg" ->
+      """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE user_id < 20)
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    // complete-mode streaming top-k: the final emitted table IS the full
+    // aggregate, so the oracle is the batch top-k verbatim
+    "events_topk_stream" ->
       """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
         |  SELECT user_id, event_id, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank

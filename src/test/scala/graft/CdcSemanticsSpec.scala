@@ -152,4 +152,27 @@ class CdcSemanticsSpec extends SparkSpec {
     val got = ChangelogApply.materialize(df(events)).collect()
     assert(got.length == 1 && got(0).getDouble(5) == 42.0)
   }
+
+  test("snapshot diff: I/U/D/resurrect/unchanged classified against the mid-log cut") {
+    def ev(pk: Long, op: String, pos: Long, v: Double) =
+      ChangeEvent("t0", pk, op, new Timestamp(pos * 1000), pos, v)
+    // pos spans 0..10 → cut = 5
+    val events = Seq(
+      ev(1L, "I", 0L, 1.0), ev(1L, "U", 6L, 2.0),  // updated after cut → U
+      ev(2L, "I", 1L, 5.0), ev(2L, "D", 7L, 0.0),  // deleted after cut → D
+      ev(3L, "I", 8L, 7.0),                         // born after cut → I
+      ev(4L, "I", 2L, 9.0),                         // unchanged → absent
+      ev(5L, "I", 3L, 1.0), ev(5L, "D", 4L, 0.0), ev(5L, "I", 9L, 3.0), // dead at cut, resurrected → I
+      ev(6L, "U", 10L, 4.0))                        // only ever after cut → I
+    val got = ChangelogApply.snapshotDiff(df(events)).collect()
+      .map(r => r.getLong(1) -> (r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got == Map(
+      1L -> (("U", Some(1.0), Some(2.0))),
+      2L -> (("D", Some(5.0), None)),
+      3L -> (("I", None, Some(7.0))),
+      5L -> (("I", None, Some(3.0))),
+      6L -> (("I", None, Some(4.0)))), s"got $got")
+  }
 }
