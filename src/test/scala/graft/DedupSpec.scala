@@ -305,4 +305,34 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"prefix join must be lossless: got $got want $want")
     ops.Caches.releaseCaches()
   }
+
+  test("prefix-filter join: lossless on random corpora at multiple thresholds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random docs over a small token pool so overlap actually occurs
+    val pool = Vector.tabulate(25)(i => s"w$i")
+    val genDoc = Gen.chooseNum(12, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    def shingles(s: String): Set[Seq[String]] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.toSeq).toSet
+    for ((seed, t) <- Seq((1L, 0.5), (2L, 0.75), (3L, 0.25))) {
+      val texts = (0 until 12).flatMap(i =>
+        genDoc.apply(Gen.Parameters.default, Seed(seed * 100 + i))).toVector
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = ops.Dedup.prefixFilterJoin(docs.toDF("doc_id", "text"), t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, s) => id -> shingles(s) }.toMap
+      val want = (for {
+        x <- sets.keys; y <- sets.keys
+        if x < y && sets(x).nonEmpty && sets(y).nonEmpty
+        inter = (sets(x) & sets(y)).size
+        j = inter.toDouble / (sets(x).size + sets(y).size - inter)
+        if j >= t
+      } yield (x, y)).toSet
+      assert(got == want, s"seed=$seed t=$t: got $got want $want")
+      ops.Caches.releaseCaches()
+    }
+  }
 }
