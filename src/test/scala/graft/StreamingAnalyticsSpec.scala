@@ -177,4 +177,51 @@ class StreamingAnalyticsSpec extends SparkSpec {
       assert(batch == got.map(o => (o.purchase_id, o.click_id, o.lag_us)).toSeq)
     } finally q.stop()
   }
+
+  test("KMV streaming aggregation: sketch state survives checkpoint restart") {
+    import graft.ops.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_restart").toString
+    val chunks = s"$dir/chunks"
+    new java.io.File(chunks).mkdirs()
+    def hourTs(h: Long): Timestamp = new Timestamp(h * 3600000L)
+    def writeChunk(name: String, rows: Seq[(Timestamp, String, Long)]): Unit = {
+      rows.toDF("ts", "event_type", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp_$name")
+      val part = new java.io.File(s"$dir/tmp_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$chunks/$name.parquet"))
+    }
+    val emitted = new scala.collection.concurrent.TrieMap[(Timestamp, String), (Long, Double)]()
+    def run(): Unit = {
+      val schema = spark.read.parquet(chunks).schema
+      val q = Sketches.streamingApproxDistinct(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks), 64)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            emitted.put((r.getTimestamp(0), r.getString(1)),
+              (r.getLong(2), r.getDouble(3)))
+          }
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: hours 0-1 only — nothing finalizes (watermark = max - 2h)
+    writeChunk("c0", Seq(
+      (hourTs(0), "a", 1L), (hourTs(0), "a", 2L), (hourTs(0), "a", 3L),
+      (hourTs(1), "a", 3L), (hourTs(1), "a", 4L)))
+    run()
+    assert(emitted.isEmpty, s"no window should finalize yet: $emitted")
+    // run 2 from the SAME checkpoint: hour-4 data pushes the watermark to
+    // hour 2, finalizing hours 0 and 1 — whose distinct counts depend on
+    // sketch state recovered from run 1's checkpoint
+    writeChunk("c1", Seq((hourTs(4), "a", 9L)))
+    run()
+    assert(emitted.get((hourTs(0), "a")).contains((3L, 3.0)),
+      s"hour-0 sketch must recover users 1,2,3 from the checkpoint: $emitted")
+    assert(emitted.get((hourTs(1), "a")).contains((2L, 2.0)),
+      s"hour-1 sketch must recover users 3,4: $emitted")
+  }
 }
