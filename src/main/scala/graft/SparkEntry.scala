@@ -188,6 +188,12 @@ object SparkEntry {
     "cdc_view_maintenance" -> ((s, dir) =>
       ChangelogApply.viewMaintenance(changelog(s, dir))),
 
+    // delta-JOIN view maintenance: t0 x t1 pair products kept current
+    // from one pos-ordered stream via two carry-forward windows; per-key
+    // deltas telescope to the full-recompute audit
+    "cdc_join_view" -> ((s, dir) =>
+      ChangelogApply.joinViewMaintenance(changelog(s, dir))),
+
     // pt-table-checksum-style source<->target range reconciliation over a
     // deterministically drifted target (dropped pks + perturbed values)
     "cdc_reconcile_ranges" -> ((s, dir) => {
@@ -1100,6 +1106,8 @@ object SparkEntry {
       (ChangelogApply.materializeSql(clSql) + " ORDER BY tbl, pk"),
 
     "cdc_view_maintenance" -> ChangelogApply.viewMaintenanceSql(clSql),
+
+    "cdc_join_view" -> ChangelogApply.joinViewMaintenanceSql(clSql),
 
     "cdc_snapshot_diff" -> ChangelogApply.snapshotDiffSql(clSql),
 

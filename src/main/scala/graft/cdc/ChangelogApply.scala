@@ -445,6 +445,96 @@ object ChangelogApply {
       .orderBy(col("tbl"), col("chunk"))
   }
 
+  /** Incremental JOIN-view maintenance — the delta-join, the genuinely
+    * hard half of IVM (single-table aggregates telescope trivially —
+    * [[viewMaintenance]]; a JOIN's delta needs the OTHER side's value as
+    * of each change). Maintains `SELECT t0.v * t1.v` for the 1:1 pairing
+    * of t0/t1 rows under the household key jk = pk div 4, processing both
+    * tables' events as ONE pos-ordered stream per jk: two carry-forward
+    * windows track each side's latest (op, value), the pair contribution
+    * recomputes at every event (0 while either side is absent or dead),
+    * and per-jk deltas TELESCOPE to the final contribution — asserted
+    * in-result against the full recompute (join of LWW states).
+    *
+    * Scale shape: one (jk) shuffle carries both windows and the lag (same
+    * key, one sort); the audit join is per-jk. At 100 TB a micro-batch
+    * touches O(batch) jks — the view is never re-joined from scratch.
+    */
+  def joinViewMaintenance(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("jk")).orderBy(col("pos"))
+    val dv = col("value").cast("decimal(18,2)")
+    val zero = lit(0).cast("decimal(37,4)")
+    val carried = changelog.filter(col("tbl").isin("t0", "t1"))
+      .withColumn("jk", expr("pk div 4"))
+      .withColumn("s0_op", last(when(col("tbl") === "t0", col("op")), ignoreNulls = true).over(w))
+      .withColumn("s0_v", last(when(col("tbl") === "t0", dv), ignoreNulls = true).over(w))
+      .withColumn("s1_op", last(when(col("tbl") === "t1", col("op")), ignoreNulls = true).over(w))
+      .withColumn("s1_v", last(when(col("tbl") === "t1", dv), ignoreNulls = true).over(w))
+      .withColumn("c",
+        when(col("s0_op").isNotNull && col("s0_op") =!= "D" &&
+          col("s1_op").isNotNull && col("s1_op") =!= "D",
+          col("s0_v") * col("s1_v")).otherwise(zero))
+      .withColumn("delta", col("c") - coalesce(lag(col("c"), 1).over(w), zero))
+    val maintained = carried.groupBy(col("jk"))
+      .agg(sum(col("delta")).cast("double").as("maintained_product"))
+    val st = materialize(changelog.filter(col("tbl").isin("t0", "t1")))
+      .withColumn("jk", expr("pk div 4"))
+    val full = st.groupBy(col("jk"))
+      .agg(coalesce(
+        max(when(col("tbl") === "t0", dv)) * max(when(col("tbl") === "t1", dv)),
+        lit(0).cast("decimal(37,4)")).cast("double").as("full_product"))
+    maintained.join(full, Seq("jk"), "full_outer")
+      .select(col("jk"),
+        coalesce(col("maintained_product"), lit(0.0)).as("maintained_product"),
+        coalesce(col("full_product"), lit(0.0)).as("full_product"))
+      .withColumn("consistent", col("maintained_product") === col("full_product"))
+      .orderBy("jk")
+  }
+
+  /** Oracle SQL for [[joinViewMaintenance]] given a changelog CTE body. */
+  def joinViewMaintenanceSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |ev AS (
+       |  SELECT tbl, pk, op, pos, pk // 4 AS jk, CAST(value AS DECIMAL(18,2)) AS dv
+       |  FROM cl WHERE tbl IN ('t0', 't1')),
+       |car AS (
+       |  SELECT jk, pos,
+       |    last_value(CASE WHEN tbl = 't0' THEN op END IGNORE NULLS) OVER w AS s0_op,
+       |    last_value(CASE WHEN tbl = 't0' THEN dv END IGNORE NULLS) OVER w AS s0_v,
+       |    last_value(CASE WHEN tbl = 't1' THEN op END IGNORE NULLS) OVER w AS s1_op,
+       |    last_value(CASE WHEN tbl = 't1' THEN dv END IGNORE NULLS) OVER w AS s1_v
+       |  FROM ev WINDOW w AS (PARTITION BY jk ORDER BY pos)),
+       |cc AS (
+       |  SELECT jk, pos,
+       |    CASE WHEN s0_op IS NOT NULL AND s0_op <> 'D'
+       |          AND s1_op IS NOT NULL AND s1_op <> 'D'
+       |         THEN s0_v * s1_v ELSE CAST(0 AS DECIMAL(36,4)) END AS c
+       |  FROM car),
+       |d AS (
+       |  SELECT jk,
+       |         c - coalesce(lag(c) OVER (PARTITION BY jk ORDER BY pos),
+       |                      CAST(0 AS DECIMAL(36,4))) AS delta
+       |  FROM cc),
+       |maint AS (SELECT jk, CAST(sum(delta) AS DOUBLE) AS maintained_product FROM d GROUP BY jk),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cl WHERE tbl IN ('t0', 't1')),
+       |st AS (
+       |  SELECT tbl, pk // 4 AS jk, CAST(value AS DECIMAL(18,2)) AS dv
+       |  FROM ranked WHERE rn = 1 AND op <> 'D'),
+       |fullv AS (
+       |  SELECT jk,
+       |    CAST(coalesce(max(CASE WHEN tbl = 't0' THEN dv END)
+       |                  * max(CASE WHEN tbl = 't1' THEN dv END),
+       |                  CAST(0 AS DECIMAL(36,4))) AS DOUBLE) AS full_product
+       |  FROM st GROUP BY jk)
+       |SELECT coalesce(m.jk, f.jk) AS jk,
+       |       coalesce(m.maintained_product, 0.0) AS maintained_product,
+       |       coalesce(f.full_product, 0.0) AS full_product,
+       |       coalesce(m.maintained_product, 0.0) = coalesce(f.full_product, 0.0) AS consistent
+       |FROM maint m FULL OUTER JOIN fullv f ON m.jk = f.jk
+       |ORDER BY jk""".stripMargin
+
   /** Snapshot diff: the state-level change set between two positions of
     * the same changelog — what a consumer that snapshotted at `cut` must
     * apply to catch up to head (reference: the snapshot→catchup handoff,
