@@ -881,6 +881,11 @@ object SparkEntry {
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 32, 2)),
+    // inverted-list balance: the skew number probe latency is sized by
+    "ann_ivf_balance" -> ((s, dir) => Similarity.ivfBalance(t(s, dir, "embeddings"), 32)),
+    // PIVOT cross-tab: nation x order-priority revenue in one pass
+    "q_pivot_revenue" -> ((s, dir) =>
+      Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
     "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 32, 0.3)),
     // SemDeDup-style cluster curation artifact: IVF cells x text signals
     "emb_cluster_profile" -> ((s, dir) =>
@@ -1493,6 +1498,8 @@ object SparkEntry {
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
+    "ann_ivf_balance" -> Similarity.ivfBalanceSql(32),
+    "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,

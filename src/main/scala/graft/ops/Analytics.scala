@@ -1338,6 +1338,42 @@ object Analytics {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $topN""".stripMargin
 
+  /** Relational PIVOT: revenue per nation cross-tabulated by order
+    * priority. Spark's `pivot(col, values)` with the value list GIVEN
+    * compiles to one conditional-aggregate pass — no extra distinct-scan
+    * to discover columns, no Expand: exactly the CASE-sum matrix the
+    * oracle writes by hand, with map-side partials. Dimension side
+    * broadcasts; absent cells stay NULL in both engines.
+    */
+  /** (priority value, bare-identifier column name) — the compare layer
+    * re-selects columns unquoted, so pivot output must avoid `-`/spaces.
+    */
+  private val pivotPriorities = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  def pivotRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val pivoted = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("o_orderpriority", pivotPriorities.map(_._1))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    pivotPriorities.foldLeft(pivoted) { case (df, (v, n)) => df.withColumnRenamed(v, n) }
+      .orderBy("n_name")
+  }
+
+  val pivotRevenueSql: String = {
+    val cells = pivotPriorities
+      .map { case (p, n) => s"""CAST(sum(CASE WHEN o_orderpriority = '$p'
+                   |            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $n""".stripMargin }
+      .mkString(",\n  ")
+    s"""SELECT n_name,
+       |  $cells
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |            JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
   /** Debounce: keep the first event of each burst — a burst continues
     * while consecutive events of the same (user, type) arrive within the
     * gap (trailing-edge rule: each event compares to its immediate

@@ -856,4 +856,33 @@ object Similarity {
       |       max(round((d.x - s.mean_raw) / nullif(s.sd_raw, 0.0), 6)) AS max_z
       |FROM dims d JOIN derived s ON d.dim = s.dim
       |GROUP BY d.dim ORDER BY d.dim""".stripMargin
+
+  /** Inverted-list balance audit: the number IVF serving capacity is
+    * actually sized by — a skewed cell bounds worst-case probe latency
+    * and single-node list storage regardless of the average. One cell
+    * aggregate + a one-row summary: occupied cells, largest/smallest
+    * list, and max/mean imbalance (1.0 = perfectly level).
+    */
+  def ivfBalance(emb: DataFrame, nlist: Int): DataFrame = {
+    val e = prepared(emb)
+    val sizes = cellAssignments(e, centroids(e, nlist))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_nonempty_cells"),
+      sum(col("n")).as("n_vectors"),
+      max(col("n")).as("max_cell"),
+      min(col("n")).as("min_cell"),
+      round(max(col("n")).cast("double") * lit(nlist.toDouble) /
+        sum(col("n")).cast("double"), 6).as("imbalance"))
+  }
+
+  def ivfBalanceSql(nlist: Int): String =
+    s"""WITH ${cellSql(nlist)},
+       |sizes AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+       |SELECT count(*) AS n_nonempty_cells,
+       |       CAST(sum(n) AS BIGINT) AS n_vectors,
+       |       max(n) AS max_cell, min(n) AS min_cell,
+       |       round(CAST(max(n) AS DOUBLE) * ${nlist.toDouble}
+       |             / CAST(sum(n) AS DOUBLE), 6) AS imbalance
+       |FROM sizes""".stripMargin
 }
