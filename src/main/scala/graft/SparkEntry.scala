@@ -886,6 +886,11 @@ object SparkEntry {
     // PIVOT cross-tab: nation x order-priority revenue in one pass
     "q_pivot_revenue" -> ((s, dir) =>
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
+    // weekday seasonality with engine-portable epoch-day dow arithmetic
+    "events_weekday_profile" -> ((s, dir) => Analytics.weekdayProfile(t(s, dir, "events"))),
+    // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
+    "supplier_pareto" -> ((s, dir) =>
+      Analytics.supplierPareto(t(s, dir, "lineitem"), t(s, dir, "supplier"), 50)),
     "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 32, 0.3)),
     // SemDeDup-style cluster curation artifact: IVF cells x text signals
     "emb_cluster_profile" -> ((s, dir) =>
@@ -1500,6 +1505,8 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
     "ann_ivf_balance" -> Similarity.ivfBalanceSql(32),
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
+    "events_weekday_profile" -> Analytics.weekdayProfileSql,
+    "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,

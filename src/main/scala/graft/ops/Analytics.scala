@@ -1338,6 +1338,73 @@ object Analytics {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $topN""".stripMargin
 
+  /** Weekday seasonality profile: event volume and value by day-of-week.
+    * The dow index is pure epoch-day arithmetic ((day + 3) mod 7, 0 =
+    * Monday — epoch day 0 was a Thursday) because the engines' dayofweek
+    * builtins disagree on anchoring (Spark: Sunday=1; DuckDB: Sunday=0).
+    * One 7-group partial-merged aggregate; shares window over 7 rows.
+    */
+  def weekdayProfile(events: DataFrame): DataFrame = {
+    val dayNum = expr("unix_micros(date_trunc('DAY', ts)) div 86400000000")
+    val w = Window.partitionBy()
+    events
+      .groupBy(((dayNum + lit(3L)) % 7L).as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .withColumn("share",
+        round(col("n_events").cast("double") / sum(col("n_events")).over(w).cast("double"), 6))
+      .orderBy("dow")
+  }
+
+  val weekdayProfileSql: String =
+    """WITH g AS (
+      |  SELECT (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1)
+      |SELECT dow, n_events, sum_value,
+      |       round(CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE), 6) AS share
+      |FROM g ORDER BY dow""".stripMargin
+
+  /** Pareto concentration: suppliers ranked by revenue with cumulative
+    * share — the 80/20 audit that decides whether a mitigation (or a
+    * sales strategy) targets heads or tails. Revenue partial-aggregates
+    * per supplier first, so the ranking window sorts |suppliers| rows,
+    * never lineitems; cumulative sums stay in DECIMAL until the edge.
+    */
+  def supplierPareto(lineitem: DataFrame, supplier: DataFrame, topN: Int): DataFrame = {
+    val rev = lineitem.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+    val byRev = Window.orderBy(col("rev").desc, col("s_suppkey"))
+    val all = Window.partitionBy()
+    rev
+      .withColumn("rank", row_number().over(byRev))
+      .withColumn("cum_share",
+        round(sum(col("rev")).over(byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / sum(col("rev")).over(all).cast("double"), 6))
+      .filter(col("rank") <= topN)
+      .select(col("rank").cast("long").as("rank"), col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("revenue"), col("cum_share"))
+      .orderBy("rank")
+  }
+
+  def supplierParetoSql(topN: Int): String =
+    s"""WITH rev AS (
+       |  SELECT s_suppkey, s_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY s_suppkey, s_name),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rank,
+       |    round(CAST(sum(rev) OVER (ORDER BY rev DESC, s_suppkey
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |          / CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+       |  FROM rev)
+       |SELECT CAST(rank AS BIGINT) AS rank, s_suppkey, s_name,
+       |       CAST(rev AS DOUBLE) AS revenue, cum_share
+       |FROM r WHERE rank <= $topN ORDER BY rank""".stripMargin
+
   /** Relational PIVOT: revenue per nation cross-tabulated by order
     * priority. Spark's `pivot(col, values)` with the value list GIVEN
     * compiles to one conditional-aggregate pass — no extra distinct-scan
