@@ -194,6 +194,10 @@ object SparkEntry {
     "cdc_join_view" -> ((s, dir) =>
       ChangelogApply.joinViewMaintenance(changelog(s, dir))),
 
+    // liveness: inter-event gap stats per table (heartbeat monitoring)
+    "cdc_heartbeat_gaps" -> ((s, dir) =>
+      ChangelogApply.heartbeatGaps(changelog(s, dir))),
+
     // pt-table-checksum-style source<->target range reconciliation over a
     // deterministically drifted target (dropped pks + perturbed values)
     "cdc_reconcile_ranges" -> ((s, dir) => {
@@ -1118,6 +1122,8 @@ object SparkEntry {
     "cdc_view_maintenance" -> ChangelogApply.viewMaintenanceSql(clSql),
 
     "cdc_join_view" -> ChangelogApply.joinViewMaintenanceSql(clSql),
+
+    "cdc_heartbeat_gaps" -> ChangelogApply.heartbeatGapsSql(clSql),
 
     "cdc_snapshot_diff" -> ChangelogApply.snapshotDiffSql(clSql),
 

@@ -445,6 +445,41 @@ object ChangelogApply {
       .orderBy(col("tbl"), col("chunk"))
   }
 
+  /** Liveness audit: inter-event gap statistics per table — the signal a
+    * heartbeat monitor alarms on (a table whose max gap dwarfs its mean
+    * has stalls; one whose last gap is the max is stalling NOW). One lag
+    * window on the (tbl) shuffle, integral µs arithmetic, partial-merged
+    * summary.
+    */
+  def heartbeatGaps(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("tbl")).orderBy(col("pos"))
+    changelog
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_us", greatest(col("gap_us"), lit(0L)))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us")).cast("double") /
+          expr("nullif(CAST(count(1) AS DOUBLE), 0.0D)"), 2).as("mean_gap_us"))
+      .orderBy("tbl")
+  }
+
+  /** Oracle SQL for [[heartbeatGaps]] given a changelog CTE body. */
+  def heartbeatGapsSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |raw AS (
+       |  SELECT tbl,
+       |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY tbl ORDER BY pos) AS raw_gap
+       |  FROM cl),
+       |g AS (
+       |  SELECT tbl, greatest(raw_gap, 0) AS gap_us
+       |  FROM raw WHERE raw_gap IS NOT NULL)
+       |SELECT tbl, count(*) AS n_gaps,
+       |       max(gap_us) AS max_gap_us,
+       |       round(CAST(sum(gap_us) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0), 2) AS mean_gap_us
+       |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin
+
   /** Incremental JOIN-view maintenance — the delta-join, the genuinely
     * hard half of IVM (single-table aggregates telescope trivially —
     * [[viewMaintenance]]; a JOIN's delta needs the OTHER side's value as
