@@ -66,6 +66,16 @@ object SparkEntry {
   /** Changelog CTE shared by every CDC oracle. */
   private val clSql = Normalizer.normalizeSql
 
+  /** Shared top-3-per-user oracle: the window formulation, the heap
+    * aggregate, and its complete-mode streaming run must all equal it.
+    */
+  private val top3Sql: String =
+    """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+      |  FROM events WHERE user_id < 20)
+      |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+
   /** Decoded WIDE changelog CTE (multi-column row images). */
   private val wideClSql = Normalizer.normalizeWideSql
 
@@ -1352,6 +1362,10 @@ object SparkEntry {
         |WHERE se.sid < l.last_sid OR se.end_ms + 1800000 < mx.mx - 7200000
         |ORDER BY se.user_id, se.start_ms""".stripMargin,
 
+    // Spark tracks the event-time watermark in MILLISECONDS (max event
+    // time truncated to ms, minus the delay) — the finalization cut in
+    // every streaming-window oracle must truncate the same way or a
+    // sub-ms-aligned max ts flips a boundary window between engines.
     "events_hourly_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),
         |w AS (
@@ -1360,7 +1374,8 @@ object SparkEntry {
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY 1, 2)
         |SELECT w.hour, w.event_type, w.n_events, w.sum_value FROM w, mx
-        |WHERE w.hour + INTERVAL 1 HOUR <= mx.mx - INTERVAL 2 HOUR
+        |WHERE epoch_us(w.hour) + 3600000000
+        |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
         |ORDER BY w.hour, w.event_type""".stripMargin,
 
     "cdc_op_stats" ->
@@ -1416,7 +1431,7 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w, mx
-        |WHERE w_us + 3600000000 <= epoch_us(mx.mx) - 7200000000
+        |WHERE w_us + 3600000000 <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
         |GROUP BY w_us ORDER BY w_start""".stripMargin,
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_transitions" -> Analytics.markovTransitionsSql,
@@ -1469,21 +1484,11 @@ object SparkEntry {
       ("nation", "nation", "n_regionkey", "region", "region", "r_regionkey"),
       ("orders", "orders", "o_custkey", "customer", "customer", "c_custkey"),
       ("supplier", "supplier", "s_nationkey", "nation", "nation", "n_nationkey"))),
-    "events_top3_agg" ->
-      """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
-        |  FROM events WHERE user_id < 20)
-        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "events_top3_agg" -> top3Sql,
 
     // complete-mode streaming top-k: the final emitted table IS the full
     // aggregate, so the oracle is the batch top-k verbatim
-    "events_topk_stream" ->
-      """SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank FROM (
-        |  SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
-        |  FROM events WHERE user_id < 20)
-        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "events_topk_stream" -> top3Sql,
 
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),

@@ -1489,8 +1489,9 @@ object Analytics {
     * Scale shape: session ids ride the user_id shuffle (running sum over
     * the same key), the trigram window partitions by (user_id, sid) —
     * a superset of the user_id clustering, so NO second exchange forms;
-    * the distinct-session count packs (user, sid) into one BIGINT and
-    * partial-aggregates; top-N is an ordered take. Tie-break on path.
+    * the distinct-session key is the session's first event_id (globally
+    * unique, collision-free at any scale) and partial-aggregates; top-N
+    * is an ordered take. Tie-break on path.
     */
   def topSessionPaths(events: DataFrame, topN: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -1503,11 +1504,14 @@ object Analytics {
       .withColumn("sid", sum(col("new_session")).over(byUser))
       .withColumn("t2", lead(col("event_type"), 1).over(bySession))
       .withColumn("t3", lead(col("event_type"), 2).over(bySession))
+      // session key = the session's first event_id: globally unique with
+      // NO packing radix to overflow (a radix-packed (user, sid) key
+      // would silently collide once a user exceeds the radix)
+      .withColumn("skey",
+        min(col("event_id")).over(Window.partitionBy(col("user_id"), col("sid"))))
       .filter(col("t2").isNotNull && col("t3").isNotNull)
-      // session key packs into one BIGINT (sids are bounded by a user's
-      // own event count — far under the 100000 packing radix)
       .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"),
-        (col("user_id") * lit(100000L) + col("sid")).as("skey"))
+        col("skey"))
       .groupBy(col("path"))
       .agg(count_distinct(col("skey")).as("n_sessions"),
         count(lit(1)).as("n_occurrences"))
@@ -1669,7 +1673,7 @@ object Analytics {
        |                   lead(event_type, 2) OVER ws) AS path,
        |         lead(event_type, 1) OVER ws AS t2,
        |         lead(event_type, 2) OVER ws AS t3,
-       |         user_id * 100000 + sid AS skey
+       |         min(event_id) OVER (PARTITION BY user_id, sid) AS skey
        |  FROM s WINDOW ws AS (PARTITION BY user_id, sid ORDER BY event_id))
        |SELECT path, count(DISTINCT skey) AS n_sessions, count(*) AS n_occurrences
        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL

@@ -409,7 +409,8 @@ object Sketches {
        |       round(CASE WHEN sketch_size < $k THEN CAST(sketch_size AS DOUBLE)
        |             ELSE ${(k - 1).toDouble} / ((kth + 1.0) / ${KmvFunctions.HashSpace}) END, 4) AS kmv_estimate
        |FROM sk, mx
-       |WHERE hour + INTERVAL 1 HOUR <= mx.mx - INTERVAL 2 HOUR
+       |WHERE epoch_us(hour) + 3600000000
+       |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
        |ORDER BY hour, event_type""".stripMargin
 
   def approxDistinctUsersSql(k: Int): String =
