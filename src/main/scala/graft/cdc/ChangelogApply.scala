@@ -499,12 +499,21 @@ object ChangelogApply {
     val w = Window.partitionBy(col("jk")).orderBy(col("pos"))
     val dv = col("value").cast("decimal(18,2)")
     val zero = lit(0).cast("decimal(37,4)")
+    // pre-project the side markers, then apply all four carries in ONE
+    // select: interleaved withColumns wrap each window input in its own
+    // projection, which blocks window collapsing — Spark planned FIVE
+    // Window operators (5 per-partition passes) for what is one spec
     val carried = changelog.filter(col("tbl").isin("t0", "t1"))
-      .withColumn("jk", expr("pk div 4"))
-      .withColumn("s0_op", last(when(col("tbl") === "t0", col("op")), ignoreNulls = true).over(w))
-      .withColumn("s0_v", last(when(col("tbl") === "t0", dv), ignoreNulls = true).over(w))
-      .withColumn("s1_op", last(when(col("tbl") === "t1", col("op")), ignoreNulls = true).over(w))
-      .withColumn("s1_v", last(when(col("tbl") === "t1", dv), ignoreNulls = true).over(w))
+      .select(expr("pk div 4").as("jk"), col("pos"),
+        when(col("tbl") === "t0", col("op")).as("m0_op"),
+        when(col("tbl") === "t0", dv).as("m0_v"),
+        when(col("tbl") === "t1", col("op")).as("m1_op"),
+        when(col("tbl") === "t1", dv).as("m1_v"))
+      .select(col("jk"), col("pos"),
+        last(col("m0_op"), ignoreNulls = true).over(w).as("s0_op"),
+        last(col("m0_v"), ignoreNulls = true).over(w).as("s0_v"),
+        last(col("m1_op"), ignoreNulls = true).over(w).as("s1_op"),
+        last(col("m1_v"), ignoreNulls = true).over(w).as("s1_v"))
       .withColumn("c",
         when(col("s0_op").isNotNull && col("s0_op") =!= "D" &&
           col("s1_op").isNotNull && col("s1_op") =!= "D",

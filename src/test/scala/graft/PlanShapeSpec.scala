@@ -394,6 +394,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sliding windows must not self-join:\n$p")
   }
 
+  test("pivot: conditional-aggregate pass with the value list given — no Expand, one scan each") {
+    val p = plan("q_pivot_revenue")
+    assert(!p.contains("Expand ["),
+      s"pivot with explicit values must compile to conditional aggregates, not Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 3,
+      s"each of orders/customer/nation must scan exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+  }
+
+  test("pareto: revenue partial-aggregates per supplier BEFORE the ranking window") {
+    val p = plan("supplier_pareto")
+    val lines = p.linesIterator.toVector
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val lastAgg = lines.lastIndexWhere(_.contains("partial_sum"))
+    // executed plans print top-down: the per-supplier aggregate must sit
+    // BELOW (after, in print order) the global ranking window — i.e. the
+    // window consumes aggregated suppliers, never raw lineitems
+    assert(firstWindow >= 0 && lastAgg > firstWindow,
+      s"ranking window must consume per-supplier partials:\n$p")
+  }
+
+  test("join view: carry-forward windows and lag ride ONE (jk) sort order") {
+    val p = plan("cdc_join_view")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"maintenance must never cross-join:\n$p")
+    // all four carried columns + the lag pack into at most two jk-keyed
+    // Window OPERATORS (carry chain + lag-over-c), and the maintained
+    // side plus the full-recompute side each shuffle on jk exactly once
+    val wops = p.linesIterator.count(l => l.contains("Window [") && l.contains("windowspecdefinition(jk"))
+    assert(wops <= 2, s"carried sides must share jk window operators (got $wops):\n$p")
+    val jkExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(jk"))
+    assert(jkExchanges <= 2, s"one jk shuffle per side at most (got $jkExchanges):\n$p")
+  }
+
   test("k-anonymity: one Expand serves the whole rollup ladder") {
     val p = plan("quality_k_anonymity")
     assert(p.linesIterator.count(_.contains("Expand [")) == 1,
