@@ -609,6 +609,10 @@ object SparkEntry {
     // into constant-length trailing windows, conditional DISTINCT counts
     "events_active_users" -> ((s, dir) => Analytics.activeUsers(t(s, dir, "events"))),
 
+    // churn rate per signup-week cohort: one per-user endpoint aggregate
+    // against a broadcast horizon — completes the engagement quartet
+    "events_cohort_churn" -> ((s, dir) => Analytics.cohortChurn(t(s, dir, "events"), 14)),
+
     // language-ID confusion matrix vs the declared lang ground truth —
     // the precision/recall audit before the heuristic gates a corpus
     "text_langid_confusion" -> ((s, dir) =>
@@ -1402,6 +1406,8 @@ object SparkEntry {
     "events_cohort_ltv" -> Analytics.cohortLtvSql,
 
     "events_active_users" -> Analytics.activeUsersSql,
+
+    "events_cohort_churn" -> Analytics.cohortChurnSql(14),
 
     "text_langid_confusion" -> TextAnalysis.languageIdConfusionSql,
 

@@ -1566,6 +1566,43 @@ object Analytics {
       |       round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
       |FROM agg WHERE dau > 0 ORDER BY day""".stripMargin
 
+  /** Churn by signup cohort: users whose last activity predates the
+    * stream horizon by more than the inactivity window are churned; the
+    * rate per signup-week cohort completes the actives/retention/LTV
+    * engagement quartet. One (user) aggregate carries BOTH endpoints
+    * (min ts = cohort, max ts = last touch), the horizon is a one-row
+    * broadcast, and the cohort rollup partial-merges — no joins against
+    * event rows.
+    */
+  def cohortChurn(events: DataFrame, inactiveDays: Int): DataFrame = {
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("h_us"))
+    val users = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(unix_micros(col("ts"))).as("last_us"))
+    users.crossJoin(broadcast(horizon))
+      .select(
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        (col("last_us") < col("h_us") - lit(inactiveDays * 86400000000L)).cast("long").as("churned"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double") / col("n_users").cast("double"), 6))
+      .orderBy("cohort_week")
+  }
+
+  def cohortChurnSql(inactiveDays: Int): String =
+    s"""WITH h AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+       |users AS (
+       |  SELECT user_id, min(ts) AS first_ts, max(epoch_us(ts)) AS last_us
+       |  FROM events GROUP BY user_id),
+       |flags AS (
+       |  SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       |         CASE WHEN last_us < h.h_us - ${inactiveDays * 86400000000L} THEN 1 ELSE 0 END AS churned
+       |  FROM users, h)
+       |SELECT cohort_week, count(*) AS n_users,
+       |       CAST(sum(churned) AS BIGINT) AS n_churned,
+       |       round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS churn_rate
+       |FROM flags GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
+
   /** Cohort lifetime value: per signup-week cohort, the CUMULATIVE value
     * per surviving user by cohort age — [[retention]]'s counting matrix
     * upgraded to the revenue integral a growth model fits against.
