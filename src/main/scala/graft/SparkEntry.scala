@@ -901,6 +901,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(t(s, dir, "embeddings"), 8, 5, 32, 2)),
     // inverted-list balance: the skew number probe latency is sized by
     "ann_ivf_balance" -> ((s, dir) => Similarity.ivfBalance(t(s, dir, "embeddings"), 32)),
+    // recall-vs-nprobe tuning curve: what another probe width buys
+    "ann_nprobe_sweep" -> ((s, dir) =>
+      Similarity.ivfNprobeSweep(t(s, dir, "embeddings"), 8, 5, 32, Seq(1, 2, 4, 8))),
     // PIVOT cross-tab: nation x order-priority revenue in one pass
     "q_pivot_revenue" -> ((s, dir) =>
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
@@ -1521,6 +1524,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),
     "ann_ivf_balance" -> Similarity.ivfBalanceSql(32),
+    "ann_nprobe_sweep" -> Similarity.ivfNprobeSweepSql(8, 5, 32, Seq(1, 2, 4, 8)),
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "supplier_pareto" -> Analytics.supplierParetoSql(50),

@@ -857,6 +857,30 @@ object Similarity {
       |FROM dims d JOIN derived s ON d.dim = s.dim
       |GROUP BY d.dim ORDER BY d.dim""".stripMargin
 
+  /** Recall-vs-nprobe TUNING CURVE: mean recall@k across the query
+    * workload at each probe width — the actual artifact an operator
+    * reads to pick nprobe (a single-point audit says where you are; the
+    * curve says what another probe buys). Declarative union of the
+    * per-nprobe audits; each branch shares the same bounded centroid
+    * relation, and all stay k·|Q|-row computations.
+    */
+  def ivfNprobeSweep(emb: DataFrame, nQueries: Int, k: Int,
+                     nlist: Int, nprobes: Seq[Int]): DataFrame =
+    nprobes.map { np =>
+      ivfRecallAudit(emb, nQueries, k, nlist, np)
+        .agg(round(avg(col("recall")), 6).as("mean_recall"),
+          min(col("recall")).as("min_recall"))
+        .select(lit(np).cast("int").as("nprobe"), col("mean_recall"), col("min_recall"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
+
+  def ivfNprobeSweepSql(nQueries: Int, k: Int, nlist: Int, nprobes: Seq[Int]): String =
+    nprobes.map { np =>
+      s"""SELECT CAST($np AS INTEGER) AS nprobe,
+         |       round(avg(recall), 6) AS mean_recall,
+         |       min(recall) AS min_recall
+         |FROM (${ivfRecallAuditSql(nQueries, k, nlist, np)})""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
+
   /** Inverted-list balance audit: the number IVF serving capacity is
     * actually sized by — a skewed cell bounds worst-case probe latency
     * and single-node list storage regardless of the average. One cell
