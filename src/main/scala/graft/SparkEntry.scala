@@ -909,6 +909,8 @@ object SparkEntry {
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
     // weekday seasonality with engine-portable epoch-day dow arithmetic
     "events_weekday_profile" -> ((s, dir) => Analytics.weekdayProfile(t(s, dir, "events"))),
+    // exact equi-depth deciles (ntile) beside the sketch quantile path
+    "events_value_deciles" -> ((s, dir) => Analytics.valueDeciles(t(s, dir, "events"))),
     // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
     "supplier_pareto" -> ((s, dir) =>
       Analytics.supplierPareto(t(s, dir, "lineitem"), t(s, dir, "supplier"), 50)),
@@ -1527,6 +1529,7 @@ object SparkEntry {
     "ann_nprobe_sweep" -> Similarity.ivfNprobeSweepSql(8, 5, 32, Seq(1, 2, 4, 8)),
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
+    "events_value_deciles" -> Analytics.valueDecilesSql,
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),

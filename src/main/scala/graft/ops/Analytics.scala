@@ -1338,6 +1338,33 @@ object Analytics {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $topN""".stripMargin
 
+  /** Exact equi-depth deciles per event type via ntile — the windowed
+    * ranking semantics audit beside the bounded-sketch quantile path
+    * ([[graft.ops.Sketches]]): exact deciles need a per-type sort (the
+    * declared scale tradeoff; the sketch is the 100 TB path), but tie
+    * handling and bucket boundaries are bit-deterministic here because
+    * the total order (value, event_id) is unique. Raw min/max per bucket
+    * carry untouched doubles — no arithmetic to diverge on.
+    */
+  def valueDeciles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("event_type", "decile")
+  }
+
+  val valueDecilesSql: String =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      |  FROM events)
+      |SELECT event_type, CAST(decile AS INTEGER) AS decile,
+      |       count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Weekday seasonality profile: event volume and value by day-of-week.
     * The dow index is pure epoch-day arithmetic ((day + 3) mod 7, 0 =
     * Monday — epoch day 0 was a Thursday) because the engines' dayofweek
