@@ -171,8 +171,12 @@ object Scrub {
     */
   def gdprPurge(changelog: DataFrame): DataFrame = {
     val flagged = col("pk") % 131 === 17
+    // integral cents key, NOT a decimal-cast string: floor(value * 100) is
+    // IEEE-identical in Spark and DuckDB, whereas double→DECIMAL(18,2)
+    // tie-rounds differently (Spark HALF_UP on the shortest decimal repr,
+    // DuckDB binary-double scaling) and diverges on .xx5-landing values
     val rowHash = graft.functions.PortableHash.tokenHash(
-      concat_ws("|", col("pk"), col("pos"), col("value").cast("decimal(18,2)")))
+      concat_ws("|", col("pk"), col("pos"), floor(col("value") * 100).cast("long")))
       .cast("decimal(38,0)")
     val ev = changelog.groupBy(col("tbl")).agg(
       count(lit(1)).as("n_events"),
@@ -188,7 +192,7 @@ object Scrub {
   /** Oracle SQL for [[gdprPurge]] given a changelog CTE body. */
   def gdprPurgeSql(clCte: String): String = {
     val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
-      "CAST(value AS DECIMAL(18,2)))), 1, 15)) AS BIGINT)"
+      "CAST(floor(value * 100) AS BIGINT))), 1, 15)) AS BIGINT)"
     s"""WITH cl AS ($clCte),
        |ev AS (
        |  SELECT tbl, count(*) AS n_events,

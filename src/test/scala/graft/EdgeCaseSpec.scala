@@ -110,4 +110,44 @@ class EdgeCaseSpec extends SparkSpec {
     val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.bpeMerges(docs, 5).collect().isEmpty)
   }
+
+  test("gdpr purge checksum hashes integral cents — decimal tie values cannot diverge") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 2.675 is the classic tie-landing double: it stores as 2.6749999…,
+    // so a DECIMAL(18,2) HALF_UP cast of its SHORTEST printed form rounds
+    // up ("2.68") while binary-double scaling rounds down ("2.67") — the
+    // exact Spark/DuckDB divergence the old checksum carried. The integral
+    // key floor(value*100) is 267 in both engines, always.
+    val cl = Seq(
+      ("t0", 1L, "I", ts, 10L, 2.675),
+      ("t0", 2L, "I", ts, 11L, 0.125), // *100 = 12.5 exactly: floor 12
+      ("t0", 17L, "I", ts, 12L, 9.995) // pk % 131 == 17 → purged, never hashed
+    ).toDF("tbl", "pk", "op", "ts", "pos", "value")
+    // floor of the STORED double, not HALF_UP of its printed form
+    val cents = cl.orderBy("pos")
+      .select(floor(col("value") * 100).cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(cents == Seq(267L, 12L, 999L))
+    val row = graft.ops.Scrub.gdprPurge(cl).collect()(0)
+    def h(s: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.take(15), 16)
+    }
+    val expected = h("1|10|267") + h("2|11|12")
+    assert(BigInt(row.getAs[java.math.BigDecimal]("retained_checksum").toBigInteger) == expected)
+    assert(row.getAs[Long]("n_state_purged") == 1L)
+    assert(row.getAs[Long]("n_events_redacted") == 1L)
+  }
+
+  test("zscore over an all-NULL event type reports a NULL rate, not a crash or 0/0") {
+    val df = Seq(("a", Option(5.0)), ("a", Option(7.0)), ("b", Option.empty[Double]),
+      ("b", Option.empty[Double])).toDF("event_type", "value")
+    val got = graft.ops.Analytics.zscoreOutliers(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // n counts non-null values: the all-NULL type has n_events = 0 and a
+    // NULL rate in BOTH engines (Spark guard + oracle nullif)
+    assert(got("b").getAs[Long]("n_events") == 0L)
+    assert(got("b").isNullAt(got("b").fieldIndex("outlier_rate")))
+    assert(got("a").getAs[Long]("n_events") == 2L)
+  }
 }
