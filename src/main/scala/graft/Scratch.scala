@@ -11,8 +11,10 @@ package graft
   */
 object Scratch {
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val hookInstalls = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private lazy val installHook: Unit = {
+    hookInstalls.incrementAndGet()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       created.forEach { p =>
         def rm(f: java.io.File): Unit = {
@@ -31,4 +33,9 @@ object Scratch {
     created.add(p)
     p.toString
   }
+
+  /** Number of JVM shutdown hooks this registry has installed — the
+    * no-accumulation contract is that this stays 1 for the process
+    * lifetime however many dirs are handed out (spec observability). */
+  private[graft] def hookCount: Int = hookInstalls.get()
 }

@@ -895,6 +895,10 @@ object SparkEntry {
     // Mixture-design view: per-source token mass surviving keep-one dedup
     "dedup_effective_tokens" -> ((s, dir) =>
       Dedup.effectiveTokens(t(s, dir, "documents"), 0.5)),
+    // Composed curation pass: ONE cluster build feeds canonicalization,
+    // token accounting, and the leakage-safe split (shared-prefix reuse)
+    "dedup_pipeline_shared" -> ((s, dir) =>
+      Dedup.curationPipeline(t(s, dir, "documents"), 0.5, testPct = 10, valPct = 10)),
 
     // ---- Similarity search ----
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -1522,6 +1526,7 @@ object SparkEntry {
     "dedup_cross_source" -> Dedup.crossSourceDupSql(0.5),
     "dedup_effective_tokens" -> Dedup.effectiveTokensSql(0.5),
     "dedup_leakage_split" -> Dedup.leakageSafeSplitSql(0.5, 10, 10),
+    "dedup_pipeline_shared" -> Dedup.curationPipelineSql(0.5, 10, 10),
 
     "ann_bruteforce_topk" -> Similarity.bruteForceTopKSql(8, 5),
     "ann_ivf_topk" -> Similarity.ivfTopKSql(8, 5, 32, 2),

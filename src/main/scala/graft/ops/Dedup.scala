@@ -240,12 +240,14 @@ object Dedup {
     * neighbors' labels). Converges in O(component diameter) rounds — for
     * near-dup graphs the components are small dense clusters, so a
     * handful of rounds; each round is one keyed join + partial-agg min,
-    * no global structure. Every round is RELIABLY checkpointed (durable
-    * storage via the context checkpoint dir): iterative plans otherwise
-    * re-derive all prior rounds on each action, and executor-memory
-    * checkpoints (`localCheckpoint`) would lose round state on executor
-    * failure — restarting a long CC job from zero. The oracle computes
-    * the same fixpoint as a recursive min-reachability CTE.
+    * no global structure. Rounds are RELIABLY checkpointed (durable
+    * storage via the context checkpoint dir) on a fixed cadence
+    * ([[RoundCheckpointInterval]]), persisted in between: iterative
+    * plans otherwise re-derive all prior rounds on each action, and
+    * executor-memory checkpoints (`localCheckpoint`) would lose round
+    * state on executor failure — restarting a long CC job from zero.
+    * The oracle computes the same fixpoint as a recursive
+    * min-reachability CTE.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame =
     connectedComponents(minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b")))
@@ -283,7 +285,55 @@ object Dedup {
     ck
   }
 
+  /** Durable checkpoint every Nth CC round; in between, rounds only
+    * persist. The interval is a recovery-time trade, not a correctness
+    * one: a cache-evicted or executor-lost persist-only round replays at
+    * most `interval − 1` rounds from the last durable checkpoint, while
+    * the checkpoint write+read-back I/O (the dominant constant factor of
+    * the iterative loops at small scale) is paid 1/interval as often.
+    * Plan growth stays bounded the same way — lineage chains back at
+    * most `interval` rounds before hitting a checkpointed scan.
+    */
+  private val RoundCheckpointInterval = 2
+
+  /** Per-loop cadence state: call [[round]] once per iteration with the
+    * round's output; it returns the frame the next iteration should
+    * build on (cached or checkpointed), fires the round's single
+    * materialization job (so `observe` metrics deliver either way), and
+    * unpersists superseded persist-only rounds once a checkpoint lands.
+    * Call [[finish]] after the loop: surviving cached rounds (the loop
+    * may converge between checkpoints) move to the session-level
+    * [[Caches]] registry for the caller's eviction pass.
+    */
+  private final class RoundDurability {
+    private var n = 0
+    private var pending: List[DataFrame] = Nil
+    def round(df: DataFrame): DataFrame = {
+      n += 1
+      if (n % RoundCheckpointInterval == 0) {
+        val ck = durable(df)
+        pending.foreach(_.unpersist())
+        pending = Nil
+        ck
+      } else {
+        val cached = df.persist()
+        cached.count() // one job: materializes the cache, delivers observes
+        pending = cached :: pending
+        cached
+      }
+    }
+    def finish(): Unit = {
+      pending.foreach(Caches.tracked)
+      pending = Nil
+    }
+  }
+
+  /** CC invocation counter — spec observability for the shared-prefix
+    * contract ("one cluster build feeds every rider"). */
+  private[graft] val ccBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    ccBuilds.incrementAndGet()
     ensureCheckpointDir(pairs)
     val edges = durable(pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -296,15 +346,16 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
     var converged = false
     var rounds = 0
+    val cadence = new RoundDurability
     while (!converged && rounds < maxRounds) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      // convergence detection rides the checkpoint materialization as an
+      // convergence detection rides the round's materialization job as an
       // observed metric — the standalone "did anything change" pass would
       // re-scan the round output (an extra job locally, an extra full
       // pass over |V| rows per round on a cluster)
       val obs = org.apache.spark.sql.Observation()
-      val next = durable(labels.join(nbrMin, col("id") === col("dst"), "left")
+      val next = cadence.round(labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .observe(obs, count(when(col("label") < col("old"), 1)).as("n_changed")))
@@ -319,6 +370,7 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    cadence.finish()
     require(converged,
       s"label propagation hit the maxRounds=$maxRounds circuit-breaker " +
         s"(components with diameter > $maxRounds; raise maxRounds)")
@@ -338,7 +390,8 @@ object Dedup {
     *
     * Both phases are a single groupBy-min plus a join per round — no
     * global structure, partial aggregation does the min map-side — and
-    * every round is reliably checkpointed like the min-label variant. The
+    * rounds checkpoint on the same durable cadence as the min-label
+    * variant ([[RoundCheckpointInterval]]). The
     * edge set can only shrink or re-point (never grows beyond 2|E|), so
     * per-round cost is bounded by the input edge count.
     *
@@ -361,6 +414,7 @@ object Dedup {
     * the number the O(log n) claim is specced against. */
   def connectedComponentsStarsWithRounds(
       pairs: DataFrame, maxRounds: Int = 32): (DataFrame, Int) = {
+    ccBuilds.incrementAndGet()
     ensureCheckpointDir(pairs)
     // canonical undirected edge set: (a < b), self-loops dropped, distinct
     def canon(df: DataFrame): DataFrame = df
@@ -384,6 +438,7 @@ object Dedup {
     var prevSig = readObs(obs0)
     var converged = false
     var rounds = 0
+    val cadence = new RoundDurability
     while (!converged && rounds < maxRounds) {
       // large-star: m = min over the full neighborhood (both directions)
       val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
@@ -398,7 +453,7 @@ object Dedup {
       val dir = large.select(col("b").as("u"), col("a").as("v"))
       val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
       val obs = org.apache.spark.sql.Observation()
-      val next = durable(edgeObs(canon(
+      val next = cadence.round(edgeObs(canon(
         dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
           .unionAll(smins.select(col("u").as("x"), col("m").as("y")))), obs))
       val sig = readObs(obs)
@@ -416,6 +471,7 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    cadence.finish()
     require(converged,
       s"large-star/small-star hit the maxRounds=$maxRounds circuit-breaker " +
         "(rounds grow ~log(n); raise maxRounds only for astronomically deep graphs)")
@@ -478,10 +534,30 @@ object Dedup {
     * skew; a pathological mega-cluster would already have been flagged by
     * the cluster_size audit).
     */
-  def canonicalDocs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def canonicalDocs(corpus: DataFrame, threshold: Double): DataFrame =
+    canonicalDocsFrom(corpus, nearDupClusters(corpus, threshold))
+
+  /** The CLUSTER FRAME each rider consumes, shared across a curation
+    * session: the CC build is the expensive prefix (LSH pairing +
+    * iterative components, internally checkpoint-backed by
+    * [[RoundCheckpointInterval]]-cadence durable rounds), while every
+    * downstream decision — keep-one canonicalization, dedup-discounted
+    * token accounting, leakage-safe splitting — is a cheap join against
+    * the SAME (doc_id, cluster, cluster_size) frame. Computing clusters
+    * once per session instead of once per rider removes the dominant
+    * repeated cost; the frame persists through the session-level
+    * [[Caches]] registry so the caller's eviction pass reclaims it.
+    * Each rider query remains able to build clusters from scratch
+    * (bench isolation stays honest — see the delegating overloads).
+    */
+  def clustersFor(corpus: DataFrame, threshold: Double): DataFrame =
+    Caches.tracked(nearDupClusters(corpus, threshold).persist())
+
+  /** [[canonicalDocs]] over a precomputed cluster frame ([[clustersFor]]). */
+  def canonicalDocsFrom(corpus: DataFrame, clustersIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lens = corpus.select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
-    val clusters = nearDupClusters(corpus, threshold)
+    val clusters = clustersIn.select(col("doc_id"), col("cluster"), col("cluster_size"))
     val w = Window.partitionBy(col("cluster")).orderBy(col("doc_len").desc, col("doc_id"))
     lens.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -522,7 +598,13 @@ object Dedup {
     */
   def effectiveTokens(docs: DataFrame, threshold: Double): DataFrame = {
     val corpus = nearDupCorpus(docs)
-    val clusters = nearDupClusters(corpus, threshold).select(col("doc_id"), col("cluster"))
+    effectiveTokensFrom(docs, corpus, nearDupClusters(corpus, threshold))
+  }
+
+  /** [[effectiveTokens]] over a precomputed cluster frame ([[clustersFor]]). */
+  def effectiveTokensFrom(docs: DataFrame, corpus: DataFrame,
+                          clustersIn: DataFrame): DataFrame = {
+    val clusters = clustersIn.select(col("doc_id"), col("cluster"))
     val toks = corpus.select(col("doc_id"),
       size(Tokenize.tokens(col("text"))).cast("long").as("tokens"))
     val srcOf = docs.select(col("doc_id").as("orig_id"), col("source"))
@@ -1543,9 +1625,16 @@ object Dedup {
   def leakageSafeSplit(docs: DataFrame, threshold: Double,
                        testPct: Int, valPct: Int): DataFrame = {
     val corpus = nearDupCorpus(docs)
-    val clusters = nearDupClusters(corpus, threshold)
-    val assigned = corpus.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+    leakageSafeSplitFrom(corpus, nearDupClusters(corpus, threshold), testPct, valPct)
+  }
+
+  /** Per-doc split assignment (doc_id, cluster, split) over a precomputed
+    * cluster frame — the projection both [[leakageSafeSplitFrom]] and the
+    * composed pipeline aggregate over. */
+  def splitAssignment(corpus: DataFrame, clustersIn: DataFrame,
+                      testPct: Int, valPct: Int): DataFrame =
+    corpus.select(col("doc_id"))
+      .join(clustersIn.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("bucket",
         PortableHash.tokenHash(col("cluster").cast("string")) % 100)
@@ -1553,6 +1642,11 @@ object Dedup {
         when(col("bucket") < testPct, "test")
           .when(col("bucket") < testPct + valPct, "validation")
           .otherwise("train"))
+
+  /** [[leakageSafeSplit]] over a precomputed cluster frame ([[clustersFor]]). */
+  def leakageSafeSplitFrom(corpus: DataFrame, clustersIn: DataFrame,
+                           testPct: Int, valPct: Int): DataFrame = {
+    val assigned = splitAssignment(corpus, clustersIn, testPct, valPct)
     val perCluster = assigned.groupBy(col("cluster"))
       .agg(count_distinct(col("split")).as("n_splits"))
     assigned.join(perCluster, Seq("cluster"))
@@ -1583,4 +1677,88 @@ object Dedup {
        |       count(DISTINCT CASE WHEN p.n_splits > 1 THEN l.cluster END) AS n_leaked_clusters
        |FROM labeled l JOIN per_cluster p ON l.cluster = p.cluster
        |GROUP BY l.split ORDER BY l.split""".stripMargin
+
+  // ------------------------------------------------ composed curation pass
+
+  /** One-pass curation audit: a SINGLE cluster build ([[clustersFor]])
+    * feeds keep-one canonicalization, dedup-discounted token accounting,
+    * and the leakage-safe split — the session shape a real pipeline runs,
+    * vs the per-query isolation of `dedup_canonical` /
+    * `dedup_effective_tokens` / `dedup_leakage_split`, each of which
+    * rebuilds LSH+CC from scratch. The output is a one-row audit spanning
+    * all three riders; wall-clock vs the sum of the three standalone
+    * queries is the shared-prefix win made visible in the bench.
+    *
+    * Scale shape: the CC prefix runs once (checkpoint-cadence durable);
+    * each rider adds only joins/aggregates keyed on doc or cluster id
+    * against the persisted cluster frame. The leak audit's one-row result
+    * broadcasts onto the one-row main aggregate.
+    */
+  def curationPipeline(docs: DataFrame, threshold: Double,
+                       testPct: Int, valPct: Int): DataFrame = {
+    val corpus = Caches.tracked(nearDupCorpus(docs).persist())
+    val clusters = clustersFor(corpus, threshold)
+    val canon = canonicalDocsFrom(corpus, clusters)
+      .select(col("doc_id"), col("cluster"), col("is_canonical"))
+    val toks = corpus.select(col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("tokens"))
+    val assigned = splitAssignment(corpus, clusters, testPct, valPct)
+    val leaks = assigned.groupBy(col("cluster"))
+      .agg(count_distinct(col("split")).as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaked_clusters"))
+    canon
+      .join(toks, Seq("doc_id"))
+      .join(assigned.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        sum(col("is_canonical").cast("long")).as("n_canonical"),
+        sum(col("tokens")).as("raw_tokens"),
+        sum(when(col("cluster") === col("doc_id"), col("tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "validation", 1L).otherwise(0L)).as("n_validation"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(leaks))
+  }
+
+  def curationPipelineSql(threshold: Double, testPct: Int, valPct: Int): String =
+    s"""${clustersCteSql(threshold)},
+       |lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len FROM corpus),
+       |alld AS (
+       |  SELECT l.doc_id, coalesce(c.cluster, l.doc_id) AS cluster, l.doc_len
+       |  FROM lens l LEFT JOIN comp c ON l.doc_id = c.id),
+       |canon AS (
+       |  SELECT doc_id, cluster,
+       |         CASE WHEN row_number() OVER (PARTITION BY cluster
+       |                ORDER BY doc_len DESC, doc_id) = 1
+       |              THEN 1 ELSE 0 END AS is_canonical
+       |  FROM alld),
+       |toks AS (SELECT doc_id, CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS tokens
+       |         FROM corpus),
+       |labeled AS (
+       |  SELECT doc_id, cluster,
+       |         CASE WHEN b < $testPct THEN 'test'
+       |              WHEN b < ${testPct + valPct} THEN 'validation'
+       |              ELSE 'train' END AS split
+       |  FROM (SELECT doc_id, cluster,
+       |               (${PortableHash.tokenHashSql("CAST(cluster AS VARCHAR)")}) % 100 AS b
+       |        FROM alld)),
+       |per_cluster AS (
+       |  SELECT cluster, count(DISTINCT split) AS n_splits FROM labeled GROUP BY cluster),
+       |leaks AS (SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS n_leaked_clusters FROM per_cluster)
+       |SELECT count(*) AS n_docs,
+       |       count(DISTINCT n.cluster) AS n_clusters,
+       |       CAST(sum(n.is_canonical) AS BIGINT) AS n_canonical,
+       |       CAST(sum(t.tokens) AS BIGINT) AS raw_tokens,
+       |       CAST(sum(CASE WHEN n.cluster = n.doc_id THEN t.tokens ELSE 0 END) AS BIGINT)
+       |         AS kept_tokens,
+       |       CAST(sum(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN s.split = 'validation' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_validation,
+       |       CAST(sum(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |       (SELECT n_leaked_clusters FROM leaks) AS n_leaked_clusters
+       |FROM canon n JOIN toks t ON n.doc_id = t.doc_id
+       |             JOIN labeled s ON n.doc_id = s.doc_id""".stripMargin
 }

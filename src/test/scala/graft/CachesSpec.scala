@@ -31,4 +31,14 @@ class CachesSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "cached frames remain after engine-level releaseCaches")
   }
+
+  test("Scratch installs exactly ONE shutdown hook across repeated invocations") {
+    val d1 = graft.Scratch.dir("graft-spec-scratch")
+    val hooksAfterFirst = graft.Scratch.hookCount
+    val d2 = graft.Scratch.dir("graft-spec-scratch")
+    assert(d1 != d2, "each invocation hands out a fresh dir")
+    assert(hooksAfterFirst == 1)
+    assert(graft.Scratch.hookCount == 1,
+      "second invocation must not add another JVM shutdown hook")
+  }
 }

@@ -216,6 +216,32 @@ class DedupSpec extends SparkSpec {
     assert(re.getAs[Long]("raw_tokens") > 0L)
   }
 
+  test("shared cluster frame: ONE CC build feeds all three riders, results match from-scratch") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, a, "web"),
+      (2L, aNear, "web"),
+      (3L, b, "books")
+    ).toDF("doc_id", "text", "source")
+    val corpus = Dedup.nearDupCorpus(docs)
+    // from-scratch baselines (each pays its own CC build — bench isolation)
+    val scratchCanon = Dedup.canonicalDocs(corpus, 0.5).collect().toSeq
+    val scratchTok = Dedup.effectiveTokens(docs, 0.5).collect().toSeq
+    val scratchSplit = Dedup.leakageSafeSplit(docs, 0.5, 10, 10).collect().toSeq
+    // session shape: one shared cluster frame, three riders
+    val before = Dedup.ccBuilds.get()
+    val clusters = Dedup.clustersFor(corpus, 0.5)
+    val gotCanon = Dedup.canonicalDocsFrom(corpus, clusters).collect().toSeq
+    val gotTok = Dedup.effectiveTokensFrom(docs, corpus, clusters).collect().toSeq
+    val gotSplit = Dedup.leakageSafeSplitFrom(corpus, clusters, 10, 10).collect().toSeq
+    assert(Dedup.ccBuilds.get() - before == 1,
+      "shared cluster frame must run connected components exactly once")
+    assert(gotCanon == scratchCanon)
+    assert(gotTok == scratchTok)
+    assert(gotSplit == scratchSplit)
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("duplicateSpans: planted shared run is recovered exactly; disjoint doc clean") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")
