@@ -512,23 +512,34 @@ object SparkEntry {
       val chunks = replayedChunks(s, dir)
       val schema = s.read.parquet(chunks).schema
       val name = s"stream_dedup_${hourlyStreamSeq.incrementAndGet()}"
-      // one file per micro-batch = ONE input partition: spread the raw
-      // rows before the fingerprint projection or it runs single-threaded
       // fingerprint = md5 over a delimited field concat (NOT to_json —
       // JSON rendering per row was ~2x the fingerprint cost); the
       // leading unique event_id makes the encoding injective, so content
-      // equality and fingerprint equality coincide
+      // equality and fingerprint equality coincide. No pre-repartition:
+      // unlike the from_json normalize paths, the md5 projection is
+      // cheap enough to ride the single file-scan partition, and the
+      // dedup's own state exchange spreads rows anyway — a repartition
+      // here is one extra shuffle per micro-batch for nothing.
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
-        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("fp", md5(concat_ws("|",
           col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))))
-      val q = StreamingAnalytics.streamingDedup(in, "fp")
-        .drop("fp")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", s"${scratchDir("graft_sdedup")}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state-store partition count is locked in at query start from
+      // spark.sql.shuffle.partitions: per micro-batch each partition pays
+      // a store load + delta commit, a fixed overhead that dwarfs the
+      // ~50k-row batches here. 8 stores (the bucketed-state convention of
+      // StreamingApply) instead of 32 trims that constant 4x; at real
+      // scale the stream would START with the larger count instead.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamingAnalytics.streamingDedup(in, "fp")
+          .drop("fp")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", s"${scratchDir("graft_sdedup")}/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).orderBy("event_id")
     }),
 
