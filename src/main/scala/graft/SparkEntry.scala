@@ -114,6 +114,19 @@ object SparkEntry {
     * output equals the batch DISTINCT regardless of where the horizon
     * falls. Built once per process per sfDir, like [[chunkedEvents]].
     */
+  /** The persisted LSH signature index, built ONCE per fixture dir (the
+    * production table a continuous-dedup service maintains; probes never
+    * rebuild it — Dedup.writeLshIndex / Dedup.lshIndexProbe).
+    */
+  private val lshIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshIndexPath(s: SparkSession, dir: String): String =
+    lshIndexCache.getOrElseUpdate(dir, {
+      val path = s"${scratchDir("graft_lshidx")}/index"
+      Dedup.writeLshIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), path)
+      path
+    })
+
   private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def replayedChunks(s: SparkSession, dir: String): String =
     replayCache.getOrElseUpdate(dir, {
@@ -885,6 +898,11 @@ object SparkEntry {
       Dedup.incrementalLsh(docs.select(col("doc_id"), col("text")),
         Dedup.crawlBatch(docs), 0.5)
     }),
+    // Same probe against the PERSISTED bucketed signature index: corpus
+    // signatures read back bucket-pruned, zero corpus-side recompute
+    "dedup_index_probe" -> ((s, dir) =>
+      Dedup.lshIndexProbe(s, lshIndexPath(s, dir),
+        Dedup.crawlBatch(t(s, dir, "documents")), 0.5)),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -1530,6 +1548,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentSql(4, 0.6),
 
     "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
+    "dedup_index_probe" -> Dedup.incrementalLshSql(0.5),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

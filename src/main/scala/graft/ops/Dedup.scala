@@ -1019,6 +1019,72 @@ object Dedup {
        |ORDER BY new_id, dup_of""".stripMargin
   }
 
+  // ------------------------------------------- persisted LSH index + probe
+
+  /** Bucket count of the persisted index layout. Fixture-sized here; at
+    * corpus scale this would be thousands — the probe cost model below
+    * (read only the buckets the batch hashes into) is what changes the
+    * constant, not the shape. */
+  private[graft] val indexBuckets = 16
+
+  /** Materialize the corpus's banded signature index as a
+    * bucket-partitioned parquet table — the PRODUCTION shape for
+    * continuous dedup, where [[incrementalLsh]]'s recompute-the-corpus
+    * probe is replaced by a table maintained once and probed many times.
+    *
+    * Row = (doc_id, band, bh, s0..s15, bucket): the band row carries its
+    * full signature, so a probe verifies est-Jaccard with ZERO additional
+    * corpus access (a 4x signature denormalization — the classic
+    * space-for-passes index trade). bucket = portable hash of the band
+    * hash mod [[indexBuckets]], written as the PARTITION directory — the
+    * same bucketed-state device `StreamingApply`'s LWW store proves: a
+    * reader with a bounded bucket set prunes every other directory at
+    * scan planning, no file of a cold bucket is even listed.
+    */
+  def writeLshIndex(corpus: DataFrame, path: String): Unit = {
+    val sig = minhashSignatures(corpus).persist()
+    lshBands(sig).join(sig, Seq("doc_id"))
+      .withColumn("bucket",
+        pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
+      .repartition(indexBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    sig.unpersist()
+  }
+
+  /** Probe the persisted index with a fresh crawl batch: signatures and
+    * band hashes are computed for the BATCH ONLY — the corpus side is
+    * read back from the index table, bucket-pruned to the (bounded,
+    * ≤ [[indexBuckets]]) set of buckets the batch actually hashes into.
+    * Result contract identical to [[incrementalLsh]] (bucket equality is
+    * implied by band-hash equality), checked against the same oracle.
+    *
+    * Scale shape: the batch is broadcast (a probe batch is small by
+    * definition); the index scan touches only matching bucket
+    * directories; the driver-side bucket-id collect is bounded by the
+    * bucket count, never by data size.
+    */
+  def lshIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, threshold: Double): DataFrame = {
+    val sigB = Caches.tracked(minhashSignatures(batch).persist())
+    val probe = Caches.tracked(lshBands(sigB).join(sigB, Seq("doc_id"))
+      .withColumn("bucket",
+        pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
+      .persist())
+    val hit = probe.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path).filter(col("bucket").isin(hit.map(Integer.valueOf): _*))
+    val eq = (0 until 16).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    idx.as("x")
+      .join(broadcast(probe.as("y")),
+        col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh"))
+      .select(col("y.doc_id").as("new_id"), col("x.doc_id").as("dup_of"),
+        (eq / 16.0).as("est_jaccard"))
+      .distinct() // multi-band collisions of the same pair
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("new_id", "dup_of")
+  }
+
   // ------------------------------------------------------------ containment
 
   /** Containment dedup — catches a SMALL document embedded in a big one

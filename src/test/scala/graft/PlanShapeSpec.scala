@@ -428,6 +428,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(jkExchanges <= 2, s"one jk shuffle per side at most (got $jkExchanges):\n$p")
   }
 
+  test("LSH index probe: bucket-pruned index scan, zero corpus-side signature recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val path = graft.Scratch.dir("graft-lshidx-spec") + "/index"
+    graft.ops.Dedup.writeLshIndex(docs, path)
+    // a SMALL probe batch (2-3 docs): its band hashes land in a strict
+    // subset of the 16 buckets, so pruning is observable in the plan
+    val batch = docs.filter(col("doc_id") % 97 === 1)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq zz")).as("text"))
+    val probe = graft.ops.Dedup.lshIndexProbe(spark, path, batch, 0.5)
+    val p = probe.queryExecution.executedPlan.toString
+    // bucket partition filter present on the index scan
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("graft-lshidx-spec"))
+    assert(scanLine.exists(l => l.contains("PartitionFilters") &&
+      l.contains("bucket") && l.contains("INSET")),
+      s"index scan must carry a bucket partition filter:\n$p")
+    // ...and it PRUNES: fewer buckets hit than exist
+    val inset = "INSET ([0-9, ]+)".r.findFirstMatchIn(scanLine.get).map(_.group(1))
+    assert(inset.exists(_.split(',').length < graft.ops.Dedup.indexBuckets),
+      s"tiny batch must hit a strict subset of buckets:\n${scanLine.get}")
+    // the LIVE plan (everything outside the batch's cached subtrees, which
+    // print under InMemoryRelation) computes NO signatures: no shingle
+    // explode, no minhash partial aggregation — the corpus side's
+    // signatures are READ from the index, never recomputed
+    val live = p.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(live.exists(_.contains("FileScan parquet")),
+      s"index FileScan must sit in the live plan:\n$p")
+    assert(!live.exists(l => l.contains("partial_min") || l.contains("Generate explode")),
+      s"corpus-side signature recompute detected in the live plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe batch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index side must stream past the broadcast probe:\n$p")
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("k-anonymity: one Expand serves the whole rollup ladder") {
     val p = plan("quality_k_anonymity")
     assert(p.linesIterator.count(_.contains("Expand [")) == 1,
