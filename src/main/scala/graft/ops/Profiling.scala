@@ -183,9 +183,15 @@ object Profiling {
       .agg(sum(col("c_p")).as("n_p"), sum(col("c_q")).as("n_q"))
     val p = (col("c_p") + lit(1L)).cast("double") / (col("n_p") + lit(10L)).cast("double")
     val q = (col("c_q") + lit(1L)).cast("double") / (col("n_q") + lit(10L)).cast("double")
+    // each bin's PSI term is rounded to 12 dp and summed in DECIMAL: the
+    // per-term round absorbs JVM-vs-libm last-ulp ln() differences, and
+    // the exact decimal sum makes the total independent of partial-agg
+    // order (an unrounded double sum could flip the final 6 dp boundary
+    // on a hostile fixture)
     byBin.join(broadcast(totals), "event_type")
       .groupBy(col("event_type"))
-      .agg(round(sum((p - q) * log(p / q)), 6).as("psi"),
+      .agg(round(sum(round((p - q) * log(p / q), 12).cast("decimal(38,12)"))
+        .cast("double"), 6).as("psi"),
         count(lit(1)).as("n_bins"))
       .orderBy(col("event_type"))
   }
@@ -208,10 +214,11 @@ object Profiling {
       |  SELECT event_type, CAST(sum(c_p) AS BIGINT) AS n_p, CAST(sum(c_q) AS BIGINT) AS n_q
       |  FROM by_bin GROUP BY event_type)
       |SELECT b.event_type,
-      |       round(sum((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 10 AS DOUBLE)
+      |       round(CAST(sum(CAST(round((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 10 AS DOUBLE)
       |                  - CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 10 AS DOUBLE))
       |                 * ln((CAST(c_p + 1 AS DOUBLE) / CAST(n_p + 10 AS DOUBLE))
-      |                      / (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 10 AS DOUBLE)))), 6) AS psi,
+      |                      / (CAST(c_q + 1 AS DOUBLE) / CAST(n_q + 10 AS DOUBLE))), 12)
+      |             AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi,
       |       count(*) AS n_bins
       |FROM by_bin b JOIN totals t ON b.event_type = t.event_type
       |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin

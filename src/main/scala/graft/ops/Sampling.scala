@@ -72,9 +72,10 @@ object Sampling {
     * Scale shape: key assignment is a map-only projection; the top-k is
     * a TakeOrderedAndProject (per-partition heaps, driver merges k
     * rows) — a 100 TB corpus is one scan plus k rows of driver state,
-    * never a global sort. Keys are rounded to 9 dp before ranking with
-    * doc_id as the total-order tie-break, so both engines cut the same
-    * boundary.
+    * never a global sort. Keys are rounded to 6 dp (the repo-wide score
+    * convention — wide enough to absorb JVM-vs-libm ln() last-ulp
+    * differences) before ranking, with doc_id as the total-order
+    * tie-break, so both engines cut the same boundary.
     */
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     val h = PortableHash.tokenHash(concat(lit("ws|"), col("doc_id").cast("string")))
@@ -82,7 +83,7 @@ object Sampling {
     // nullif: a zero-weight doc's key must be NULL (= excluded from the
     // ordered take) in both engines, not Spark-NULL vs DuckDB -inf
     docs.select(col("doc_id"), col("n_chars"),
-        round(log(u) / nullif(col("n_chars").cast("double"), lit(0.0)), 9).as("es_key"))
+        round(log(u) / nullif(col("n_chars").cast("double"), lit(0.0)), 6).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
   }
@@ -91,7 +92,7 @@ object Sampling {
     val h = PortableHash.tokenHashSql("concat('ws|', CAST(doc_id AS VARCHAR))")
     s"""SELECT doc_id, n_chars,
        |  round(ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0)
-       |        / nullif(CAST(n_chars AS DOUBLE), 0.0), 9) AS es_key
+       |        / nullif(CAST(n_chars AS DOUBLE), 0.0), 6) AS es_key
        |FROM documents
        |ORDER BY es_key DESC, doc_id
        |LIMIT $k""".stripMargin
