@@ -775,6 +775,11 @@ object SparkEntry {
         t(s, dir, "orders"))),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
     "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
+    // EXACT percentiles via two-pass histogram-refinement selection —
+    // same numbers/oracle as events_percentiles, no O(n) agg buffer
+    "events_percentiles_2pass" -> ((s, dir) =>
+      ExactQuantiles.percentiles(t(s, dir, "events"), "event_type", "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
     "events_funnel" -> ((s, dir) =>
       Analytics.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
@@ -944,6 +949,10 @@ object SparkEntry {
     "events_weekday_profile" -> ((s, dir) => Analytics.weekdayProfile(t(s, dir, "events"))),
     // exact equi-depth deciles (ntile) beside the sketch quantile path
     "events_value_deciles" -> ((s, dir) => Analytics.valueDeciles(t(s, dir, "events"))),
+    // the same deciles via two-pass selection — ntile semantics without
+    // the per-type single-reducer sort (same oracle)
+    "events_deciles_2pass" -> ((s, dir) =>
+      ExactQuantiles.deciles(t(s, dir, "events"), "event_type", "value")),
     // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
     "supplier_pareto" -> ((s, dir) =>
       Analytics.supplierPareto(t(s, dir, "lineitem"), t(s, dir, "supplier"), 50)),
@@ -1058,6 +1067,9 @@ object SparkEntry {
     // Percentile-anchored quality gate: keep the top 60% by quality
     "text_quality_gate" -> ((s, dir) =>
       Curation.qualityGate(t(s, dir, "documents"), 0.6)),
+    // the same gate with the threshold from exact two-pass selection
+    "text_quality_gate_2pass" -> ((s, dir) =>
+      Curation.qualityGateTwoPass(t(s, dir, "documents"), 0.6)),
 
     // PII scrub: redact emails/URLs/phones/ID runs over a deterministic
     // synthetic-PII corpus, per-category counts as the audit trail
@@ -1565,6 +1577,8 @@ object SparkEntry {
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "events_value_deciles" -> Analytics.valueDecilesSql,
+    "events_deciles_2pass" -> Analytics.valueDecilesSql,
+    "events_percentiles_2pass" -> Analytics.valuePercentilesSql,
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
@@ -1614,6 +1628,7 @@ object SparkEntry {
     "text_pack_bins" -> Curation.packBinsSql(512, 8),
 
     "text_quality_gate" -> Curation.qualityGateSql(0.6),
+    "text_quality_gate_2pass" -> Curation.qualityGateSql(0.6),
 
     "text_importance_sample" -> Curation.importanceSampleSql(10000),
 

@@ -72,6 +72,27 @@ object Curation {
         sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** [[qualityGate]] with the threshold selected by the EXACT two-pass
+    * histogram refinement ([[ExactQuantiles]]) instead of the
+    * O(|corpus|)-buffer `percentile` aggregate — same numbers, same
+    * oracle, bounded memory at any corpus size. This is the release-gate
+    * shape when a sketch's ±ε is not acceptable; the sketch variant
+    * ([[qualityGateSketch]]) stays the cheaper one-scan path.
+    */
+  def qualityGateTwoPass(docs: DataFrame, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction < 1, s"keepFraction in (0,1): $keepFraction")
+    val sig = Caches.tracked(TextAnalysis.signals(docs)
+      .select(lit("all").as("g"), col("quality")).persist())
+    val th = ExactQuantiles.percentiles(sig, "g", "quality",
+        Seq("threshold" -> (1.0 - keepFraction)))
+      .select(col("threshold"))
+    sig.crossJoin(broadcast(th))
+      .agg(
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** [[qualityGate]] with the threshold derived from a fixed-bin histogram
     * sketch instead of the exact `percentile` (whose aggregation buffer
     * holds EVERY quality score — O(|corpus|) memory on one reducer at
