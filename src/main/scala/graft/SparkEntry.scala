@@ -710,6 +710,48 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy("w_start")
     }),
+    // stream-stream interval join: click→purchase pairs within 30 min,
+    // self-joined from one chunked replay; the aggregate over the emitted
+    // pairs equals the batch interval join (delay widened past the
+    // fixture span so inner-join completeness is provable — eviction
+    // under a tight delay is the spec's job)
+    "events_stream_join" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"stream_join_${hourlyStreamSeq.incrementAndGet()}"
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+      val q = StreamingAnalytics.intervalJoin(
+          in.filter(col("event_type") === "click"),
+          in.filter(col("event_type") === "purchase"),
+          1800L, delay = "45 days")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_sjoin")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("min_lag_us"),
+          max(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("max_lag_us"))
+        .orderBy("user_id")
+    }),
+
+    // sliding-window token chunking: the context-window splitter, one
+    // row per chunk with a portable fingerprint (map-only explode)
+    "text_chunking" -> ((s, dir) =>
+      Curation.chunkDocs(t(s, dir, "documents"), 64, 48)),
+
+    // zone-map pruning audit: files_read / read_amplification for a
+    // point and a range predicate under ingest-time vs z-order vs
+    // hilbert layouts — the read-side payoff of the layout family
+    "files_zone_prune" -> ((s, dir) => Layout.zonePrune(t(s, dir, "events"), 16)),
+
+    // KMV join-cardinality estimate: |orders ⋈ σ(customer)| from two
+    // k-bounded sketches, audited against the exact join
+    "sketch_join_cardinality" -> ((s, dir) =>
+      Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
+
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
@@ -984,6 +1026,15 @@ object SparkEntry {
     // Index-quality audit: recall@k of IVF vs the exact baseline
     "ann_recall_audit" -> ((s, dir) =>
       Similarity.ivfRecallAudit(t(s, dir, "embeddings"), 8, 5, 32, 2)),
+
+    // graded ranking quality: nDCG@k of the IVF retrieval vs the exact
+    // ordering (recall counts hits; this also charges wrong order)
+    "ann_ndcg_audit" -> ((s, dir) =>
+      Similarity.ivfNdcgAudit(t(s, dir, "embeddings"), 8, 5, 32, 2)),
+
+    // fixed-point weighted PageRank over the part co-purchase graph —
+    // 6 integer-arithmetic iterations, bit-identical in both engines
+    "graph_pagerank" -> ((s, dir) => Graph.pagerank(t(s, dir, "lineitem"), 6)),
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
@@ -1489,6 +1540,23 @@ object SparkEntry {
         |FROM w, mx
         |WHERE w_us + 3600000000 <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
         |GROUP BY w_us ORDER BY w_start""".stripMargin,
+    // µs-integral lag arithmetic; the 30-min bound is exact on both sides
+    "events_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |       min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_lag_us,
+        |       max(epoch_us(p.ts) - epoch_us(c.ts)) AS max_lag_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "text_chunking" -> Curation.chunkDocsSql(64, 48),
+
+    "files_zone_prune" -> Layout.zonePruneSql(16),
+
+    "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
+
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_transitions" -> Analytics.markovTransitionsSql,
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
@@ -1589,6 +1657,8 @@ object SparkEntry {
     "ann_pq_adc" -> Similarity.pqAdcTopKSql(8, 5, 4, 16, 64),
     "ann_ivfpq_topk" -> Similarity.ivfPqTopKSql(8, 5, 32, 2, 4, 16, 64),
     "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
+    "ann_ndcg_audit" -> Similarity.ivfNdcgAuditSql(8, 5, 32, 2),
+    "graph_pagerank" -> Graph.pagerankSql(6),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

@@ -357,6 +357,58 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Sliding-window token chunking — the context-window splitter every
+    * training pipeline runs before tokenization/packing. Each document is
+    * cut into chunks of `chunkSize` tokens starting every `stride` tokens
+    * (overlap = chunkSize - stride); every stride point ≤ n starts a
+    * chunk, so the document tail is always covered (the final chunks are
+    * short). One row per chunk with a PortableHash fingerprint of the
+    * re-joined chunk text — the key chunk-level dedup would group on.
+    *
+    * Scale shape: pure projection + one explode — map-only, no shuffle,
+    * fan-out bounded by n_tokens/stride per document. The chunk list is
+    * built with `slice` (not a lambda over `sequence`) so the token array
+    * is evaluated once per row, and `start` is bound through a projection
+    * before `slice` references it (HOF-lambda re-evaluation pitfall).
+    */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    docs
+      .select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // sequence(a, b) with b < a yields a DESCENDING sequence — the
+      // n >= 1 filter guards it (and drops token-less docs, which have
+      // no chunks by definition)
+      .filter(col("n") >= 1)
+      .withColumn("start", explode(sequence(lit(1), col("n"), lit(stride))))
+      .withColumn("chunk", slice(col("toks"), col("start"), lit(chunkSize)))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        graft.functions.PortableHash.tokenHash(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDocsSql(chunkSize: Int, stride: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${graft.functions.Tokenize.tokensSql("text")} AS toks
+       |  FROM documents),
+       |sized AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 1),
+       |st AS (
+       |  SELECT doc_id, toks, n, unnest(range(1, n + 1, $stride)) AS start
+       |  FROM sized),
+       |ch AS (
+       |  SELECT doc_id, start, toks[start : start + ${chunkSize - 1}] AS chunk
+       |  FROM st)
+       |SELECT doc_id,
+       |  (start - 1) // $stride AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS n_tok,
+       |  ${graft.functions.PortableHash.tokenHashSql("array_to_string(chunk, ' ')")} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   def temperatureMixSql(alpha: Double, budgetTokens: Long): String =
     s"""WITH per_source AS (
        |  SELECT source, count(*) AS n_docs,

@@ -272,6 +272,131 @@ object Layout {
        |FROM g, b ORDER BY g.method, g.bucket""".stripMargin
   }
 
+  /** Per-file stats under ingest-time RANGE layout — the default layout
+    * every append-only table has before any clustering pass. Same output
+    * schema as [[zorderFileStats]] so the three layouts compare directly.
+    */
+  def timeFileStats(events: DataFrame, nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    val withCols = events.select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("day"),
+      unix_micros(col("ts")).as("us"))
+    val b = withCols.agg(min(col("us")).as("lo"), max(col("us")).as("hi")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    withCols
+      // integral equi-width range bucket; operands non-negative so DIV
+      // (trunc) and DuckDB // (floor) agree
+      .withColumn("file_id", expr(s"CAST(((us - $lo) * $nFiles) DIV (${hi - lo} + 1) AS BIGINT)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("file_id")
+  }
+
+  /** Zone-map pruning audit — the read-side payoff the layout ops exist
+    * for. Each layout's per-file min/max stats (the zone maps a lakehouse
+    * persists in its manifest) are evaluated against a two-predicate
+    * workload: a point `user_id = u0` lookup and a 7-day `day BETWEEN`
+    * range, with the constants derived from the data bounds so the audit
+    * is fixture-independent. `files_read` counts files whose zone
+    * OVERLAPS the predicate (what a scan planner cannot skip);
+    * `read_amplification` = rows scanned / rows matched is the number a
+    * 100 TB table lives or dies by: ingest-time layout answers time-range
+    * scans only, z-order/hilbert cut point lookups on BOTH dimensions.
+    *
+    * Scale shape: the audit itself runs over the three manifests
+    * (nFiles rows each), not the data; the only data passes are the three
+    * layouts' stats builds plus one bounds + one selectivity probe.
+    */
+  def zonePrune(events: DataFrame, nFiles: Int): DataFrame = {
+    val withDay = events.select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("day"))
+    val b = withDay.agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+      min(col("day")).as("dlo"), max(col("day")).as("dhi")).collect()(0)
+    val u0 = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val d1 = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4
+    val d2 = d1 + 6
+    val m = withDay.agg(
+      sum(when(col("user_id") === u0, 1L).otherwise(0L)).as("m_user"),
+      sum(when(col("day").between(d1, d2), 1L).otherwise(0L)).as("m_day")).collect()(0)
+    val (mUser, mDay) = (m.getLong(0), m.getLong(1))
+    val stats = timeFileStats(events, nFiles).withColumn("layout", lit("time"))
+      .unionByName(zorderFileStats(events, nFiles).withColumn("layout", lit("zorder")))
+      .unionByName(hilbertFileStats(events, nFiles).withColumn("layout", lit("hilbert")))
+    def audit(pred: String, hit: Column, matched: Long): DataFrame =
+      stats.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_read"),
+          sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .select(col("layout"), lit(pred).as("predicate"),
+          col("n_files"), col("files_read"), col("rows_scanned"),
+          lit(matched).as("rows_matched"),
+          (if (matched == 0L) lit(null).cast("double")
+           else round(col("rows_scanned").cast("double") / matched.toDouble, 4))
+            .as("read_amplification"))
+    audit("day_range", col("max_day") >= d1 && col("min_day") <= d2, mDay)
+      .unionByName(audit("user_point", lit(u0).between(col("min_user"), col("max_user")), mUser))
+      .orderBy("predicate", "layout")
+  }
+
+  def zonePruneSql(nFiles: Int): String = {
+    val tlSql =
+      s"""SELECT file_id, count(*) AS n_rows,
+         |       count(DISTINCT user_id) AS n_users,
+         |       min(user_id) AS min_user, max(user_id) AS max_user,
+         |       min(day) AS min_day, max(day) AS max_day
+         |FROM (
+         |  SELECT user_id, day,
+         |         ((us - tb.lo) * $nFiles) // (tb.hi - tb.lo + 1) AS file_id
+         |  FROM dd, tb)
+         |GROUP BY file_id""".stripMargin
+    s"""WITH dd AS (
+       |  SELECT user_id,
+       |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |         epoch_us(ts) AS us
+       |  FROM events),
+       |tb AS (SELECT min(us) AS lo, max(us) AS hi FROM dd),
+       |ub AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+       |              min(day) AS dlo, max(day) AS dhi FROM dd),
+       |p AS (SELECT ulo + (uhi - ulo) // 2 AS u0,
+       |             dlo + (dhi - dlo) // 4 AS d1,
+       |             dlo + (dhi - dlo) // 4 + 6 AS d2 FROM ub),
+       |m AS (SELECT CAST(sum(CASE WHEN user_id = p.u0 THEN 1 ELSE 0 END) AS BIGINT) AS m_user,
+       |             CAST(sum(CASE WHEN day BETWEEN p.d1 AND p.d2 THEN 1 ELSE 0 END) AS BIGINT) AS m_day
+       |      FROM dd, p),
+       |tl AS ($tlSql),
+       |zs AS (${zorderFileStatsSql(nFiles)}),
+       |hs AS (${hilbertFileStatsSql(nFiles)}),
+       |stats AS (
+       |  SELECT 'time' AS layout, * FROM tl
+       |  UNION ALL SELECT 'zorder' AS layout, * FROM zs
+       |  UNION ALL SELECT 'hilbert' AS layout, * FROM hs),
+       |aud AS (
+       |  SELECT layout, 'day_range' AS predicate,
+       |         CAST(count(*) AS BIGINT) AS n_files,
+       |         CAST(sum(CASE WHEN max_day >= p.d1 AND min_day <= p.d2 THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+       |         CAST(sum(CASE WHEN max_day >= p.d1 AND min_day <= p.d2 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM stats, p GROUP BY layout
+       |  UNION ALL
+       |  SELECT layout, 'user_point' AS predicate,
+       |         CAST(count(*) AS BIGINT) AS n_files,
+       |         CAST(sum(CASE WHEN p.u0 BETWEEN min_user AND max_user THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+       |         CAST(sum(CASE WHEN p.u0 BETWEEN min_user AND max_user THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+       |  FROM stats, p GROUP BY layout)
+       |SELECT aud.layout, aud.predicate, aud.n_files, aud.files_read, aud.rows_scanned,
+       |       CASE WHEN aud.predicate = 'user_point' THEN m.m_user ELSE m.m_day END AS rows_matched,
+       |       CASE WHEN aud.predicate = 'user_point' THEN
+       |              (CASE WHEN m.m_user = 0 THEN NULL
+       |                    ELSE round(CAST(aud.rows_scanned AS DOUBLE) / m.m_user, 4) END)
+       |            ELSE
+       |              (CASE WHEN m.m_day = 0 THEN NULL
+       |                    ELSE round(CAST(aud.rows_scanned AS DOUBLE) / m.m_day, 4) END)
+       |       END AS read_amplification
+       |FROM aud, m ORDER BY aud.predicate, aud.layout""".stripMargin
+  }
+
   def zorderFileStatsSql(nFiles: Int): String = {
     val shift = 32 - Integer.numberOfTrailingZeros(nFiles)
     val su = "CASE WHEN b.uhi = b.ulo THEN 0 ELSE ((user_id - b.ulo) * 65535) // (b.uhi - b.ulo) END"

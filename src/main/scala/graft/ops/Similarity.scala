@@ -194,6 +194,71 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Position-discount table 1/log2(i+1) and the ideal DCG, precomputed
+    * as Scala doubles and embedded as IDENTICAL literals in the Spark
+    * plan and the oracle SQL — ln() differs between JVM and libm in the
+    * last ulp, so neither engine may compute the logs itself. Terms are
+    * rounded to 6 dp and summed in DECIMAL (the repo's shuffle-order
+    * discipline), so the whole metric is bit-stable.
+    */
+  private def ndcgDiscounts(k: Int): (Seq[Double], Double) = {
+    val d = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = (1 to k).map(i =>
+      BigDecimal((k + 1 - i).toDouble * d(i - 1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    (d, idcg)
+  }
+
+  /** nDCG@k of the IVF retrieval against the exact ranking — the GRADED
+    * companion of [[ivfRecallAudit]]: recall counts hits, nDCG also
+    * charges the index for returning them in the wrong order. Relevance
+    * of a retrieved vector is (k+1 − exact_rank) when it is in the exact
+    * top-k, else 0; DCG discounts by retrieval position.
+    *
+    * Scale shape: both rankings are the k·|Q|-row outputs of the existing
+    * audits; the metric itself is a broadcast-size join + per-query sum.
+    */
+  def ivfNdcgAudit(emb: DataFrame, nQueries: Int, k: Int,
+                   nlist: Int, nprobe: Int): DataFrame = {
+    val (disc, idcg) = ndcgDiscounts(k)
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("exact_rank"))
+    val approx = ivfTopK(emb, nQueries, k, nlist, nprobe)
+      .select(col("query_id"), col("vec_id"), col("rank").as("pos"))
+    val discount = element_at(array(disc.map(lit): _*), col("pos").cast("int"))
+    approx.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(lit(k + 1).cast("long") - col("exact_rank"), lit(0L)).cast("double")
+          * discount, 6).cast("decimal(18,6)").as("term"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("term")).cast("double").as("dcg"))
+      .select(col("query_id"), col("dcg"),
+        round(col("dcg") / lit(idcg), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  def ivfNdcgAuditSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String = {
+    val (disc, idcg) = ndcgDiscounts(k)
+    // explicit per-element DOUBLE casts: a bare numeric literal with a
+    // decimal point is DECIMAL in DuckDB, and a mixed-scale decimal list
+    // would widen/round differently than the Spark double array
+    val discList = disc.map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH ex AS (${bruteForceTopKSql(nQueries, k)}),
+       |ap AS (${ivfTopKSql(nQueries, k, nlist, nprobe)}),
+       |terms AS (
+       |  SELECT ap.query_id,
+       |         CAST(round(CAST(coalesce(${k + 1} - ex.rank, 0) AS DOUBLE)
+       |               * ($discList)[ap.rank], 6) AS DECIMAL(18,6)) AS term
+       |  FROM ap LEFT JOIN ex
+       |    ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id),
+       |agg AS (
+       |  SELECT query_id, CAST(sum(term) AS DOUBLE) AS dcg
+       |  FROM terms GROUP BY query_id)
+       |SELECT query_id, dcg,
+       |       round(dcg / CAST($idcg AS DOUBLE), 6) AS ndcg
+       |FROM agg ORDER BY query_id""".stripMargin
+  }
+
   def ivfRecallAuditSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int): String =
     s"""SELECT b.query_id, count(i.vec_id) AS n_hits,
        |       round(CAST(count(i.vec_id) AS DOUBLE) / $k, 6) AS recall

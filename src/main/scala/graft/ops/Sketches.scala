@@ -413,6 +413,122 @@ object Sketches {
        |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
        |ORDER BY hour, event_type""".stripMargin
 
+  /** KMV join-cardinality estimate — the planner question "how many rows
+    * will `orders ⋈ σ(customer)` produce?" answered from two k-bounded
+    * sketches instead of a scan of either side.
+    *
+    * Each side is reduced to (key, row-count) partials, sketched with
+    * [[graft.functions.KmvMinHashes]] over the portable key hash; the
+    * union sketch (k smallest of the merged arrays — computable
+    * declaratively from the two sketches, no third pass) is a uniform
+    * sample of the combined key universe, so:
+    * `est_union = (k-1)/frac(kth)`, `est_intersection = |members|·scale`,
+    * and `est_join_rows = Σ_{members} cnt_a·cnt_b · scale` where members
+    * are union-sketch hashes present in BOTH sketches and
+    * `scale = est_union / |union sketch|` (1 when the sketch isn't full —
+    * then the sample IS the universe and every estimate is exact).
+    *
+    * Scale shape: per-key counts are partial-agged groupBys; sketches are
+    * k-bounded aggregates (≤ k longs to the driver-side scalar row); the
+    * member frame (≤ k rows) is broadcast back against the key frames.
+    * The exact join alongside is the fixture-scale AUDIT column, dropped
+    * at 100 TB — which is the whole point: the estimate costs two
+    * bounded sketches, the truth costs the join.
+    */
+  def kmvJoinCardinality(orders: DataFrame, customer: DataFrame,
+                         k: Int, segment: String): DataFrame = {
+    KmvFunctions.register(orders.sparkSession)
+    val a = Caches.tracked(orders
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("cnt_a"))
+      .withColumn("h", PortableHash.tokenHash(col("key").cast("string")))
+      .persist())
+    val b = Caches.tracked(customer
+      .filter(col("c_mktsegment") === segment)
+      .groupBy(col("c_custkey").as("key")).agg(count(lit(1)).as("cnt_b"))
+      .withColumn("h", PortableHash.tokenHash(col("key").cast("string")))
+      .persist())
+    val sk = a.agg(KmvFunctions.kmvMinHashes(col("h"), k).as("sk_a"),
+        count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(KmvFunctions.kmvMinHashes(col("h"), k).as("sk_b"),
+        count(lit(1)).as("n_b")))
+      .withColumn("sk_u", slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+      .withColumn("members", filter(col("sk_u"),
+        x => array_contains(col("sk_a"), x) && array_contains(col("sk_b"), x)))
+      .withColumn("u_size", size(col("sk_u")))
+      .withColumn("est_union",
+        when(col("u_size") < k, col("u_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((element_at(col("sk_u"), k).cast("double") + lit(1.0)) / lit(KmvFunctions.HashSpace))))
+      .withColumn("scale", col("est_union") / col("u_size").cast("double"))
+    // member hashes (≤ k) back to their per-key counts: broadcast the
+    // tiny member frame, never the key frames
+    val members = sk.select(explode(col("members")).as("h"))
+    val joinSample = members
+      .join(a.select(col("h"), col("cnt_a")), "h")
+      .join(b.select(col("h"), col("cnt_b")), "h")
+      .agg(coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("sample_join_rows"))
+    val exact = a.join(b, "key")
+      .agg(coalesce(sum(col("cnt_a") * col("cnt_b")), lit(0L)).as("exact_join_rows"))
+    sk.crossJoin(joinSample).crossJoin(exact)
+      .select(
+        col("n_a").as("distinct_a"), col("n_b").as("distinct_b"),
+        col("u_size").cast("long").as("union_sketch_size"),
+        size(col("members")).cast("long").as("n_members"),
+        round(col("est_union"), 4).as("est_union"),
+        round(size(col("members")).cast("double") * col("scale"), 4).as("est_intersection"),
+        round(col("sample_join_rows").cast("double") * col("scale"), 4).as("est_join_rows"),
+        col("exact_join_rows"),
+        round(abs(col("sample_join_rows").cast("double") * col("scale") -
+          col("exact_join_rows").cast("double")) /
+          nullif(col("exact_join_rows").cast("double"), lit(0.0)), 4).as("rel_error"))
+  }
+
+  def kmvJoinCardinalitySql(k: Int, segment: String): String =
+    s"""WITH a AS (
+       |  SELECT o_custkey AS key, count(*) AS cnt_a,
+       |         ${PortableHash.tokenHashSql("CAST(o_custkey AS VARCHAR)")} AS h
+       |  FROM orders GROUP BY o_custkey),
+       |b AS (
+       |  SELECT c_custkey AS key, count(*) AS cnt_b,
+       |         ${PortableHash.tokenHashSql("CAST(c_custkey AS VARCHAR)")} AS h
+       |  FROM customer WHERE c_mktsegment = '$segment' GROUP BY c_custkey),
+       |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a),
+       |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b),
+       |sa AS (SELECT h FROM ra WHERE rn <= $k),
+       |sb AS (SELECT h FROM rb WHERE rn <= $k),
+       |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |       FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))),
+       |su AS (SELECT h, rn FROM ru WHERE rn <= $k),
+       |mem AS (SELECT su.h FROM su
+       |        WHERE su.h IN (SELECT h FROM sa) AND su.h IN (SELECT h FROM sb)),
+       |scal AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS u_size,
+       |         CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |              ELSE ${(k - 1).toDouble} /
+       |                   ((max(CASE WHEN rn = $k THEN h END) + 1.0) / ${KmvFunctions.HashSpace}) END
+       |           AS est_union
+       |  FROM su),
+       |samp AS (
+       |  SELECT coalesce(CAST(sum(a.cnt_a * b.cnt_b) AS BIGINT), 0) AS sample_join_rows,
+       |         CAST(count(*) AS BIGINT) AS n_members
+       |  FROM mem JOIN a ON mem.h = a.h JOIN b ON mem.h = b.h),
+       |ex AS (
+       |  SELECT coalesce(CAST(sum(a.cnt_a * b.cnt_b) AS BIGINT), 0) AS exact_join_rows
+       |  FROM a JOIN b ON a.key = b.key),
+       |nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS distinct_a,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM b) AS distinct_b)
+       |SELECT nn.distinct_a, nn.distinct_b,
+       |       scal.u_size AS union_sketch_size,
+       |       samp.n_members,
+       |       round(scal.est_union, 4) AS est_union,
+       |       round(CAST(samp.n_members AS DOUBLE) * scal.est_union / scal.u_size, 4) AS est_intersection,
+       |       round(CAST(samp.sample_join_rows AS DOUBLE) * scal.est_union / scal.u_size, 4) AS est_join_rows,
+       |       ex.exact_join_rows,
+       |       round(abs(CAST(samp.sample_join_rows AS DOUBLE) * scal.est_union / scal.u_size
+       |                 - CAST(ex.exact_join_rows AS DOUBLE))
+       |             / nullif(CAST(ex.exact_join_rows AS DOUBLE), 0.0), 4) AS rel_error
+       |FROM nn, scal, samp, ex""".stripMargin
+
   def approxDistinctUsersSql(k: Int): String =
     s"""WITH exact AS (
        |  SELECT event_type, count(DISTINCT user_id) AS n_exact

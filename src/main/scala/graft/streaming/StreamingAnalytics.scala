@@ -77,14 +77,21 @@ object StreamingAnalytics {
     * sides carry watermarks so Spark bounds the join state: a buffered
     * row is dropped once the other side's watermark passes its join
     * window (unbounded buffering would OOM any real stream).
+    *
+    * `delay` is the lateness/state knob: production streams keep it tight
+    * (state ∝ delay + window); the oracle-checked replay widens it past
+    * the fixture span so the inner join provably emits every pair and the
+    * batch join is the exact oracle. Eviction under a tight delay is
+    * covered by the spec.
     */
-  def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long): DataFrame = {
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
+                   delay: String = "1 hour"): DataFrame = {
     val l = left
       .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
-      .withWatermark("l_ts", "1 hour")
+      .withWatermark("l_ts", delay)
     val r = right
       .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_type").as("r_type"))
-      .withWatermark("r_ts", "1 hour")
+      .withWatermark("r_ts", delay)
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
