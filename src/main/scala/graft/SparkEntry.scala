@@ -595,6 +595,13 @@ object SparkEntry {
         .orderBy("tbl", "pk", "pos")
     }),
 
+    // interleaved chunked-snapshot audit: each PK chunk snapshotted at a
+    // progressively later log cut, tail events replayed on top — merged
+    // state must checksum-equal the direct materialization per chunk
+    // (the invariant that makes snapshot-while-streaming safe)
+    "cdc_interleaved_snapshot" -> ((s, dir) =>
+      ChangelogApply.interleavedSnapshot(changelog(s, dir), 8)),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -734,6 +741,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           min(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("min_lag_us"),
           max(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("max_lag_us"))
+        .orderBy("user_id")
+    }),
+
+    // LEFT OUTER stream-stream interval join under a TIGHT watermark:
+    // matches emit as they form; an unmatched click emits null-extended
+    // only once the watermark passes its join window — so the oracle is
+    // the batch left join cut at the final watermark (min of both sides'
+    // ms-truncated max event times, minus the 2h delay)
+    "events_stream_join_outer" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"stream_join_outer_${hourlyStreamSeq.incrementAndGet()}"
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+      val q = StreamingAnalytics.intervalJoin(
+          in.filter(col("event_type") === "click"),
+          in.filter(col("event_type") === "purchase"),
+          1800L, delay = "2 hours", joinType = "left_outer")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_sjoino")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("r_ts")).as("n_matched"),
+          sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_expired_unmatched"))
         .orderBy("user_id")
     }),
 
@@ -1520,6 +1554,8 @@ object SparkEntry {
 
     "cdc_gdpr_purge" -> Scrub.gdprPurgeSql(clSql),
 
+    "cdc_interleaved_snapshot" -> ChangelogApply.interleavedSnapshotSql(clSql, 8),
+
     "quality_psi_drift" -> Profiling.psiDriftSql,
 
     "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
@@ -1550,6 +1586,27 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // the final global watermark is min over both sides of the
+    // ms-truncated max event time, minus the 2h delay — an unmatched
+    // click is visible iff its 30-min join window closed below it
+    "events_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((epoch_us((SELECT max(ts) FROM c)) // 1000) * 1000,
+        |                    (epoch_us((SELECT max(ts) FROM p)) // 1000) * 1000)
+        |               - 7200000000 AS w),
+        |pairs AS (
+        |  SELECT c.user_id, c.ts AS l_ts, p.ts AS r_ts
+        |  FROM c LEFT JOIN p
+        |    ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        |vis AS (SELECT pairs.* FROM pairs, wm
+        |        WHERE r_ts IS NOT NULL OR epoch_us(l_ts) + 1800000000 < wm.w)
+        |SELECT user_id, count(*) AS n_rows, count(r_ts) AS n_matched,
+        |       CAST(sum(CASE WHEN r_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_expired_unmatched
+        |FROM vis GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "text_chunking" -> Curation.chunkDocsSql(64, 48),
 

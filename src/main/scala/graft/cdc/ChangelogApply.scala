@@ -678,6 +678,125 @@ object ChangelogApply {
       .orderBy(col("tbl"))
   }
 
+  /** Interleaved chunked-snapshot audit — the watermark-interleaving
+    * algorithm a CDC engine uses to take a CONSISTENT full snapshot while
+    * the changelog keeps flowing (the DBLog device; reference snapshot
+    * path: the chunked full-table scan the engine schedules beside the
+    * stream). Each PK-range chunk is "read" at a progressively later log
+    * position `cut_c`; a chunk's snapshot is the LWW state at its cut,
+    * and later changelog events replay on top. Because the LWW merge is
+    * associative and order-insensitive (max_by pos), snapshot ⊎ tail MUST
+    * equal the state materialized directly from the full log for every
+    * chunk — that is the invariant that makes chunked snapshotting safe,
+    * and this audit proves it per (tbl, chunk) with order-independent
+    * checksums on both paths (`consistent` must be uniformly true).
+    *
+    * Scale shape: chunk/cut assignment is a pure projection off one
+    * scalar bounds probe; both LWW phases are the same single-shuffle
+    * partial max_by as [[materialize]]; `n_superseded` is a left-semi
+    * join on the (tbl, pk) shuffle key; the audit output is
+    * O(tables × chunks), not rows.
+    */
+  def interleavedSnapshot(changelog: DataFrame, nChunks: Int): DataFrame = {
+    require(nChunks > 0, s"nChunks must be positive: $nChunks")
+    val b = changelog.agg(min(col("pk")).as("lo"), max(col("pk")).as("hi"),
+      max(col("pos")).as("mp")).collect()(0)
+    val (lo, hi, mp) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val wc = changelog
+      .withColumn("chunk", expr(s"CAST(((pk - $lo) * $nChunks) DIV (${hi - lo} + 1) AS BIGINT)"))
+      .withColumn("cut", expr(s"CAST(((chunk + 1) * $mp) DIV $nChunks AS BIGINT)"))
+    def lww(df: DataFrame): DataFrame = df
+      .groupBy(col("tbl"), col("pk"), col("chunk"))
+      .agg(max_by(struct(col("op"), col("pos"), col("value")), col("pos")).as("last"))
+      .select(col("tbl"), col("pk"), col("chunk"), col("last.op").as("op"),
+        col("last.pos").as("pos"), col("last.value").as("value"))
+      .filter(col("op") =!= "D")
+    val rowHash = graft.functions.PortableHash.tokenHash(
+      concat_ws("|", col("pk"), col("pos"), floor(col("value") * 100).cast("long")))
+      .cast("decimal(38,0)")
+    val snap = lww(wc.filter(col("pos") <= col("cut")))
+    val tail = wc.filter(col("pos") > col("cut"))
+      .select(col("tbl"), col("pk"), col("chunk"), col("op"), col("pos"), col("value"))
+    val merged = lww(snap.unionByName(tail))
+    val direct = lww(wc)
+    val snapAgg = snap.groupBy(col("tbl"), col("chunk"))
+      .agg(count(lit(1)).as("n_snapshot_rows"))
+    val supAgg = snap.join(tail.select(col("tbl"), col("pk")).distinct(),
+        Seq("tbl", "pk"), "left_semi")
+      .groupBy(col("tbl"), col("chunk")).agg(count(lit(1)).as("n_superseded"))
+    val mergedAgg = merged.groupBy(col("tbl"), col("chunk"))
+      .agg(count(lit(1)).as("n_final_rows"), sum(rowHash).as("merged_checksum"))
+    val directAgg = direct.groupBy(col("tbl"), col("chunk"))
+      .agg(count(lit(1)).as("n_direct_rows"), sum(rowHash).as("direct_checksum"))
+    val pks = wc.groupBy(col("tbl"), col("chunk"))
+      .agg(count_distinct(col("pk")).as("n_pks"))
+    pks
+      .join(snapAgg, Seq("tbl", "chunk"), "left")
+      .join(supAgg, Seq("tbl", "chunk"), "left")
+      .join(mergedAgg, Seq("tbl", "chunk"), "left")
+      .join(directAgg, Seq("tbl", "chunk"), "left")
+      .select(col("tbl"), col("chunk"), col("n_pks"),
+        coalesce(col("n_snapshot_rows"), lit(0L)).as("n_snapshot_rows"),
+        coalesce(col("n_superseded"), lit(0L)).as("n_superseded"),
+        coalesce(col("n_final_rows"), lit(0L)).as("n_final_rows"),
+        col("merged_checksum"), col("direct_checksum"),
+        (coalesce(col("n_final_rows"), lit(0L)) === coalesce(col("n_direct_rows"), lit(0L)) &&
+          col("merged_checksum") <=> col("direct_checksum")).as("consistent"))
+      .orderBy("tbl", "chunk")
+  }
+
+  /** Oracle SQL for [[interleavedSnapshot]] given a changelog CTE body. */
+  def interleavedSnapshotSql(clCte: String, nChunks: Int): String = {
+    val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
+      "CAST(floor(value * 100) AS BIGINT))), 1, 15)) AS BIGINT)"
+    def lww(src: String) =
+      s"""SELECT tbl, pk, chunk,
+         |       arg_max(op, pos) AS op, max(pos) AS pos, arg_max(value, pos) AS value
+         |FROM $src GROUP BY tbl, pk, chunk""".stripMargin
+    s"""WITH cl AS ($clCte),
+       |b AS (SELECT min(pk) AS lo, max(pk) AS hi, max(pos) AS mp FROM cl),
+       |wc AS (
+       |  SELECT cl.*, ((pk - b.lo) * $nChunks) // (b.hi - b.lo + 1) AS chunk,
+       |         ((((pk - b.lo) * $nChunks) // (b.hi - b.lo + 1)) + 1) * b.mp // $nChunks AS cut
+       |  FROM cl, b),
+       |snap0 AS (${lww("wc WHERE pos <= cut")}),
+       |snap AS (SELECT * FROM snap0 WHERE op <> 'D'),
+       |tail AS (SELECT tbl, pk, chunk, op, pos, value FROM wc WHERE pos > cut),
+       |uni AS (SELECT * FROM snap UNION ALL SELECT * FROM tail),
+       |merged0 AS (${lww("uni")}),
+       |merged AS (SELECT * FROM merged0 WHERE op <> 'D'),
+       |direct0 AS (${lww("wc")}),
+       |direct AS (SELECT * FROM direct0 WHERE op <> 'D'),
+       |pks AS (SELECT tbl, chunk, count(DISTINCT pk) AS n_pks FROM wc GROUP BY tbl, chunk),
+       |snap_agg AS (SELECT tbl, chunk, count(*) AS n_snapshot_rows FROM snap GROUP BY tbl, chunk),
+       |sup_agg AS (
+       |  SELECT s.tbl, s.chunk, count(*) AS n_superseded
+       |  FROM snap s
+       |  WHERE EXISTS (SELECT 1 FROM tail t WHERE t.tbl = s.tbl AND t.pk = s.pk)
+       |  GROUP BY s.tbl, s.chunk),
+       |merged_agg AS (
+       |  SELECT tbl, chunk, count(*) AS n_final_rows,
+       |         sum(CAST($h AS DECIMAL(38,0))) AS merged_checksum
+       |  FROM merged GROUP BY tbl, chunk),
+       |direct_agg AS (
+       |  SELECT tbl, chunk, count(*) AS n_direct_rows,
+       |         sum(CAST($h AS DECIMAL(38,0))) AS direct_checksum
+       |  FROM direct GROUP BY tbl, chunk)
+       |SELECT p.tbl, p.chunk, p.n_pks,
+       |       coalesce(s.n_snapshot_rows, 0) AS n_snapshot_rows,
+       |       coalesce(u.n_superseded, 0) AS n_superseded,
+       |       coalesce(m.n_final_rows, 0) AS n_final_rows,
+       |       m.merged_checksum, d.direct_checksum,
+       |       coalesce(m.n_final_rows, 0) = coalesce(d.n_direct_rows, 0)
+       |         AND m.merged_checksum IS NOT DISTINCT FROM d.direct_checksum AS consistent
+       |FROM pks p
+       |LEFT JOIN snap_agg s ON p.tbl = s.tbl AND p.chunk = s.chunk
+       |LEFT JOIN sup_agg u ON p.tbl = u.tbl AND p.chunk = u.chunk
+       |LEFT JOIN merged_agg m ON p.tbl = m.tbl AND p.chunk = m.chunk
+       |LEFT JOIN direct_agg d ON p.tbl = d.tbl AND p.chunk = d.chunk
+       |ORDER BY p.tbl, p.chunk""".stripMargin
+  }
+
   /** Oracle SQL for [[timeWeightedAvg]] given a changelog CTE body. */
   def timeWeightedAvgSql(clCte: String): String =
     s"""WITH cl AS ($clCte),

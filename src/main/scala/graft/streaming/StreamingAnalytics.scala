@@ -85,7 +85,7 @@ object StreamingAnalytics {
     * covered by the spec.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
-                   delay: String = "1 hour"): DataFrame = {
+                   delay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val l = left
       .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
       .withWatermark("l_ts", delay)
@@ -96,7 +96,7 @@ object StreamingAnalytics {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "inner")
+      joinType)
       .select(col("user_id"), col("l_ts"), col("l_type"), col("r_ts"), col("r_type"))
   }
 

@@ -144,6 +144,32 @@ class CdcSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("interleaved snapshot: every chunk consistent under cut-straddling deletes (property)") {
+    // adversarial fixed cases first: deletes landing before/after the cut
+    // and dead-at-cut resurrections are exactly where a naive chunked
+    // snapshot loses rows
+    def ev(pk: Long, op: String, pos: Long, v: Double) =
+      ChangeEvent("t0", pk, op, new Timestamp(pos * 1000), pos, v)
+    val crafted = Seq(
+      ev(0L, "I", 0L, 1.0), ev(0L, "D", 9L, 0.0),                     // deleted in the tail
+      ev(1L, "I", 1L, 2.0), ev(1L, "D", 2L, 0.0),                     // dead at every cut
+      ev(2L, "I", 3L, 3.0), ev(2L, "D", 4L, 0.0), ev(2L, "I", 10L, 4.0), // resurrected in tail
+      ev(3L, "U", 11L, 5.0),                                          // born after the last cut
+      ev(7L, "I", 5L, 6.0))                                           // untouched survivor
+    val out = ChangelogApply.interleavedSnapshot(df(crafted), 4).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("consistent")),
+      s"crafted case inconsistent: ${out.mkString("\n")}")
+    // property sweep: random interleaved per-key op sequences, several
+    // chunk counts
+    samples(genKeyed, 6).zipWithIndex.foreach { case (keyed, i) =>
+      val events = mkEvents(keyed)
+      if (events.nonEmpty) {
+        val res = ChangelogApply.interleavedSnapshot(df(events), 1 + i % 5).collect()
+        assert(res.forall(_.getAs[Boolean]("consistent")), s"sample $i: $events")
+      }
+    }
+  }
+
   test("delete then re-insert resurrects the key with the new value") {
     val events = Seq(
       ChangeEvent("t0", 7L, "I", new Timestamp(0), 0L, 1.0),

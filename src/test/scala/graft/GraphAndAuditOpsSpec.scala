@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Graph, Sketches, Similarity, Curation}
+
+/** Invariants of the round-7 operators: fixed-point PageRank, token
+  * chunking, zone-map pruning, KMV join-cardinality, nDCG.
+  */
+class GraphAndAuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- pagerank ----
+
+  private def liDf(rows: (Long, Long)*) =
+    rows.toDF("l_orderkey", "l_partkey")
+
+  test("pagerank: conserves rank mass up to integer truncation") {
+    val li = liDf(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L, 3L -> 10L, 3L -> 30L)
+    val pr = Graph.pagerank(li, 6).collect()
+    val total = pr.map(_.getLong(1)).sum
+    // each iteration truncates < 1 picorank per (edge contribution +
+    // teleport + damping divide): loss is bounded by a few units per node
+    // per round, nowhere near a rank unit
+    assert(math.abs(total - Graph.Scale) < pr.length * 6 * 3 + 100,
+      s"mass not conserved: $total vs ${Graph.Scale}")
+    assert(pr.forall(_.getLong(1) > 0L), "every connected node keeps positive rank")
+  }
+
+  test("pagerank: the hub of a weighted star outranks the leaves") {
+    // part 10 co-occurs with everything; 20/30/40 only with 10
+    val li = liDf(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 30L, 3L -> 10L, 3L -> 40L)
+    val pr = Graph.pagerank(li, 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(10L) > pr(20L) && pr(10L) > pr(30L) && pr(10L) > pr(40L),
+      s"hub must dominate: $pr")
+    // symmetric leaves tie exactly — integer arithmetic, no float noise
+    assert(pr(20L) == pr(30L) && pr(30L) == pr(40L), s"leaf ranks must be identical: $pr")
+  }
+
+  // ---- chunking ----
+
+  test("chunkDocs: stride starts, tail coverage, fingerprint determinism") {
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text100), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, 64, 48).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)),
+      "chunk grid must be starts 1/49/97 with the short tail kept")
+    // full token coverage: every token index falls in >= 1 chunk
+    val covered = d1.flatMap(r => r.getLong(2) to (r.getLong(2) + r.getLong(3) - 1)).toSet
+    assert(covered == (1L to 100L).toSet, "chunks must cover the whole document")
+    assert(out.filter(_.getLong(0) == 2L).map(_.getLong(3)).toSeq == Seq(2L),
+      "short doc = one short chunk")
+    assert(!out.exists(_.getLong(0) == 3L), "token-less doc has no chunks")
+    // identical chunk text => identical fingerprint (dedup key contract)
+    val again = Curation.chunkDocs(docs, 64, 48).collect()
+    assert(out.map(_.getLong(4)).toSeq == again.map(_.getLong(4)).toSeq)
+  }
+
+  // ---- zone-map pruning ----
+
+  test("zonePrune: scanned bounds matched, and clustering prunes the point lookup") {
+    // through the registered query so the scan-edge ts normalization
+    // (nanos-Long vs NTZ fixture generations) is SparkEntry.t()'s problem
+    val out = SparkEntry.queries("files_zone_prune")(spark, dir).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val (files, read, scanned, matched) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(read <= files, s"files_read > n_files: $r")
+      assert(scanned >= matched, s"zone maps may over-read, never under-read: $r")
+    }
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // ingest-time layout spreads every user across all files; the
+    // clustering layouts must scan no more than it for the point lookup
+    assert(byKey(("zorder", "user_point")) <= byKey(("time", "user_point")))
+    assert(byKey(("hilbert", "user_point")) <= byKey(("time", "user_point")))
+  }
+
+  // ---- KMV join cardinality ----
+
+  test("kmvJoinCardinality: exact when the sketches are not full") {
+    val orders = Seq.tabulate(40)(i => (i.toLong % 10L)).toDF("o_custkey")
+    val customer = Seq.tabulate(6)(i => (i.toLong, if (i % 2 == 0) "S" else "T"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Sketches.kmvJoinCardinality(orders, customer, 256, "S").collect()(0)
+    // keys 0,2,4 selected; each appears 4x in orders => exact join = 12
+    assert(r.getAs[Long]("exact_join_rows") == 12L)
+    assert(r.getAs[Double]("est_join_rows") == 12.0, s"sub-k sketch must be exact: $r")
+    assert(r.getAs[Double]("est_intersection") == 3.0)
+    assert(r.getAs[Double]("rel_error") == 0.0)
+  }
+
+  // ---- nDCG ----
+
+  test("ivfNdcgAudit: probing every cell reproduces the exact ranking (nDCG = 1)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.ivfNdcgAudit(emb, 4, 5, 4, 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ndcg") - 1.0) < 1e-4,
+        s"nprobe = nlist is exhaustive search; nDCG must be 1: $r")
+    }
+    ops.Caches.releaseCaches()
+  }
+}

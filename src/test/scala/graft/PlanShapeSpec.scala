@@ -394,6 +394,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sliding windows must not self-join:\n$p")
   }
 
+  test("chunking: map-only lineage — no hash shuffle, no join, one generate") {
+    val p = plan("text_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle (only the output sort's range exchange):\n$p")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate ")) == 1,
+      s"exactly one explode (the stride starts):\n$p")
+  }
+
+  test("pagerank: contribution aggregates partial-merge before the shuffle") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"per-dst contribution sums must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in pagerank:\n$p")
+  }
+
   test("pivot: conditional-aggregate pass with the value list given — no Expand, one scan each") {
     val p = plan("q_pivot_revenue")
     assert(!p.contains("Expand ["),
