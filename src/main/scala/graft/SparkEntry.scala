@@ -676,6 +676,11 @@ object SparkEntry {
     // the stream's first and second halves, 10 smoothed equal-width bins
     "quality_psi_drift" -> ((s, dir) => Profiling.psiDrift(t(s, dir, "events"))),
 
+    // declarative expectation suite: not-null/range/set/uniqueness rules
+    // as one conditional aggregate per table, per-rule pass/fail ledger
+    "quality_expectations" -> ((s, dir) =>
+      Profiling.expectations(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
     // Benford first-digit audit: observed vs log10(1+1/d) shares over
     // order totals — the fabricated-data screen
     "quality_benford" -> ((s, dir) => Profiling.benfordAudit(t(s, dir, "orders"))),
@@ -1069,6 +1074,10 @@ object SparkEntry {
     // fixed-point weighted PageRank over the part co-purchase graph —
     // 6 integer-arithmetic iterations, bit-identical in both engines
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(t(s, dir, "lineitem"), 6)),
+
+    // sync weighted label propagation: deterministic community detection
+    // (4 BIGINT rounds, smallest-label tie-break, weight-1 self-vote)
+    "graph_communities" -> ((s, dir) => Graph.labelPropagation(t(s, dir, "lineitem"), 4)),
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
@@ -1558,6 +1567,8 @@ object SparkEntry {
 
     "quality_psi_drift" -> Profiling.psiDriftSql,
 
+    "quality_expectations" -> Profiling.expectationsSql,
+
     "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
 
     "quality_benford" -> Profiling.benfordAuditSql,
@@ -1716,6 +1727,7 @@ object SparkEntry {
     "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
     "ann_ndcg_audit" -> Similarity.ivfNdcgAuditSql(8, 5, 32, 2),
     "graph_pagerank" -> Graph.pagerankSql(6),
+    "graph_communities" -> Graph.labelPropagationSql(4),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

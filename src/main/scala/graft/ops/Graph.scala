@@ -73,6 +73,64 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Synchronous weighted label propagation — community detection over
+    * the same co-purchase graph. Every node starts labeled with its own
+    * id; each round it adopts the label with the largest incident edge
+    * mass among its neighbors' current labels plus a weight-1 self-vote
+    * (the self-vote anchors converged regions; ties break to the
+    * SMALLEST label, making sync rounds fully deterministic). Fixed
+    * `rounds` rounds — like the PageRank above, everything is BIGINT
+    * (vote mass × 1e8 − label composite argmax), so both engines agree
+    * bit-for-bit and the oracle unrolls the rounds as CTEs.
+    *
+    * Scale shape: one round = edge-frame join + two partial-agged
+    * groupBys on (dst, label) then dst — the CC/PageRank shuffle
+    * pattern, O(|E|) per round. Labels assumed < 1e8 (fixture part keys
+    * are ≪; a larger id space widens the composite multiplier).
+    */
+  def labelPropagation(lineitem: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
+    val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = edges.join(labels, col("src") === col("node"))
+        .select(col("dst"), col("label"), col("w"))
+        .unionByName(labels.select(col("node").as("dst"), col("label"), lit(1L).as("w")))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
+      labels = Caches.tracked(votes
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), col("cnt") * lit(100000000L) - col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .persist())
+    }
+    labels.select(col("node"), col("label").as("community")).orderBy("node")
+  }
+
+  def labelPropagationSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (
+         |  SELECT dst, label, sum(w) AS cnt FROM (
+         |    SELECT e.dst, l${i - 1}.label, e.w FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node
+         |    UNION ALL
+         |    SELECT node AS dst, label, CAST(1 AS BIGINT) AS w FROM l${i - 1})
+         |  GROUP BY dst, label),
+         |l$i AS (
+         |  SELECT dst AS node, arg_max(label, cnt * 100000000 - label) AS label
+         |  FROM v$i GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ed AS (
+       |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+       |  GROUP BY a.pk, b.pk),
+       |e AS (SELECT src, dst, w FROM ed),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$steps
+       |SELECT node, label AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   def pagerankSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>
       s"""c$i AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One edge of a foreign-key graph for [[Profiling.orphanAudit]]. */
@@ -117,6 +117,93 @@ object Profiling {
     * double→long cast truncates where DuckDB's rounds, the one cast the
     * two engines disagree on).
     */
+  /** Declarative expectation suite — the data-contract gate an ingest
+    * pipeline runs before publishing a batch (not-null, range, set
+    * membership, key uniqueness, cross-field bounds), evaluated as ONE
+    * conditional aggregate per table plus the distinct-count the
+    * uniqueness rules need. A NULL failing a range/set rule counts as a
+    * violation (`coalesce(pred, false)`), matching contract semantics.
+    *
+    * Scale shape: one partial-agged scan per table; the per-rule ledger
+    * is built by exploding a literal rule array off the single aggregate
+    * row — no per-rule re-scan, no join. FK reachability lives in
+    * [[orphanAudit]]; this suite is the single-table contract layer.
+    */
+  def expectations(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    def failed(pred: Column) =
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+    def rule(name: String, tbl: String, n: Column, f: Column) =
+      struct(lit(name).as("rule"), lit(tbl).as("tbl"),
+        n.as("n_checked"), f.cast("long").as("n_failed"))
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      failed(col("o_custkey").isNotNull).as("f_nn"),
+      failed(col("o_totalprice") > 0).as("f_pos"),
+      failed(col("o_orderpriority").isin(prios: _*)).as("f_set"),
+      failed(col("o_orderdate").cast("date")
+        .between(lit("1990-01-01").cast("date"), lit("2005-12-31").cast("date"))).as("f_rng"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("f_uni"))
+    val li = lineitem.agg(
+      count(lit(1)).as("n"),
+      failed(col("l_discount").between(0.0, 1.0)).as("f_disc"),
+      failed(col("l_quantity") > 0).as("f_qty"),
+      // composite key packed integrally (l_linenumber < 100 by contract)
+      (count(lit(1)) - count_distinct(col("l_orderkey") * 100 + col("l_linenumber"))).as("f_uni"))
+    val oRules = o.select(explode(array(
+      rule("o_custkey_not_null", "orders", col("n"), col("f_nn")),
+      rule("o_totalprice_positive", "orders", col("n"), col("f_pos")),
+      rule("o_orderpriority_in_set", "orders", col("n"), col("f_set")),
+      rule("o_orderdate_in_range", "orders", col("n"), col("f_rng")),
+      rule("o_orderkey_unique", "orders", col("n"), col("f_uni")))).as("r"))
+    val liRules = li.select(explode(array(
+      rule("li_discount_unit_interval", "lineitem", col("n"), col("f_disc")),
+      rule("li_quantity_positive", "lineitem", col("n"), col("f_qty")),
+      rule("li_pk_unique", "lineitem", col("n"), col("f_uni")))).as("r"))
+    oRules.unionByName(liRules)
+      .select(col("r.rule").as("rule"), col("r.tbl").as("tbl"),
+        col("r.n_checked").as("n_checked"), col("r.n_failed").as("n_failed"),
+        (col("r.n_failed") === 0L).as("pass"),
+        round(col("r.n_failed").cast("double") /
+          nullif(col("r.n_checked").cast("double"), lit(0.0)), 6).as("fail_rate"))
+      .orderBy("rule")
+  }
+
+  def expectationsSql: String = {
+    val prios = "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
+    def f(pred: String) =
+      s"CAST(sum(CASE WHEN coalesce($pred, false) THEN 0 ELSE 1 END) AS BIGINT)"
+    s"""WITH o AS (
+       |  SELECT count(*) AS n,
+       |         ${f("o_custkey IS NOT NULL")} AS f_nn,
+       |         ${f("o_totalprice > 0")} AS f_pos,
+       |         ${f(s"o_orderpriority IN ($prios)")} AS f_set,
+       |         ${f("CAST(o_orderdate AS DATE) BETWEEN DATE '1990-01-01' AND DATE '2005-12-31'")} AS f_rng,
+       |         count(*) - count(DISTINCT o_orderkey) AS f_uni
+       |  FROM orders),
+       |li AS (
+       |  SELECT count(*) AS n,
+       |         ${f("l_discount BETWEEN 0.0 AND 1.0")} AS f_disc,
+       |         ${f("l_quantity > 0")} AS f_qty,
+       |         count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber) AS f_uni
+       |  FROM lineitem),
+       |rules AS (
+       |  SELECT 'o_custkey_not_null' AS rule, 'orders' AS tbl, n AS n_checked, f_nn AS n_failed FROM o
+       |  UNION ALL SELECT 'o_totalprice_positive', 'orders', n, f_pos FROM o
+       |  UNION ALL SELECT 'o_orderpriority_in_set', 'orders', n, f_set FROM o
+       |  UNION ALL SELECT 'o_orderdate_in_range', 'orders', n, f_rng FROM o
+       |  UNION ALL SELECT 'o_orderkey_unique', 'orders', n, f_uni FROM o
+       |  UNION ALL SELECT 'li_discount_unit_interval', 'lineitem', n, f_disc FROM li
+       |  UNION ALL SELECT 'li_quantity_positive', 'lineitem', n, f_qty FROM li
+       |  UNION ALL SELECT 'li_pk_unique', 'lineitem', n, f_uni FROM li)
+       |SELECT rule, tbl, CAST(n_checked AS BIGINT) AS n_checked,
+       |       CAST(n_failed AS BIGINT) AS n_failed,
+       |       n_failed = 0 AS pass,
+       |       round(CAST(n_failed AS DOUBLE) / nullif(CAST(n_checked AS DOUBLE), 0.0), 6)
+       |         AS fail_rate
+       |FROM rules ORDER BY rule""".stripMargin
+  }
+
   def benfordAudit(orders: DataFrame): DataFrame = {
     val v = floor(col("o_totalprice")).cast("long")
     val digit = substring(v.cast("string"), 1, 1).cast("int")

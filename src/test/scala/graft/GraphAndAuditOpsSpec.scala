@@ -37,6 +37,23 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(pr(20L) == pr(30L) && pr(30L) == pr(40L), s"leaf ranks must be identical: $pr")
   }
 
+  test("labelPropagation: a star converges to one community anchored at the hub") {
+    val li = liDf(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 30L, 3L -> 10L, 3L -> 40L)
+    val got = Graph.labelPropagation(li, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(10L), s"star must collapse to the hub's label: $got")
+  }
+
+  test("labelPropagation: disconnected cliques keep separate communities") {
+    // two triangles with no shared order
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 7L, 2L -> 8L, 2L -> 9L)
+    val got = Graph.labelPropagation(li, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(7L) == got(8L) && got(8L) == got(9L))
+    assert(got(1L) != got(7L), s"cliques must not merge: $got")
+  }
+
   // ---- chunking ----
 
   test("chunkDocs: stride starts, tail coverage, fingerprint determinism") {

@@ -28,6 +28,32 @@ class ProfilingAndAnomalySpec extends SparkSpec {
     assert(got("k").isNullAt(5) && got("s").isNullAt(3)) // cross-type slots null
   }
 
+  test("expectations: planted violations counted per rule; NULL fails range/set rules") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, Some(10L), Some(5.0), Some("1-URGENT"), Some(ts("1996-01-01"))),   // clean
+      (1L, Some(11L), Some(6.0), Some("5-LOW"), Some(ts("1997-01-01"))),      // dup orderkey
+      (2L, None, Some(-1.0), Some("EXPRESS"), Some(ts("1980-01-01"))),        // null fk, neg, bad set, out of range
+      (3L, Some(12L), None, None, None)                                       // nulls fail range/set/positive
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, Some(0.05), Some(3.0)),
+      (1L, 1L, Some(1.5), Some(0.0)),  // dup pk, discount > 1, qty not positive
+      (2L, 1L, None, Some(2.0))        // null discount fails the interval rule
+    ).toDF("l_orderkey", "l_linenumber", "l_discount", "l_quantity")
+    val got = graft.ops.Profiling.expectations(orders, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("o_orderkey_unique") == ((1L, false)))
+    assert(got("o_custkey_not_null") == ((1L, false)))
+    assert(got("o_totalprice_positive") == ((2L, false)), s"neg AND null fail: $got")
+    assert(got("o_orderpriority_in_set") == ((2L, false)))
+    assert(got("o_orderdate_in_range") == ((2L, false)))
+    assert(got("li_pk_unique") == ((1L, false)))
+    assert(got("li_discount_unit_interval") == ((2L, false)))
+    assert(got("li_quantity_positive") == ((1L, false)))
+  }
+
   test("zscore outliers: a planted far outlier is flagged, tight cluster is not") {
     import spark.implicits._
     // 100 values at ~10 ± 1 plus one at 1000: only the spike exceeds 3 sigma
