@@ -602,6 +602,12 @@ object SparkEntry {
     "cdc_interleaved_snapshot" -> ((s, dir) =>
       ChangelogApply.interleavedSnapshot(changelog(s, dir), 8)),
 
+    // consistent cross-table export: every table materialized at the
+    // SAME committable frontier (min over tables of max pos) — the cut
+    // a downstream warehouse can trust for cross-table invariants
+    "cdc_consistent_cut" -> ((s, dir) =>
+      ChangelogApply.consistentCut(changelog(s, dir))),
+
     "cdc_op_stats" -> ((s, dir) =>
       changelog(s, dir).groupBy("tbl", "op")
         .agg(count(lit(1)).as("n_events"),
@@ -855,10 +861,10 @@ object SparkEntry {
       Analytics.soleBlameSuppliers(t(s, dir, "supplier"), t(s, dir, "lineitem"),
         t(s, dir, "orders"))),
     "events_top3_per_user" -> ((s, dir) => Analytics.topEventsPerUser(t(s, dir, "events"), 3)),
-    "events_percentiles" -> ((s, dir) => Analytics.valuePercentiles(t(s, dir, "events"))),
     // EXACT percentiles via two-pass histogram-refinement selection —
-    // same numbers/oracle as events_percentiles, no O(n) agg buffer
-    "events_percentiles_2pass" -> ((s, dir) =>
+    // the naive `percentile` formulation (O(group) reducer buffer) lives
+    // on only in the spec that proves the two paths equal
+    "events_percentiles" -> ((s, dir) =>
       ExactQuantiles.percentiles(t(s, dir, "events"), "event_type", "value",
         Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
     "events_range_join" -> ((s, dir) => Analytics.eventPairsWithin(t(s, dir, "events"), 5)),
@@ -1028,11 +1034,10 @@ object SparkEntry {
       Analytics.pivotRevenue(t(s, dir, "orders"), t(s, dir, "customer"), t(s, dir, "nation"))),
     // weekday seasonality with engine-portable epoch-day dow arithmetic
     "events_weekday_profile" -> ((s, dir) => Analytics.weekdayProfile(t(s, dir, "events"))),
-    // exact equi-depth deciles (ntile) beside the sketch quantile path
-    "events_value_deciles" -> ((s, dir) => Analytics.valueDeciles(t(s, dir, "events"))),
-    // the same deciles via two-pass selection — ntile semantics without
-    // the per-type single-reducer sort (same oracle)
-    "events_deciles_2pass" -> ((s, dir) =>
+    // exact equi-depth deciles with ntile semantics via two-pass
+    // selection — no per-type single-reducer sort (the ntile window
+    // formulation survives in the spec as the equality witness)
+    "events_value_deciles" -> ((s, dir) =>
       ExactQuantiles.deciles(t(s, dir, "events"), "event_type", "value")),
     // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
     "supplier_pareto" -> ((s, dir) =>
@@ -1158,11 +1163,10 @@ object SparkEntry {
     "text_pack_bins" -> ((s, dir) =>
       Curation.packBins(t(s, dir, "documents"), budget = 512, nBuckets = 8)),
 
-    // Percentile-anchored quality gate: keep the top 60% by quality
+    // Percentile-anchored quality gate: keep the top 60% by quality —
+    // the threshold comes from exact two-pass selection (the unbounded
+    // `percentile` formulation survives in the equality spec only)
     "text_quality_gate" -> ((s, dir) =>
-      Curation.qualityGate(t(s, dir, "documents"), 0.6)),
-    // the same gate with the threshold from exact two-pass selection
-    "text_quality_gate_2pass" -> ((s, dir) =>
       Curation.qualityGateTwoPass(t(s, dir, "documents"), 0.6)),
 
     // PII scrub: redact emails/URLs/phones/ID runs over a deterministic
@@ -1565,6 +1569,8 @@ object SparkEntry {
 
     "cdc_interleaved_snapshot" -> ChangelogApply.interleavedSnapshotSql(clSql, 8),
 
+    "cdc_consistent_cut" -> ChangelogApply.consistentCutSql(clSql),
+
     "quality_psi_drift" -> Profiling.psiDriftSql,
 
     "quality_expectations" -> Profiling.expectationsSql,
@@ -1713,8 +1719,6 @@ object SparkEntry {
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "events_value_deciles" -> Analytics.valueDecilesSql,
-    "events_deciles_2pass" -> Analytics.valueDecilesSql,
-    "events_percentiles_2pass" -> Analytics.valuePercentilesSql,
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
@@ -1767,7 +1771,6 @@ object SparkEntry {
     "text_pack_bins" -> Curation.packBinsSql(512, 8),
 
     "text_quality_gate" -> Curation.qualityGateSql(0.6),
-    "text_quality_gate_2pass" -> Curation.qualityGateSql(0.6),
 
     "text_importance_sample" -> Curation.importanceSampleSql(10000),
 

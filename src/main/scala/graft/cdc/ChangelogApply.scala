@@ -678,6 +678,55 @@ object ChangelogApply {
       .orderBy(col("tbl"))
   }
 
+  /** Transactionally-consistent cross-table cut: materialize EVERY table
+    * at the same committable frontier — the min over tables of each
+    * table's max applied position. Exporting tables independently at
+    * "whatever position each reached" breaks cross-table invariants
+    * (an order without its lineitems); exporting at the global frontier
+    * is the consistent snapshot a downstream warehouse can trust. Output
+    * is the per-table export manifest: rows, last position included, and
+    * an order-independent state checksum.
+    *
+    * Scale shape: the frontier is a two-level aggregate (per-table max →
+    * global min) broadcast back as a one-row frame; the filter + LWW is
+    * the standard single-shuffle apply. Events above the frontier are
+    * simply the next export's delta — nothing is lost, only deferred.
+    */
+  def consistentCut(changelog: DataFrame): DataFrame = {
+    val frontier = changelog.groupBy(col("tbl")).agg(max(col("pos")).as("mx"))
+      .agg(min(col("mx")).as("frontier"))
+    val rowHash = graft.functions.PortableHash.tokenHash(
+      concat_ws("|", col("pk"), col("pos"), floor(col("value") * 100).cast("long")))
+      .cast("decimal(38,0)")
+    val cut = changelog.crossJoin(broadcast(frontier))
+      .filter(col("pos") <= col("frontier"))
+    materialize(cut.drop("frontier"))
+      .crossJoin(broadcast(frontier))
+      .groupBy(col("tbl"), col("frontier"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("pos")).as("max_pos_included"),
+        sum(rowHash).as("state_checksum"))
+      .orderBy("tbl")
+  }
+
+  /** Oracle SQL for [[consistentCut]] given a changelog CTE body. */
+  def consistentCutSql(clCte: String): String = {
+    val h = "CAST(concat('0x', substr(md5(concat_ws('|', pk, pos, " +
+      "CAST(floor(value * 100) AS BIGINT))), 1, 15)) AS BIGINT)"
+    s"""WITH cl AS ($clCte),
+       |f AS (SELECT min(mx) AS frontier FROM (
+       |        SELECT tbl, max(pos) AS mx FROM cl GROUP BY tbl)),
+       |cut AS (SELECT cl.* FROM cl, f WHERE pos <= f.frontier),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY pos DESC) AS rn
+       |  FROM cut),
+       |state AS (SELECT tbl, pk, pos, value FROM ranked WHERE rn = 1 AND op <> 'D')
+       |SELECT tbl, f.frontier, count(*) AS n_rows,
+       |       max(pos) AS max_pos_included,
+       |       sum(CAST($h AS DECIMAL(38,0))) AS state_checksum
+       |FROM state, f GROUP BY tbl, f.frontier ORDER BY tbl""".stripMargin
+  }
+
   /** Interleaved chunked-snapshot audit — the watermark-interleaving
     * algorithm a CDC engine uses to take a CONSISTENT full snapshot while
     * the changelog keeps flowing (the DBLog device; reference snapshot

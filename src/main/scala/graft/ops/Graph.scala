@@ -54,6 +54,8 @@ object Graph {
       .select(col("src"), col("dst"), col("w"), col("out_w")).persist())
     val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
     val n = nodes.count() // scalar probe: |V|, the teleport denominator
+    if (n == 0L) // edgeless input (no order holds two distinct parts)
+      return nodes.select(col("node"), lit(0L).as("rank_e12"), lit(0.0).as("share"))
     val tele = (Scale * 15L) / (100L * n)
     var rank = nodes.withColumn("rank", lit(Scale / n))
     for (_ <- 1 to iterations) {

@@ -63,6 +63,14 @@ class ExactQuantilesSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches()
   }
 
+  test("quality gate: two-pass threshold equals the naive percentile() gate on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = graft.ops.Curation.qualityGate(docs, 0.6).collect().toSeq
+    val twoPass = graft.ops.Curation.qualityGateTwoPass(docs, 0.6).collect().toSeq
+    assert(naive == twoPass, s"gates disagree: ${naive.diff(twoPass)}")
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("deciles: groups smaller than 10 emit only the populated tiles") {
     val df = Seq(("g", 3.0), ("g", 1.0), ("g", 2.0)).toDF("event_type", "value")
       .withColumn("event_id", col("value").cast("long"))

@@ -394,6 +394,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sliding windows must not self-join:\n$p")
   }
 
+  test("exact quantiles ship the scale path: no percentile buffer, no ntile sort") {
+    assert(!plan("events_percentiles").contains("percentile("),
+      "events_percentiles must use two-pass selection, not the O(group)-buffer aggregate")
+    assert(!plan("events_value_deciles").contains("ntile"),
+      "events_value_deciles must use two-pass selection, not a per-type ntile sort")
+    assert(!plan("text_quality_gate").contains("percentile("),
+      "text_quality_gate's threshold must come from two-pass selection")
+  }
+
   test("chunking: map-only lineage — no hash shuffle, no join, one generate") {
     val p = plan("text_chunking")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -115,6 +115,37 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null-emission gated by the watermark, recent rows withheld") {
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
+    val buys = MemoryStream[(Long, Timestamp, String)](spark, numPartitions = 1)
+    val q = StreamingAnalytics.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_type"),
+      buys.toDF().toDF("user_id", "ts", "event_type"),
+      windowSeconds = 600, delay = "10 minutes", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_outer_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData((1L, ts(10), "click"),   // will match
+        (2L, ts(10), "click"),                // will never match → expires
+        (3L, ts(200), "click"))               // unmatched but still open
+      buys.addData((1L, ts(15), "purchase"),
+        // advance BOTH watermarks far past u2's window (10+10min window
+        // + 10min delay) but not past u3's
+        (9L, ts(205), "purchase"))
+      q.processAllAvailable()
+      // one more batch so the eviction-driven null rows flush
+      clicks.addData((9L, ts(206), "click"))
+      buys.addData((8L, ts(207), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_outer_out").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("r_type"))).toMap
+      assert(got(1L) == Some("purchase"), s"matched pair must emit: $got")
+      assert(got.get(2L) == Some(None), s"expired unmatched click must emit null-extended: $got")
+      assert(!got.contains(3L), s"still-open unmatched click must be withheld: $got")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes on in-batch gap and on event-time timeout") {
     val ms = MemoryStream[SessionInput](spark, numPartitions = 1)
     val q = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 10 * 60000L)
