@@ -152,6 +152,33 @@ object SparkEntry {
       out
     })
 
+  /** Documents sliced into 4 doc-id-ordered chunk files — the ingestion
+    * order contract [[graft.ops.Dedup.streamingNovelty]] needs ("earlier
+    * ingested" ≡ "smaller doc_id"). Built once per process per sfDir.
+    */
+  private val docChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def chunkedDocs(s: SparkSession, dir: String): String =
+    docChunkCache.getOrElseUpdate(dir, {
+      val root = scratchDir("graft_docchunks")
+      val out = s"$root/chunks"
+      new java.io.File(out).mkdirs()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(w)).persist()
+      val n = docs.count()
+      val per = (n + 3) / 4
+      (0 until 4).foreach { i =>
+        docs.filter(col("rn") > i * per && col("rn") <= (i + 1) * per).drop("rn")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+        val part = new java.io.File(s"$root/tmp$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
+      }
+      docs.unpersist()
+      out
+    })
+
   /** A LIVE in-JVM Derby database holding the normalized changelog — the
     * upstream server the graft-jdbc-cdc source tails. Loaded once per
     * process per sfDir (executor-side batched inserts over real JDBC);
@@ -739,15 +766,22 @@ object SparkEntry {
       val schema = s.read.parquet(chunks).schema
       val name = s"stream_join_${hourlyStreamSeq.incrementAndGet()}"
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
-      val q = StreamingAnalytics.intervalJoin(
-          in.filter(col("event_type") === "click"),
-          in.filter(col("event_type") === "purchase"),
-          1800L, delay = "45 days")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", s"${scratchDir("graft_sjoin")}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // stream-stream join keeps 4 state stores per shuffle partition;
+      // 8 partitions (the bucketed-state convention) cuts the per-batch
+      // fixed store-commit overhead 4x at these batch sizes
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamingAnalytics.intervalJoin(
+            in.filter(col("event_type") === "click"),
+            in.filter(col("event_type") === "purchase"),
+            1800L, delay = "45 days")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", s"${scratchDir("graft_sjoin")}/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           min(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("min_lag_us"),
@@ -766,15 +800,19 @@ object SparkEntry {
       val schema = s.read.parquet(chunks).schema
       val name = s"stream_join_outer_${hourlyStreamSeq.incrementAndGet()}"
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
-      val q = StreamingAnalytics.intervalJoin(
-          in.filter(col("event_type") === "click"),
-          in.filter(col("event_type") === "purchase"),
-          1800L, delay = "2 hours", joinType = "left_outer")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .option("checkpointLocation", s"${scratchDir("graft_sjoino")}/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamingAnalytics.intervalJoin(
+            in.filter(col("event_type") === "click"),
+            in.filter(col("event_type") === "purchase"),
+            1800L, delay = "2 hours", joinType = "left_outer")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .option("checkpointLocation", s"${scratchDir("graft_sjoino")}/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(name).groupBy("user_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("r_ts")).as("n_matched"),
@@ -995,6 +1033,18 @@ object SparkEntry {
     "dedup_index_probe" -> ((s, dir) =>
       Dedup.lshIndexProbe(s, lshIndexPath(s, dir),
         Dedup.crawlBatch(t(s, dir, "documents")), 0.5)),
+
+    // Streaming first-occurrence novelty: each micro-batch probed
+    // against the persisted signature index, then appended to it —
+    // continuous dedup with index maintenance in the loop
+    "dedup_stream_novelty" -> ((s, dir) => {
+      val tmp = scratchDir("graft_snov")
+      val chunks = chunkedDocs(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      Dedup.streamingNovelty(s, chunks, schema,
+        s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", 0.5)
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -1703,6 +1753,7 @@ object SparkEntry {
 
     "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
     "dedup_index_probe" -> Dedup.incrementalLshSql(0.5),
+    "dedup_stream_novelty" -> Dedup.streamingNoveltySql(0.5),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

@@ -1085,6 +1085,100 @@ object Dedup {
       .orderBy("new_id", "dup_of")
   }
 
+  /** Streaming first-occurrence novelty filter — continuous dedup as a
+    * real stream: each micro-batch of documents is checked against the
+    * PERSISTED bucket-partitioned signature index (all previously
+    * ingested docs) and against its own earlier rows, then every batch
+    * row's band signatures are APPENDED to the index — the stateful
+    * composition of [[writeLshIndex]]/[[lshIndexProbe]] with the
+    * micro-batch loop. A document is a duplicate when any
+    * earlier-ingested document shares an LSH band and the 16-perm
+    * est-Jaccard clears `threshold`; `dup_of` records the smallest such
+    * earlier id. Batches must arrive in doc-id order (the chunk slicer
+    * guarantees it) so "earlier-ingested" and "smaller doc_id" coincide
+    * and the batch oracle is the plain SQL below.
+    *
+    * Scale shape per batch: signature build is batch-sized; the index
+    * read is bucket-pruned to the batch's band hashes (bounded bucket
+    * set collected, the same probe device as [[lshIndexProbe]]); the
+    * batch side broadcasts; the append writes only batch-sized band
+    * rows into their bucket directories. Index growth is corpus-linear
+    * in SIGNATURES (≈132 B/doc), not text.
+    */
+  def streamingNovelty(spark: org.apache.spark.sql.SparkSession, chunks: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       indexPath: String, outPath: String, checkpoint: String,
+                       threshold: Double): Unit = {
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(chunks).select(col("doc_id"), col("text"))
+    val q = stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.persist()
+        val sigB = minhashSignatures(docs).persist()
+        val bandsB = lshBands(sigB).join(sigB, Seq("doc_id"))
+          .withColumn("bucket",
+            pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
+          .persist()
+        val eq = (0 until 16).map(i =>
+          when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+        val vsIndex: DataFrame =
+          if (new java.io.File(indexPath).exists()) {
+            val hit = bandsB.select(col("bucket")).distinct().collect().map(_.getInt(0))
+            s.read.parquet(indexPath)
+              .filter(col("bucket").isin(hit.map(Integer.valueOf): _*)).as("x")
+              .join(broadcast(bandsB.as("y")),
+                col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+                  col("x.bh") === col("y.bh"))
+              .filter(eq / lit(16.0) >= threshold)
+              .select(col("y.doc_id").as("id"), col("x.doc_id").as("earlier"))
+          } else
+            docs.select(col("doc_id").as("id"), col("doc_id").as("earlier")).limit(0)
+        val intra = bandsB.as("x")
+          .join(bandsB.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(eq / lit(16.0) >= threshold)
+          .select(col("y.doc_id").as("id"), col("x.doc_id").as("earlier"))
+        val dupOf = vsIndex.unionByName(intra)
+          .groupBy(col("id")).agg(min(col("earlier")).as("dup_of"))
+        docs.select(col("doc_id"))
+          .join(dupOf, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("novel"), col("dup_of"))
+          .write.mode("append").parquet(outPath)
+        bandsB.write.mode("append").partitionBy("bucket").parquet(indexPath)
+        bandsB.unpersist(); sigB.unpersist(); docs.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Oracle for [[streamingNovelty]]: with doc-id-ordered ingestion,
+    * "duplicate of an earlier-ingested doc" is exactly "shares a band +
+    * est-Jaccard ≥ t with a smaller doc_id" — batch-split invariant.
+    */
+  def streamingNoveltySql(threshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$sigSql,
+       |$bandsSql,
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS id, a.doc_id AS earlier
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |dup AS (
+       |  SELECT c.id, min(c.earlier) AS dup_of
+       |  FROM cand c JOIN sig x ON c.earlier = x.doc_id
+       |              JOIN sig y ON c.id = y.doc_id
+       |  WHERE ($eq) / 16.0 >= $threshold
+       |  GROUP BY c.id)
+       |SELECT d.doc_id, dup.dup_of IS NULL AS novel, dup.dup_of
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ containment
 
   /** Containment dedup — catches a SMALL document embedded in a big one
