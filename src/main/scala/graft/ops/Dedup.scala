@@ -294,7 +294,7 @@ object Dedup {
     * Plan growth stays bounded the same way — lineage chains back at
     * most `interval` rounds before hitting a checkpointed scan.
     */
-  private val RoundCheckpointInterval = 2
+  private val RoundCheckpointInterval = 3
 
   /** Per-loop cadence state: call [[round]] once per iteration with the
     * round's output; it returns the frame the next iteration should
@@ -1114,7 +1114,10 @@ object Dedup {
     val q = stream.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val docs = batch.persist()
+        // one-file micro-batches arrive as ONE partition; the shingle
+        // explode behind minhashSignatures would run single-threaded
+        // without this spread (the StreamingApply prepartition recipe)
+        val docs = batch.repartition(s.sparkContext.defaultParallelism).persist()
         val sigB = minhashSignatures(docs).persist()
         val bandsB = lshBands(sigB).join(sigB, Seq("doc_id"))
           .withColumn("bucket",
