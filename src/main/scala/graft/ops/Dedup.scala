@@ -1149,7 +1149,13 @@ object Dedup {
           .join(dupOf, col("doc_id") === col("id"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("novel"), col("dup_of"))
           .write.mode("append").parquet(outPath)
-        bandsB.write.mode("append").partitionBy("bucket").parquet(indexPath)
+        // consolidate before the append: partitionBy from 32 task
+        // partitions would scatter up to 32x16 sliver files per batch —
+        // one shuffle to bucket-aligned partitions writes one file per
+        // bucket per batch (the writeLshIndex layout), keeping the
+        // index's file count linear in batches, not tasks x buckets
+        bandsB.repartition(indexBuckets, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(indexPath)
         bandsB.unpersist(); sigB.unpersist(); docs.unpersist()
         ()
       }
