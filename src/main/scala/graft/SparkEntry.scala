@@ -606,6 +606,25 @@ object SparkEntry {
       s.table(name).orderBy("user_id", "start_ms")
     }),
 
+    // built-in session_window sessions: engine-managed gap-session state,
+    // append emits a session once the watermark passes its end — oracle
+    // is the batch gaps-and-islands cut at the final watermark
+    "events_session_window_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = s"sess_win_${hourlyStreamSeq.incrementAndGet()}"
+      val q = StreamingAnalytics.sessionWindowCounts(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("user_id"), col("ts"), col("value")))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_sesswin")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "s_start_us")
+    }),
+
     // Streaming as-of enrichment: every event carries the dimension
     // version valid just before it (SCD2 interval at pos-1), maintained
     // incrementally as a per-bucket materialized view over the streaming
@@ -1563,6 +1582,31 @@ object SparkEntry {
         |FROM sess se JOIN lastsid l ON se.user_id = l.user_id, mx
         |WHERE se.sid < l.last_sid OR se.end_ms + 1800000 < mx.mx - 7200000
         |ORDER BY se.user_id, se.start_ms""".stripMargin,
+
+    // session_window MERGES an event landing exactly at last+gap
+    // (inclusive merge bound — measured, see the boundary spec), so a
+    // new session needs diff STRICTLY greater than the gap; finalized
+    // when the session end clears the ms-truncated watermark
+    "events_session_window_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 7200000000 AS wm FROM events),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) AS s_start_us, max(us) + 1800000000 AS s_end_us,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, s_start_us, s_end_us, n_events, sum_value
+        |FROM sess, mx WHERE s_end_us <= mx.wm
+        |ORDER BY user_id, s_start_us""".stripMargin,
 
     // Spark tracks the event-time watermark in MILLISECONDS (max event
     // time truncated to ms, minus the delay) — the finalization cut in

@@ -59,6 +59,29 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(fingerprintCol, "ts")
 
+  /** Gap sessions via the BUILT-IN `session_window` aggregation — the
+    * engine-managed counterpart of the custom [[sessionize]]
+    * (flatMapGroupsWithState): state merging, timeout and finalization
+    * all come from the operator. Windows span `[first, last + gap]` for
+    * MERGING purposes: an event landing exactly at `last + gap` joins
+    * the session (inclusive bound — measured, locked by the boundary
+    * spec; the docs' `[start, end)` phrasing describes window identity,
+    * not the merge test). Append mode emits a session once the
+    * watermark passes its end. Keeping both formulations is deliberate:
+    * the built-in for plain gap aggregation, fMGWS where emission logic
+    * is custom (emit-on-close, per-session payloads).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        unix_micros(col("session_window.end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Content dedup: first occurrence of each fingerprint wins and later
     * duplicates inside the watermark horizon are dropped regardless of
     * their event time; fingerprint state older than the watermark is

@@ -146,6 +146,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: an event at exactly last+gap MERGES (inclusive bound)") {
+    val ms = MemoryStream[(Long, Timestamp, Double)](spark, numPartitions = 1)
+    val q = StreamingAnalytics.sessionWindowCounts(
+      ms.toDF().toDF("user_id", "ts", "value"), gap = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // u1: events at 60 and 70 min — 70 lands EXACTLY at 60+gap and
+      // MERGES (inclusive bound); u2: 60 and 80.5 → a true gap → split
+      ms.addData((1L, ts(60), 1.0), (1L, ts(70), 1.0),
+        (2L, ts(60), 1.0), (2L, new Timestamp(80 * 60000L + 30000L), 1.0))
+      q.processAllAvailable()
+      // advance watermark (2h delay) past every session end
+      ms.addData((9L, ts(400), 1.0))
+      q.processAllAvailable()
+      ms.addData((9L, ts(401), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sesswin_out").collect()
+        .filter(r => r.getLong(0) < 9L)
+        .map(r => (r.getLong(0), r.getLong(1) / 60000000L, r.getLong(3))).toSet
+      assert(got == Set((1L, 60L, 2L), (2L, 60L, 1L), (2L, 80L, 1L)),
+        s"exact-gap merges, a true gap splits: $got")
+    } finally q.stop()
+  }
+
   test("gap sessionization closes on in-batch gap and on event-time timeout") {
     val ms = MemoryStream[SessionInput](spark, numPartitions = 1)
     val q = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 10 * 60000L)
