@@ -1153,6 +1153,22 @@ object SparkEntry {
     // (4 BIGINT rounds, smallest-label tie-break, weight-1 self-vote)
     "graph_communities" -> ((s, dir) => Graph.labelPropagation(t(s, dir, "lineitem"), 4)),
 
+    // triangle census + clustering coefficient over the support-filtered
+    // co-purchase core (the support threshold bounds enumeration cost)
+    "graph_triangles" -> ((s, dir) => Graph.triangleStats(t(s, dir, "lineitem"), 2)),
+
+    // 4 synchronous peel rounds of the 2-core over the support-2 core
+    // (fixed rounds, all-integral — oracle unrolls them as CTEs)
+    "graph_kcore" -> ((s, dir) => Graph.kCore(t(s, dir, "lineitem"), 2, 2, 4)),
+
+    // multi-source BFS hop distances from the 3 highest-degree hubs
+    // (min-plus frontier relaxation, 4 unrolled integral rounds)
+    "graph_bfs_reach" -> ((s, dir) => Graph.bfsReach(t(s, dir, "lineitem"), 2, 3, 4)),
+
+    // common-neighbor / Jaccard link prediction over non-adjacent core
+    // pairs; wedge-bounded candidates, partial top-k cut
+    "graph_link_predict" -> ((s, dir) => Graph.linkPredict(t(s, dir, "lineitem"), 2, 20)),
+
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
     // Matryoshka truncation: recall@k retrieving with only the first d
@@ -1827,6 +1843,10 @@ object SparkEntry {
     "ann_ndcg_audit" -> Similarity.ivfNdcgAuditSql(8, 5, 32, 2),
     "graph_pagerank" -> Graph.pagerankSql(6),
     "graph_communities" -> Graph.labelPropagationSql(4),
+    "graph_triangles" -> Graph.triangleStatsSql(2),
+    "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
+    "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
+    "graph_link_predict" -> Graph.linkPredictSql(2, 20),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beside [[Dedup]]'s connected components —
@@ -132,6 +133,233 @@ object Graph {
        |$steps
        |SELECT node, label AS community FROM l$rounds ORDER BY node""".stripMargin
   }
+
+  /** Triangle count + global clustering coefficient over the
+    * SUPPORT-FILTERED co-purchase graph (pairs co-bought in at least
+    * `minSupport` orders). The support threshold is the scale knob — the
+    * same df-bounding device as containment's rare-shingle postings: the
+    * raw co-purchase graph is basket-clique dense, the ≥2-support core
+    * is ~3 orders of magnitude sparser, and triangle enumeration cost is
+    * bounded by Σ deg² of the FILTERED graph only. All counting is
+    * integral; the one double division (clustering) is guarded and
+    * rounded.
+    *
+    * Triangles enumerate each (a < b < c) exactly once via the ordered
+    * edge list joined on the two shared endpoints; wedges (open triads)
+    * are Σ_v C(deg_v, 2), so clustering = 3·T / wedges.
+    */
+  /** Ordered (s < d) co-purchase edges kept at ≥ `minSupport` shared
+    * orders — the sparse "core" every enumeration-shaped op below runs
+    * on. Self-join fan-out is bounded by basket width, and the support
+    * filter is the scale knob that keeps Σ deg² (the wedge bound all the
+    * pair-enumerating ops pay) small.
+    */
+  private def supportEdges(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("s"), col("b.pk").as("d"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+      .select(col("s"), col("d"))
+  }
+
+  /** Both directions of an ordered edge list — the undirected adjacency
+    * view (src, dst). */
+  private def symmetrize(eo: DataFrame): DataFrame =
+    eo.select(col("s").as("src"), col("d").as("dst"))
+      .unionAll(eo.select(col("d").as("src"), col("s").as("dst")))
+
+  /** Shared oracle prefix: `eo` = ordered support-core edges, `e` = the
+    * symmetric adjacency view. Pre-stripped — safe to interpolate into a
+    * stripMargin template (interpolated lines carry no margin pipes).
+    */
+  private def coreSqlPrefix(minSupport: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |eo AS (
+       |  SELECT a.pk AS s, b.pk AS d
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
+       |e AS (SELECT s AS src, d AS dst FROM eo UNION ALL SELECT d AS src, s AS dst FROM eo)""".stripMargin
+
+  def triangleStats(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val e = Caches.tracked(supportEdges(lineitem, minSupport).persist())
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.d") === col("e2.s"))
+      .join(e.as("e3"), col("e1.s") === col("e3.s") && col("e2.d") === col("e3.d"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("s").as("v")).unionAll(e.select(col("d").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("CAST((deg * (deg - 1)) DIV 2 AS BIGINT)")).as("n_wedges"))
+    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(edgeAgg).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("clustering"))
+  }
+
+  def triangleStatsSql(minSupport: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT a.pk AS s, b.pk AS d
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+       |            JOIN e e3 ON e1.s = e3.s AND e2.d = e3.d),
+       |deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e)
+       |  GROUP BY v),
+       |da AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |              CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       |SELECT da.n_nodes, ea.n_edges, tri.n_triangles, da.n_wedges,
+       |       round(3.0 * CAST(tri.n_triangles AS DOUBLE)
+       |             / nullif(CAST(da.n_wedges AS DOUBLE), 0.0), 6) AS clustering
+       |FROM da, ea, tri""".stripMargin
+
+  /** k-core of the support-filtered co-purchase graph: `rounds` rounds
+    * of SYNCHRONOUS peeling (drop every node whose degree within the
+    * surviving set is < k, recompute, repeat). Fixed rounds on both
+    * engines — like PageRank, the oracle unrolls the identical rounds as
+    * CTEs, and every quantity is an integral count, so the result is
+    * bit-identical regardless of convergence. Output: the nodes still
+    * alive after `rounds` peels with their in-core degree.
+    *
+    * Scale shape: one round = two semi-shaped joins of the O(|E|) edge
+    * frame against the shrinking alive set + one partial-agged count —
+    * the CC/PageRank shuffle pattern; the alive frame is O(|V|) and only
+    * shrinks.
+    */
+  def kCore(lineitem: DataFrame, minSupport: Int, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1: $k, $rounds")
+    val e = Caches.tracked(symmetrize(supportEdges(lineitem, minSupport)).persist())
+    def coreDeg(alive: DataFrame): DataFrame =
+      e.join(alive.select(col("node").as("sn")), col("src") === col("sn"))
+        .join(alive.select(col("node").as("dn")), col("dst") === col("dn"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var alive = Caches.tracked(e.select(col("src").as("node")).distinct().persist())
+    for (_ <- 1 to rounds)
+      alive = Caches.tracked(
+        coreDeg(alive).filter(col("deg") >= k).select(col("src").as("node")).persist())
+    coreDeg(alive).select(col("src").as("node"), col("deg").as("core_deg")).orderBy("node")
+  }
+
+  def kCoreSql(minSupport: Int, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT e.src AS node, count(*) AS deg
+         |  FROM e JOIN a${i - 1} x ON e.src = x.node JOIN a${i - 1} y ON e.dst = y.node
+         |  GROUP BY e.src),
+         |a$i AS (SELECT node FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""${coreSqlPrefix(minSupport)},
+       |a0 AS (SELECT DISTINCT src AS node FROM e),
+       |$steps
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e JOIN a$rounds x ON e.src = x.node JOIN a$rounds y ON e.dst = y.node
+       |GROUP BY e.src ORDER BY node""".stripMargin
+  }
+
+  /** Multi-source BFS over the support core: hop distance from the
+    * `seeds` highest-degree hubs (degree-desc, smallest-id tie-break —
+    * fully deterministic) out to `maxHops`. Each round unions the
+    * frontier's neighbors at hops+1 and takes the per-node MIN — an
+    * integral min-plus relaxation, so fixed rounds are bit-identical in
+    * both engines and the oracle unrolls them as CTEs. Unreached nodes
+    * are absent (not NULL) by construction.
+    *
+    * Scale shape: one round = edge join against the O(reached) distance
+    * frame + a partial-agged min — O(|E|) per round. The seed ranking
+    * window runs over the already-aggregated O(|V|) degree frame (same
+    * bounded-window convention as the layout ops).
+    */
+  def bfsReach(lineitem: DataFrame, minSupport: Int, seeds: Int, maxHops: Int): DataFrame = {
+    require(seeds >= 1 && maxHops >= 1, s"seeds and maxHops must be >= 1: $seeds, $maxHops")
+    val e = Caches.tracked(symmetrize(supportEdges(lineitem, minSupport)).persist())
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seedDf = deg
+      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
+      .filter(col("rn") <= seeds).select(col("node"))
+    var dist = seedDf.withColumn("hops", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = e.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
+      dist = Caches.tracked(dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops")).persist())
+    }
+    dist.orderBy("node")
+  }
+
+  def bfsReachSql(minSupport: Int, seeds: Int, maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(hops) AS hops FROM (
+         |    SELECT node, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.hops + 1 AS hops FROM e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""${coreSqlPrefix(minSupport)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT node FROM (
+       |    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn FROM deg)
+       |  WHERE rn <= $seeds),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds),
+       |$steps
+       |SELECT node, hops FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
+  /** Common-neighbor link prediction over the support core: for every
+    * NON-adjacent pair sharing at least one neighbor, the common-
+    * neighbor count and neighborhood Jaccard; top `topN` by
+    * (cn DESC, a, b) — a total order, so the cut is deterministic.
+    * Candidate pairs come from the wedge join (two edges sharing an
+    * endpoint), so the enumeration cost is the Σ deg² wedge bound of the
+    * FILTERED core, never all-pairs; the top-N is orderBy+limit =
+    * TakeOrderedAndProject, the partial per-partition top-k shape.
+    * Counts are integral; the one division is guarded and rounded.
+    */
+  def linkPredict(lineitem: DataFrame, minSupport: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val eo = Caches.tracked(supportEdges(lineitem, minSupport).persist())
+    val e = symmetrize(eo)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = cn.join(eo, cn("a") === eo("s") && cn("b") === eo("d"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("na"), col("deg").as("deg_a")), col("a") === col("na"))
+      .join(deg.select(col("node").as("nb"), col("deg").as("deg_b")), col("b") === col("nb"))
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          nullif((col("deg_a") + col("deg_b") - col("cn")).cast("double"), lit(0.0)), 6)
+          .as("jaccard"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  def linkPredictSql(minSupport: Int, topN: Int): String =
+    s"""${coreSqlPrefix(minSupport)},
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |cn AS (
+       |  SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+       |  GROUP BY x.src, y.src),
+       |cand AS (
+       |  SELECT a, b, cn FROM cn
+       |  WHERE NOT EXISTS (SELECT 1 FROM eo WHERE cn.a = eo.s AND cn.b = eo.d))
+       |SELECT c.a, c.b, c.cn,
+       |       round(CAST(c.cn AS DOUBLE)
+       |             / nullif(CAST(da.deg + db.deg - c.cn AS DOUBLE), 0.0), 6) AS jaccard
+       |FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
+       |ORDER BY c.cn DESC, c.a, c.b LIMIT $topN""".stripMargin
 
   def pagerankSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>

@@ -54,6 +54,51 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got(1L) != got(7L), s"cliques must not merge: $got")
   }
 
+  test("triangleStats: one clique triangle counted once, support filter prunes weak edges") {
+    // parts 1,2,3 co-bought in TWO orders (support-2 triangle); part 9
+    // co-occurs with 1 only once → below support, contributes nothing
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 2L, 2L -> 3L,
+      3L -> 1L, 3L -> 9L)
+    val r = Graph.triangleStats(li, 2).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 3L && r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_wedges") == 3L)
+    assert(r.getAs[Double]("clustering") == 1.0, s"closed triad: $r")
+  }
+
+  test("kCore: a pendant chain peels away, the clique survives with full degree") {
+    // support-2 core: triangle 1-2-3 plus pendant 9 hanging off 1.
+    // Pendant has degree 1 < 2 → peeled in round 1; after its removal
+    // node 1's in-core degree is 2, so the triangle is the stable 2-core.
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 2L, 2L -> 3L,
+      3L -> 1L, 3L -> 9L, 4L -> 1L, 4L -> 9L)
+    val got = Graph.kCore(li, 2, 2, 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core must be the triangle: $got")
+  }
+
+  test("bfsReach: hop distances fan out from the hub, disconnected nodes absent") {
+    // path 1-2-3-4 (each edge in two orders for support 2) plus an
+    // isolated support-2 edge 8-9; seed = the single highest-degree node
+    val li = liDf(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 2L, 3L -> 2L, 3L -> 3L,
+      4L -> 2L, 4L -> 3L, 5L -> 3L, 5L -> 4L, 6L -> 3L, 6L -> 4L,
+      7L -> 8L, 7L -> 9L, 8L -> 8L, 8L -> 9L)
+    val got = Graph.bfsReach(li, 2, 1, 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // degrees: 2 and 3 tie at 2 → smallest id (2) seeds
+    assert(got == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"distances from hub 2, island unreached: $got")
+  }
+
+  test("linkPredict: predicts the open triad's missing edge, skips existing edges") {
+    // path 1-2-3: nodes 1 and 3 share neighbor 2 but are not adjacent →
+    // the one predicted link, cn=1, jaccard = 1/(1+1-1) = 1.0
+    val li = liDf(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 2L, 3L -> 2L, 3L -> 3L,
+      4L -> 2L, 4L -> 3L)
+    val got = Graph.linkPredict(li, 2, 10).collect()
+    assert(got.length == 1, s"exactly one candidate pair: ${got.toSeq}")
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 3L && got(0).getLong(2) == 1L)
+    assert(got(0).getDouble(3) == 1.0, s"jaccard of the open triad: ${got(0)}")
+  }
+
   // ---- chunking ----
 
   test("chunkDocs: stride starts, tail coverage, fingerprint determinism") {
