@@ -1187,6 +1187,11 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), 5)),
+
+    // hybrid RAG retrieval: BM25 top-20 ⊕ exact-cosine top-20 fused by
+    // reciprocal-rank fusion (K=60) on integral ranks, final top-10
+    "rag_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"), 20, 10)),
     // tokenizer application: first-12-token encode against a top-16 vocab
     "text_token_ids" -> ((s, dir) => TextAnalysis.tokenIds(t(s, dir, "documents"), 16, 12)),
     "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
@@ -1856,6 +1861,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
+    "rag_hybrid_rrf" -> Retrieval.hybridRrfSql(20, 10),
     "text_token_ids" -> TextAnalysis.tokenIdsSql(16, 12),
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 

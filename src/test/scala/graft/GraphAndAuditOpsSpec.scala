@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Graph, Sketches, Similarity, Curation}
+import graft.ops.{Graph, Retrieval, Sketches, Similarity, Curation}
 
 /** Invariants of the round-7 operators: fixed-point PageRank, token
   * chunking, zone-map pruning, KMV join-cardinality, nDCG.
@@ -97,6 +97,28 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got.length == 1, s"exactly one candidate pair: ${got.toSeq}")
     assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 3L && got(0).getLong(2) == 1L)
     assert(got(0).getDouble(3) == 1.0, s"jaccard of the open triad: ${got(0)}")
+  }
+
+  // ---- hybrid retrieval ----
+
+  test("hybridRrf: fused score is exactly the RRF of the component ranks") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rows = Retrieval.hybridRrf(docs, emb, 20, 10).collect()
+    assert(rows.map(_.getString(0)).distinct.length == 4, "all four queries retrieve")
+    rows.foreach { r =>
+      def term(i: Int): Double =
+        if (r.isNullAt(i)) 0.0 else 1.0 / (60.0 + r.getLong(i))
+      val expect = BigDecimal(term(2) + term(3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expect, s"rrf mismatch: $r")
+      assert(!(r.isNullAt(2) && r.isNullAt(3)), s"row from neither ranking: $r")
+    }
+    // per query, rank order follows rrf descending
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, "rrf must descend")
+    }
   }
 
   // ---- chunking ----
