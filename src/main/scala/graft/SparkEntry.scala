@@ -854,6 +854,30 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // MMR diversity re-rank over the exact top-20 candidates (5 greedy
+    // rounds unrolled; corpus touched once, everything after is bounded)
+    "rag_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(t(s, dir, "embeddings"), 8, 20, 5, 0.7)),
+    // frame-level voice-activity detection through the real WAV codec
+    "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(t(s, dir, "documents"))),
+    // HyperLogLog distinct counter from portable-hash registers (the
+    // constant-memory sibling of the KMV sketch, oracle-rebuildable)
+    "sketch_hll_distinct" -> ((s, dir) => Sketches.hllDistinctUsers(t(s, dir, "events"))),
+    // fixed-point EWMA control line over the hourly means
+    "events_ewma" -> ((s, dir) => TimeSeries.ewmaHourly(t(s, dir, "events"))),
+    // dense hourly grid with forward-filled aggregates
+    "events_gap_fill" -> ((s, dir) => TimeSeries.gapFillHourly(t(s, dir, "events"))),
+    // 2-D Pareto frontier via two window minima (no pairwise join)
+    "part_skyline" -> ((s, dir) => OrderStats.skylineParts(t(s, dir, "part"))),
+    // percent_rank/cume_dist of probe users within full distributions
+    "events_distribution_pos" -> ((s, dir) =>
+      OrderStats.distributionPosition(t(s, dir, "events"), 4L)),
+    // two-proportion z-test between user_id-parity experiment arms
+    "events_ab_test" -> ((s, dir) => OrderStats.abTestConversion(t(s, dir, "events"))),
+    // full grouping-sets lattice over (segment, priority)
+    "q_cube_revenue" -> ((s, dir) =>
+      Analytics.cubeRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
+
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
@@ -1745,6 +1769,16 @@ object SparkEntry {
     "files_zone_prune" -> Layout.zonePruneSql(16),
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
+
+    "rag_mmr_rerank" -> Similarity.mmrRerankSql(8, 20, 5, 0.7),
+    "mm_audio_vad" -> Multimodal.audioVadSql,
+    "sketch_hll_distinct" -> Sketches.hllDistinctUsersSql,
+    "events_ewma" -> TimeSeries.ewmaHourlySql,
+    "events_gap_fill" -> TimeSeries.gapFillHourlySql,
+    "part_skyline" -> OrderStats.skylinePartsSql,
+    "events_distribution_pos" -> OrderStats.distributionPositionSql(4L),
+    "events_ab_test" -> OrderStats.abTestConversionSql,
+    "q_cube_revenue" -> Analytics.cubeRevenueSql,
 
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_transitions" -> Analytics.markovTransitionsSql,

@@ -470,6 +470,41 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE cross-classification: order revenue by (market segment,
+    * order priority) with BOTH one-dimensional margins and the grand
+    * total in one pass — the full grouping-sets lattice, where ROLLUP
+    * ([[rollupRevenue]]) walks only the hierarchy prefix. grouping_id
+    * disambiguates genuine NULL keys from subtotal rows.
+    *
+    * Scale shape: Spark's Expand produces 4 grouping-set replicas
+    * BEFORE partial aggregation, so the shuffle carries 4·|groups|
+    * partials, not 4·|rows| — the same absorbed-Expand shape the
+    * ROLLUP/Benford queries rely on. The orders↔customer join shuffles
+    * on custkey once.
+    */
+  def cubeRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id(col("c_mktsegment"), col("o_orderpriority")).as("gid"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid").cast("long").as("gid"),
+        col("sum_price"), col("n_orders"))
+      .orderBy("gid", "segment", "priority")
+
+  val cubeRevenueSql: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY gid, segment, priority""".stripMargin
+
   /** Range join: pairs of events by the same user within a 5-minute
     * window (the temporal-join shape Spark lacks as a named operator —
     * composed as equi-join on the key + range predicate on time, so the

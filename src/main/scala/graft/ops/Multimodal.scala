@@ -304,6 +304,102 @@ object Multimodal {
       |                       FOR i IN range(1, n)], 'sum') AS BIGINT) AS zero_cross
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Per-clip voice-activity summary — frame-level energy gating over the
+    * decoded samples (frame = 64 samples, voiced iff Σ|s| > 65536, i.e.
+    * mean |amplitude| above half-scale for the ±2048 sawtooth), plus the
+    * run-length features a segmentation stage consumes: first voiced
+    * frame (NULL when silent throughout) and the longest voiced run.
+    */
+  final case class AudioVad(
+      doc_id: Long,
+      n_frames: Long,
+      n_voiced: Long,
+      first_voiced: Option[Long],
+      longest_run: Long)
+
+  /** Frame size in samples and the voiced threshold on the frame's
+    * Σ|sample| — shared literals with the oracle.
+    */
+  val VadFrame = 64
+  val VadThreshold = 65536L
+
+  /** VAD over the REAL codec path: synth WAV → AudioSystem decode →
+    * per-frame integer energies → gaps-and-islands run features, all
+    * integer-exact so the oracle recomputes them from the sample
+    * formula. Only FULL frames count (the trailing partial frame is
+    * dropped — mirrored by `n DIV 64` in the oracle).
+    *
+    * Scale shape: one `mapPartitions` decode pass (codec lifecycle, the
+    * repo's only sanctioned mapPartitions use), per-clip state is a few
+    * counters — no shuffle at all until the final orderBy for the dump.
+    */
+  def audioVad(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = audioPayloads(docs).mapPartitions { it =>
+      val dec = new JavaSoundDecoder
+      it.map { p =>
+        val d = dec.decode(p)
+        val nf = d.samples.length / VadFrame
+        var voiced = 0L
+        var first: Option[Long] = None
+        var run = 0L
+        var best = 0L
+        var f = 0
+        while (f < nf) {
+          var s = 0L
+          var i = f * VadFrame
+          val end = i + VadFrame
+          while (i < end) { s += math.abs(d.samples(i)); i += 1 }
+          if (s > VadThreshold) {
+            voiced += 1
+            if (first.isEmpty) first = Some(f + 1L)
+            run += 1
+            if (run > best) best = run
+          } else run = 0
+          f += 1
+        }
+        AudioVad(p.doc_id, nf.toLong, voiced, first, best)
+      }
+    }
+    feats.toDF()
+      .withColumn("voiced_ratio",
+        round(col("n_voiced").cast("double") / col("n_frames").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  val audioVadSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, 256 + doc_id % 257 AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, n // $VadFrame AS nf,
+       |    [((i * 37 + doc_id * 101) % 4096) - 2048 FOR i IN range(0, n)] AS smp
+       |  FROM g),
+       |fr AS (SELECT doc_id, nf, unnest(range(1, nf + 1)) AS f, smp FROM s),
+       |fe AS (
+       |  SELECT doc_id, nf, f,
+       |    list_aggregate([abs(x) FOR x IN list_slice(smp, (f - 1) * $VadFrame + 1, f * $VadFrame)], 'sum') AS fa
+       |  FROM fr),
+       |vv AS (SELECT doc_id, f FROM fe WHERE fa > $VadThreshold),
+       |isl AS (
+       |  SELECT doc_id, f,
+       |         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+       |  FROM vv),
+       |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+       |va AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_voiced,
+       |         CAST(min(f) AS BIGINT) AS first_voiced
+       |  FROM vv GROUP BY doc_id),
+       |rmax AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_run FROM runs GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.nf AS BIGINT) AS n_frames,
+       |       coalesce(va.n_voiced, 0) AS n_voiced,
+       |       va.first_voiced,
+       |       coalesce(rmax.longest_run, 0) AS longest_run,
+       |       round(CAST(coalesce(va.n_voiced, 0) AS DOUBLE) / CAST(s.nf AS DOUBLE), 6) AS voiced_ratio
+       |FROM s LEFT JOIN va ON va.doc_id = s.doc_id
+       |       LEFT JOIN rmax ON rmax.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ video
 
   /** One video record entering the demux stage. */

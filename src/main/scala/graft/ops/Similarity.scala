@@ -974,4 +974,116 @@ object Similarity {
        |       round(CAST(max(n) AS DOUBLE) * ${nlist.toDouble}
        |             / CAST(sum(n) AS DOUBLE), 6) AS imbalance
        |FROM sizes""".stripMargin
+
+  // ------------------------------------------------------------- MMR rerank
+
+  /** Maximal-marginal-relevance re-ranking of the exact top-`nCand`
+    * candidates: greedily select `kSel` results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the diversity-aware serving
+    * layer on top of [[bruteForceTopK]] (pure relevance top-k returns
+    * near-duplicates; MMR spends rank positions on coverage).
+    *
+    * The greedy recurrence is inherently sequential, so — like the
+    * pagerank/label-propagation queries — the FIXED iteration count is
+    * unrolled: each round is one anti-join (drop selected), one
+    * max-aggregate over candidate↔selected sims, one per-query top-1
+    * window. All frames after candidate generation are
+    * O(queries · nCand²) — driver-free and broadcast-scale; the corpus
+    * is touched exactly once, inside bruteForceTopK.
+    *
+    * Parity: rel and sim are 6-dp-rounded cosines; the score expression
+    * multiplies them by the SAME Scala-computed double literals in both
+    * engines and ties break on vec_id, so selection is bit-identical.
+    */
+  def mmrRerank(emb: DataFrame, nQueries: Int, nCand: Int, kSel: Int,
+                lambda: Double): DataFrame = {
+    val oneMinus = 1.0 - lambda
+    val cand = tracked(bruteForceTopK(emb, nQueries, nCand)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+      .persist())
+    val e = prepared(emb)
+    val cv = cand.join(e, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"))
+    val sims = tracked(cv.as("a")
+      .join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("sim"))
+      .persist())
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val first = cand
+      .select(col("query_id"), col("vec_id"), col("rel").as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
+        lit(1L).as("round"))
+    val all = (2 to kSel).foldLeft(first) { (sel, r) =>
+      val remaining = cand.join(sel.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val mx = sims.join(sel.select(col("query_id"), col("vec_id").as("vb")),
+          Seq("query_id", "vb"))
+        .groupBy(col("query_id"), col("va").as("vec_id"))
+        .agg(max(col("sim")).as("mx"))
+      val pick = remaining.join(mx, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (lit(lambda) * col("rel") - lit(oneMinus) * col("mx")).as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
+          lit(r.toLong).as("round"))
+      sel.unionAll(pick)
+    }
+    all.orderBy("query_id", "round")
+  }
+
+  /** Oracle mirror of [[mmrRerank]]: rounds unrolled as chained CTEs
+    * (the same device the pagerank oracle uses), candidate/sim CTEs
+    * shared by all rounds.
+    */
+  def mmrRerankSql(nQueries: Int, nCand: Int, kSel: Int, lambda: Double): String = {
+    val oneMinus = 1.0 - lambda
+    val lam = s"CAST('$lambda' AS DOUBLE)"
+    val om = s"CAST('$oneMinus' AS DOUBLE)"
+    val rounds = (2 to kSel).map { r =>
+      s"""sel$r AS (
+         |  SELECT * FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT query_id, vec_id, score, $r AS round FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |           round($lam * c.rel - $om * m.mx, 6) AS score,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY $lam * c.rel - $om * m.mx DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    LEFT JOIN sel${r - 1} p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+         |    JOIN (SELECT s.query_id, s.va AS vec_id, max(s.sim) AS mx
+         |          FROM sims s JOIN sel${r - 1} q ON q.query_id = s.query_id AND q.vec_id = s.vb
+         |          GROUP BY s.query_id, s.va) m
+         |      ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+         |    WHERE p.vec_id IS NULL) x
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT query_id, vec_id, cosine AS rel
+       |  FROM (${bruteForceTopKSql(nQueries, nCand)})),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cv AS (
+       |  SELECT c.query_id, c.vec_id, e.v, e.nrm
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id),
+       |sims AS (
+       |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, round(score, 6) AS score, CAST(1 AS BIGINT) AS round FROM (
+       |    SELECT query_id, vec_id, rel AS score,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+       |    FROM cand) x
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, vec_id, score, CAST(round AS BIGINT) AS round
+       |FROM sel$kSel ORDER BY query_id, round""".stripMargin
+  }
 }

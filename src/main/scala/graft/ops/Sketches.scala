@@ -529,6 +529,119 @@ object Sketches {
        |             / nullif(CAST(ex.exact_join_rows AS DOUBLE), 0.0), 4) AS rel_error
        |FROM nn, scal, samp, ex""".stripMargin
 
+  /** HyperLogLog bucket count: 64 registers (p = 6). Constant-size like
+    * all engine HLLs, but — unlike Spark's `approx_count_distinct` or
+    * DuckDB's, whose register layouts are engine-private — built from
+    * [[PortableHash]], so the oracle rebuilds the registers bit-for-bit.
+    */
+  val HllM = 64
+
+  /** Rank clamp: keeps every 2^-rank term a multiple of 2^-40, so the
+    * 64-term register sum spans ≤ 47 bits of mantissa and is EXACT in
+    * double — order- and engine-independent. P(rank > 40) ≈ 2^-40 per
+    * item; the clamp's estimator bias is far below the output rounding.
+    */
+  val HllMaxRank = 40
+
+  private val hllAlphaM2: Double = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
+
+  /** ln-derived literals precomputed in Scala (JVM and libm ln differ in
+    * the last ulp — CLAUDE.md): linear-counting corrections m·ln(m/V)
+    * for V = 1..m, embedded verbatim in both engines.
+    */
+  private val hllLnTable: Seq[Double] =
+    (1 to HllM).map(v => HllM * math.log(HllM.toDouble / v))
+
+  /** HyperLogLog distinct-user estimate per event type, audited against
+    * the exact count (the same pairing as [[approxDistinctUsers]]; KMV
+    * answers set algebra, HLL is the constant-memory counter — 64
+    * registers vs KMV's k longs).
+    *
+    * Register build: h = 60-bit portable hash; bucket = h % 64; rank =
+    * leading-zero count of the remaining 54-bit word + 1, computed as
+    * 55 − length(bin(w)) — `bin()` exists with identical semantics in
+    * both engines, which is what makes the registers oracle-checkable.
+    *
+    * Scale shape: one partial-agged groupBy to (type, bucket) MAX — 64
+    * counters per group regardless of corpus size, mergeable by MAX
+    * (the streaming/partitioned union story for free). The 64-row grid
+    * join is a broadcast of a constant.
+    *
+    * Estimator: raw = α·m²/Σ2^-M_j with the small-range linear-counting
+    * correction below 2.5m when empty registers remain (the standard
+    * Flajolet et al. schedule).
+    */
+  def hllDistinctUsers(events: DataFrame): DataFrame = {
+    val regs = events
+      .select(col("event_type"),
+        PortableHash.tokenHash(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), (col("h") % lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(
+        least(when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w")))), lit(HllMaxRank.toLong))).as("m"))
+    val grid = events.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0L), lit(HllM - 1L))).as("bucket"))
+    val full = grid.join(regs, Seq("event_type", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val lnArr = array(hllLnTable.map(lit): _*)
+    val est = full.groupBy(col("event_type"))
+      .agg(sum(lit(1.0) / expr("cast(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) as double)")).as("isum"),
+        sum(when(col("m") === 0L, 1L).otherwise(0L)).as("v"))
+      .withColumn("raw", lit(hllAlphaM2) / col("isum"))
+      // (alpha literal interpolated as CAST('…' AS DOUBLE) in the oracle:
+      // a string→double parse round-trips exactly; a bare decimal literal
+      // would be DECIMAL in DuckDB — round-7 pitfall)
+      .withColumn("hll_estimate", round(
+        when(col("raw") <= lit(2.5 * HllM) && col("v") > 0L,
+          element_at(lnArr, col("v").cast("int"))).otherwise(col("raw")), 4))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("v").as("zero_registers"),
+        col("hll_estimate"),
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 4).as("rel_error"))
+      .orderBy("event_type")
+  }
+
+  def hllDistinctUsersSql: String = {
+    val lnList = hllLnTable.map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} % $HllM AS bucket,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} // $HllM AS w
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, bucket,
+       |         max(least(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END, $HllMaxRank)) AS m
+       |  FROM h GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT et.event_type, b.bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) et,
+       |       (SELECT unnest(range(0, $HllM)) AS bucket) b),
+       |full_regs AS (
+       |  SELECT g.event_type, coalesce(r.m, 0) AS m
+       |  FROM grid g LEFT JOIN regs r ON r.event_type = g.event_type AND r.bucket = g.bucket),
+       |est AS (
+       |  SELECT event_type,
+       |         sum(1.0 / CAST((CAST(1 AS BIGINT) << CAST(m AS INTEGER)) AS DOUBLE)) AS isum,
+       |         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM full_regs GROUP BY event_type),
+       |fin AS (
+       |  SELECT event_type, v,
+       |         round(CASE WHEN CAST('$hllAlphaM2' AS DOUBLE) / isum <= ${2.5 * HllM} AND v > 0
+       |               THEN [$lnList][CAST(v AS INTEGER)]
+       |               ELSE CAST('$hllAlphaM2' AS DOUBLE) / isum END, 4) AS hll_estimate
+       |  FROM est)
+       |SELECT f.event_type, x.n_exact, CAST(f.v AS BIGINT) AS zero_registers,
+       |       f.hll_estimate,
+       |       round(abs(f.hll_estimate - x.n_exact) / x.n_exact, 4) AS rel_error
+       |FROM fin f JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |                 FROM events GROUP BY event_type) x USING (event_type)
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   def approxDistinctUsersSql(k: Int): String =
     s"""WITH exact AS (
        |  SELECT event_type, count(DISTINCT user_id) AS n_exact

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{Multimodal, OrderStats, Sketches, TimeSeries}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 order-statistics / time-series / sketch / MMR
+  * additions: each operator is checked against an independent reference
+  * computation (brute-force dominance scan, the recursive EWMA
+  * definition, a driver-side greedy MMR, the exact VAD formula) — the
+  * oracle gate then covers engine parity separately.
+  */
+class OrderStatsAndSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("skyline equals the brute-force dominance scan") {
+    val parts = Seq(
+      (1L, "a", 1, 10.0), (2L, "b", 1, 8.0), (3L, "c", 2, 7.0),
+      (4L, "d", 2, 9.0), (5L, "e", 3, 7.0), (6L, "f", 3, 6.5),
+      (7L, "g", 4, 6.5), (8L, "h", 5, 12.0), (9L, "i", 1, 8.0))
+      .toDF("p_partkey", "p_name", "p_size", "p_retailprice")
+    val got = OrderStats.skylineParts(parts)
+      .select("p_partkey").as[Long].collect().toSet
+    // brute force: p survives iff no q dominates it
+    val rows = parts.select("p_partkey", "p_size", "p_retailprice")
+      .as[(Long, Int, Double)].collect()
+    val expect = rows.filter { case (k, s, p) =>
+      !rows.exists { case (k2, s2, p2) =>
+        k2 != k && s2 <= s && p2 <= p && (s2 < s || p2 < p)
+      }
+    }.map(_._1).toSet
+    assert(got === expect)
+    // ties on both dims survive together: (1,8.0) twice → both present
+    assert(got.contains(2L) && got.contains(9L))
+  }
+
+  test("EWMA matches the recursive alpha=1/2 definition within truncation") {
+    val events = (0 until 48).map { h =>
+      (h.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)),
+        1L, "click", (h % 7).toDouble + 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = TimeSeries.ewmaHourly(events)
+      .select("ewma").as[Double].collect()
+    // reference: E_1 = x_1; E_t = (x_t + E_{t-1}) / 2
+    val xs = (0 until 48).map(h => (h % 7).toDouble + 1.0)
+    val ref = xs.tail.scanLeft(xs.head)((e, x) => (x + e) / 2)
+    // before 20 lags the truncated window renormalizes the start boundary
+    // differently from the recursion (which double-weights x_1) — compare
+    // once both formulations have absorbed the boundary
+    got.zip(ref).zipWithIndex.drop(TimeSeries.EwmaLags + 1).foreach { case ((g, r), i) =>
+      assert(math.abs(g - r) < 1e-4, s"hour $i: got $g ref $r")
+    }
+  }
+
+  test("gap fill produces a dense grid with carried-forward values") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val events = Seq(0, 1, 4, 5).map { h =>
+      (h.toLong, java.sql.Timestamp.from(base.plusSeconds(h * 3600L)),
+        1L, "click", 10.0 * (h + 1), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = TimeSeries.gapFillHourly(events)
+      .select("n_events", "value_ffill", "is_filled")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length === 6) // hours 0..5, gaps at 2 and 3
+    assert(got.map(_._1).toSeq === Seq(1L, 1L, 0L, 0L, 1L, 1L))
+    assert(got(2)._2 === 20.0 && got(3)._2 === 20.0) // carried from hour 1
+    assert(got.map(_._3).toSeq === Seq(false, false, true, true, false, false))
+  }
+
+  test("HLL estimate is exact-ish on small cardinalities and register-bounded") {
+    val events = (0 until 2000).map(i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)),
+        (i % 700).toLong, if (i % 2 == 0) "click" else "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Sketches.hllDistinctUsers(events).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("hll_estimate")
+      // m=64 registers → ~13% standard error; accept 3 sigma
+      assert(math.abs(est - exact) / exact < 0.4, s"est $est exact $exact")
+    }
+  }
+
+  test("MMR round 1 is the relevance top-1 and later rounds penalize similarity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = ops.Similarity.mmrRerank(emb, 2, 10, 3, 0.7).collect()
+    assert(got.length === 6)
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val rounds = rows.map(_.getAs[Long]("round")).sorted.toSeq
+      assert(rounds === Seq(1L, 2L, 3L))
+      // no vec selected twice
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 3)
+    }
+    // round-1 picks = bruteForce rank 1
+    val top1 = ops.Similarity.bruteForceTopK(emb, 2, 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    got.filter(_.getAs[Long]("round") == 1L).foreach { r =>
+      assert(top1(r.getAs[Long]("query_id")) === r.getAs[Long]("vec_id"))
+    }
+  }
+
+  test("audio VAD run features match a direct recomputation from the formula") {
+    val docs = Seq((7L, "x", "en", "s", 1L), (100L, "y", "en", "s", 1L),
+      (255L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.audioVad(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_voiced"),
+          r.getAs[Long]("longest_run"))).toMap
+    Seq(7L, 100L, 255L).foreach { id =>
+      val n = (256 + id % 257).toInt
+      val samples = (0 until n).map(i => ((i * 37 + id * 101) % 4096 - 2048).toInt)
+      val nf = n / Multimodal.VadFrame
+      val voicedFlags = (0 until nf).map { f =>
+        samples.slice(f * 64, f * 64 + 64).map(math.abs(_).toLong).sum >
+          Multimodal.VadThreshold
+      }
+      val runs = voicedFlags.foldLeft(List(0L)) { (acc, v) =>
+        if (v) (acc.head + 1) :: acc.tail else 0L :: acc
+      }
+      assert(got(id) === ((nf.toLong, voicedFlags.count(identity).toLong, runs.max)))
+    }
+  }
+
+  test("ab test arms partition all users and rates are consistent") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // normalize whichever physical ts type this fixture generation uses
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    val r = OrderStats.abTestConversion(events).collect().head
+    val nUsers = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === nUsers)
+    assert(r.getAs[Double]("rate_a") >= 0 && r.getAs[Double]("rate_a") <= 1)
+  }
+}
