@@ -998,41 +998,58 @@ object Similarity {
   def mmrRerank(emb: DataFrame, nQueries: Int, nCand: Int, kSel: Int,
                 lambda: Double): DataFrame = {
     val oneMinus = 1.0 - lambda
+    val spark = emb.sparkSession
     val cand = tracked(bruteForceTopK(emb, nQueries, nCand)
       .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
       .persist())
     val e = prepared(emb)
     val cv = cand.join(e, "vec_id")
       .select(col("query_id"), col("vec_id"), col("v"), col("nrm"))
-    val sims = tracked(cv.as("a")
+    val sims = cv.as("a")
       .join(cv.as("b"),
         col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.query_id").as("query_id"), col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"),
         cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("sim"))
-      .persist())
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    val first = cand
-      .select(col("query_id"), col("vec_id"), col("rel").as("score"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
-        lit(1L).as("round"))
-    val all = (2 to kSel).foldLeft(first) { (sel, r) =>
-      val remaining = cand.join(sel.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_anti")
-      val mx = sims.join(sel.select(col("query_id"), col("vec_id").as("vb")),
-          Seq("query_id", "vb"))
-        .groupBy(col("query_id"), col("va").as("vec_id"))
-        .agg(max(col("sim")).as("mx"))
-      val pick = remaining.join(mx, Seq("query_id", "vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          (lit(lambda) * col("rel") - lit(oneMinus) * col("mx")).as("score"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"),
-          lit(r.toLong).as("round"))
-      sel.unionAll(pick)
+    // Greedy selection runs on the DRIVER over the collected candidate
+    // and sim frames — the same bounded-materialization device as the
+    // IVF centroid table: both frames are O(queries·nCand²) BY
+    // CONSTRUCTION (160 / 3 040 rows here), independent of corpus size.
+    // Expressed as chained DataFrames the recursion doubles the logical
+    // plan per round (round r reads round r−1 twice) and Catalyst
+    // re-analysis costs ~8 s at kSel = 5 even with every round
+    // persisted; the driver loop is arithmetic on ≤ nCand doubles per
+    // query using the SAME IEEE ops the oracle's unrolled CTEs perform.
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simRows = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    def round6(d: Double): Double =
+      new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue() // Spark's round(): exact-binary BigDecimal, HALF_UP
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val byVec = cs.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[Long]
+      (1 to kSel).map { r =>
+        val scored = byVec.filterNot { case (v, _) => selected.contains(v) }
+          .map { case (v, rel) =>
+            val score =
+              if (r == 1) rel
+              else {
+                val mx = selected.map(s => simRows((qid, v, s))).max
+                lambda * rel - oneMinus * mx
+              }
+            (v, score)
+          }
+        val (v, s) = scored.minBy { case (v, sc) => (-sc, v) }
+        selected :+= v
+        (qid, v, round6(s), r.toLong)
+      }
     }
-    all.orderBy("query_id", "round")
+    import spark.implicits._
+    out.toDF("query_id", "vec_id", "score", "round")
+      .orderBy("query_id", "round")
   }
 
   /** Oracle mirror of [[mmrRerank]]: rounds unrolled as chained CTEs
