@@ -854,10 +854,20 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // robust MAD outlier flags over the hourly mean series (the
+    // median buffer is bounded by hours·types, not corpus size)
+    "events_mad_outliers" -> ((s, dir) => TimeSeries.madOutliers(t(s, dir, "events"))),
+    // trend / weekday-seasonal / residual split of the daily series
+    "events_seasonal_decompose" -> ((s, dir) =>
+      TimeSeries.seasonalDecompose(t(s, dir, "events"))),
+    // RFM quartile scoring cut at two-pass exact quantiles (no ntile sort)
+    "orders_rfm_segments" -> ((s, dir) => OrderStats.rfmSegments(t(s, dir, "orders"))),
+    // per-customer purchase cadence from lag windows
+    "orders_order_gaps" -> ((s, dir) => OrderStats.orderGaps(t(s, dir, "orders"))),
     // MMR diversity re-rank over the exact top-20 candidates (5 greedy
     // rounds unrolled; corpus touched once, everything after is bounded)
     "rag_mmr_rerank" -> ((s, dir) =>
-      Similarity.mmrRerank(t(s, dir, "embeddings"), 8, 20, 5, 0.7)),
+      Similarity.mmrRerank(t(s, dir, "embeddings"), 8, 20, 5, 7, 10)),
     // frame-level voice-activity detection through the real WAV codec
     "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(t(s, dir, "documents"))),
     // HyperLogLog distinct counter from portable-hash registers (the
@@ -1770,7 +1780,11 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
-    "rag_mmr_rerank" -> Similarity.mmrRerankSql(8, 20, 5, 0.7),
+    "events_mad_outliers" -> TimeSeries.madOutliersSql,
+    "events_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
+    "orders_rfm_segments" -> OrderStats.rfmSegmentsSql,
+    "orders_order_gaps" -> OrderStats.orderGapsSql,
+    "rag_mmr_rerank" -> Similarity.mmrRerankSql(8, 20, 5, 7, 10),
     "mm_audio_vad" -> Multimodal.audioVadSql,
     "sketch_hll_distinct" -> Sketches.hllDistinctUsersSql,
     "events_ewma" -> TimeSeries.ewmaHourlySql,

@@ -982,25 +982,34 @@ object Similarity {
     * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the diversity-aware serving
     * layer on top of [[bruteForceTopK]] (pure relevance top-k returns
     * near-duplicates; MMR spends rank positions on coverage).
+    * λ = lambdaNum/lambdaDen.
     *
-    * The greedy recurrence is inherently sequential, so — like the
-    * pagerank/label-propagation queries — the FIXED iteration count is
-    * unrolled: each round is one anti-join (drop selected), one
-    * max-aggregate over candidate↔selected sims, one per-query top-1
-    * window. All frames after candidate generation are
-    * O(queries · nCand²) — driver-free and broadcast-scale; the corpus
-    * is touched exactly once, inside bruteForceTopK.
+    * Parity: the 6-dp-rounded cosines are carried as INTEGER micro-units
+    * and the score is the exact integer `lambdaNum·rel₆ −
+    * (lambdaDen−lambdaNum)·mx₆` — the fixed-point device — so greedy
+    * selection involves no float comparison at all; the output score is
+    * one exact-integer division, identical in both engines. (A double
+    * formulation measurably landed a score on a 6-dp rounding tie at
+    * sf0.001 — 0.1943555… — where Spark’s exact-binary HALF_UP and
+    * DuckDB’s scaled-double rounding disagree.)
     *
-    * Parity: rel and sim are 6-dp-rounded cosines; the score expression
-    * multiplies them by the SAME Scala-computed double literals in both
-    * engines and ties break on vec_id, so selection is bit-identical.
+    * Greedy selection runs on the DRIVER over the collected candidate
+    * and sim frames — the same bounded-materialization device as the
+    * IVF centroid table: both frames are O(queries·nCand²) BY
+    * CONSTRUCTION (160 / 3 040 rows here), independent of corpus size.
+    * Expressed as chained DataFrames the recursion doubles the logical
+    * plan per round (round r reads round r−1 twice) and Catalyst
+    * re-analysis alone cost ~8 s at kSel = 5 even with every round
+    * persisted. The corpus is touched exactly once, inside
+    * bruteForceTopK.
     */
   def mmrRerank(emb: DataFrame, nQueries: Int, nCand: Int, kSel: Int,
-                lambda: Double): DataFrame = {
-    val oneMinus = 1.0 - lambda
+                lambdaNum: Int, lambdaDen: Int): DataFrame = {
     val spark = emb.sparkSession
+    val oneMinusNum = lambdaDen - lambdaNum
     val cand = tracked(bruteForceTopK(emb, nQueries, nCand)
-      .select(col("query_id"), col("vec_id"), col("cosine").as("rel"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("cosine") * lit(1e6), 0).cast("long").as("rel6"))
       .persist())
     val e = prepared(emb)
     val cv = cand.join(e, "vec_id")
@@ -1010,41 +1019,31 @@ object Similarity {
         col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.query_id").as("query_id"), col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"),
-        cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")).as("sim"))
-    // Greedy selection runs on the DRIVER over the collected candidate
-    // and sim frames — the same bounded-materialization device as the
-    // IVF centroid table: both frames are O(queries·nCand²) BY
-    // CONSTRUCTION (160 / 3 040 rows here), independent of corpus size.
-    // Expressed as chained DataFrames the recursion doubles the logical
-    // plan per round (round r reads round r−1 twice) and Catalyst
-    // re-analysis costs ~8 s at kSel = 5 even with every round
-    // persisted; the driver loop is arithmetic on ≤ nCand doubles per
-    // query using the SAME IEEE ops the oracle's unrolled CTEs perform.
+        round(cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm")) * lit(1e6), 0)
+          .cast("long").as("sim6"))
     val candRows = cand.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val simRows = sims.collect()
-      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
       .toMap
-    def round6(d: Double): Double =
-      new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP)
-        .doubleValue() // Spark's round(): exact-binary BigDecimal, HALF_UP
+    val scale = lambdaDen * 1e6
     val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
       val byVec = cs.map(c => c._2 -> c._3).toMap
       var selected = Vector.empty[Long]
       (1 to kSel).map { r =>
         val scored = byVec.filterNot { case (v, _) => selected.contains(v) }
-          .map { case (v, rel) =>
-            val score =
-              if (r == 1) rel
+          .map { case (v, rel6) =>
+            val scoreI =
+              if (r == 1) lambdaDen.toLong * rel6
               else {
-                val mx = selected.map(s => simRows((qid, v, s))).max
-                lambda * rel - oneMinus * mx
+                val mx6 = selected.map(s => simRows((qid, v, s))).max
+                lambdaNum * rel6 - oneMinusNum * mx6
               }
-            (v, score)
+            (v, scoreI)
           }
-        val (v, s) = scored.minBy { case (v, sc) => (-sc, v) }
+        val (v, si) = scored.minBy { case (v, sc) => (-sc, v) }
         selected :+= v
-        (qid, v, round6(s), r.toLong)
+        (qid, v, si / scale, r.toLong)
       }
     }
     import spark.implicits._
@@ -1054,24 +1053,24 @@ object Similarity {
 
   /** Oracle mirror of [[mmrRerank]]: rounds unrolled as chained CTEs
     * (the same device the pagerank oracle uses), candidate/sim CTEs
-    * shared by all rounds.
+    * shared by all rounds, all scoring in exact BIGINT micro-units.
     */
-  def mmrRerankSql(nQueries: Int, nCand: Int, kSel: Int, lambda: Double): String = {
-    val oneMinus = 1.0 - lambda
-    val lam = s"CAST('$lambda' AS DOUBLE)"
-    val om = s"CAST('$oneMinus' AS DOUBLE)"
+  def mmrRerankSql(nQueries: Int, nCand: Int, kSel: Int,
+                   lambdaNum: Int, lambdaDen: Int): String = {
+    val om = lambdaDen - lambdaNum
+    val scale = s"(${lambdaDen} * 1e6)"
     val rounds = (2 to kSel).map { r =>
       s"""sel$r AS (
          |  SELECT * FROM sel${r - 1}
          |  UNION ALL
-         |  SELECT query_id, vec_id, score, $r AS round FROM (
+         |  SELECT query_id, vec_id, score, CAST($r AS BIGINT) AS round FROM (
          |    SELECT c.query_id, c.vec_id,
-         |           round($lam * c.rel - $om * m.mx, 6) AS score,
+         |           CAST($lambdaNum * c.rel6 - $om * m.mx6 AS DOUBLE) / $scale AS score,
          |           row_number() OVER (PARTITION BY c.query_id
-         |             ORDER BY $lam * c.rel - $om * m.mx DESC, c.vec_id) AS rn
+         |             ORDER BY $lambdaNum * c.rel6 - $om * m.mx6 DESC, c.vec_id) AS rn
          |    FROM cand c
          |    LEFT JOIN sel${r - 1} p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
-         |    JOIN (SELECT s.query_id, s.va AS vec_id, max(s.sim) AS mx
+         |    JOIN (SELECT s.query_id, s.va AS vec_id, max(s.sim6) AS mx6
          |          FROM sims s JOIN sel${r - 1} q ON q.query_id = s.query_id AND q.vec_id = s.vb
          |          GROUP BY s.query_id, s.va) m
          |      ON m.query_id = c.query_id AND m.vec_id = c.vec_id
@@ -1079,7 +1078,8 @@ object Similarity {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH cand AS (
-       |  SELECT query_id, vec_id, cosine AS rel
+       |  SELECT query_id, vec_id,
+       |         CAST(round(cosine * 1e6, 0) AS BIGINT) AS rel6
        |  FROM (${bruteForceTopKSql(nQueries, nCand)})),
        |e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1090,17 +1090,19 @@ object Similarity {
        |  FROM cand c JOIN e ON e.vec_id = c.vec_id),
        |sims AS (
        |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
-       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+       |         CAST(round(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) * 1e6, 0) AS BIGINT) AS sim6
        |  FROM cv a JOIN cv b
        |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
        |sel1 AS (
-       |  SELECT query_id, vec_id, round(score, 6) AS score, CAST(1 AS BIGINT) AS round FROM (
-       |    SELECT query_id, vec_id, rel AS score,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+       |  SELECT query_id, vec_id,
+       |         CAST($lambdaDen * rel6 AS DOUBLE) / $scale AS score,
+       |         CAST(1 AS BIGINT) AS round FROM (
+       |    SELECT query_id, vec_id, rel6,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY rel6 DESC, vec_id) AS rn
        |    FROM cand) x
        |  WHERE rn = 1),
        |$rounds
-       |SELECT query_id, vec_id, score, CAST(round AS BIGINT) AS round
+       |SELECT query_id, vec_id, score, round
        |FROM sel$kSel ORDER BY query_id, round""".stripMargin
   }
 }

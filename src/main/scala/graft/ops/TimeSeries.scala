@@ -131,6 +131,146 @@ object TimeSeries {
       .orderBy("event_type", "hour")
   }
 
+  /** Robust outlier detection on the hourly mean series per event type:
+    * median / MAD (median absolute deviation) with the conventional
+    * 1.4826 consistency constant, flagging hours beyond 3 robust sigmas.
+    * The z-score variant ([[Analytics]] anomaly query) is skewed by the
+    * outliers themselves; MAD is the robust replacement.
+    *
+    * Scale shape: `percentile` aggregates over the HOURLY frame — the
+    * buffer is bounded by hours·types (720·5 here), not corpus size, so
+    * the exact median is affordable at any SF (unlike the raw-value
+    * percentile audits, which pair with sketches). Parity: medians
+    * interpolate over identical doubles; |x−med| is exact IEEE; the
+    * 3·1.4826 threshold is one Scala-computed literal in both engines.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val k = 3.0 * 1.4826
+    val hourly = Caches.tracked(events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+      .persist())
+    val med = hourly.groupBy(col("event_type"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"),
+        count(lit(1)).as("n_hours"))
+    dev.select(col("event_type"), col("hb"), col("adev"))
+      .join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .join(mad, "event_type")
+      .select(col("event_type"), col("n_hours"),
+        round(col("med"), 6).as("median_hourly"),
+        round(col("mad"), 6).as("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n_hours").cast("double"), 6)
+          .as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String = {
+    val k = 3.0 * 1.4826
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, quantile_cont(x, 0.5) AS med FROM hourly GROUP BY event_type),
+       |dev AS (
+       |  SELECT h.event_type, h.hb, abs(h.x - m.med) AS adev, m.med
+       |  FROM hourly h JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, max(med) AS med, quantile_cont(adev, 0.5) AS mad,
+       |         count(*) AS n_hours
+       |  FROM dev GROUP BY event_type),
+       |outl AS (
+       |  SELECT d.event_type,
+       |         CAST(sum(CASE WHEN d.adev > CAST('$k' AS DOUBLE) * m.mad
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |  FROM dev d JOIN mad m USING (event_type)
+       |  GROUP BY d.event_type)
+       |SELECT m.event_type, m.n_hours,
+       |       round(m.med, 6) AS median_hourly,
+       |       round(m.mad, 6) AS mad,
+       |       o.n_outliers,
+       |       round(CAST(o.n_outliers AS DOUBLE) / CAST(m.n_hours AS DOUBLE), 6) AS outlier_rate
+       |FROM mad m JOIN outl o USING (event_type)
+       |ORDER BY m.event_type""".stripMargin
+  }
+
+  /** Classical seasonal decomposition of the daily revenue series:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * detrended − seasonal. The trend window sums in DECIMAL (exact,
+    * association-free — Spark's per-row frame iteration vs DuckDB's
+    * segment tree would otherwise differ in the last ulp) and the
+    * seasonal means run through micro-unit fixed point, so every output
+    * is engine- and shuffle-order-independent.
+    *
+    * Scale shape: everything after the first partial-agg is
+    * O(days) — the 30-row daily frame, two windows, one 7-row groupBy.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("v_dec"))
+      .withColumn("v", col("v_dec").cast("double"))
+    val wMa = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t_sum", sum(col("v_dec")).over(wMa))
+      .withColumn("t_n", count(lit(1)).over(wMa))
+      .filter(col("t_n") === 7)
+      .withColumn("trend", col("t_sum").cast("double") / lit(7.0))
+      .withColumn("detr", col("v") - col("trend"))
+      .withColumn("dq", round(col("detr") * lit(1e6), 0).cast("long"))
+      .withColumn("wd", col("d") % 7)
+    val t = Caches.tracked(trended.persist())
+    val seasonal = t.groupBy(col("wd"))
+      .agg((sum(col("dq")).cast("double") / count(lit(1)).cast("double") / lit(1e6))
+        .as("seasonal"))
+    t.join(broadcast(seasonal), "wd")
+      .select(
+        timestamp_micros(col("d") * lit(86400000000L)).as("day"),
+        round(col("v"), 6).as("revenue"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("residual"))
+      .orderBy("day")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS d,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS v_dec
+      |  FROM events GROUP BY 1),
+      |ma AS (
+      |  SELECT d, CAST(v_dec AS DOUBLE) AS v,
+      |         sum(v_dec) OVER w AS t_sum,
+      |         count(*) OVER w AS t_n
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (
+      |  SELECT d, v, CAST(t_sum AS DOUBLE) / 7.0 AS trend,
+      |         v - CAST(t_sum AS DOUBLE) / 7.0 AS detr,
+      |         CAST(round((v - CAST(t_sum AS DOUBLE) / 7.0) * 1e6, 0) AS BIGINT) AS dq,
+      |         d % 7 AS wd
+      |  FROM ma WHERE t_n = 7),
+      |seas AS (
+      |  SELECT wd, CAST(sum(dq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS seasonal
+      |  FROM tr GROUP BY wd)
+      |SELECT make_timestamp(t.d * 86400000000) AS day,
+      |       round(t.v, 6) AS revenue,
+      |       round(t.trend, 6) AS trend,
+      |       round(s.seasonal, 6) AS seasonal,
+      |       round(t.detr - s.seasonal, 6) AS residual
+      |FROM tr t JOIN seas s USING (wd)
+      |ORDER BY day""".stripMargin
+
   val gapFillHourlySql: String =
     """WITH hourly AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,

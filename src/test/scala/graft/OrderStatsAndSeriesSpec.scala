@@ -86,7 +86,7 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
 
   test("MMR round 1 is the relevance top-1 and later rounds penalize similarity") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val got = ops.Similarity.mmrRerank(emb, 2, 10, 3, 0.7).collect()
+    val got = ops.Similarity.mmrRerank(emb, 2, 10, 3, 7, 10).collect()
     assert(got.length === 6)
     val byQuery = got.groupBy(_.getAs[Long]("query_id"))
     byQuery.foreach { case (_, rows) =>
