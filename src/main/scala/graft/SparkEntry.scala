@@ -854,6 +854,14 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // power-iteration top principal direction in exact fixed point
+    "emb_power_iteration" -> ((s, dir) =>
+      Similarity.powerIterationTop(t(s, dir, "embeddings"), 64, 4)),
+    // binary-segmentation changepoint on the hourly mean series
+    "events_changepoint" -> ((s, dir) => TimeSeries.changepointHourly(t(s, dir, "events"))),
+    // brand-level association rules: support / confidence / lift
+    "lineitem_association_rules" -> ((s, dir) =>
+      Analytics.associationRules(t(s, dir, "lineitem"), t(s, dir, "part"), 3L, 50)),
     // robust MAD outlier flags over the hourly mean series (the
     // median buffer is bounded by hours·types, not corpus size)
     "events_mad_outliers" -> ((s, dir) => TimeSeries.madOutliers(t(s, dir, "events"))),
@@ -1780,6 +1788,9 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),
+    "events_changepoint" -> TimeSeries.changepointHourlySql,
+    "lineitem_association_rules" -> Analytics.associationRulesSql(3L, 50),
     "events_mad_outliers" -> TimeSeries.madOutliersSql,
     "events_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
     "orders_rfm_segments" -> OrderStats.rfmSegmentsSql,

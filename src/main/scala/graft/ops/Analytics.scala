@@ -1373,6 +1373,71 @@ object Analytics {
        |ORDER BY n_orders DESC, part_a, part_b
        |LIMIT $topN""".stripMargin
 
+  /** Directional association rules over order baskets at BRAND
+    * granularity (brand → brand support / confidence / lift — part-level
+    * pairs are too sparse for meaningful rates): the market-basket
+    * readout on top of the [[basketPairs]] co-occurrence shape.
+    *
+    * Scale shape: baskets reduce to distinct (order, brand) — bounded
+    * fan-out per order since |brands| is a small constant — and the
+    * pair join shuffles on the order key exactly like basketPairs; the
+    * single-brand counts and the order total are partial-agged /
+    * broadcast scalars. All three metrics are exact-integer ratios in
+    * fixed expression order (bit-identical across engines).
+    */
+  def associationRules(lineitem: DataFrame, part: DataFrame,
+                       minPairOrders: Long, topN: Int): DataFrame = {
+    val items = Caches.tracked(lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+      .persist())
+    val totals = items.agg(count_distinct(col("okey")).as("n_total"))
+    val single = items.groupBy(col("brand")).agg(count(lit(1)).as("n1"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") =!= col("b.brand"))
+      .groupBy(col("a.brand").as("antecedent"), col("b.brand").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairOrders)
+    pairs
+      .join(broadcast(single.select(col("brand").as("antecedent"), col("n1").as("n_a"))),
+        "antecedent")
+      .join(broadcast(single.select(col("brand").as("consequent"), col("n1").as("n_b"))),
+        "consequent")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_total").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("n_total").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topN)
+  }
+
+  def associationRulesSql(minPairOrders: Long, topN: Int): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |tot AS (SELECT count(DISTINCT okey) AS n_total FROM items),
+       |single AS (SELECT brand, count(*) AS n1 FROM items GROUP BY brand),
+       |pairs AS (
+       |  SELECT a.brand AS antecedent, b.brand AS consequent, count(*) AS n_ab
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.brand <> b.brand
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minPairOrders)
+       |SELECT p.antecedent, p.consequent, p.n_ab,
+       |       sa.n1 AS n_a, sb.n1 AS n_b,
+       |       round(CAST(p.n_ab AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6) AS support,
+       |       round(CAST(p.n_ab AS DOUBLE) / CAST(sa.n1 AS DOUBLE), 6) AS confidence,
+       |       round(CAST(p.n_ab AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+       |             / (CAST(sa.n1 AS DOUBLE) * CAST(sb.n1 AS DOUBLE)), 6) AS lift
+       |FROM pairs p
+       |JOIN single sa ON sa.brand = p.antecedent
+       |JOIN single sb ON sb.brand = p.consequent, tot t
+       |ORDER BY lift DESC, p.antecedent, p.consequent
+       |LIMIT $topN""".stripMargin
+
   /** Exact equi-depth deciles per event type via ntile — the windowed
     * ranking semantics audit beside the bounded-sketch quantile path
     * ([[graft.ops.Sketches]]): exact deciles need a per-type sort (the

@@ -975,6 +975,111 @@ object Similarity {
        |             / CAST(sum(n) AS DOUBLE), 6) AS imbalance
        |FROM sizes""".stripMargin
 
+  // ------------------------------------------------- power-iteration PCA
+
+  /** Top principal direction of the embedding cloud (uncentered second
+    * moment XᵀX) by POWER ITERATION — iterative distributed linear
+    * algebra with exact cross-engine parity: embeddings quantize to
+    * milli-unit integers once, every matvec is an exact integer
+    * aggregate (partial-agged in DECIMAL(38)/HUGEINT so corpus size
+    * can't overflow), and the per-round renormalization is a power-of-
+    * two shift computed from the iterate's bit length — integers end to
+    * end, so 4 rounds converge to bit-identical registers in both
+    * engines (the pagerank fixed-point device applied to linear
+    * algebra). Only the FINAL outputs divide into doubles.
+    *
+    * Round shape: d = X·w (shuffle on vec_id: one partial-agged
+    * groupBy), y = Xᵀ·d (groupBy on the 64 dims), then w' =
+    * sign(y)·(|y| >> s) with s = bitlength(max|y|) − 10. The 64-row
+    * iterate is collected per round (the bounded-materialization device
+    * — the iterate IS the artifact you'd broadcast at scale); the
+    * corpus-long frame is persisted once and rescanned 2·rounds times.
+    *
+    * Output: (dim, direction, rayleigh) — unit-norm direction and the
+    * Rayleigh quotient λ = Σd²/Σw² rescaled to data units.
+    */
+  def powerIterationTop(emb: DataFrame, dim: Int, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val el = tracked(emb
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+        round(col("col") * lit(1e3), 0).cast("long").as("xq"))
+      .persist())
+    var w: Seq[(Long, Long)] = (1 to dim).map(j => (j.toLong, 1L))
+    (1 to rounds).foreach { _ =>
+      val wDf = broadcast(w.toDF("j", "wq"))
+      val d = el.join(wDf, "j")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("xq") * col("wq")).as("d"))
+      val y = el.join(d, "vec_id")
+        .groupBy(col("j"))
+        .agg(sum((col("xq") * col("d")).cast("decimal(38,0)")).as("y"))
+        .collect()
+        .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+      val maxAbs = y.map(_._2.abs).max
+      val s = math.max(maxAbs.bitLength - 10, 0)
+      w = y.map { case (j, v) =>
+        (j, (v.signum * (v.abs >> s)).toLong)
+      }.sortBy(_._1).toSeq
+    }
+    val wDf = broadcast(w.toDF("j", "wq"))
+    val den = w.map(x => x._2 * x._2).sum // Σwq² — exact, ≤ 64·2^20
+    val num = el.join(wDf, "j")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("xq") * col("wq")).as("d"))
+      .agg(sum((col("d") * col("d")).cast("decimal(38,0)")).as("num"))
+    val norm = math.sqrt(den.toDouble)
+    wDf.crossJoin(broadcast(num))
+      .select(col("j").as("dim"),
+        round(col("wq").cast("double") / lit(norm), 6).as("direction"),
+        round(col("num").cast("double") / lit(den.toDouble) / lit(1e6), 4)
+          .as("rayleigh"))
+      .orderBy("dim")
+  }
+
+  /** Oracle mirror of [[powerIterationTop]]: rounds unrolled as chained
+    * CTEs, the shift computed per round from bin() bit length, all
+    * integer until the two final divisions.
+    */
+  def powerIterationTopSql(dim: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""d$r AS (
+         |  SELECT e.vec_id, CAST(sum(e.xq * w.wq) AS BIGINT) AS d
+         |  FROM el e JOIN $prev w USING (j) GROUP BY e.vec_id),
+         |y$r AS (
+         |  SELECT e.j, sum(e.xq * d.d) AS y
+         |  FROM el e JOIN d$r d USING (vec_id) GROUP BY e.j),
+         |s$r AS (
+         |  SELECT greatest(length(bin(CAST(max(abs(y)) AS BIGINT))) - 10, 0) AS s
+         |  FROM y$r),
+         |w$r AS (
+         |  SELECT y.j,
+         |         CAST(CASE WHEN y.y < 0
+         |              THEN -((-y.y) // (CAST(1 AS BIGINT) << s.s))
+         |              ELSE y.y // (CAST(1 AS BIGINT) << s.s) END AS BIGINT) AS wq
+         |  FROM y$r y, s$r s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |el AS (
+       |  SELECT vec_id, j, CAST(round(v[CAST(j AS INTEGER)] * 1e3, 0) AS BIGINT) AS xq
+       |  FROM e, (SELECT unnest(range(1, ${dim + 1})) AS j) dims),
+       |w0 AS (SELECT unnest(range(1, ${dim + 1})) AS j, CAST(1 AS BIGINT) AS wq),
+       |$roundCtes,
+       |den AS (SELECT CAST(sum(wq * wq) AS BIGINT) AS den FROM w$rounds),
+       |fin AS (
+       |  SELECT e.vec_id, CAST(sum(e.xq * w.wq) AS BIGINT) AS d
+       |  FROM el e JOIN w$rounds w USING (j) GROUP BY e.vec_id),
+       |num AS (SELECT sum(d * d) AS num FROM fin)
+       |SELECT w.j AS dim,
+       |       round(CAST(w.wq AS DOUBLE) / sqrt(CAST(den.den AS DOUBLE)), 6) AS direction,
+       |       round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) / 1e6, 4) AS rayleigh
+       |FROM w$rounds w, den, num
+       |ORDER BY dim""".stripMargin
+  }
+
   // ------------------------------------------------------------- MMR rerank
 
   /** Maximal-marginal-relevance re-ranking of the exact top-`nCand`

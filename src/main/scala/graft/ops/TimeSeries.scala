@@ -203,6 +203,104 @@ object TimeSeries {
        |ORDER BY m.event_type""".stripMargin
   }
 
+  /** Binary change-point detection on the hourly mean series per event
+    * type: the split hour minimizing SSE_left + SSE_right (the first
+    * step of binary-segmentation changepoint search), with the
+    * before/after means and the variance reduction achieved.
+    *
+    * Parity: hourly means are quantized to milli-units ONCE; prefix
+    * sums and sums-of-squares are exact BIGINT window sums; every
+    * per-split cost is a fixed expression over exact integers (the
+    * long→double conversions and divisions are correctly rounded,
+    * identical in both engines), and the argmin tie-breaks on the
+    * earlier hour. No double is ever re-aggregated.
+    *
+    * Scale shape: O(hours·types) after the first partial-agg; the
+    * per-type windows are bounded by the series length, and the argmin
+    * is a window top-1, not a sort.
+    */
+  def changepointHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+      .withColumn("xq", round(col("x") * lit(1e3), 0).cast("long"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+    val pre = hourly
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cs", sum(col("xq")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("css", sum(col("xq") * col("xq")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val p = Caches.tracked(pre.persist())
+    val totals = p.groupBy(col("event_type"))
+      .agg(max(col("t")).as("n"), max(col("cs")).as("cs_n"), max(col("css")).as("css_n"))
+    val costs = p.join(broadcast(totals), "event_type")
+      .filter(col("t") < col("n"))
+      .withColumn("sse_l",
+        col("css").cast("double") -
+          (col("cs") * col("cs")).cast("double") / col("t").cast("double"))
+      .withColumn("sse_r",
+        (col("css_n") - col("css")).cast("double") -
+          ((col("cs_n") - col("cs")) * (col("cs_n") - col("cs"))).cast("double") /
+            (col("n") - col("t")).cast("double"))
+      .withColumn("cost", col("sse_l") + col("sse_r"))
+    val wMin = Window.partitionBy(col("event_type"))
+      .orderBy(col("cost"), col("hb"))
+    costs.withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+      .select(col("event_type"),
+        timestamp_micros((col("hb") + 1) * lit(3600000000L)).as("split_at"),
+        col("t").as("n_before"), (col("n") - col("t")).as("n_after"),
+        round(col("cs").cast("double") / col("t").cast("double") / lit(1e3), 4)
+          .as("mean_before"),
+        round((col("cs_n") - col("cs")).cast("double") /
+          (col("n") - col("t")).cast("double") / lit(1e3), 4).as("mean_after"),
+        round((col("css_n").cast("double") -
+          (col("cs_n") * col("cs_n")).cast("double") / col("n").cast("double") -
+          col("cost")) / lit(1e6), 4).as("variance_reduction"))
+      .orderBy("event_type")
+  }
+
+  val changepointHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+      |         CAST(round((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |                     / CAST(count(*) AS DOUBLE)) * 1e3, 0) AS BIGINT) AS xq
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, hb,
+      |         CAST(row_number() OVER w AS BIGINT) AS t,
+      |         sum(xq) OVER (PARTITION BY event_type ORDER BY hb
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+      |         sum(xq * xq) OVER (PARTITION BY event_type ORDER BY hb
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS css
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+      |tot AS (
+      |  SELECT event_type, max(t) AS n, max(cs) AS cs_n, max(css) AS css_n
+      |  FROM pre GROUP BY event_type),
+      |costs AS (
+      |  SELECT p.*, o.n, o.cs_n, o.css_n,
+      |    (CAST(p.css AS DOUBLE) - CAST(p.cs * p.cs AS DOUBLE) / CAST(p.t AS DOUBLE))
+      |    + (CAST(o.css_n - p.css AS DOUBLE)
+      |       - CAST((o.cs_n - p.cs) * (o.cs_n - p.cs) AS DOUBLE)
+      |         / CAST(o.n - p.t AS DOUBLE)) AS cost
+      |  FROM pre p JOIN tot o USING (event_type)
+      |  WHERE p.t < o.n),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cost, hb) AS rn
+      |  FROM costs)
+      |SELECT event_type,
+      |       make_timestamp((hb + 1) * 3600000000) AS split_at,
+      |       t AS n_before, n - t AS n_after,
+      |       round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE) / 1e3, 4) AS mean_before,
+      |       round(CAST(cs_n - cs AS DOUBLE) / CAST(n - t AS DOUBLE) / 1e3, 4) AS mean_after,
+      |       round((CAST(css_n AS DOUBLE)
+      |              - CAST(cs_n * cs_n AS DOUBLE) / CAST(n AS DOUBLE)
+      |              - cost) / 1e6, 4) AS variance_reduction
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** Classical seasonal decomposition of the daily revenue series:
     * trend = centered 7-day moving average (full windows only),
     * seasonal = per-weekday mean of the detrended series, residual =
