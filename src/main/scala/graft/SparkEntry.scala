@@ -854,6 +854,11 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // modularity audit of the label-propagation partition
+    "graph_modularity" -> ((s, dir) => Graph.modularity(t(s, dir, "lineitem"), 4)),
+    // lexical LSH candidates adjudicated by embedding cosine
+    "dedup_hybrid_verify" -> ((s, dir) =>
+      Dedup.hybridVerify(t(s, dir, "documents"), t(s, dir, "embeddings"), 0.95)),
     // power-iteration top principal direction in exact fixed point
     "emb_power_iteration" -> ((s, dir) =>
       Similarity.powerIterationTop(t(s, dir, "embeddings"), 64, 4)),
@@ -1788,6 +1793,8 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "graph_modularity" -> Graph.modularitySql(4),
+    "dedup_hybrid_verify" -> Dedup.hybridVerifySql(0.95),
     "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),
     "events_changepoint" -> TimeSeries.changepointHourlySql,
     "lineitem_association_rules" -> Analytics.associationRulesSql(3L, 50),

@@ -1930,4 +1930,68 @@ object Dedup {
        |       (SELECT n_leaked_clusters FROM leaks) AS n_leaked_clusters
        |FROM canon n JOIN toks t ON n.doc_id = t.doc_id
        |             JOIN labeled s ON n.doc_id = s.doc_id""".stripMargin
+
+  // ------------------------------------------------- hybrid (cross-modal)
+
+  /** Hybrid near-dup audit: LEXICAL recall, SEMANTIC precision. LSH
+    * banding over the plain document corpus proposes candidate pairs
+    * (the cheap, high-recall lexical stage); each candidate is then
+    * scored by BOTH the 16-slot signature agreement (est_jaccard) and
+    * the embedding cosine of the two docs (doc_id ↔ vec_id), with
+    * `accepted` = cosine ≥ threshold — the modern dedup-pipeline shape
+    * where an embedding model adjudicates what token overlap proposed.
+    * Pairs where either side lacks an embedding are dropped (inner
+    * join): the audit is defined where both modalities exist.
+    *
+    * Scale shape: candidate count is LSH-bucket-bounded (never
+    * all-pairs); the embedding join touches only candidate ids — two
+    * hash joins against the vector table, no vector shuffle beyond
+    * them. All scoring is the repo's standard rounded-cosine /
+    * integer-ratio arithmetic.
+    */
+  def hybridVerify(docs: DataFrame, emb: DataFrame, cosThreshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    import graft.functions.VectorFunctions.dotD
+    val sig = Caches.tracked(
+      minhashSignatures(docs.select(col("doc_id"), col("text"))).persist())
+    val eq = (0 until 16).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    val ev = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val cand = lshCandidates(sig).as("c")
+      .join(sig.as("x"), col("c.doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("c.doc_b") === col("y.doc_id"))
+      .select(col("c.doc_a"), col("c.doc_b"), (eq / 16.0).as("est_jaccard"))
+    cand
+      .join(ev.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(ev.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(dotD(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .withColumn("accepted", col("cosine") >= cosThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def hybridVerifySql(cosThreshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b, ($eq) / 16.0 AS est_jaccard
+       |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+       |              JOIN sig y ON c.doc_b = y.doc_id),
+       |ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings)
+       |SELECT s.doc_a, s.doc_b, s.est_jaccard,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $cosThreshold AS accepted
+       |FROM scored s
+       |JOIN ev a ON a.vec_id = s.doc_a
+       |JOIN ev b ON b.vec_id = s.doc_b
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+  }
 }

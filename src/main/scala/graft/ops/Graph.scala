@@ -91,9 +91,15 @@ object Graph {
     * pattern, O(|E|) per round. Labels assumed < 1e8 (fixture part keys
     * are ≪; a larger id space widens the composite multiplier).
     */
-  def labelPropagation(lineitem: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(lineitem: DataFrame, rounds: Int): DataFrame =
+    labelPropagationOn(Caches.tracked(coPurchaseEdges(lineitem).persist()), rounds)
+
+  /** Label propagation over a PRE-BUILT (and ideally persisted) edge
+    * frame — callers that also consume the edges (the modularity audit)
+    * share one build instead of re-running the pair join.
+    */
+  def labelPropagationOn(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
     val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -110,7 +116,10 @@ object Graph {
     labels.select(col("node"), col("label").as("community")).orderBy("node")
   }
 
-  def labelPropagationSql(rounds: Int): String = {
+  /** CTE prefix shared by the label-propagation query and the modularity
+    * audit: edges, nodes, and the unrolled rounds ending at `l<rounds>`.
+    */
+  private def lpCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""v$i AS (
          |  SELECT dst, label, sum(w) AS cnt FROM (
@@ -122,7 +131,7 @@ object Graph {
          |  SELECT dst AS node, arg_max(label, cnt * 100000000 - label) AS label
          |  FROM v$i GROUP BY dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |ed AS (
        |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
@@ -130,9 +139,84 @@ object Graph {
        |e AS (SELECT src, dst, w FROM ed),
        |nodes AS (SELECT DISTINCT src AS node FROM ed),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |$steps
-       |SELECT node, label AS community FROM l$rounds ORDER BY node""".stripMargin
+       |$steps""".stripMargin
   }
+
+  def labelPropagationSql(rounds: Int): String =
+    s"""WITH ${lpCtes(rounds)}
+       |SELECT node, label AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** Weighted modularity of the label-propagation communities — the
+    * quality audit for [[labelPropagation]] (a partition can always be
+    * produced; Q says whether it beats the random-graph null model):
+    * Q = Σ_c [ w_in(c)·2m − deg(c)² ] / (2m)², computed on the same
+    * symmetric edge frame (every undirected edge counted in both
+    * directions, so 2m = Σw exactly).
+    *
+    * Parity/scale: one edges⋈labels⋈labels pass (shuffles on node keys,
+    * O(|E|)), then integer partial-aggs; the numerator sum is exact
+    * BIGINT (bounded by (2m)²) and only the final division makes a
+    * double. Fan-out and magnitudes match the PageRank notes.
+    */
+  def modularity(lineitem: DataFrame, rounds: Int): DataFrame = {
+    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
+    val labels = Caches.tracked(
+      labelPropagationOn(edges, rounds)
+        .select(col("node"), col("community")).persist())
+    // materialize BEFORE the el plan references labels twice: two cold
+    // branches racing the same lazy cache re-run the whole propagation
+    // (measured ~2× wall time); the count also settles the edges cache
+    labels.count()
+    // node→community is |V|-bounded (part keys, ≪ |E|) — broadcast both
+    // sides so the edge frame streams through two hash joins; a cached
+    // frame carries no size stats, so Spark would otherwise SMJ-shuffle
+    // the 1.7M-row edge frame twice
+    val el = edges
+      .join(broadcast(labels.select(col("node").as("src"), col("community").as("c_src"))), "src")
+      .join(broadcast(labels.select(col("node").as("dst"), col("community").as("c_dst"))), "dst")
+    // ONE pass over el: 2m = Σ_c deg(c) (every edge's weight lands in
+    // exactly one community's deg), so Σ_c [w_in·2m − deg²] factors to
+    // 2m·Σw_in − Σdeg² and the whole audit is two chained partial-aggs —
+    // no second edge scan, nothing to persist
+    val perC = el
+      .groupBy(col("c_src"))
+      .agg(sum(when(col("c_src") === col("c_dst"), col("w")).otherwise(0L)).as("w_in"),
+        sum(col("w")).as("deg"))
+    perC
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("deg")).as("two_m"),
+        sum(col("w_in")).as("sw"),
+        sum(col("deg") * col("deg")).as("sdd"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_communities"), col("n_nodes"), col("two_m"),
+        round((col("two_m") * col("sw") - col("sdd")).cast("double") /
+          (col("two_m").cast("double") * col("two_m").cast("double")), 6)
+          .as("modularity"))
+  }
+
+  def modularitySql(rounds: Int): String =
+    s"""WITH ${lpCtes(rounds)},
+       |labs AS (SELECT node, label AS community FROM l$rounds),
+       |el AS (
+       |  SELECT e.src, e.dst, e.w, ls.community AS c_src, ld.community AS c_dst
+       |  FROM e JOIN labs ls ON ls.node = e.src
+       |         JOIN labs ld ON ld.node = e.dst),
+       |perc AS (
+       |  SELECT c_src,
+       |         CAST(sum(CASE WHEN c_src = c_dst THEN w ELSE 0 END) AS BIGINT) AS w_in,
+       |         CAST(sum(w) AS BIGINT) AS deg
+       |  FROM el GROUP BY c_src),
+       |agg AS (
+       |  SELECT count(*) AS n_communities,
+       |         CAST(sum(deg) AS BIGINT) AS two_m,
+       |         CAST(sum(w_in) AS BIGINT) AS sw,
+       |         CAST(sum(deg * deg) AS BIGINT) AS sdd
+       |  FROM perc),
+       |nn AS (SELECT count(*) AS n_nodes FROM labs)
+       |SELECT a.n_communities, nn.n_nodes, a.two_m,
+       |       round(CAST(a.two_m * a.sw - a.sdd AS DOUBLE)
+       |             / (CAST(a.two_m AS DOUBLE) * CAST(a.two_m AS DOUBLE)), 6) AS modularity
+       |FROM agg a, nn""".stripMargin
 
   /** Triangle count + global clustering coefficient over the
     * SUPPORT-FILTERED co-purchase graph (pairs co-bought in at least
