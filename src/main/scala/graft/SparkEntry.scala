@@ -854,6 +854,10 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // top-3 bigram keyphrases per doc by tf-idf
+    "text_keyphrases" -> ((s, dir) => TextAnalysis.keyphrases(t(s, dir, "documents"), 3)),
+    // l-diversity: sensitive-value diversity within k-anonymity classes
+    "quality_l_diversity" -> ((s, dir) => Scrub.lDiversity(t(s, dir, "customer"), 3)),
     // modularity audit of the label-propagation partition
     "graph_modularity" -> ((s, dir) => Graph.modularity(t(s, dir, "lineitem"), 4)),
     // lexical LSH candidates adjudicated by embedding cosine
@@ -1793,6 +1797,8 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "text_keyphrases" -> TextAnalysis.keyphrasesSql(3),
+    "quality_l_diversity" -> Scrub.lDiversitySql(3),
     "graph_modularity" -> Graph.modularitySql(4),
     "dedup_hybrid_verify" -> Dedup.hybridVerifySql(0.95),
     "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),

@@ -137,6 +137,49 @@ object Scrub {
       .orderBy(col("n_suppressed"))
   }
 
+  /** l-diversity audit — the refinement k-anonymity misses: a class can
+    * be k-large yet expose its sensitive attribute when every member
+    * shares one value. Equivalence classes = (nation, segment); the
+    * sensitive attribute = the $1000 account-balance band. Per class:
+    * size k, distinct sensitive values l, the dominant band's share
+    * (homogeneity-attack risk), and the `diverse` flag l ≥ minL.
+    * Integer counts + one exact-ratio double; one partial-agged groupBy
+    * chain, no window.
+    */
+  def lDiversity(customer: DataFrame, minL: Int): DataFrame = {
+    val qi = customer.select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    val cells = qi.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("c")).as("k"),
+        count(lit(1)).as("l"),
+        max(col("c")).as("dominant_n"))
+      .select(col("nation"), col("segment"), col("k"), col("l"),
+        round(col("dominant_n").cast("double") / col("k").cast("double"), 6)
+          .as("dominant_share"),
+        (col("l") >= minL).as("diverse"))
+      .orderBy("nation", "segment")
+  }
+
+  def lDiversitySql(minL: Int): String =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+       |  FROM customer),
+       |cells AS (
+       |  SELECT nation, segment, bal_band, count(*) AS c
+       |  FROM qi GROUP BY 1, 2, 3)
+       |SELECT nation, segment,
+       |       CAST(sum(c) AS BIGINT) AS k,
+       |       count(*) AS l,
+       |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dominant_share,
+       |       count(*) >= $minL AS diverse
+       |FROM cells GROUP BY nation, segment
+       |ORDER BY nation, segment""".stripMargin
+
   /** Oracle SQL for [[kAnonymity]]. */
   def kAnonymitySql(k: Int): String =
     s"""WITH qi AS (

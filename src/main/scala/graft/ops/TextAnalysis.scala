@@ -272,6 +272,54 @@ object TextAnalysis {
        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Keyphrase extraction: top-`k` BIGRAMS per document by tf·idf — the
+    * phrase-level sibling of [[tfidfTopTerms]] (unigram tf-idf surfaces
+    * corpus-rare words; bigrams surface distinctive phrasing, the usual
+    * keyphrase baseline). Same single-pass shape: tf per (doc, bigram)
+    * from one tokenize+explode, df derived FROM the tf frame, score
+    * rounded to 6 dp before ranking (ln ulp guard), rank window per doc
+    * over the doc's own bigrams only.
+    */
+  def keyphrases(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.Tokenize.bigrams(
+        graft.functions.Tokenize.tokens(col("text")))).as("phrase"))
+    val tf = Caches.tracked(
+      tok.groupBy(col("doc_id"), col("phrase")).agg(count(lit(1)).as("tf")).persist())
+    val df_ = tf.groupBy(col("phrase")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    tf.join(broadcast(df_), "phrase")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("phrase"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def keyphrasesSql(k: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${Tokenize.tokensSql("text")} AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(${Tokenize.bigramsSql("toks")}) AS phrase FROM tk),
+       |tf AS (SELECT doc_id, phrase, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT phrase, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.phrase,
+       |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+       |  FROM tf JOIN df USING (phrase), n),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, phrase) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, phrase, score FROM ranked WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
   /** Tokenizer application: encode each document's first `maxLen` tokens
     * against a corpus-derived vocabulary (top `vocabSize` terms by count,
     * lexicographic tie-break), OOV = −1 — the relational view of the
