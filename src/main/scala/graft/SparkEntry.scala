@@ -854,6 +854,14 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // chunk-granularity duplication audit over the sliding chunks
+    "dedup_chunk_overlap" -> ((s, dir) =>
+      Curation.chunkOverlap(t(s, dir, "documents"), 64, 48)),
+    // numeric/temporal blocked ER: near-identical invoices per customer
+    "orders_near_dup_invoices" -> ((s, dir) =>
+      EntityResolution.nearDupInvoices(t(s, dir, "orders"), 5.0, 7)),
+    // entropy + gini of each cohort's event-type mix (PSI-device terms)
+    "events_entropy_profile" -> ((s, dir) => Profiling.entropyProfile(t(s, dir, "events"))),
     // top-3 bigram keyphrases per doc by tf-idf
     "text_keyphrases" -> ((s, dir) => TextAnalysis.keyphrases(t(s, dir, "documents"), 3)),
     // l-diversity: sensitive-value diversity within k-anonymity classes
@@ -1797,6 +1805,9 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "dedup_chunk_overlap" -> Curation.chunkOverlapSql(64, 48),
+    "orders_near_dup_invoices" -> EntityResolution.nearDupInvoicesSql(5.0, 7),
+    "events_entropy_profile" -> Profiling.entropyProfileSql,
     "text_keyphrases" -> TextAnalysis.keyphrasesSql(3),
     "quality_l_diversity" -> Scrub.lDiversitySql(3),
     "graph_modularity" -> Graph.modularitySql(4),

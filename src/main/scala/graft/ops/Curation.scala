@@ -426,4 +426,42 @@ object Curation {
        |  round($budgetTokens.0 * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) /
        |        CAST(n_tokens AS DOUBLE), 6) AS epochs_at_budget
        |FROM weighted, tot ORDER BY source""".stripMargin
+
+  /** Chunk-level duplication audit (the RETRO-style question "how much
+    * of this document is boilerplate shared with other documents?"):
+    * every sliding chunk from [[chunkDocs]] is fingerprinted, a chunk is
+    * SHARED when its hash occurs in more than one distinct document, and
+    * each doc reports its shared-chunk ratio.
+    *
+    * Scale shape: pure hash-groupBy dedup at chunk granularity — one
+    * shuffle on chunk_hash for the occurrence counts, one on doc_id for
+    * the per-doc rollup; the duplicated-hash frame joins back by hash
+    * (no pairwise work anywhere).
+    */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    val ch = Caches.tracked(chunkDocs(docs, chunkSize, stride)
+      .select(col("doc_id"), col("chunk_hash")).persist())
+    val occ = ch.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    ch.join(occ, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        round(col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"), 6)
+          .as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def chunkOverlapSql(chunkSize: Int, stride: Int): String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, chunk_hash FROM (${chunkDocsSql(chunkSize, stride)})),
+       |occ AS (
+       |  SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       |       round(CAST(sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+       |FROM ch c JOIN occ o USING (chunk_hash)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 }

@@ -106,4 +106,56 @@ object EntityResolution {
        |SELECT dirty_id, entity_id AS matched_id, CAST(dist AS BIGINT) AS dist, n_candidates
        |FROM ranked WHERE rk = 1
        |ORDER BY dirty_id""".stripMargin
+
+  /** Near-duplicate invoice detection — numeric/temporal blocked ER,
+    * the fraud-screen sibling of the name-based [[resolve]]: two orders
+    * of the SAME customer whose totals differ by ≤ priceTol and whose
+    * order dates are within dayTol days.
+    *
+    * Blocking: $100 price bands; the probe side also emits its two
+    * neighbor bands, so a qualifying pair can never straddle out of
+    * reach (band width ≥ priceTol — the pigeonhole argument the dedup
+    * prefix join documents), and DISTINCT collapses the double-match of
+    * same-band pairs. The join shuffles on (custkey, band) — never an
+    * all-pairs product, and fan-out per key is basket-bounded.
+    */
+  def nearDupInvoices(orders: DataFrame, priceTol: Double, dayTol: Int): DataFrame = {
+    require(priceTol <= 100.0, s"band width 100 must cover priceTol, got $priceTol")
+    val base = orders.select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+      col("o_totalprice").as("price"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+      floor(col("o_totalprice") / 100).cast("long").as("pb"))
+    val probe = base.withColumn("band", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+    val pairs = base.as("a")
+      .join(probe.as("b"),
+        col("a.ck") === col("b.ck") && col("a.pb") === col("b.band") &&
+          col("a.ok") < col("b.ok"))
+      .filter(abs(col("a.price") - col("b.price")) <= priceTol &&
+        abs(col("a.day") - col("b.day")) <= dayTol)
+      .select(col("a.ck").as("custkey"),
+        col("a.ok").as("order_a"), col("b.ok").as("order_b"),
+        col("a.price").as("price_a"), col("b.price").as("price_b"),
+        round(abs(col("a.price") - col("b.price")), 2).as("price_diff"),
+        abs(col("a.day") - col("b.day")).as("day_gap"))
+      .distinct()
+    pairs.orderBy("custkey", "order_a", "order_b")
+  }
+
+  def nearDupInvoicesSql(priceTol: Double, dayTol: Int): String =
+    s"""WITH base AS (
+       |  SELECT o_custkey AS ck, o_orderkey AS ok, o_totalprice AS price,
+       |         epoch_us(o_orderdate) // 86400000000 AS day,
+       |         CAST(floor(o_totalprice / 100) AS BIGINT) AS pb
+       |  FROM orders),
+       |probe AS (
+       |  SELECT ck, ok, price, day, unnest([pb - 1, pb, pb + 1]) AS band FROM base)
+       |SELECT DISTINCT a.ck AS custkey, a.ok AS order_a, b.ok AS order_b,
+       |       a.price AS price_a, b.price AS price_b,
+       |       round(abs(a.price - b.price), 2) AS price_diff,
+       |       abs(a.day - b.day) AS day_gap
+       |FROM base a JOIN probe b
+       |  ON a.ck = b.ck AND a.pb = b.band AND a.ok < b.ok
+       |WHERE abs(a.price - b.price) <= $priceTol
+       |  AND abs(a.day - b.day) <= $dayTol
+       |ORDER BY custkey, order_a, order_b""".stripMargin
 }

@@ -309,4 +309,50 @@ object Profiling {
       |       count(*) AS n_bins
       |FROM by_bin b JOIN totals t ON b.event_type = t.event_type
       |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
+
+  /** Behavioral-mix profile per user cohort (user_id mod 10): Shannon
+    * entropy and Gini impurity of each cohort's event-type distribution.
+    * Gini is exact-integer rational arithmetic; the entropy terms are
+    * the PSI device — each −p·ln(p) rounded to 9 dp and summed in
+    * DECIMAL so engine/shuffle order cannot move the total, with the
+    * final 6 dp rounding well above the per-term ulp noise.
+    */
+  def entropyProfile(events: DataFrame): DataFrame = {
+    val ct = events
+      .groupBy((col("user_id") % 10).cast("long").as("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n_ct"))
+    val tot = ct.groupBy(col("cohort"))
+      .agg(sum(col("n_ct")).as("n_c"), count(lit(1)).as("n_types"),
+        sum(col("n_ct") * col("n_ct")).as("ss"))
+    val p = col("n_ct").cast("double") / col("n_c").cast("double")
+    ct.join(broadcast(tot), "cohort")
+      .select(col("cohort"), col("n_c"), col("n_types"), col("ss"),
+        round(-p * log(p), 9).cast("decimal(18,9)").as("term"))
+      .groupBy(col("cohort"))
+      .agg(max(col("n_c")).as("n_events"), max(col("n_types")).as("n_types"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"),
+        round(lit(1.0) - max(col("ss")).cast("double") /
+          (max(col("n_c")) * max(col("n_c"))).cast("double"), 6).as("gini"))
+      .orderBy("cohort")
+  }
+
+  val entropyProfileSql: String =
+    """WITH ct AS (
+      |  SELECT user_id % 10 AS cohort, event_type, count(*) AS n_ct
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT cohort, CAST(sum(n_ct) AS BIGINT) AS n_c, count(*) AS n_types,
+      |         CAST(sum(n_ct * n_ct) AS BIGINT) AS ss
+      |  FROM ct GROUP BY cohort),
+      |terms AS (
+      |  SELECT ct.cohort, t.n_c, t.n_types, t.ss,
+      |         CAST(round(-(CAST(ct.n_ct AS DOUBLE) / CAST(t.n_c AS DOUBLE))
+      |                    * ln(CAST(ct.n_ct AS DOUBLE) / CAST(t.n_c AS DOUBLE)), 9)
+      |              AS DECIMAL(18,9)) AS term
+      |  FROM ct JOIN tot t USING (cohort))
+      |SELECT cohort, max(n_c) AS n_events, max(n_types) AS n_types,
+      |       round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+      |       round(1.0 - CAST(max(ss) AS DOUBLE)
+      |             / CAST(max(n_c) * max(n_c) AS DOUBLE), 6) AS gini
+      |FROM terms GROUP BY cohort ORDER BY cohort""".stripMargin
 }
