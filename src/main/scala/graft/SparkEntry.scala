@@ -854,6 +854,12 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // signup->purchase latency: sketch quantiles + conversion rate
+    "events_conversion_latency" -> ((s, dir) =>
+      OrderStats.conversionLatency(t(s, dir, "events"))),
+    // difference-in-differences across arms and the mid-window split
+    "events_impact_did" -> ((s, dir) =>
+      OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
     // chunk-granularity duplication audit over the sliding chunks
     "dedup_chunk_overlap" -> ((s, dir) =>
       Curation.chunkOverlap(t(s, dir, "documents"), 64, 48)),
@@ -1805,6 +1811,8 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "events_conversion_latency" -> OrderStats.conversionLatencySql,
+    "events_impact_did" -> OrderStats.impactDiDSql("2024-01-16 00:00:00"),
     "dedup_chunk_overlap" -> Curation.chunkOverlapSql(64, 48),
     "orders_near_dup_invoices" -> EntityResolution.nearDupInvoicesSql(5.0, 7),
     "events_entropy_profile" -> Profiling.entropyProfileSql,

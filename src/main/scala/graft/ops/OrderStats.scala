@@ -85,6 +85,121 @@ object OrderStats {
        |SELECT event_id, user_id, event_type, value, pct_rank, cume
        |FROM w WHERE user_id < $maxUser ORDER BY event_id""".stripMargin
 
+  /** Signup→purchase conversion latency: per user, the first purchase
+    * at-or-after their first signup; the latency distribution summarized
+    * by the HISTOGRAM-SKETCH quantiles (p50/p90) — not exact
+    * `percentile`, whose buffer would be O(users) at corpus scale —
+    * plus the conversion rate.
+    *
+    * Parity: latencies are integral seconds (µs DIV 1e6 on each side
+    * before subtracting — the repo's epoch-floor rule); the sketch
+    * interpolation is the [[Sketches.histogramQuantiles]] arithmetic,
+    * deterministic by construction.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val lat = su.join(pu, Seq("user_id"))
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("p_ts")).as("first_purchase"))
+      .select(col("user_id"),
+        (expr("unix_micros(first_purchase) div 1000000") -
+          expr("unix_micros(signup_ts) div 1000000")).as("latency_s"))
+      .withColumn("g", lit("all"))
+    val q = Sketches.histogramQuantiles(lat, "g", "latency_s", 64,
+      Seq(("p50_s", 0.5), ("p90_s", 0.9)))
+    val signups = su.agg(count(lit(1)).as("n_signup_users"))
+    q.crossJoin(broadcast(signups))
+      .select(col("n_signup_users"), col("n").as("n_converted"),
+        round(col("n").cast("double") / col("n_signup_users").cast("double"), 6)
+          .as("conversion_rate"),
+        col("p50_s"), col("p90_s"))
+  }
+
+  val conversionLatencySql: String = {
+    def est(p: Double): String = {
+      val target = s"greatest(CAST(ceil($p * b.n) AS BIGINT), 1)"
+      s"""CASE WHEN b.v_max = b.v_min THEN b.v_min
+         |     WHEN cum >= $target AND cum - c < $target
+         |     THEN b.v_min + (b.v_max - b.v_min) / 64 *
+         |          (bin + CAST($target - (cum - c) AS DOUBLE) / c) END""".stripMargin
+    }
+    s"""WITH su AS (
+       |  SELECT user_id, min(ts) AS signup_ts FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |lat AS (
+       |  SELECT e.user_id,
+       |         epoch_us(min(e.ts)) // 1000000 - epoch_us(s.signup_ts) // 1000000 AS latency_s
+       |  FROM events e JOIN su s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+       |  GROUP BY e.user_id, s.signup_ts),
+       |bounds AS (
+       |  SELECT CAST(min(latency_s) AS DOUBLE) AS v_min,
+       |         CAST(max(latency_s) AS DOUBLE) AS v_max, count(*) AS n
+       |  FROM lat),
+       |binned AS (
+       |  SELECT CASE WHEN b.v_max = b.v_min THEN 0
+       |         ELSE least(CAST(floor((l.latency_s - b.v_min) / ((b.v_max - b.v_min) / 64)) AS BIGINT), 63) END AS bin,
+       |         count(*) AS c
+       |  FROM lat l, bounds b GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM binned),
+       |sk AS (
+       |  SELECT max(b.n) AS n,
+       |    round(max(${est(0.5)}), 4) AS p50_s,
+       |    round(max(${est(0.9)}), 4) AS p90_s
+       |  FROM cum, bounds b),
+       |ns AS (SELECT count(*) AS n_signup_users FROM su)
+       |SELECT ns.n_signup_users, sk.n AS n_converted,
+       |       round(CAST(sk.n AS DOUBLE) / CAST(ns.n_signup_users AS DOUBLE), 6) AS conversion_rate,
+       |       sk.p50_s, sk.p90_s
+       |FROM sk, ns""".stripMargin
+  }
+
+  /** Difference-in-differences readout on the experiment arms: the
+    * change in mean purchase value after the mid-window split date,
+    * treatment (odd user_id) minus control — four DECIMAL-exact cell
+    * means combined in one fixed double expression.
+    */
+  def impactDiD(events: DataFrame, splitDay: String): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2 === 1).as("treated"),
+        (col("ts") >= lit(splitDay).cast("timestamp")).as("after"),
+        col("value"))
+      .groupBy(col("treated"), col("after"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_v"), count(lit(1)).as("n"))
+    def cell(t: Boolean, a: Boolean) =
+      max(when(col("treated") === t && col("after") === a, col("mean_v")))
+    p.agg(
+        round(cell(true, false), 6).as("treated_before"),
+        round(cell(true, true), 6).as("treated_after"),
+        round(cell(false, false), 6).as("control_before"),
+        round(cell(false, true), 6).as("control_after"),
+        round((cell(true, true) - cell(true, false)) -
+          (cell(false, true) - cell(false, false)), 6).as("did_estimate"))
+  }
+
+  def impactDiDSql(splitDay: String): String =
+    s"""WITH cells AS (
+       |  SELECT user_id % 2 = 1 AS treated, ts >= TIMESTAMP '$splitDay' AS after,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  round(max(CASE WHEN treated AND NOT after THEN mean_v END), 6) AS treated_before,
+       |  round(max(CASE WHEN treated AND after THEN mean_v END), 6) AS treated_after,
+       |  round(max(CASE WHEN NOT treated AND NOT after THEN mean_v END), 6) AS control_before,
+       |  round(max(CASE WHEN NOT treated AND after THEN mean_v END), 6) AS control_after,
+       |  round((max(CASE WHEN treated AND after THEN mean_v END)
+       |         - max(CASE WHEN treated AND NOT after THEN mean_v END))
+       |        - (max(CASE WHEN NOT treated AND after THEN mean_v END)
+       |           - max(CASE WHEN NOT treated AND NOT after THEN mean_v END)), 6) AS did_estimate
+       |FROM cells""".stripMargin
+
   /** RFM segmentation: every customer scored 1–4 on Recency (days since
     * last order, lower better), Frequency (order count) and Monetary
     * (revenue), cut at the exact interpolated quartiles of each metric,

@@ -497,4 +497,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"map-side partials missing:\n$p")
     assert(!p.contains("Join"), s"ladder must not union/join per-level aggregates:\n$p")
   }
+
+  test("skyline: two windows, no join (the O(n log n) frontier shape)") {
+    val p = plan("part_skyline")
+    assert(!p.contains("Join"), s"skyline must not pairwise-join:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, s"window minima missing:\n$p")
+  }
+
+  test("EWMA: banded self-join stays on the bounded hourly frame") {
+    val p = plan("events_ewma")
+    // the raw events scan partial-aggregates BEFORE any join: the join
+    // inputs are the hourly frames, so map-side partial agg must appear
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"hourly partial aggregation missing:\n$p")
+  }
+
+  test("association rules: brand counts broadcast, pair join shuffles on the order key") {
+    val p = plan("lineitem_association_rules")
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")),
+      s"single-brand counts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("hybrid verify: no cartesian, vector table joined by candidate ids only") {
+    val p = plan("dedup_hybrid_verify")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the hybrid audit:\n$p")
+  }
+
+  test("HLL: one partial-agged register build, constant-size grid join") {
+    val p = plan("sketch_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"register MAX must partial-aggregate map-side:\n$p")
+  }
+
+  test("conversion latency: sketch path, no exact percentile aggregate") {
+    val p = plan("events_conversion_latency")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"latency quantiles must come from the bounded histogram sketch:\n$p")
+  }
 }
