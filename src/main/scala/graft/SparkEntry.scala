@@ -872,6 +872,8 @@ object SparkEntry {
     "text_keyphrases" -> ((s, dir) => TextAnalysis.keyphrases(t(s, dir, "documents"), 3)),
     // l-diversity: sensitive-value diversity within k-anonymity classes
     "quality_l_diversity" -> ((s, dir) => Scrub.lDiversity(t(s, dir, "customer"), 3)),
+    // degree assortativity: Pearson over (deg src, deg dst) edge pairs
+    "graph_assortativity" -> ((s, dir) => Graph.assortativity(t(s, dir, "lineitem"))),
     // modularity audit of the label-propagation partition
     "graph_modularity" -> ((s, dir) => Graph.modularity(t(s, dir, "lineitem"), 4)),
     // lexical LSH candidates adjudicated by embedding cosine
@@ -1818,6 +1820,7 @@ object SparkEntry {
     "events_entropy_profile" -> Profiling.entropyProfileSql,
     "text_keyphrases" -> TextAnalysis.keyphrasesSql(3),
     "quality_l_diversity" -> Scrub.lDiversitySql(3),
+    "graph_assortativity" -> Graph.assortativitySql,
     "graph_modularity" -> Graph.modularitySql(4),
     "dedup_hybrid_verify" -> Dedup.hybridVerifySql(0.95),
     "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),

@@ -471,4 +471,64 @@ object Graph {
        |       CAST(rank AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS share
        |FROM r$iterations ORDER BY node""".stripMargin
   }
+
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of (deg(src), deg(dst)) over all directed edges —
+    * positive = hubs buy with hubs, negative = hub-and-spoke catalog.
+    *
+    * Parity: the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are EXACT BIGINT aggregates (degrees are bounded integers); the
+    * correlation formula then runs in one fixed double expression —
+    * every long ≤ 1e13 converts to double exactly, and the >2^53
+    * products round identically in both engines because the operands
+    * and operation order are identical. No double is re-aggregated.
+    *
+    * Scale shape: degree frame = one partial-agged groupBy; the two
+    * degree joins broadcast the |V|-bounded map; one scalar aggregate.
+    */
+  def assortativity(lineitem: DataFrame): DataFrame = {
+    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
+    val deg = edges.groupBy(col("src").as("node")).agg(sum(col("w")).as("deg"))
+    val xy = edges
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("dx"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dy"))), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    xy.select(col("n"),
+      round((col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        nullif(sqrt((col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), lit(0.0)), 6)
+        .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ed AS (
+      |  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY a.pk, b.pk),
+      |deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg FROM ed GROUP BY src),
+      |xy AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(dx.deg) AS BIGINT) AS sx, CAST(sum(dy.deg) AS BIGINT) AS sy,
+      |         CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+      |         CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+      |         CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+      |  FROM ed JOIN deg dx ON dx.node = ed.src
+      |          JOIN deg dy ON dy.node = ed.dst)
+      |SELECT n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
+      |         AS assortativity
+      |FROM xy""".stripMargin
 }
