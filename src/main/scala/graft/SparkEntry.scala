@@ -854,12 +854,20 @@ object SparkEntry {
     "sketch_join_cardinality" -> ((s, dir) =>
       Sketches.kmvJoinCardinality(t(s, dir, "orders"), t(s, dir, "customer"), 256, "BUILDING")),
 
+    // local maxima with integer cross-multiplied prominence gate
+    "events_peak_detection" -> ((s, dir) => TimeSeries.peakDetection(t(s, dir, "events"))),
+    // ABC (revenue Pareto) x XYZ (demand variability) class matrix
+    "lineitem_abc_xyz" -> ((s, dir) => Analytics.abcXyz(t(s, dir, "lineitem"))),
     // signup->purchase latency: sketch quantiles + conversion rate
     "events_conversion_latency" -> ((s, dir) =>
       OrderStats.conversionLatency(t(s, dir, "events"))),
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // bitext mining: cross-language embedding near-dup candidates
+    "dedup_bitext_candidates" -> ((s, dir) =>
+      Dedup.bitextCandidates(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        16, 8, 64, 0.3)),
     // chunk-granularity duplication audit over the sliding chunks
     "dedup_chunk_overlap" -> ((s, dir) =>
       Curation.chunkOverlap(t(s, dir, "documents"), 64, 48)),
@@ -1813,6 +1821,9 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "dedup_bitext_candidates" -> Dedup.bitextCandidatesSql(16, 8, 64, 0.3),
+    "events_peak_detection" -> TimeSeries.peakDetectionSql,
+    "lineitem_abc_xyz" -> Analytics.abcXyzSql,
     "events_conversion_latency" -> OrderStats.conversionLatencySql,
     "events_impact_did" -> OrderStats.impactDiDSql("2024-01-16 00:00:00"),
     "dedup_chunk_overlap" -> Curation.chunkOverlapSql(64, 48),

@@ -1843,4 +1843,91 @@ object Analytics {
        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
        |GROUP BY path ORDER BY n_sessions DESC, path
        |LIMIT $topN""".stripMargin
+
+  /** ABC–XYZ inventory classification of parts: revenue class by
+    * cumulative-share thresholds (A ≤ 50%, B ≤ 85%, C rest — the
+    * Pareto-curve device) × demand-variability class by the coefficient
+    * of variation of weekly quantities (X ≤ 0.5, Y ≤ 1.0, Z rest).
+    * Output: the 3×3 class matrix with counts and revenue share.
+    *
+    * Parity: revenue cumsums are DECIMAL-exact; CV² is computed from
+    * exact integer/decimal sufficient statistics and compared against
+    * the squared thresholds by cross-multiplication — (n·Σx²−(Σx)²)·4
+    * vs (Σx)² for CV ≤ 0.5 — so NO division or sqrt happens before any
+    * comparison; everything until the output shares is exact.
+    *
+    * Scale shape: one partial-agg to (part, week) quantities, one to
+    * per-part stats; the cumulative-share window is the supplier-Pareto
+    * shape (global window over the PART-level frame — |parts| ≪ rows;
+    * the declared trade the Pareto query documents).
+    */
+  def abcXyz(lineitem: DataFrame): DataFrame = {
+    val weekly = lineitem
+      .groupBy(col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 604800000000").as("wk"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .select(col("l_partkey"), col("wk"),
+        (col("q") * lit(100)).cast("long").as("qc")) // exact centi-units
+    val perPart = weekly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("nw"), sum(col("qc")).as("sq"),
+        sum(col("qc") * col("qc")).as("sqq"))
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r_dec"))
+    val wOrd = Window.orderBy(col("r_dec").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val classed = rev
+      .withColumn("cum", sum(col("r_dec")).over(wOrd))
+      .crossJoin(broadcast(rev.agg(sum(col("r_dec")).as("tot"))))
+      // cum/tot <= 0.5  ⇔  cum*2 <= tot  (DECIMAL-exact cross-multiply)
+      .withColumn("abc",
+        when(col("cum") * 2 <= col("tot"), "A")
+          .when(col("cum") * 20 <= col("tot") * 17, "B")
+          .otherwise("C"))
+      .join(perPart, "l_partkey")
+      // CV = sd/mean with sd² = (n·Σx²−(Σx)²)/n, mean = Σx/n:
+      // CV² ≤ t²  ⇔  (n·Σx²−(Σx)²)·n ≤ t²·(Σx)²·n  ⇔  n·Σx²−(Σx)² ≤ t²·(Σx)²
+      .withColumn("d2", col("nw") * col("sqq") - col("sq") * col("sq"))
+      .withColumn("xyz",
+        when(col("d2") * 4 <= col("sq") * col("sq"), "X")
+          .when(col("d2") <= col("sq") * col("sq"), "Y")
+          .otherwise("Z"))
+    classed.groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        round((sum(col("r_dec")).cast("double") /
+          max(col("tot")).cast("double")), 6).as("revenue_share"))
+      .orderBy("abc", "xyz")
+  }
+
+  val abcXyzSql: String =
+    """WITH weekly AS (
+      |  SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS wk,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc
+      |  FROM lineitem GROUP BY 1, 2),
+      |per_part AS (
+      |  SELECT l_partkey, count(*) AS nw,
+      |         CAST(sum(qc) AS BIGINT) AS sq,
+      |         CAST(sum(qc * qc) AS BIGINT) AS sqq
+      |  FROM weekly GROUP BY l_partkey),
+      |rev AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r_dec
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT sum(r_dec) AS tot FROM rev),
+      |classed AS (
+      |  SELECT r.l_partkey, r.r_dec, t.tot,
+      |         CASE WHEN sum(r.r_dec) OVER (ORDER BY r.r_dec DESC, r.l_partkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 2 <= t.tot THEN 'A'
+      |              WHEN sum(r.r_dec) OVER (ORDER BY r.r_dec DESC, r.l_partkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 20 <= t.tot * 17 THEN 'B'
+      |              ELSE 'C' END AS abc,
+      |         p.nw, p.sq, p.sqq,
+      |         p.nw * p.sqq - p.sq * p.sq AS d2
+      |  FROM rev r JOIN per_part p USING (l_partkey), tot t)
+      |SELECT abc,
+      |       CASE WHEN d2 * 4 <= sq * sq THEN 'X'
+      |            WHEN d2 <= sq * sq THEN 'Y'
+      |            ELSE 'Z' END AS xyz,
+      |       count(*) AS n_parts,
+      |       round(CAST(sum(r_dec) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS revenue_share
+      |FROM classed
+      |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
 }

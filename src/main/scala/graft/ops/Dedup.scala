@@ -1994,4 +1994,39 @@ object Dedup {
        |JOIN ev b ON b.vec_id = s.doc_b
        |ORDER BY s.doc_a, s.doc_b""".stripMargin
   }
+
+  /** Bitext-mining candidates: cross-LANGUAGE near-duplicate pairs in
+    * embedding space — the hyperplane-LSH pipeline restricted to pairs
+    * whose documents carry different `lang` labels (translation-pair
+    * candidates; same-language matches are ordinary near-dups and
+    * excluded). The multilingual-corpus curation op: mine parallel data
+    * without any lexical overlap assumption.
+    *
+    * Scale shape: identical to [[hyperplaneLsh]] (sign-bit map-only
+    * projection, band bucket join, exact verify on candidates only);
+    * the lang attachment is two |docs|-bounded hash joins on the
+    * candidate ids.
+    */
+  def bitextCandidates(docs: DataFrame, emb: DataFrame, nBits: Int,
+                       bandBits: Int, dim: Int, threshold: Double): DataFrame = {
+    val langs = docs.select(col("doc_id"), col("lang"))
+    hyperplaneLsh(emb, nBits, bandBits, dim, threshold)
+      .join(langs.select(col("doc_id").as("vec_a"), col("lang").as("lang_a")), "vec_a")
+      .join(langs.select(col("doc_id").as("vec_b"), col("lang").as("lang_b")), "vec_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("vec_a"), col("vec_b"), col("lang_a"), col("lang_b"),
+        col("n_bands"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def bitextCandidatesSql(nBits: Int, bandBits: Int, dim: Int,
+                          threshold: Double): String =
+    s"""${hyperplaneCteSql(nBits, bandBits, dim, threshold)}
+       |SELECT v.vec_a, v.vec_b, da.lang AS lang_a, db.lang AS lang_b,
+       |       v.n_bands, v.cosine
+       |FROM verified v
+       |JOIN documents da ON da.doc_id = v.vec_a
+       |JOIN documents db ON db.doc_id = v.vec_b
+       |WHERE da.lang <> db.lang
+       |ORDER BY v.vec_a, v.vec_b""".stripMargin
 }

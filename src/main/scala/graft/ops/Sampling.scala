@@ -82,8 +82,12 @@ object Sampling {
     val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976L).cast("double")
     // nullif: a zero-weight doc's key must be NULL (= excluded from the
     // ordered take) in both engines, not Spark-NULL vs DuckDB -inf
+    // + 0.0 normalizes IEEE negative zero: a key in (−5e-7, 0) rounds
+    // to −0.0 in DuckDB but +0.0 via Spark's BigDecimal path, and the
+    // harness compares reprs (seen at sf0.1: '-0.0' vs '0.0')
     docs.select(col("doc_id"), col("n_chars"),
-        round(log(u) / nullif(col("n_chars").cast("double"), lit(0.0)), 6).as("es_key"))
+        (round(log(u) / nullif(col("n_chars").cast("double"), lit(0.0)), 6) + lit(0.0))
+          .as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
   }
@@ -92,7 +96,7 @@ object Sampling {
     val h = PortableHash.tokenHashSql("concat('ws|', CAST(doc_id AS VARCHAR))")
     s"""SELECT doc_id, n_chars,
        |  round(ln((CAST($h AS DOUBLE) + 1.0) / 1152921504606846976.0)
-       |        / nullif(CAST(n_chars AS DOUBLE), 0.0), 6) AS es_key
+       |        / nullif(CAST(n_chars AS DOUBLE), 0.0), 6) + 0.0 AS es_key
        |FROM documents
        |ORDER BY es_key DESC, doc_id
        |LIMIT $k""".stripMargin

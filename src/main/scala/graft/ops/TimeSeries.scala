@@ -391,4 +391,68 @@ object TimeSeries {
       |       round(max(value_sum) OVER (PARTITION BY event_type, grp), 6) AS value_ffill,
       |       n_events IS NULL AS is_filled
       |FROM f ORDER BY event_type, hour""".stripMargin
+
+  /** Local peak detection on the hourly mean series: a peak is an hour
+    * strictly above both neighbors AND above the series mean by a
+    * prominence factor — lag/lead windows over the bounded hourly
+    * frame, fixed-point comparisons only (micro-unit means vs the
+    * integer-scaled global mean, cross-multiplied so no division
+    * happens before a comparison).
+    *
+    * Output: the peaks per event type with their neighbor deltas.
+    */
+  def peakDetection(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("x"))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+    val h = Caches.tracked(hourly
+      .withColumn("prv", lag(col("xq"), 1).over(w))
+      .withColumn("nxt", lead(col("xq"), 1).over(w))
+      .persist())
+    // prominence gate: xq > 1.2 * mean  ⇔  10*xq > 12*mean_q  with
+    // mean_q = sum(xq)/n held as exact integers (cross-multiplied:
+    // 10*xq*n > 12*sum — no division, no rounding boundary)
+    val stats = h.groupBy(col("event_type"))
+      .agg(sum(col("xq")).as("sxq"), count(lit(1)).as("nh"))
+    h.join(broadcast(stats), "event_type")
+      .filter(col("prv").isNotNull && col("nxt").isNotNull &&
+        col("xq") > col("prv") && col("xq") > col("nxt") &&
+        col("xq") * 10L * col("nh") > col("sxq") * 12L)
+      .select(col("event_type"),
+        timestamp_micros(col("hb") * lit(3600000000L)).as("peak_hour"),
+        round(col("x"), 6).as("peak_value"),
+        (col("xq") - col("prv")).as("rise_micro"),
+        (col("xq") - col("nxt")).as("fall_micro"))
+      .orderBy("event_type", "peak_hour")
+  }
+
+  val peakDetectionSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, hb, x,
+      |         CAST(round(x * 1e6, 0) AS BIGINT) AS xq
+      |  FROM hourly),
+      |n AS (
+      |  SELECT *, lag(xq) OVER w AS prv, lead(xq) OVER w AS nxt
+      |  FROM q WINDOW w AS (PARTITION BY event_type ORDER BY hb)),
+      |st AS (
+      |  SELECT event_type, CAST(sum(xq) AS BIGINT) AS sxq, count(*) AS nh
+      |  FROM q GROUP BY event_type)
+      |SELECT n.event_type,
+      |       make_timestamp(n.hb * 3600000000) AS peak_hour,
+      |       round(n.x, 6) AS peak_value,
+      |       n.xq - n.prv AS rise_micro,
+      |       n.xq - n.nxt AS fall_micro
+      |FROM n JOIN st USING (event_type)
+      |WHERE n.prv IS NOT NULL AND n.nxt IS NOT NULL
+      |  AND n.xq > n.prv AND n.xq > n.nxt
+      |  AND n.xq * 10 * st.nh > st.sxq * 12
+      |ORDER BY n.event_type, peak_hour""".stripMargin
 }
