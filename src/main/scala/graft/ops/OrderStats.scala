@@ -148,10 +148,12 @@ object OrderStats {
        |cum AS (
        |  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM binned),
        |sk AS (
-       |  SELECT max(b.n) AS n,
+       |  -- GROUP BY b.n (a constant) so an empty latency frame yields
+       |  -- ZERO rows here, matching Spark's groupBy-shaped sketch
+       |  SELECT b.n AS n,
        |    round(max(${est(0.5)}), 4) AS p50_s,
        |    round(max(${est(0.9)}), 4) AS p90_s
-       |  FROM cum, bounds b),
+       |  FROM cum, bounds b GROUP BY b.n),
        |ns AS (SELECT count(*) AS n_signup_users FROM su)
        |SELECT ns.n_signup_users, sk.n AS n_converted,
        |       round(CAST(sk.n AS DOUBLE) / CAST(ns.n_signup_users AS DOUBLE), 6) AS conversion_rate,
