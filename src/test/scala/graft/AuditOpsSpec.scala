@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{Analytics, Dedup, Graph, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Specs for the later round-7 audits: hybrid/bitext dedup invariants,
+  * ABC-XYZ partition totals, peak recovery, and modularity/assortativity
+  * on planted graphs.
+  */
+class AuditOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("hybrid verify: accepted implies cosine above threshold; pairs ordered unique") {
+    val rows = Dedup.hybridVerify(docs, emb, 0.5).collect()
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      assert(a < b)
+      val ej = r.getAs[Double]("est_jaccard")
+      assert(ej >= 0.0 && ej <= 1.0)
+      if (r.getAs[Boolean]("accepted")) assert(r.getAs[Double]("cosine") >= 0.5)
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("bitext candidates are strictly cross-language") {
+    val rows = Dedup.bitextCandidates(docs, emb, 16, 8, 64, 0.3).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") !== r.getAs[String]("lang_b"))
+    }
+  }
+
+  test("ABC-XYZ classes partition all parts and shares sum to ~1") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val li = raw.schema("l_shipdate").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("l_shipdate", expr("timestamp_micros(l_shipdate div 1000)"))
+      case _ => raw.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    }
+    val m = Analytics.abcXyz(li).collect()
+    val nParts = li.select("l_partkey").distinct().count()
+    assert(m.map(_.getAs[Long]("n_parts")).sum === nParts)
+    val share = m.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to $share")
+    // every class label well-formed
+    m.foreach { r =>
+      assert(Set("A", "B", "C").contains(r.getAs[String]("abc")))
+      assert(Set("X", "Y", "Z").contains(r.getAs[String]("xyz")))
+    }
+  }
+
+  test("peak detection recovers a planted spike") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val events = (0 until 24).flatMap { h =>
+      val v = if (h == 12) 100.0 else 10.0
+      Seq((h.toLong, java.sql.Timestamp.from(base.plusSeconds(h * 3600L)), 1L, "click", v, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val peaks = TimeSeries.peakDetection(events).collect()
+    assert(peaks.length === 1)
+    assert(peaks.head.getAs[java.sql.Timestamp]("peak_hour").toInstant ===
+      base.plusSeconds(12 * 3600L))
+    assert(peaks.head.getAs[Double]("peak_value") === 100.0)
+  }
+
+  test("modularity is high on a planted two-clique co-purchase graph") {
+    // two disjoint 4-part cliques: orders 1..3 buy parts 1-4, orders 4..6 buy 5-8
+    val li = (1 to 3).flatMap(o => (1 to 4).map(p => (o.toLong, p.toLong))) ++
+      (4 to 6).flatMap(o => (5 to 8).map(p => (o.toLong, p.toLong)))
+    val df = li.toDF("l_orderkey", "l_partkey")
+    val r = Graph.modularity(df, 4).collect().head
+    assert(r.getAs[Long]("n_communities") === 2L)
+    // perfect 2-community split of 2 cliques: Q = 1/2 exactly
+    assert(math.abs(r.getAs[Double]("modularity") - 0.5) < 1e-6)
+  }
+
+  test("assortativity is defined and in [-1, 1] on the fixture graph") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = Graph.assortativity(li).collect().head
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a")
+  }
+}
