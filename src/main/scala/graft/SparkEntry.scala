@@ -864,6 +864,14 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // sign-bit binary quantization: Hamming top-k + recall audit
+    "ann_binary_topk" -> ((s, dir) =>
+      Similarity.binaryHammingTopK(t(s, dir, "embeddings"), 8, 5)),
+    "ann_binary_recall" -> ((s, dir) =>
+      Similarity.binaryRecall(t(s, dir, "embeddings"), 8, 10)),
+    // exact distinct via bucketed bitmap aggregates (bitmap_or pattern)
+    "events_bitmap_distinct" -> ((s, dir) =>
+      Sketches.bitmapDistinctDaily(t(s, dir, "events"))),
     // bitext mining: cross-language embedding near-dup candidates
     "dedup_bitext_candidates" -> ((s, dir) =>
       Dedup.bitextCandidates(t(s, dir, "documents"), t(s, dir, "embeddings"),
@@ -1821,6 +1829,9 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "ann_binary_topk" -> Similarity.binaryHammingTopKSql(8, 5),
+    "ann_binary_recall" -> Similarity.binaryRecallSql(8, 10),
+    "events_bitmap_distinct" -> Sketches.bitmapDistinctDailySql,
     "dedup_bitext_candidates" -> Dedup.bitextCandidatesSql(16, 8, 64, 0.3),
     "events_peak_detection" -> TimeSeries.peakDetectionSql,
     "lineitem_abc_xyz" -> Analytics.abcXyzSql,

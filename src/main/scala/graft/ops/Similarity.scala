@@ -1210,4 +1210,96 @@ object Similarity {
        |SELECT query_id, vec_id, score, round
        |FROM sel$kSel ORDER BY query_id, round""".stripMargin
   }
+
+  // --------------------------------------------------- binary quantization
+
+  /** Sign-bit binary quantization: each 64-d vector packs into two
+    * BIGINT words (dims 0–31, 32–63; 32 bits per word keeps every
+    * 2^j term positive), and similarity is Hamming distance via
+    * bit_count(xor) — the 64×-compression serving path modern vector
+    * stores call BQ. Top-k per query by (hamming ASC, vec_id).
+    *
+    * Scale shape: packing is a map-only projection (the packed table is
+    * 16 bytes/vector — the artifact you'd persist); queries broadcast;
+    * per-query top-k is the WindowGroupLimit shape. The exact float
+    * path is only in the recall audit.
+    */
+  private def packBits(v: org.apache.spark.sql.Column, lo: Int): org.apache.spark.sql.Column =
+    (0 until 32).map { j =>
+      when(element_at(v, lo + j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def packed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), packBits(col("v"), 0).as("w1"), packBits(col("v"), 32).as("w2"))
+
+  def binaryHammingTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val p = tracked(packed(emb).persist())
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("w1").as("q1"), col("w2").as("q2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    p.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("w1").bitwiseXOR(col("q1"))) +
+          bit_count(col("w2").bitwiseXOR(col("q2")))).cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  private def packedSql: String = {
+    def word(lo: Int) = (0 until 32).map { j =>
+      s"CASE WHEN v[${lo + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""packed AS (
+       |  SELECT vec_id,
+       |         CAST(${word(0)} AS BIGINT) AS w1,
+       |         CAST(${word(32)} AS BIGINT) AS w2
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+  }
+
+  def binaryHammingTopKSql(nQueries: Int, k: Int): String =
+    s"""WITH $packedSql,
+       |q AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM packed WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, p.vec_id,
+       |         CAST(bit_count(xor(p.w1, q.q1)) + bit_count(xor(p.w2, q.q2)) AS BIGINT) AS hamming
+       |  FROM packed p, q WHERE p.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |    (PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of the binary-Hamming ranking against the exact cosine
+    * top-k — the audit that justifies (or rejects) the 64× compression.
+    */
+  def binaryRecall(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bq = binaryHammingTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val exact = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val hit = exact.join(bq, Seq("query_id", "vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    hit.crossJoin(broadcast(nEx))
+      .select(col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall_at_k"))
+  }
+
+  def binaryRecallSql(nQueries: Int, k: Int): String =
+    s"""WITH bq AS (
+       |  SELECT query_id, vec_id FROM (${binaryHammingTopKSql(nQueries, k)})),
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (${bruteForceTopKSql(nQueries, k)})),
+       |hits AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ex JOIN bq USING (query_id, vec_id)),
+       |nex AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT hits.n_hits, nex.n_exact,
+       |       round(CAST(hits.n_hits AS DOUBLE) / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
+       |FROM hits, nex""".stripMargin
 }

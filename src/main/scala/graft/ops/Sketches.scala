@@ -665,4 +665,32 @@ object Sketches {
        |SELECT event_type, n_exact, sketch_size, kmv_estimate,
        |       round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_error
        |FROM est ORDER BY event_type""".stripMargin
+
+  /** EXACT distinct users per (type, day) via Spark's bitmap aggregates
+    * (bucketed roaring-style bitmaps: bitmap_construct_agg per 32k-id
+    * bucket, merged counts summed) — the scalable exact-distinct pattern
+    * that replaces count_distinct's per-group hash set with fixed-size
+    * bitmap partials, sitting beside the approximate KMV/HLL paths. The
+    * oracle asserts it equals plain COUNT(DISTINCT): the bitmap layout
+    * is engine-internal, the COUNT is not.
+    */
+  def bitmapDistinctDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .select(col("event_type"),
+        timestamp_micros(col("day") * lit(86400000000L)).as("day"),
+        col("n_distinct"))
+      .orderBy("event_type", "day")
+
+  val bitmapDistinctDailySql: String =
+    """SELECT event_type,
+      |       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
+      |       count(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
 }
