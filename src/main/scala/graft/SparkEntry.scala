@@ -864,6 +864,12 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // SRE error-budget alerting: 1h/6h multi-window burn rates
+    "events_slo_burn_rate" -> ((s, dir) =>
+      TimeSeries.sloBurnRate(t(s, dir, "events"), 250L, 1200L, 1000L)),
+    // finance bridge: price/volume/new/discontinued revenue decomposition
+    "lineitem_price_volume_mix" -> ((s, dir) =>
+      Analytics.priceVolumeMix(t(s, dir, "lineitem"), 1997, 1998)),
     // sign-bit binary quantization: Hamming top-k + recall audit
     "ann_binary_topk" -> ((s, dir) =>
       Similarity.binaryHammingTopK(t(s, dir, "embeddings"), 8, 5)),
@@ -1829,6 +1835,8 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),
+    "lineitem_price_volume_mix" -> Analytics.priceVolumeMixSql(1997, 1998),
     "ann_binary_topk" -> Similarity.binaryHammingTopKSql(8, 5),
     "ann_binary_recall" -> Similarity.binaryRecallSql(8, 10),
     "events_bitmap_distinct" -> Sketches.bitmapDistinctDailySql,

@@ -1930,4 +1930,101 @@ object Analytics {
       |       round(CAST(sum(r_dec) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS revenue_share
       |FROM classed
       |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
+  /** Price–volume–mix bridge between two fiscal years: the finance
+    * decomposition ΔRevenue = price effect + volume effect (+ new /
+    * discontinued parts). Per common part, (p₂−p₁)·q₂ + p₁·(q₂−q₁)
+    * telescopes exactly to r₂−r₁, so the residual is quantization dust
+    * only — asserted in the output.
+    *
+    * Parity: per-part revenues/quantities are DECIMAL-exact; each
+    * part's effect is computed in double from those exact values and
+    * QUANTIZED to 1e-4 units before summation (the fixed-point device —
+    * a raw double Σ over parts would be shuffle-order dependent).
+    *
+    * Scale shape: one partial-agged groupBy to (part, year), one part-
+    * level join, integer-sum rollups. Nothing wider than the part frame.
+    */
+  def priceVolumeMix(lineitem: DataFrame, y1: Int, y2: Int): DataFrame = {
+    val py = Caches.tracked(lineitem
+      .filter(year(col("l_shipdate")).isin(y1, y2))
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(dec(col("l_quantity"))).as("q"),
+        sum(dec(col("l_extendedprice"))).as("r"))
+      .persist())
+    val a = py.filter(col("yr") === y1)
+      .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"))
+    val b = py.filter(col("yr") === y2)
+      .select(col("l_partkey"), col("q").as("q2"), col("r").as("r2"))
+    val common = a.join(b, "l_partkey")
+      .select(
+        round((col("r2").cast("double") / col("q2").cast("double") -
+          col("r1").cast("double") / col("q1").cast("double")) *
+          col("q2").cast("double") * 1e4, 0).cast("long").as("price_q"),
+        round(col("r1").cast("double") / col("q1").cast("double") *
+          (col("q2") - col("q1")).cast("double") * 1e4, 0).cast("long").as("vol_q"))
+      .agg(sum(col("price_q")).as("sp"), sum(col("vol_q")).as("sv"),
+        count(lit(1)).as("n_common"))
+    val newParts = b.join(a, Seq("l_partkey"), "left_anti")
+      .agg(coalesce(sum(col("r2")), lit(0).cast("decimal(18,2)")).as("r_new"))
+    val gone = a.join(b, Seq("l_partkey"), "left_anti")
+      .agg(coalesce(sum(col("r1")), lit(0).cast("decimal(18,2)")).as("r_gone"))
+    val tot = py.groupBy(col("yr")).agg(sum(col("r")).as("r"))
+    val t1 = tot.filter(col("yr") === y1).select(col("r").as("rev_y1"))
+    val t2 = tot.filter(col("yr") === y2).select(col("r").as("rev_y2"))
+    common.crossJoin(broadcast(newParts)).crossJoin(broadcast(gone))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(
+        col("n_common"),
+        col("rev_y1").cast("double").as("rev_y1"),
+        col("rev_y2").cast("double").as("rev_y2"),
+        (col("rev_y2") - col("rev_y1")).cast("double").as("delta_revenue"),
+        round(col("sp").cast("double") / 1e4, 2).as("price_effect"),
+        round(col("sv").cast("double") / 1e4, 2).as("volume_effect"),
+        col("r_new").cast("double").as("new_parts_effect"),
+        (-col("r_gone")).cast("double").as("discontinued_effect"),
+        // + 0.0 normalizes IEEE negative zero (a perfectly telescoped
+        // bridge rounds to -0.0 in DuckDB vs 0.0 in Spark)
+        (round((col("rev_y2") - col("rev_y1")).cast("double") -
+          col("sp").cast("double") / 1e4 - col("sv").cast("double") / 1e4 -
+          col("r_new").cast("double") + col("r_gone").cast("double"), 2) + lit(0.0))
+          .as("residual"))
+  }
+
+  def priceVolumeMixSql(y1: Int, y2: Int): String =
+    s"""WITH py AS (
+       |  SELECT l_partkey, year(l_shipdate) AS yr,
+       |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+       |  FROM lineitem WHERE year(l_shipdate) IN ($y1, $y2)
+       |  GROUP BY 1, 2),
+       |a AS (SELECT l_partkey, q AS q1, r AS r1 FROM py WHERE yr = $y1),
+       |b AS (SELECT l_partkey, q AS q2, r AS r2 FROM py WHERE yr = $y2),
+       |common AS (
+       |  SELECT
+       |    CAST(sum(CAST(round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+       |                         - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+       |                        * CAST(q2 AS DOUBLE) * 1e4, 0) AS BIGINT)) AS BIGINT) AS sp,
+       |    CAST(sum(CAST(round(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+       |                        * CAST(q2 - q1 AS DOUBLE) * 1e4, 0) AS BIGINT)) AS BIGINT) AS sv,
+       |    count(*) AS n_common
+       |  FROM a JOIN b USING (l_partkey)),
+       |np AS (SELECT coalesce(sum(b.r2), CAST(0 AS DECIMAL(18,2))) AS r_new
+       |       FROM b LEFT JOIN a ON a.l_partkey = b.l_partkey WHERE a.l_partkey IS NULL),
+       |gp AS (SELECT coalesce(sum(a.r1), CAST(0 AS DECIMAL(18,2))) AS r_gone
+       |       FROM a LEFT JOIN b ON b.l_partkey = a.l_partkey WHERE b.l_partkey IS NULL),
+       |t1 AS (SELECT sum(r) AS rev_y1 FROM py WHERE yr = $y1),
+       |t2 AS (SELECT sum(r) AS rev_y2 FROM py WHERE yr = $y2)
+       |SELECT c.n_common,
+       |       CAST(t1.rev_y1 AS DOUBLE) AS rev_y1,
+       |       CAST(t2.rev_y2 AS DOUBLE) AS rev_y2,
+       |       CAST(t2.rev_y2 - t1.rev_y1 AS DOUBLE) AS delta_revenue,
+       |       round(CAST(c.sp AS DOUBLE) / 1e4, 2) AS price_effect,
+       |       round(CAST(c.sv AS DOUBLE) / 1e4, 2) AS volume_effect,
+       |       CAST(np.r_new AS DOUBLE) AS new_parts_effect,
+       |       CAST(-gp.r_gone AS DOUBLE) AS discontinued_effect,
+       |       round(CAST(t2.rev_y2 - t1.rev_y1 AS DOUBLE)
+       |             - CAST(c.sp AS DOUBLE) / 1e4 - CAST(c.sv AS DOUBLE) / 1e4
+       |             - CAST(np.r_new AS DOUBLE) + CAST(gp.r_gone AS DOUBLE), 2) + 0.0 AS residual
+       |FROM common c, np, gp, t1, t2""".stripMargin
 }

@@ -455,4 +455,67 @@ object TimeSeries {
       |  AND n.xq > n.prv AND n.xq > n.nxt
       |  AND n.xq * 10 * st.nh > st.sxq * 12
       |ORDER BY n.event_type, peak_hour""".stripMargin
+
+  /** Multi-window multi-burn-rate SLO alerting (the SRE error-budget
+    * pattern): per hour, the error-rate burn over the 1-hour and
+    * 6-hour windows relative to an SLO error budget; an alert fires
+    * when BOTH exceed their thresholds (short window = fast detection,
+    * long window = flap suppression).
+    *
+    * Parity: windowed counts are exact integer RANGE-frame sums (range
+    * on the hour index handles missing hours identically in both
+    * engines); burn thresholds compare by integer cross-multiplication
+    * — errors·1000 > thr·slo·total with thr·slo·1000 precomputed as an
+    * exact integer in Scala — so no division happens before any
+    * comparison. Output rates are single exact-integer divisions.
+    */
+  def sloBurnRate(events: DataFrame, sloMilli: Long,
+                  thrShortMilli: Long, thrLongMilli: Long): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+    val w6 = Window.orderBy(col("hb")).rangeBetween(-5, 0)
+    // burn_1h > thrS  ⇔  errors/total > thrS·slo
+    //               ⇔  errors·1e6 > (thrS·slo in milli²)·total
+    val gateS = sloMilli * thrShortMilli // exact milli² units
+    val gateL = sloMilli * thrLongMilli
+    hourly
+      .withColumn("e6", sum(col("errors")).over(w6))
+      .withColumn("t6", sum(col("total")).over(w6))
+      .filter(col("errors") * 1000000L > lit(gateS) * col("total") &&
+        col("e6") * 1000000L > lit(gateL) * col("t6"))
+      .select(
+        timestamp_micros(col("hb") * lit(3600000000L)).as("hour"),
+        col("errors"), col("total"),
+        round(col("errors").cast("double") / col("total").cast("double"), 6)
+          .as("rate_1h"),
+        col("e6").as("errors_6h"), col("t6").as("total_6h"),
+        round(col("e6").cast("double") / col("t6").cast("double"), 6).as("rate_6h"))
+      .orderBy("hour")
+  }
+
+  def sloBurnRateSql(sloMilli: Long, thrShortMilli: Long, thrLongMilli: Long): String = {
+    val gateS = sloMilli * thrShortMilli
+    val gateL = sloMilli * thrLongMilli
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS hb, count(*) AS total,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+       |  FROM events GROUP BY 1),
+       |win AS (
+       |  SELECT *,
+       |         CAST(sum(errors) OVER w AS BIGINT) AS e6,
+       |         CAST(sum(total) OVER w AS BIGINT) AS t6
+       |  FROM hourly
+       |  WINDOW w AS (ORDER BY hb RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+       |SELECT make_timestamp(hb * 3600000000) AS hour,
+       |       errors, total,
+       |       round(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rate_1h,
+       |       e6 AS errors_6h, t6 AS total_6h,
+       |       round(CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE), 6) AS rate_6h
+       |FROM win
+       |WHERE errors * 1000000 > $gateS * total
+       |  AND e6 * 1000000 > $gateL * t6
+       |ORDER BY hour""".stripMargin
+  }
 }
