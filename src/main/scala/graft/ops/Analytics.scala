@@ -1797,7 +1797,8 @@ object Analytics {
         round((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
           nullif(col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double"), lit(0.0)), 6).as("slope"),
+            col("sx").cast("double") * col("sx").cast("double"), lit(0.0)), 6)
+          .plus(lit(0.0)).as("slope"),  // +0.0: IEEE -0.0 normalization
         round(col("sy").cast("double") / col("n"), 6).as("mean_price"))
       .orderBy("p_brand")
   }
@@ -1815,7 +1816,7 @@ object Analytics {
       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope,
+      |                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) + 0.0 AS slope,
       |       round(CAST(sy AS DOUBLE) / n, 6) AS mean_price
       |FROM m ORDER BY p_brand""".stripMargin
 

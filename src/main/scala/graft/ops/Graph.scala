@@ -504,6 +504,7 @@ object Graph {
           col("sx").cast("double") * col("sx").cast("double")) *
           (col("n").cast("double") * col("syy").cast("double") -
             col("sy").cast("double") * col("sy").cast("double"))), lit(0.0)), 6)
+        .plus(lit(0.0)) // +0.0: IEEE -0.0 normalization
         .as("assortativity"))
   }
 
@@ -528,7 +529,7 @@ object Graph {
       |             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
+      |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) + 0.0
       |         AS assortativity
       |FROM xy""".stripMargin
 }

@@ -181,8 +181,8 @@ object OrderStats {
         round(cell(true, true), 6).as("treated_after"),
         round(cell(false, false), 6).as("control_before"),
         round(cell(false, true), 6).as("control_after"),
-        round((cell(true, true) - cell(true, false)) -
-          (cell(false, true) - cell(false, false)), 6).as("did_estimate"))
+        (round((cell(true, true) - cell(true, false)) -
+          (cell(false, true) - cell(false, false)), 6) + lit(0.0)).as("did_estimate"))
   }
 
   def impactDiDSql(splitDay: String): String =
@@ -199,7 +199,7 @@ object OrderStats {
        |  round((max(CASE WHEN treated AND after THEN mean_v END)
        |         - max(CASE WHEN treated AND NOT after THEN mean_v END))
        |        - (max(CASE WHEN NOT treated AND after THEN mean_v END)
-       |           - max(CASE WHEN NOT treated AND NOT after THEN mean_v END)), 6) AS did_estimate
+       |           - max(CASE WHEN NOT treated AND NOT after THEN mean_v END)), 6) + 0.0 AS did_estimate
        |FROM cells""".stripMargin
 
   /** RFM segmentation: every customer scored 1–4 on Recency (days since

@@ -337,7 +337,7 @@ object TimeSeries {
         round(col("v"), 6).as("revenue"),
         round(col("trend"), 6).as("trend"),
         round(col("seasonal"), 6).as("seasonal"),
-        round(col("detr") - col("seasonal"), 6).as("residual"))
+        (round(col("detr") - col("seasonal"), 6) + lit(0.0)).as("residual"))
       .orderBy("day")
   }
 
@@ -365,7 +365,7 @@ object TimeSeries {
       |       round(t.v, 6) AS revenue,
       |       round(t.trend, 6) AS trend,
       |       round(s.seasonal, 6) AS seasonal,
-      |       round(t.detr - s.seasonal, 6) AS residual
+      |       round(t.detr - s.seasonal, 6) + 0.0 AS residual
       |FROM tr t JOIN seas s USING (wd)
       |ORDER BY day""".stripMargin
 
