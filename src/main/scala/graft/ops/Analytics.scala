@@ -1970,11 +1970,13 @@ object Analytics {
       .agg(coalesce(sum(col("r2")), lit(0).cast("decimal(18,2)")).as("r_new"))
     val gone = a.join(b, Seq("l_partkey"), "left_anti")
       .agg(coalesce(sum(col("r1")), lit(0).cast("decimal(18,2)")).as("r_gone"))
-    val tot = py.groupBy(col("yr")).agg(sum(col("r")).as("r"))
-    val t1 = tot.filter(col("yr") === y1).select(col("r").as("rev_y1"))
-    val t2 = tot.filter(col("yr") === y2).select(col("r").as("rev_y2"))
+    // one aggregate row ALWAYS (a filter-then-agg shape would emit zero
+    // rows for an empty year while the oracle's aggregate emits one)
+    val tot = py.agg(
+      sum(when(col("yr") === y1, col("r"))).as("rev_y1"),
+      sum(when(col("yr") === y2, col("r"))).as("rev_y2"))
     common.crossJoin(broadcast(newParts)).crossJoin(broadcast(gone))
-      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .crossJoin(broadcast(tot))
       .select(
         col("n_common"),
         col("rev_y1").cast("double").as("rev_y1"),
@@ -2014,18 +2016,18 @@ object Analytics {
        |       FROM b LEFT JOIN a ON a.l_partkey = b.l_partkey WHERE a.l_partkey IS NULL),
        |gp AS (SELECT coalesce(sum(a.r1), CAST(0 AS DECIMAL(18,2))) AS r_gone
        |       FROM a LEFT JOIN b ON b.l_partkey = a.l_partkey WHERE b.l_partkey IS NULL),
-       |t1 AS (SELECT sum(r) AS rev_y1 FROM py WHERE yr = $y1),
-       |t2 AS (SELECT sum(r) AS rev_y2 FROM py WHERE yr = $y2)
+       |tt AS (SELECT sum(CASE WHEN yr = $y1 THEN r END) AS rev_y1,
+       |              sum(CASE WHEN yr = $y2 THEN r END) AS rev_y2 FROM py)
        |SELECT c.n_common,
-       |       CAST(t1.rev_y1 AS DOUBLE) AS rev_y1,
-       |       CAST(t2.rev_y2 AS DOUBLE) AS rev_y2,
-       |       CAST(t2.rev_y2 - t1.rev_y1 AS DOUBLE) AS delta_revenue,
+       |       CAST(tt.rev_y1 AS DOUBLE) AS rev_y1,
+       |       CAST(tt.rev_y2 AS DOUBLE) AS rev_y2,
+       |       CAST(tt.rev_y2 - tt.rev_y1 AS DOUBLE) AS delta_revenue,
        |       round(CAST(c.sp AS DOUBLE) / 1e4, 2) AS price_effect,
        |       round(CAST(c.sv AS DOUBLE) / 1e4, 2) AS volume_effect,
        |       CAST(np.r_new AS DOUBLE) AS new_parts_effect,
        |       CAST(-gp.r_gone AS DOUBLE) AS discontinued_effect,
-       |       round(CAST(t2.rev_y2 - t1.rev_y1 AS DOUBLE)
+       |       round(CAST(tt.rev_y2 - tt.rev_y1 AS DOUBLE)
        |             - CAST(c.sp AS DOUBLE) / 1e4 - CAST(c.sv AS DOUBLE) / 1e4
        |             - CAST(np.r_new AS DOUBLE) + CAST(gp.r_gone AS DOUBLE), 2) + 0.0 AS residual
-       |FROM common c, np, gp, t1, t2""".stripMargin
+       |FROM common c, np, gp, tt""".stripMargin
 }
