@@ -864,6 +864,10 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // per-table position-density audit (drop-window quantification)
+    "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
+    // embedding-distribution drift: centroid L2/cosine between halves
+    "emb_centroid_drift" -> ((s, dir) => Similarity.centroidDrift(t(s, dir, "embeddings"))),
     // SRE error-budget alerting: 1h/6h multi-window burn rates
     "events_slo_burn_rate" -> ((s, dir) =>
       TimeSeries.sloBurnRate(t(s, dir, "events"), 250L, 1200L, 1000L)),
@@ -1835,6 +1839,8 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
+    "emb_centroid_drift" -> Similarity.centroidDriftSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),
     "lineitem_price_volume_mix" -> Analytics.priceVolumeMixSql(1997, 1998),
     "ann_binary_topk" -> Similarity.binaryHammingTopKSql(8, 5),

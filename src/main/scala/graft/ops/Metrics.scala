@@ -154,4 +154,38 @@ object Metrics {
        |  max(late_s) AS max_late_s,
        |  CAST(sum(late_s) AS BIGINT) AS total_late_s
        |FROM lat GROUP BY tbl ORDER BY tbl""".stripMargin
+
+  /** Per-table position-sequence gap audit: the LOG-INTEGRITY check a
+    * CDC consumer runs after replication (a routed table's positions
+    * should be dense in the per-table subsequence only if nothing was
+    * dropped upstream — gaps quantify drop windows). lag() per table,
+    * exact integer gap arithmetic.
+    */
+  def sequenceGaps(changelog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tbl")).orderBy(col("pos"))
+    changelog
+      .select(col("tbl"), col("pos"))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w) - 1)
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0L)).as("missing_positions"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      .orderBy("tbl")
+  }
+
+  def sequenceGapsSql(clCte: String): String =
+    s"""WITH cl AS ($clCte),
+       |g AS (
+       |  SELECT tbl, pos,
+       |         pos - lag(pos, 1) OVER (PARTITION BY tbl ORDER BY pos) - 1 AS gap
+       |  FROM cl)
+       |SELECT tbl, count(*) AS n_events,
+       |       min(pos) AS first_pos, max(pos) AS last_pos,
+       |       CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       |       coalesce(CAST(sum(CASE WHEN gap > 0 THEN gap END) AS BIGINT), 0) AS missing_positions,
+       |       coalesce(CAST(max(gap) AS BIGINT), 0) AS max_gap
+       |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin
 }

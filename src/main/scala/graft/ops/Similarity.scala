@@ -1302,4 +1302,77 @@ object Similarity {
        |SELECT hits.n_hits, nex.n_exact,
        |       round(CAST(hits.n_hits AS DOUBLE) / CAST(nex.n_exact AS DOUBLE), 6) AS recall_at_k
        |FROM hits, nex""".stripMargin
+
+  // ------------------------------------------------------- centroid drift
+
+  /** Embedding-distribution drift monitor: the centroid of the even-id
+    * half vs the odd-id half (stand-ins for "last week" vs "this week"
+    * slices), reported as L2 distance and centroid cosine. If the two
+    * halves drift apart, the embedding space moved — retrain/reindex.
+    *
+    * Parity: per-dimension components quantize to micro-units BEFORE
+    * summation (exact integer partials, any corpus size via Spark's
+    * long sums / DuckDB HUGEINT); the per-dimension squared-difference
+    * terms are rounded to 12 dp and summed in DECIMAL (the PSI device)
+    * so the final sqrt sees an identical total in both engines.
+    *
+    * Scale shape: one posexplode partial-agg to 64 dimension rows;
+    * everything after is constant-size.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val el = emb
+      .select((col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("even"), col("pos").as("j"),
+        round(col("col") * lit(1e6), 0).cast("long").as("xq"))
+    val dims = el.groupBy(col("j"))
+      .agg(sum(when(col("even"), col("xq"))).as("sa"),
+        sum(when(col("even"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("even"), col("xq"))).as("sb"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("nb"))
+      .select(col("j"),
+        (col("sa").cast("double") / col("na").cast("double")).as("ca"),
+        (col("sb").cast("double") / col("nb").cast("double")).as("cb"))
+    dims
+      .select(col("ca"), col("cb"),
+        round((col("ca") - col("cb")) * (col("ca") - col("cb")), 12)
+          .cast("decimal(28,12)").as("d2"),
+        round(col("ca") * col("cb"), 12).cast("decimal(28,12)").as("ab"),
+        round(col("ca") * col("ca"), 12).cast("decimal(28,12)").as("aa"),
+        round(col("cb") * col("cb"), 12).cast("decimal(28,12)").as("bb"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("d2")).as("sd2"), sum(col("ab")).as("sab"),
+        sum(col("aa")).as("saa"), sum(col("bb")).as("sbb"))
+      .select(col("n_dims"),
+        round(sqrt(col("sd2").cast("double")) / lit(1e6), 6).as("l2_distance"),
+        round(col("sab").cast("double") /
+          nullif(sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double")),
+            lit(0.0)), 6).as("centroid_cosine"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH el AS (
+      |  SELECT vec_id % 2 = 0 AS even, j,
+      |         CAST(round(v[CAST(j AS INTEGER)] * 1e6, 0) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |       (SELECT unnest(range(1, 65)) AS j) dims),
+      |d AS (
+      |  SELECT j,
+      |    CAST(sum(CASE WHEN even THEN xq END) AS DOUBLE)
+      |      / CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS DOUBLE) AS ca,
+      |    CAST(sum(CASE WHEN NOT even THEN xq END) AS DOUBLE)
+      |      / CAST(sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS DOUBLE) AS cb
+      |  FROM el GROUP BY j),
+      |t AS (
+      |  SELECT CAST(round((ca - cb) * (ca - cb), 12) AS DECIMAL(28,12)) AS d2,
+      |         CAST(round(ca * cb, 12) AS DECIMAL(28,12)) AS ab,
+      |         CAST(round(ca * ca, 12) AS DECIMAL(28,12)) AS aa,
+      |         CAST(round(cb * cb, 12) AS DECIMAL(28,12)) AS bb
+      |  FROM d)
+      |SELECT count(*) AS n_dims,
+      |       round(sqrt(CAST(sum(d2) AS DOUBLE)) / 1e6, 6) AS l2_distance,
+      |       round(CAST(sum(ab) AS DOUBLE)
+      |             / nullif(sqrt(CAST(sum(aa) AS DOUBLE)) * sqrt(CAST(sum(bb) AS DOUBLE)), 0.0), 6)
+      |         AS centroid_cosine
+      |FROM t""".stripMargin
 }
