@@ -83,4 +83,38 @@ class AuditOpsSpec extends SparkSpec {
     val a = r.getAs[Double]("assortativity")
     assert(a >= -1.0 && a <= 1.0, s"assortativity $a")
   }
+
+  test("price-volume-mix bridge telescopes: effects sum to delta revenue") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val li = raw.schema("l_shipdate").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("l_shipdate", expr("timestamp_micros(l_shipdate div 1000)"))
+      case _ => raw.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    }
+    val r = Analytics.priceVolumeMix(li, 1997, 1998).collect().head
+    val delta = r.getAs[Double]("delta_revenue")
+    val sum = r.getAs[Double]("price_effect") + r.getAs[Double]("volume_effect") +
+      r.getAs[Double]("new_parts_effect") + r.getAs[Double]("discontinued_effect")
+    // per-part identity telescopes exactly; only 1e-4 quantization dust
+    assert(math.abs(delta - sum) < 1.0, s"delta $delta vs effects $sum")
+    assert(math.abs(r.getAs[Double]("residual")) < 1.0)
+  }
+
+  test("SLO alerts fire exactly on hours exceeding both burn thresholds") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // 12 quiet hours (1 error / 10 events), then 2 loud hours (6/10)
+    val events = (0 until 14).flatMap { h =>
+      val errs = if (h >= 12) 6 else 1
+      (0 until 10).map { i =>
+        (h.toLong * 100 + i, java.sql.Timestamp.from(base.plusSeconds(h * 3600L + i)),
+          1L, if (i < errs) "error" else "view", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val alerts = ops.TimeSeries.sloBurnRate(events, 250L, 1200L, 1000L).collect()
+    // loud hours: rate_1h = 0.6 > 0.3; 6h rate = (6+5·1)/60 ≈ 0.183 at
+    // hour 12 (< 0.25) but (6+6+4·1)/60 ≈ 0.267 at hour 13 → only hour 13
+    assert(alerts.length === 1, alerts.mkString(","))
+    assert(alerts.head.getAs[java.sql.Timestamp]("hour").toInstant ===
+      base.plusSeconds(13 * 3600L))
+  }
 }
