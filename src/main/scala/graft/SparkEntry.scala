@@ -864,6 +864,8 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // Holt level+trend smoothing with one-step-ahead fitted values
+    "events_holt_daily" -> ((s, dir) => TimeSeries.holtDaily(t(s, dir, "events"))),
     // per-table position-density audit (drop-window quantification)
     "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
     // embedding-distribution drift: centroid L2/cosine between halves
@@ -1839,6 +1841,7 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "events_holt_daily" -> TimeSeries.holtDailySql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),

@@ -518,4 +518,88 @@ object TimeSeries {
        |  AND e6 * 1000000 > $gateL * t6
        |ORDER BY hour""".stripMargin
   }
+
+  /** Holt double-exponential smoothing (level + trend) over the daily
+    * revenue series, α = 1/2 and β = 1/4 — the forecasting layer on top
+    * of [[seasonalDecompose]]'s diagnosis. First `HoltDays` days only
+    * (both engines window identically if a regeneration lengthens the
+    * fixture).
+    *
+    * The recurrence l_t = (x_t + l_{t-1} + b_{t-1}) div 2,
+    * b_t = (l_t − l_{t-1} + 3·b_{t-1}) div 4 runs in EXACT milli-unit
+    * integers with sign-split truncating division (Spark DIV and DuckDB
+    * // diverge on negatives — floor vs truncate — so both engines
+    * compute sign·(|v| div k)). The sequential loop runs on the DRIVER
+    * over the collected daily frame — bounded at `HoltDays` rows, the
+    * MMR/centroid device; the oracle unrolls the same steps as chained
+    * one-row CTEs. fitted_t = (l_{t-1}+b_{t-1})/1e3 is the one-step-
+    * ahead forecast; residuals stay UNROUNDED (identical doubles —
+    * rounding would only add a tie boundary).
+    */
+  val HoltDays = 30
+
+  def holtDaily(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .orderBy("d")
+      .limit(HoltDays)
+    val pts = daily.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    def q(x: Double): Long =
+      new java.math.BigDecimal(x * 1e3).setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValue()
+    def sdiv(v: Long, k: Long): Long = if (v < 0) -((-v) / k) else v / k
+    var l = 0L; var b = 0L
+    val out = pts.zipWithIndex.map { case ((d, x), i) =>
+      val xq = q(x)
+      val (fitted, lPrev) = if (i == 0) (None: Option[Double], 0L) else (Some((l + b) / 1e3), l)
+      if (i == 0) { l = xq; b = 0L }
+      else {
+        val lNew = sdiv(xq + l + b, 2L)
+        b = sdiv(lNew - l + 3L * b, 4L)
+        l = lNew
+      }
+      (d, x, l / 1e3, b / 1e3, fitted, fitted.map(f => x - f))
+    }
+    out.toSeq.toDF("d", "revenue", "level", "trend", "fitted", "residual")
+      .select(timestamp_micros(col("d") * lit(86400000000L)).as("day"),
+        col("revenue"), col("level"), col("trend"), col("fitted"), col("residual"))
+      .orderBy("day")
+  }
+
+  val holtDailySql: String = {
+    def sdiv(e: String, k: Int) =
+      s"CAST(CASE WHEN ($e) < 0 THEN -((-($e)) // $k) ELSE ($e) // $k END AS BIGINT)"
+    val steps = (2 to HoltDays).map { t =>
+      s"""h$t AS (
+         |  SELECT $t AS rn,
+         |         ${sdiv(s"q.xq + h.l + h.b", 2)} AS l,
+         |         ${sdiv(s"${sdiv(s"q.xq + h.l + h.b", 2)} - h.l + 3 * h.b", 4)} AS b
+         |  FROM q, h${t - 1} h WHERE q.rn = $t)""".stripMargin
+    }.mkString(",\n")
+    val hist = (1 to HoltDays).map(t => s"SELECT * FROM h$t").mkString("\n  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1 ORDER BY d LIMIT $HoltDays),
+       |q AS (
+       |  SELECT d, x, CAST(round(x * 1e3, 0) AS BIGINT) AS xq,
+       |         row_number() OVER (ORDER BY d) AS rn
+       |  FROM daily),
+       |h1 AS (SELECT 1 AS rn, xq AS l, CAST(0 AS BIGINT) AS b FROM q WHERE rn = 1),
+       |$steps,
+       |hist AS (
+       |  $hist)
+       |SELECT make_timestamp(q.d * 86400000000) AS day,
+       |       q.x AS revenue,
+       |       CAST(h.l AS DOUBLE) / 1e3 AS level,
+       |       CAST(h.b AS DOUBLE) / 1e3 AS trend,
+       |       CAST(p.l + p.b AS DOUBLE) / 1e3 AS fitted,
+       |       q.x - CAST(p.l + p.b AS DOUBLE) / 1e3 AS residual
+       |FROM q JOIN hist h ON h.rn = q.rn
+       |LEFT JOIN hist p ON p.rn = q.rn - 1
+       |ORDER BY day""".stripMargin
+  }
 }
