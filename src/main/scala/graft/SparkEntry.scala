@@ -864,6 +864,8 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // winnowing fingerprints (MOSS): per-window min-hash selection
+    "text_winnowing" -> ((s, dir) => TextAnalysis.winnowing(t(s, dir, "documents"), 4)),
     // Holt level+trend smoothing with one-step-ahead fitted values
     "events_holt_daily" -> ((s, dir) => TimeSeries.holtDaily(t(s, dir, "events"))),
     // per-table position-density audit (drop-window quantification)
@@ -1841,6 +1843,7 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "text_winnowing" -> TextAnalysis.winnowingSql(4),
     "events_holt_daily" -> TimeSeries.holtDailySql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,

@@ -927,4 +927,82 @@ object TextAnalysis {
        |        nullif(coalesce(p.n_shingles, 0), 0), 6) AS novelty
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Winnowing fingerprint selection (the MOSS device): over the 3-gram
+    * shingle hash sequence, every window of `w` consecutive positions
+    * contributes its minimum hash (rightmost position on ties), and the
+    * selected (hash, position) set — deduplicated — is the document's
+    * fingerprint. Guarantees: any shared run of ≥ w+2 tokens yields a
+    * shared fingerprint, and selection density ≈ 2/(w+1), which is what
+    * makes it the robust upgrade over every-kth-hash sampling.
+    *
+    * Portable formulation (no struct-valued window aggregates): the
+    * per-window min and its rightmost position come from a bounded
+    * ×w band self-join + two grouped aggregates, identical in both
+    * engines; all values are integral.
+    */
+  def winnowing(docs: DataFrame, w: Int): DataFrame = {
+    val kg = Caches.tracked(docs
+      .select(col("doc_id"),
+        posexplode(Tokenize.shingles3(Tokenize.tokens(col("text")))))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        graft.functions.PortableHash.tokenHash(col("col")).as("h"))
+      .persist())
+    val nk = kg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
+      .filter(col("n_kgrams") >= w)
+    val starts = kg.select(col("doc_id"), col("p").as("ws"))
+      .join(broadcast(nk), "doc_id")
+      .filter(col("ws") <= col("n_kgrams") - w)
+    val wnd = starts.join(kg.select(col("doc_id"), col("p").as("p2"), col("h")),
+        Seq("doc_id"))
+      .filter(col("p2") >= col("ws") && col("p2") < col("ws") + w)
+    val mins = wnd.groupBy(col("doc_id"), col("ws"))
+      .agg(min(col("h")).as("mh"))
+    val sel = wnd.join(mins, Seq("doc_id", "ws"))
+      .filter(col("h") === col("mh"))
+      .groupBy(col("doc_id"), col("ws"), col("n_kgrams"), col("mh"))
+      .agg(max(col("p2")).as("sp"))
+    sel.select(col("doc_id"), col("n_kgrams"), col("mh"), col("sp")).distinct()
+      .groupBy(col("doc_id"), col("n_kgrams"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .select(col("doc_id"), col("n_kgrams"), col("n_fingerprints"),
+        round(col("n_fingerprints").cast("double") /
+          (col("n_kgrams") - w + 1).cast("double"), 6).as("density"))
+      .orderBy("doc_id")
+  }
+
+  def winnowingSql(w: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${Tokenize.tokensSql("text")} AS toks FROM documents),
+       |shs AS (SELECT doc_id, ${Tokenize.shingles3Sql("toks")} AS sh FROM tk),
+       |kg0 AS (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i FROM shs),
+       |kg AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+       |         ${graft.functions.PortableHash.tokenHashSql("sh[i]")} AS h
+       |  FROM kg0),
+       |nk AS (
+       |  SELECT doc_id, count(*) AS n_kgrams FROM kg GROUP BY doc_id
+       |  HAVING count(*) >= $w),
+       |starts AS (
+       |  SELECT kg.doc_id, kg.p AS ws, nk.n_kgrams
+       |  FROM kg JOIN nk USING (doc_id)
+       |  WHERE kg.p <= nk.n_kgrams - $w),
+       |wnd AS (
+       |  SELECT s.doc_id, s.ws, s.n_kgrams, k.p AS p2, k.h
+       |  FROM starts s JOIN kg k
+       |    ON k.doc_id = s.doc_id AND k.p >= s.ws AND k.p < s.ws + $w),
+       |mins AS (
+       |  SELECT doc_id, ws, n_kgrams, min(h) AS mh
+       |  FROM wnd GROUP BY 1, 2, 3),
+       |sel AS (
+       |  SELECT w2.doc_id, w2.ws, m.n_kgrams, m.mh, max(w2.p2) AS sp
+       |  FROM wnd w2 JOIN mins m ON m.doc_id = w2.doc_id AND m.ws = w2.ws
+       |  WHERE w2.h = m.mh
+       |  GROUP BY 1, 2, 3, 4),
+       |fp AS (SELECT DISTINCT doc_id, n_kgrams, mh, sp FROM sel)
+       |SELECT doc_id, n_kgrams, count(*) AS n_fingerprints,
+       |       round(CAST(count(*) AS DOUBLE)
+       |             / CAST(n_kgrams - ${w - 1} AS DOUBLE), 6) AS density
+       |FROM fp GROUP BY doc_id, n_kgrams
+       |ORDER BY doc_id""".stripMargin
 }
