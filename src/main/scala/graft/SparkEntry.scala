@@ -864,6 +864,9 @@ object SparkEntry {
     // difference-in-differences across arms and the mid-window split
     "events_impact_did" -> ((s, dir) =>
       OrderStats.impactDiD(t(s, dir, "events"), "2024-01-16 00:00:00")),
+    // temporal video analysis: consecutive-frame SAD scene cuts
+    "mm_video_scene_cuts" -> ((s, dir) =>
+      Multimodal.videoSceneCuts(t(s, dir, "documents"), 35)),
     // winnowing fingerprints (MOSS): per-window min-hash selection
     "text_winnowing" -> ((s, dir) => TextAnalysis.winnowing(t(s, dir, "documents"), 4)),
     // Holt level+trend smoothing with one-step-ahead fitted values
@@ -1843,6 +1846,7 @@ object SparkEntry {
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
+    "mm_video_scene_cuts" -> Multimodal.videoSceneCutsSql(35),
     "text_winnowing" -> TextAnalysis.winnowingSql(4),
     "events_holt_daily" -> TimeSeries.holtDailySql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),

@@ -788,4 +788,93 @@ object Multimodal {
        |WHERE $ham <= $maxHamming
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
+
+  /** Scene-cut detection over the demuxed container: SAD (sum of
+    * absolute per-pixel differences) between each pair of CONSECUTIVE
+    * decoded frames, a cut flagged when mean per-pixel change exceeds
+    * `tauPerPx`. Unlike [[sampleVideoFrames]]'s sparse path this decodes
+    * every frame — the honest cost of temporal analysis — but clips are
+    * bounded (the offset table bounds per-record work), and all SAD
+    * arithmetic is integer-exact so the oracle recomputes it from the
+    * synth formula through the real codec round-trip.
+    */
+  final case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Long,
+      max_sad: Long, sum_sad: Long)
+
+  def videoSceneCuts(docs: DataFrame, tauPerPx: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = videoPayloads(docs).mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { p =>
+        val bb = ByteBuffer.wrap(p.payload).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](4)
+        bb.get(magic)
+        require(java.util.Arrays.equals(magic, videoMagic),
+          s"doc ${p.doc_id}: not a GMJ1 container")
+        val nf = bb.getInt
+        val offsets = Array.fill(nf)(bb.getInt)
+        val blobStart = 4 + 4 + 4 * nf
+        def decode(f: Int): Array[Int] = {
+          val from = blobStart + offsets(f)
+          val until = if (f + 1 < nf) blobStart + offsets(f + 1) else p.payload.length
+          val img = ImageIO.read(new ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(p.payload, from, until)))
+          require(img != null, s"doc ${p.doc_id} frame $f: undecodable blob")
+          val r = img.getRaster
+          val out = new Array[Int](img.getWidth * img.getHeight)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              out(y * img.getWidth + x) = r.getSample(x, y, 0); x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        var prev = decode(0)
+        var cuts = 0L
+        var maxSad = 0L
+        var sumSad = 0L
+        var f = 1
+        while (f < nf) {
+          val cur = decode(f)
+          var sad = 0L
+          var i = 0
+          while (i < cur.length) { sad += math.abs(cur(i) - prev(i)); i += 1 }
+          if (sad > tauPerPx.toLong * cur.length) cuts += 1
+          if (sad > maxSad) maxSad = sad
+          sumSad += sad
+          prev = cur
+          f += 1
+        }
+        SceneCuts(p.doc_id, nf, cuts, maxSad, sumSad)
+      }
+    }
+    feats.toDF()
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"), col("max_sad"),
+        round(col("sum_sad").cast("double") /
+          (col("n_frames") - 1).cast("double"), 4).as("mean_sad"))
+      .orderBy("doc_id")
+  }
+
+  def videoSceneCutsSql(tauPerPx: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(3 + doc_id % 4 AS INTEGER) AS nf,
+       |         4 + doc_id % 3 AS w, 4 + (doc_id + 1) % 3 AS h
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, nf, w, h, unnest(range(1, nf)) AS f FROM g),
+       |sads AS (
+       |  SELECT doc_id, nf, w, h, f,
+       |    CAST(list_aggregate(
+       |      [abs(((i % w) * 7 + (i // w) * 11 + f * 19 + doc_id * 23) % 256
+       |           - ((i % w) * 7 + (i // w) * 11 + (f - 1) * 19 + doc_id * 23) % 256)
+       |       FOR i IN range(0, w * h)], 'sum') AS BIGINT) AS sad
+       |  FROM pairs)
+       |SELECT doc_id, max(nf) AS n_frames,
+       |       CAST(sum(CASE WHEN sad > $tauPerPx * w * h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |       CAST(max(sad) AS BIGINT) AS max_sad,
+       |       round(CAST(sum(sad) AS DOUBLE) / CAST(max(nf) - 1 AS DOUBLE), 4) AS mean_sad
+       |FROM sads GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
