@@ -936,6 +936,10 @@ object SparkEntry {
       Similarity.mmrRerank(t(s, dir, "embeddings"), 8, 20, 5, 7, 10)),
     // frame-level voice-activity detection through the real WAV codec
     "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(t(s, dir, "documents"))),
+    // DAU/MAU stickiness: trailing-window MAU from windowed-MAX-merged
+    // HLL registers (sliding distinct without per-window rescans)
+    "events_stickiness_hll" -> ((s, dir) =>
+      Sketches.stickinessHll(t(s, dir, "events"), 30)),
     // HyperLogLog distinct counter from portable-hash registers (the
     // constant-memory sibling of the KMV sketch, oracle-rebuildable)
     "sketch_hll_distinct" -> ((s, dir) => Sketches.hllDistinctUsers(t(s, dir, "events"))),
@@ -1878,6 +1882,7 @@ object SparkEntry {
     "orders_order_gaps" -> OrderStats.orderGapsSql,
     "rag_mmr_rerank" -> Similarity.mmrRerankSql(8, 20, 5, 7, 10),
     "mm_audio_vad" -> Multimodal.audioVadSql,
+    "events_stickiness_hll" -> Sketches.stickinessHllSql(30),
     "sketch_hll_distinct" -> Sketches.hllDistinctUsersSql,
     "events_ewma" -> TimeSeries.ewmaHourlySql,
     "events_gap_fill" -> TimeSeries.gapFillHourlySql,

@@ -693,4 +693,93 @@ object Sketches {
       |       make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day,
       |       count(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  /** DAU/MAU stickiness with the trailing-window MAU from MERGED HLL
+    * registers — the flagship mergeability demo: per-day registers are
+    * a bounded partial aggregate, and the trailing `windowDays` union
+    * is just a per-bucket windowed MAX (HLL union = register-wise max),
+    * so the sliding 30-day distinct costs O(days·64) after the one
+    * partial-agged scan — no per-window rescan of user ids, which is
+    * exactly how the 100 TB version works. DAU stays exact (cheap per
+    * day); the estimator, clamp and linear-counting table are the
+    * [[hllDistinctUsers]] constants, shared verbatim with the oracle.
+    */
+  def stickinessHll(events: DataFrame, windowDays: Int): DataFrame = {
+    val regs = events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        PortableHash.tokenHash(col("user_id").cast("string")).as("h"))
+      .select(col("day"), (col("h") % lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(
+        least(when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w")))), lit(HllMaxRank.toLong))).as("m"))
+    val days = events.select(expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val grid = days.select(col("day"), explode(sequence(lit(0L), lit(HllM - 1L))).as("bucket"))
+    val full = grid.join(regs, Seq("day", "bucket"), "left")
+    val wWin = Window.partitionBy(col("bucket")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val winRegs = full.withColumn("mw", coalesce(max(col("m")).over(wWin), lit(0L)))
+    val lnArr = array(hllLnTable.map(lit): _*)
+    val mau = winRegs.groupBy(col("day"))
+      .agg(sum(lit(1.0) / expr("cast(shiftleft(CAST(1 AS BIGINT), CAST(mw AS INT)) as double)")).as("isum"),
+        sum(when(col("mw") === 0L, 1L).otherwise(0L)).as("v"))
+      .withColumn("raw", lit(hllAlphaM2) / col("isum"))
+      .withColumn("mau_hll", round(
+        when(col("raw") <= lit(2.5 * HllM) && col("v") > 0L,
+          element_at(lnArr, col("v").cast("int"))).otherwise(col("raw")), 4))
+    val dau = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau_exact"))
+    dau.join(mau.select(col("day"), col("mau_hll")), "day")
+      .select(timestamp_micros(col("day") * lit(86400000000L)).as("day"),
+        col("dau_exact"), col("mau_hll"),
+        round(col("dau_exact").cast("double") / col("mau_hll"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  def stickinessHllSql(windowDays: Int): String = {
+    val lnList = hllLnTable.map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+    s"""WITH h AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} % $HllM AS bucket,
+       |         ${PortableHash.tokenHashSql("CAST(user_id AS VARCHAR)")} // $HllM AS w
+       |  FROM events),
+       |regs AS (
+       |  SELECT day, bucket,
+       |         max(least(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END, $HllMaxRank)) AS m
+       |  FROM h GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.day, b.bucket
+       |  FROM (SELECT DISTINCT day FROM h) d,
+       |       (SELECT unnest(range(0, $HllM)) AS bucket) b),
+       |full_regs AS (
+       |  SELECT g.day, g.bucket, r.m
+       |  FROM grid g LEFT JOIN regs r ON r.day = g.day AND r.bucket = g.bucket),
+       |win AS (
+       |  SELECT day, bucket,
+       |         coalesce(max(m) OVER (PARTITION BY bucket ORDER BY day
+       |           RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW), 0) AS mw
+       |  FROM full_regs),
+       |est AS (
+       |  SELECT day,
+       |         sum(1.0 / CAST((CAST(1 AS BIGINT) << CAST(mw AS INTEGER)) AS DOUBLE)) AS isum,
+       |         sum(CASE WHEN mw = 0 THEN 1 ELSE 0 END) AS v
+       |  FROM win GROUP BY day),
+       |mau AS (
+       |  SELECT day,
+       |         round(CASE WHEN CAST('$hllAlphaM2' AS DOUBLE) / isum <= ${2.5 * HllM} AND v > 0
+       |               THEN [$lnList][CAST(v AS INTEGER)]
+       |               ELSE CAST('$hllAlphaM2' AS DOUBLE) / isum END, 4) AS mau_hll
+       |  FROM est),
+       |dau AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         count(DISTINCT user_id) AS dau_exact
+       |  FROM events GROUP BY 1)
+       |SELECT make_timestamp(d.day * 86400000000) AS day,
+       |       d.dau_exact, m.mau_hll,
+       |       round(CAST(d.dau_exact AS DOUBLE) / m.mau_hll, 4) AS stickiness
+       |FROM dau d JOIN mau m ON m.day = d.day
+       |ORDER BY day""".stripMargin
+  }
 }
