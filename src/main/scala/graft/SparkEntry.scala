@@ -952,6 +952,9 @@ object SparkEntry {
     // percent_rank/cume_dist of probe users within full distributions
     "events_distribution_pos" -> ((s, dir) =>
       OrderStats.distributionPosition(t(s, dir, "events"), 4L)),
+    // experiment sizing: per-arm n for a ladder of target lifts
+    "events_power_analysis" -> ((s, dir) =>
+      OrderStats.powerAnalysis(t(s, dir, "events"), Seq(5, 10, 20, 50))),
     // two-proportion z-test between user_id-parity experiment arms
     "events_ab_test" -> ((s, dir) => OrderStats.abTestConversion(t(s, dir, "events"))),
     // full grouping-sets lattice over (segment, priority)
@@ -1888,6 +1891,7 @@ object SparkEntry {
     "events_gap_fill" -> TimeSeries.gapFillHourlySql,
     "part_skyline" -> OrderStats.skylinePartsSql,
     "events_distribution_pos" -> OrderStats.distributionPositionSql(4L),
+    "events_power_analysis" -> OrderStats.powerAnalysisSql(Seq(5, 10, 20, 50)),
     "events_ab_test" -> OrderStats.abTestConversionSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
 

@@ -417,4 +417,67 @@ object OrderStats {
       |       n_b, conv_b, round(p_b, 6) AS rate_b,
       |       round(zv, 4) AS z_score, abs(zv) > 1.96 AS significant
       |FROM z""".stripMargin
+
+  /** Experiment power analysis: the per-arm sample size needed to detect
+    * a relative lift over the OBSERVED conversion rate at 80% power /
+    * 5% two-sided alpha — n = (z_a + z_b)^2 · (p1(1−p1) + p2(1−p2)) / δ²
+    * with the normal quantiles embedded as Scala-computed literals
+    * (z_{0.975} = 1.959964, z_{0.8} = 0.841621), evaluated for a ladder
+    * of candidate lifts. Pairs with [[abTestConversion]]: that query
+    * reads an experiment out; this one sizes the next.
+    *
+    * All inputs are the exact per-user conversion integers; the formula
+    * is one fixed double expression per lift row (ceil → BIGINT via the
+    * round-then-cast rule).
+    */
+  def powerAnalysis(events: DataFrame, liftsPct: Seq[Int]): DataFrame = {
+    val zA = 1.959964
+    val zB = 0.841621
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = events
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("p1", col("conv").cast("double") / col("n_users").cast("double"))
+    val rows = liftsPct.map { l =>
+      base.select(lit(l.toLong).as("lift_pct"), col("p1"),
+        (col("p1") * lit(1.0 + l / 100.0)).as("p2"))
+    }.reduce(_ unionAll _)
+    rows
+      .withColumn("delta", col("p2") - col("p1"))
+      .withColumn("n_per_arm",
+        ceil(lit((zA + zB) * (zA + zB)) *
+          (col("p1") * (lit(1.0) - col("p1")) + col("p2") * (lit(1.0) - col("p2"))) /
+          (col("delta") * col("delta"))).cast("long"))
+      .select(col("lift_pct"), round(col("p1"), 6).as("base_rate"),
+        round(col("p2"), 6).as("target_rate"), col("n_per_arm"))
+      .orderBy("lift_pct")
+  }
+
+  def powerAnalysisSql(liftsPct: Seq[Int]): String = {
+    val zA = 1.959964
+    val zB = 0.841621
+    val liftRows = liftsPct.map(l => s"($l)").mkString(", ")
+    s"""WITH firsts AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |base AS (
+       |  SELECT count(*) AS n_users,
+       |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM firsts WHERE rn = 1),
+       |b2 AS (SELECT *, CAST(conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1 FROM base),
+       |lifts(lift_pct) AS (VALUES $liftRows),
+       |calc AS (
+       |  SELECT CAST(l.lift_pct AS BIGINT) AS lift_pct, b.p1,
+       |         b.p1 * (1.0 + CAST(l.lift_pct AS DOUBLE) / 100.0) AS p2
+       |  FROM lifts l, b2 b)
+       |SELECT lift_pct, round(p1, 6) AS base_rate, round(p2, 6) AS target_rate,
+       |       CAST(ceil(CAST('${(zA + zB) * (zA + zB)}' AS DOUBLE)
+       |                 * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       |                 / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+       |FROM calc ORDER BY lift_pct""".stripMargin
+  }
 }
