@@ -46,6 +46,26 @@ object SparkEntry {
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Normalizer.normalize(t(s, dir, "events"))
 
+  /** Columns (recursively, dotted paths) whose type is a DECIMAL wider
+    * than 18 digits. Dump schemas must never expose one: a value past
+    * float64's 53-bit mantissa renders differently across parquet
+    * readers while being numerically equal, so the gate's hash
+    * canonicalization diverges. Wide sums stay internal — export
+    * `sum % 9007199254740881` (prime < 2^53) cast to BIGINT instead.
+    * Enforced by [[Verify]] at dump time and by SchemaInvariantSpec.
+    */
+  def wideDecimalColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(path: String, dt: DataType): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case s: StructType => s.fields.toSeq.flatMap(f => walk(s"$path.${f.name}", f.dataType))
+      case a: ArrayType => walk(s"$path[]", a.elementType)
+      case m: MapType => walk(s"$path{k}", m.keyType) ++ walk(s"$path{v}", m.valueType)
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
+  }
+
   /** Static fixture schema registry (parquet footers are the runtime
     * source of truth — Catalog.discoverTables; this copy exists so the
     * DuckDB oracle can assert the same discovery). `embeddings` is

@@ -23,7 +23,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // invariant: no dump schema may expose a DECIMAL wider than 18
+        // digits — values past float64's 53-bit mantissa render
+        // differently across parquet readers while being numerically
+        // equal (cost green gate rows two rounds running; build notes).
+        val wide = SparkEntry.wideDecimalColumns(df.schema)
+        require(wide.isEmpty,
+          s"$name exposes DecimalType(p>18) columns [${wide.mkString(", ")}] — " +
+            "keep wide sums internal; export `CAST(sum % 9007199254740881 AS BIGINT)`")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // also expose the single part file under the flat <name>.parquet
         // path so either driver layout (dir glob or literal file) works

@@ -705,7 +705,9 @@ object ChangelogApply {
       .groupBy(col("tbl"), col("frontier"))
       .agg(count(lit(1)).as("n_rows"),
         max(col("pos")).as("max_pos_included"),
-        sum(rowHash).as("state_checksum"))
+        // wide DECIMAL sum stays internal; export mod a prime < 2^53 so
+        // the value is exact through any float64 round-trip downstream
+        (sum(rowHash) % lit(9007199254740881L)).cast("long").as("state_checksum"))
       .orderBy("tbl")
   }
 
@@ -723,7 +725,7 @@ object ChangelogApply {
        |state AS (SELECT tbl, pk, pos, value FROM ranked WHERE rn = 1 AND op <> 'D')
        |SELECT tbl, f.frontier, count(*) AS n_rows,
        |       max(pos) AS max_pos_included,
-       |       sum(CAST($h AS DECIMAL(38,0))) AS state_checksum
+       |       CAST(sum(CAST($h AS DECIMAL(38,0))) % 9007199254740881 AS BIGINT) AS state_checksum
        |FROM state, f GROUP BY tbl, f.frontier ORDER BY tbl""".stripMargin
   }
 
@@ -773,10 +775,14 @@ object ChangelogApply {
     val supAgg = snap.join(tail.select(col("tbl"), col("pk")).distinct(),
         Seq("tbl", "pk"), "left_semi")
       .groupBy(col("tbl"), col("chunk")).agg(count(lit(1)).as("n_superseded"))
+    // wide DECIMAL sums stay internal; export mod a prime < 2^53 so the
+    // values survive any float64 round-trip in a downstream reader exactly
     val mergedAgg = merged.groupBy(col("tbl"), col("chunk"))
-      .agg(count(lit(1)).as("n_final_rows"), sum(rowHash).as("merged_checksum"))
+      .agg(count(lit(1)).as("n_final_rows"),
+        (sum(rowHash) % lit(9007199254740881L)).cast("long").as("merged_checksum"))
     val directAgg = direct.groupBy(col("tbl"), col("chunk"))
-      .agg(count(lit(1)).as("n_direct_rows"), sum(rowHash).as("direct_checksum"))
+      .agg(count(lit(1)).as("n_direct_rows"),
+        (sum(rowHash) % lit(9007199254740881L)).cast("long").as("direct_checksum"))
     val pks = wc.groupBy(col("tbl"), col("chunk"))
       .agg(count_distinct(col("pk")).as("n_pks"))
     pks
@@ -825,11 +831,11 @@ object ChangelogApply {
        |  GROUP BY s.tbl, s.chunk),
        |merged_agg AS (
        |  SELECT tbl, chunk, count(*) AS n_final_rows,
-       |         sum(CAST($h AS DECIMAL(38,0))) AS merged_checksum
+       |         CAST(sum(CAST($h AS DECIMAL(38,0))) % 9007199254740881 AS BIGINT) AS merged_checksum
        |  FROM merged GROUP BY tbl, chunk),
        |direct_agg AS (
        |  SELECT tbl, chunk, count(*) AS n_direct_rows,
-       |         sum(CAST($h AS DECIMAL(38,0))) AS direct_checksum
+       |         CAST(sum(CAST($h AS DECIMAL(38,0))) % 9007199254740881 AS BIGINT) AS direct_checksum
        |  FROM direct GROUP BY tbl, chunk)
        |SELECT p.tbl, p.chunk, p.n_pks,
        |       coalesce(s.n_snapshot_rows, 0) AS n_snapshot_rows,

@@ -210,7 +210,12 @@ object Scrub {
     * standard one-shuffle LWW materialize; the checksum is a SUM of
     * per-row [[graft.functions.PortableHash]] values in DECIMAL(38,0)
     * (commutative — the [[graft.cdc.ChangelogApply.reconcileRanges]]
-    * device), so no ordering constraint ever forms.
+    * device), so no ordering constraint ever forms. The wide sum stays
+    * INTERNAL: the output column is `sum % 9007199254740881` (a prime
+    * below 2^53) cast to BIGINT, so the exposed value survives any
+    * float64 round-trip in a downstream reader exactly — raw
+    * DECIMAL(38,0) outputs rendered differently across readers once the
+    * sum exceeded the 53-bit mantissa (see build notes, round-7).
     */
   def gdprPurge(changelog: DataFrame): DataFrame = {
     val flagged = col("pk") % 131 === 17
@@ -227,7 +232,8 @@ object Scrub {
     val st = graft.cdc.ChangelogApply.materialize(changelog).groupBy(col("tbl")).agg(
       count(lit(1)).as("n_state_rows"),
       sum(when(flagged, 1L).otherwise(0L)).as("n_state_purged"),
-      sum(when(!flagged, rowHash).otherwise(lit(0).cast("decimal(38,0)")))
+      (sum(when(!flagged, rowHash).otherwise(lit(0).cast("decimal(38,0)")))
+        % lit(9007199254740881L)).cast("long")
         .as("retained_checksum"))
     ev.join(st, "tbl").orderBy("tbl")
   }
@@ -248,8 +254,9 @@ object Scrub {
        |st AS (
        |  SELECT tbl, count(*) AS n_state_rows,
        |         CAST(sum(CASE WHEN pk % 131 = 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_state_purged,
-       |         sum(CASE WHEN pk % 131 = 17 THEN CAST(0 AS DECIMAL(38,0))
-       |                  ELSE CAST($h AS DECIMAL(38,0)) END) AS retained_checksum
+       |         CAST(sum(CASE WHEN pk % 131 = 17 THEN CAST(0 AS DECIMAL(38,0))
+       |                  ELSE CAST($h AS DECIMAL(38,0)) END)
+       |              % 9007199254740881 AS BIGINT) AS retained_checksum
        |  FROM state GROUP BY tbl)
        |SELECT e.tbl, e.n_events, e.n_events_redacted,
        |       s.n_state_rows, s.n_state_purged, s.retained_checksum
