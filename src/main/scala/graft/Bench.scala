@@ -59,7 +59,14 @@ object Bench {
       t
     }.min
     val eps = (nEvents / applySec).round
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"apply_events_per_sec":$eps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"apply_events_per_sec":$eps,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line has been tail-truncated in driver logs three rounds
+    // running — persist the full per-query map to a file as well
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

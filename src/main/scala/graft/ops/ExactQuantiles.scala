@@ -43,6 +43,16 @@ object ExactQuantiles {
 
   private val defaultBuckets = 1024
 
+  /** Hard bound on |groups|: the driver holds |groups|·buckets histogram
+    * COUNTERS (pass 2), so the contract is low-cardinality groupings only
+    * (event types, doc sources, release gates) — at 4096 groups × 1024
+    * buckets that is 4M counters, the sensible ceiling for driver heap.
+    * Pointing this at a per-user/per-key grouping is a design error; the
+    * bounded-memory alternative there is the mergeable sketch path
+    * ([[Sketches]] / `qualityGateSketch`), which keeps state on executors.
+    */
+  val maxGroups = 4096
+
   /** Core selection. Returns the (group, rank_idx, v) frame of exact
     * order statistics plus the per-group non-null counts the rank
     * specs were derived from (so callers assemble without re-scanning).
@@ -55,6 +65,16 @@ object ExactQuantiles {
     val vals = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
+    // cardinality guard BEFORE any driver-side collect: a limit-probe
+    // (partial-distinct + CollectLimit) costs one cheap scan and returns
+    // at most maxGroups+1 rows regardless of the true cardinality
+    val probe = vals.select(col("g")).distinct().limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"ExactQuantiles: grouping '$groupCol' has more than $maxGroups distinct " +
+        s"groups — the two-pass exact selection holds |groups|*$buckets histogram " +
+        "counters on the driver and is for low-cardinality groupings only. For " +
+        "high-cardinality keys use the mergeable sketch path (graft.ops.Sketches / " +
+        "qualityGateSketch), which keeps quantile state on the executors.")
     // pass 1: per-group bounds + count (bounded |groups| collect)
     val stats = vals.groupBy(col("g"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(col("v")).as("n"))

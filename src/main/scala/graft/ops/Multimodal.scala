@@ -597,7 +597,7 @@ object Multimodal {
   def sampleFrames(payloads: DataFrame, step: Int, maxFrames: Int): DataFrame =
     payloads.select(col("doc_id"),
       // empty payloads must short-circuit: sequence(0, -1) would emit a
-      // DESCENDING [0, -1] (the CLAUDE.md pitfall) and fabricate frames
+      // DESCENDING [0, -1] (the build-notes pitfall) and fabricate frames
       when(length(col("payload")) === 0, array().cast("array<string>"))
         .otherwise(slice(
           transform(

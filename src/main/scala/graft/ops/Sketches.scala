@@ -546,7 +546,7 @@ object Sketches {
   private val hllAlphaM2: Double = 0.7213 / (1 + 1.079 / HllM) * HllM * HllM
 
   /** ln-derived literals precomputed in Scala (JVM and libm ln differ in
-    * the last ulp — CLAUDE.md): linear-counting corrections m·ln(m/V)
+    * the last ulp — build notes): linear-counting corrections m·ln(m/V)
     * for V = 1..m, embedded verbatim in both engines.
     */
   private val hllLnTable: Seq[Double] =

@@ -48,7 +48,7 @@ object TimeSeries {
       .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
         count(lit(1)).cast("double")).as("x"))
       // micro-unit quantization: round BEFORE the long cast (Spark
-      // truncates double→long where DuckDB rounds — CLAUDE.md pitfall)
+      // truncates double→long where DuckDB rounds — build-notes pitfall)
       .withColumn("xq", round(col("x") * lit(1e6), 0).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("hb"))).cast("long"))

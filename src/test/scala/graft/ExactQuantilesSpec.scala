@@ -71,6 +71,19 @@ class ExactQuantilesSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches()
   }
 
+  test("group-cardinality guard: high-cardinality groupings fail fast, naming the sketch path") {
+    // one group per row, past the maxGroups ceiling — must fail BEFORE
+    // any |groups|-sized driver collect, with a message that routes the
+    // caller to the executor-side sketch alternative
+    val wide = spark.range(ExactQuantiles.maxGroups + 1)
+      .selectExpr("CAST(id AS STRING) AS g", "CAST(id AS DOUBLE) AS v")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.valuesAtRanks(wide, "g", "v", _ => Seq(0L))
+    }
+    assert(e.getMessage.contains("low-cardinality"), e.getMessage)
+    assert(e.getMessage.contains("Sketches"), e.getMessage)
+  }
+
   test("deciles: groups smaller than 10 emit only the populated tiles") {
     val df = Seq(("g", 3.0), ("g", 1.0), ("g", 2.0)).toDF("event_type", "value")
       .withColumn("event_id", col("value").cast("long"))
