@@ -147,6 +147,25 @@ object SparkEntry {
       path
     })
 
+  /** A streaming-novelty run with an AGGRESSIVE compaction cadence
+    * (every batch, one file per bucket), built once per process per
+    * sfDir; `dedup_index_maintenance` audits the resulting index content
+    * against the oracle's from-documents rebuild. Aggressive on purpose:
+    * every bucket is rewritten at least once, so a maintenance defect
+    * (lost/duplicated band rows) cannot hide in an untouched bucket.
+    */
+  private val compactedIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def compactedNoveltyIndex(s: SparkSession, dir: String): String =
+    compactedIdxCache.getOrElseUpdate(dir, {
+      val tmp = scratchDir("graft_snovc")
+      val chunks = chunkedDocs(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      Dedup.streamingNovelty(s, chunks, schema,
+        s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", 0.5,
+        compactEvery = 1, maxFilesPerBucket = 1)
+      s"$tmp/index"
+    })
+
   private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def replayedChunks(s: SparkSession, dir: String): String =
     replayCache.getOrElseUpdate(dir, {
@@ -1182,7 +1201,8 @@ object SparkEntry {
 
     // Streaming first-occurrence novelty: each micro-batch probed
     // against the persisted signature index, then appended to it —
-    // continuous dedup with index maintenance in the loop
+    // continuous dedup with index maintenance (bucket compaction every
+    // 2 batches) in the loop
     "dedup_stream_novelty" -> ((s, dir) => {
       val tmp = scratchDir("graft_snov")
       val chunks = chunkedDocs(s, dir)
@@ -1191,6 +1211,14 @@ object SparkEntry {
         s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", 0.5)
       s.read.parquet(s"$tmp/out").orderBy("doc_id")
     }),
+
+    // Post-maintenance index integrity: after a streaming-novelty run
+    // whose compaction rider rewrote every over-threshold bucket, the
+    // index content must still equal the corpus's band rows exactly —
+    // per-bucket counts + order-independent checksum vs the oracle's
+    // from-documents rebuild
+    "dedup_index_maintenance" -> ((s, dir) =>
+      Dedup.indexContentAudit(s, compactedNoveltyIndex(s, dir))),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -1988,6 +2016,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalLshSql(0.5),
     "dedup_index_probe" -> Dedup.incrementalLshSql(0.5),
     "dedup_stream_novelty" -> Dedup.streamingNoveltySql(0.5),
+    "dedup_index_maintenance" -> Dedup.indexContentAuditSql,
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

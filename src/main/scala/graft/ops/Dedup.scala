@@ -1085,6 +1085,66 @@ object Dedup {
       .orderBy("new_id", "dup_of")
   }
 
+  /** Per-bucket parquet data-file counts of a persisted index — the
+    * observable the compaction contract bounds (spec + maintenance
+    * audits read it; hidden/_SUCCESS/crc files excluded).
+    */
+  def lshIndexFileCounts(path: String): Map[Int, Int] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) Map.empty
+    else Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(d => d.getName.stripPrefix("bucket=").toInt ->
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".parquet")))
+      .toMap
+  }
+
+  /** Compact index buckets whose data-file count exceeds
+    * `maxFilesPerBucket` down to ONE file each — the maintenance pass
+    * that keeps a continuously-appended index readable: without it the
+    * bucket directories accrete `batches × buckets` sliver files and
+    * directory listing becomes the probe bottleneck within days at a
+    * seconds-cadence ingest. Only over-threshold buckets are rewritten
+    * (cold buckets are never touched), so the pass costs one scan of the
+    * hot buckets' signatures, not the index. Returns the
+    * (bucket, filesBefore) pairs it compacted.
+    *
+    * The rewrite goes through a sibling temp dir and a per-bucket
+    * directory swap rather than a dynamic-partition overwrite: the
+    * source and destination are the same path, which Spark's insert
+    * path (rightly) refuses. On a real deployment this swap is the
+    * transactional commit a table format (Iceberg/Delta rewrite-files)
+    * provides; the device — rewrite only over-threshold buckets, swap
+    * atomically per bucket, readers keep a consistent view — is the same.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerBucket: Int): Seq[(Int, Int)] = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1: $maxFilesPerBucket")
+    val over = lshIndexFileCounts(path).filter(_._2 > maxFilesPerBucket).toSeq.sorted
+    if (over.nonEmpty) {
+      val tmp = path + ".compact"
+      val buckets = over.map(_._1)
+      spark.read.parquet(path)
+        .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+        // one partition per bucket → exactly one data file per bucket dir
+        .repartition(buckets.size, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      buckets.foreach { b =>
+        val dst = new java.io.File(s"$path/bucket=$b")
+        Option(dst.listFiles()).foreach(_.foreach(_.delete()))
+        dst.delete()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$tmp/bucket=$b"), dst.toPath)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+    over
+  }
+
   /** Streaming first-occurrence novelty filter — continuous dedup as a
     * real stream: each micro-batch of documents is checked against the
     * PERSISTED bucket-partitioned signature index (all previously
@@ -1103,16 +1163,21 @@ object Dedup {
     * set collected, the same probe device as [[lshIndexProbe]]); the
     * batch side broadcasts; the append writes only batch-sized band
     * rows into their bucket directories. Index growth is corpus-linear
-    * in SIGNATURES (≈132 B/doc), not text.
+    * in SIGNATURES (≈132 B/doc), not text — and index FILE count is
+    * bounded too: every `compactEvery` batches the [[compactLshIndex]]
+    * rider rewrites buckets holding more than `maxFilesPerBucket` data
+    * files down to one, so the probe's directory listing stays O(buckets)
+    * under continuous operation instead of O(batches × buckets).
     */
   def streamingNovelty(spark: org.apache.spark.sql.SparkSession, chunks: String,
                        schema: org.apache.spark.sql.types.StructType,
                        indexPath: String, outPath: String, checkpoint: String,
-                       threshold: Double): Unit = {
+                       threshold: Double, compactEvery: Int = 2,
+                       maxFilesPerBucket: Int = 2): Unit = {
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(chunks).select(col("doc_id"), col("text"))
     val q = stream.writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // one-file micro-batches arrive as ONE partition; the shingle
         // explode behind minhashSignatures would run single-threaded
@@ -1157,11 +1222,56 @@ object Dedup {
         bandsB.repartition(indexBuckets, col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(indexPath)
         bandsB.unpersist(); sigB.unpersist(); docs.unpersist()
+        // maintenance rider: bound the index's per-bucket file count so
+        // continuous appends can't turn directory listing into the probe
+        // bottleneck (runs between batches — no reader is mid-scan)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactLshIndex(s, indexPath, maxFilesPerBucket)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Post-maintenance content audit of a persisted signature index:
+    * per bucket, row/doc counts and an order-independent checksum over
+    * (doc_id, band, bh). Read after a compacted [[streamingNovelty]]
+    * run, it proves the compaction rider rewrote files without losing,
+    * duplicating or corrupting a single band row — the oracle rebuilds
+    * the same summary from `documents` alone (signatures, band hashes
+    * and bucket assignment are all [[graft.functions.PortableHash]]-
+    * portable), so any maintenance defect breaks the match.
+    */
+  def indexContentAudit(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bucket").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        (sum(PortableHash.tokenHash(
+            concat_ws("|", col("doc_id"), col("band"), col("bh")))
+          .cast("decimal(38,0)")) % lit(9007199254740881L)).cast("long")
+          .as("content_checksum"))
+      .orderBy("bucket")
+
+  /** Oracle SQL for [[indexContentAudit]] over a compacted streaming-
+    * novelty index: the full corpus's band rows, bucket-assigned the
+    * same way the writer does.
+    */
+  def indexContentAuditSql: String = {
+    val rowH = PortableHash.tokenHashSql("concat_ws('|', doc_id, band, bh)")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |$sigSql,
+       |$bandsSql,
+       |idx AS (
+       |  SELECT doc_id, band, bh,
+       |         ${PortableHash.tokenHashSql("bh")} % $indexBuckets AS bucket
+       |  FROM bands)
+       |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       CAST(sum(CAST($rowH AS DECIMAL(38,0))) % 9007199254740881 AS BIGINT)
+       |         AS content_checksum
+       |FROM idx GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
   /** Oracle for [[streamingNovelty]]: with doc-id-ordered ingestion,

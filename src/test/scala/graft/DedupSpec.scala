@@ -361,4 +361,46 @@ class DedupSpec extends SparkSpec {
       ops.Caches.releaseCaches()
     }
   }
+
+  test("novelty-index compaction: per-bucket file count stays bounded, results and content unchanged") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // 6 doc-id-ordered chunk files → 6 micro-batches
+    val root = Scratch.dir("graft-compact-spec")
+    val chunks = s"$root/chunks"
+    new java.io.File(chunks).mkdirs()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val ranked = docs.withColumn("rn", row_number().over(w)).persist()
+    val n = ranked.count(); val per = (n + 5) / 6
+    (0 until 6).foreach { i =>
+      ranked.filter(col("rn") > i * per && col("rn") <= (i + 1) * per).drop("rn")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+      val part = new java.io.File(s"$root/tmp$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$chunks/chunk_$i.parquet"))
+    }
+    ranked.unpersist()
+    val schema = spark.read.parquet(chunks).schema
+    def run(tag: String, every: Int, maxFiles: Int): (Seq[String], Map[Int, Int], Seq[String]) = {
+      val d = s"$root/$tag"
+      Dedup.streamingNovelty(spark, chunks, schema,
+        s"$d/index", s"$d/out", s"$d/ckpt", 0.5, every, maxFiles)
+      (spark.read.parquet(s"$d/out").orderBy("doc_id").collect().map(_.toString).toSeq,
+        Dedup.lshIndexFileCounts(s"$d/index"),
+        Dedup.indexContentAudit(spark, s"$d/index").collect().map(_.toString).toSeq)
+    }
+    val (outPlain, filesPlain, contentPlain) = run("plain", 0, 1)
+    val (outComp, filesComp, contentComp) = run("compacted", 2, 2)
+    // without maintenance the hot buckets accrete ~one file per batch...
+    assert(filesPlain.values.max > 2, s"fixture too small to exercise accretion: $filesPlain")
+    // ...with the rider every bucket stays within the bound (last
+    // compaction fires on batch 6, so nothing accretes past it)
+    assert(filesComp.values.forall(_ <= 2), s"bucket file counts exceed bound: $filesComp")
+    // and maintenance is invisible to the operator's semantics: same
+    // novelty verdicts, bit-identical index content
+    assert(outComp == outPlain)
+    assert(contentComp == contentPlain)
+  }
 }
