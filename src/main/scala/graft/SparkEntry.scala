@@ -47,11 +47,16 @@ object SparkEntry {
     Normalizer.normalize(t(s, dir, "events"))
 
   /** Columns (recursively, dotted paths) whose type is a DECIMAL wider
-    * than 18 digits. Dump schemas must never expose one: a value past
-    * float64's 53-bit mantissa renders differently across parquet
-    * readers while being numerically equal, so the gate's hash
-    * canonicalization diverges. Wide sums stay internal — export
-    * `sum % 9007199254740881` (prime < 2^53) cast to BIGINT instead.
+    * than 18 digits. Dump schemas must never expose one: the real
+    * boundary is parquet's physical encoding — DECIMAL(p<=18) is
+    * INT64-backed and decodes identically in every reader, while wider
+    * decimals go through FIXED_LEN_BYTE_ARRAY and the gate's readers
+    * have rendered those differently for numerically-equal values. So
+    * the threshold is exactly 18 (do not "tighten" it to float64's ~16
+    * digits — sub-19-digit decimals are safe, it's the physical type
+    * that matters). Wide sums stay internal — export
+    * `sum % 9007199254740881` (prime < 2^53, so even a DOUBLE-path
+    * reader holds it exactly) cast to BIGINT instead.
     * Enforced by [[Verify]] at dump time and by SchemaInvariantSpec.
     */
   def wideDecimalColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {

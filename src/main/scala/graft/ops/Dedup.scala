@@ -1121,6 +1121,9 @@ object Dedup {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerBucket: Int): Seq[(Int, Int)] = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1: $maxFilesPerBucket")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
     val over = lshIndexFileCounts(path).filter(_._2 > maxFilesPerBucket).toSeq.sorted
     if (over.nonEmpty) {
       val tmp = path + ".compact"
@@ -1131,15 +1134,20 @@ object Dedup {
         .repartition(buckets.size, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       buckets.foreach { b =>
-        val dst = new java.io.File(s"$path/bucket=$b")
-        Option(dst.listFiles()).foreach(_.foreach(_.delete()))
-        dst.delete()
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(s"$tmp/bucket=$b"), dst.toPath)
+        // Crash-safe ordering: rename the live bucket ASIDE (outside the
+        // index path, so partition discovery never sees it), move the
+        // compacted dir into place, delete the aside copy LAST — a
+        // failure at any step leaves either the old or the new bucket
+        // intact on disk (never neither), so an interrupted compaction
+        // is recoverable without replaying already-committed batches.
+        val dst = java.nio.file.Paths.get(s"$path/bucket=$b")
+        val old = java.nio.file.Paths.get(s"$tmp.aside/bucket=$b")
+        java.nio.file.Files.createDirectories(old.getParent)
+        java.nio.file.Files.move(dst, old)
+        java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/bucket=$b"), dst)
+        rm(old.toFile)
       }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
+      rm(new java.io.File(s"$tmp.aside"))
       rm(new java.io.File(tmp))
     }
     over

@@ -133,8 +133,9 @@ class EdgeCaseSpec extends SparkSpec {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       BigInt(hex.take(15), 16)
     }
-    val expected = h("1|10|267") + h("2|11|12")
-    assert(BigInt(row.getAs[java.math.BigDecimal]("retained_checksum").toBigInteger) == expected)
+    // retained_checksum exports mod a sub-2^53 prime (round-8 change) as BIGINT
+    val expected = ((h("1|10|267") + h("2|11|12")) % BigInt(9007199254740881L)).toLong
+    assert(row.getAs[Long]("retained_checksum") == expected)
     assert(row.getAs[Long]("n_state_purged") == 1L)
     assert(row.getAs[Long]("n_events_redacted") == 1L)
   }

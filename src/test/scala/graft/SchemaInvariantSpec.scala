@@ -27,5 +27,11 @@ class SchemaInvariantSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracleSql entries without a query: ${(o -- q).mkString(", ")}")
+    // Symmetric: a registered query with no oracle ships un-compared. There
+    // are no intentionally oracle-less queries today; add to this allowlist
+    // only with a written reason.
+    val exemptFromOracle = Set.empty[String]
+    val ungated = q -- o -- exemptFromOracle
+    assert(ungated.isEmpty, s"queries without an oracleSql entry: ${ungated.mkString(", ")}")
   }
 }
