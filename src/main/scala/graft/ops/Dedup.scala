@@ -420,22 +420,8 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // (count, hash-sum) signature of an edge set, observed for free on the
-    // checkpoint job: inequality PROVES the round changed something, so the
-    // exact set-equality job runs only when the signature repeats — once,
-    // at the actual fixpoint, instead of every round. DECIMAL sum keeps the
-    // aggregate exact and overflow-free under ANSI mode.
-    def edgeObs(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
-      df.observe(obs, count(lit(1)).as("n"),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("hs"))
-    def readObs(obs: org.apache.spark.sql.Observation): Option[(Long, String)] =
-      scala.util.Try(scala.concurrent.Await.result(
-          obs.future, scala.concurrent.duration.Duration(30, "seconds"))).toOption
-        .map(r => (r.getAs[Long]("n"), String.valueOf(r.getAs[Any]("hs"))))
-    val obs0 = org.apache.spark.sql.Observation()
-    var edges = durable(edgeObs(canon(
-      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))), obs0))
-    var prevSig = readObs(obs0)
+    var edges = durable(canon(
+      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))))
     var converged = false
     var rounds = 0
     val cadence = new RoundDurability
@@ -445,29 +431,32 @@ object Dedup {
         .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("nv"))
         .select(col("u"), least(col("u"), col("nv")).as("m"))
-      val large = canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("x"), col("m").as("y")))
-      // small-star over the large-star output: key at the larger endpoint
-      // (strictly larger — canon removed self-loops), re-point everything
-      // in that neighborhood, the key included, at its minimum
-      val dir = large.select(col("b").as("u"), col("a").as("v"))
+      // large-star output feeds small-star DIRECTLY, already keyed at the
+      // larger endpoint: m = least(u, min-neighbor) ≤ u < v, so every row
+      // is (bigger=v, smaller=m) with no self-loops by construction — the
+      // intermediate canon/distinct (a full |E| shuffle per round) buys
+      // nothing the small-star min-agg and the round-end distinct don't
+      // already guarantee (duplicate (v,m) rows collapse in both)
+      val dir = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: key at the larger endpoint, re-point everything in
+      // that neighborhood, the key included, at its minimum
       val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = cadence.round(edgeObs(canon(
+      val next = cadence.round(canon(
         dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
-          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))), obs))
-      val sig = readObs(obs)
-      // a changed signature proves non-convergence with no extra job; a
-      // repeated one (or an unavailable metric) falls through to the exact
-      // check: both sides are distinct, so "every pair occurs exactly
-      // twice in the union" is set equality in ONE aggregate job
-      val maybeEqual = (prevSig, sig) match {
-        case (Some(a), Some(b)) => a == b
-        case _                  => true
-      }
-      converged = maybeEqual && next.unionAll(edges).groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty
-      prevSig = sig
+          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))))
+      // Fixpoint WITHOUT a confirming round: the round output is
+      // round-invariant iff it is a disjoint union of min-centered stars,
+      // i.e. no node appears as both a center (a) and a member (b) —
+      // large-star and small-star each map exactly such sets to
+      // themselves (for a star (c, m_i): every neighborhood min is c, so
+      // both phases re-emit the same edges), and the algorithm's fixpoints
+      // are exactly star sets (Kiveris et al. §3). One semi-join over the
+      // round's CACHED output decides it — replacing the previous
+      // signature-compare + set-equality machinery AND the extra
+      // confirming round every graph used to pay (rounds+1 → rounds).
+      converged = next.as("l")
+        .join(next.as("r"), col("l.a") === col("r.b"), "left_semi").isEmpty
       edges = next
       rounds += 1
     }
@@ -475,12 +464,16 @@ object Dedup {
     require(converged,
       s"large-star/small-star hit the maxRounds=$maxRounds circuit-breaker " +
         "(rounds grow ~log(n); raise maxRounds only for astronomically deep graphs)")
-    // fixpoint edges are (center=min, member) stars; centers label themselves
-    val labels = edges.select(col("b").as("id"), col("a").as("label"))
-      .unionAll(edges.select(col("a"), col("a")).distinct().toDF("id", "label"))
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster"), col("cluster_size"))
+    // fixpoint edges are (center=min, member) stars, distinct — each
+    // non-center member appears exactly once as b, so one groupBy(a)
+    // yields both the center list and the sizes (members + the center
+    // itself) in a single pass; the per-center edge count shuffles by a,
+    // and the members' join reuses that same partitioning (ReusedExchange)
+    val sizes = edges.groupBy(col("a")).agg((count(lit(1)) + lit(1L)).as("cluster_size"))
+    val out = edges.select(col("b").as("doc_id"), col("a").as("cluster"))
+      .join(sizes, col("cluster") === sizes("a")).drop("a")
+      .unionAll(sizes.select(col("a").as("doc_id"), col("a").as("cluster"),
+        col("cluster_size")))
       .orderBy("doc_id")
     (out, rounds)
   }
