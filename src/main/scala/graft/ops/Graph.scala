@@ -56,10 +56,13 @@ object Graph {
     val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
     val n = nodes.count() // scalar probe: |V|, the teleport denominator
     if (n == 0L) // edgeless input (no order holds two distinct parts)
-      return nodes.select(col("node"), lit(0L).as("rank_e12"), lit(0.0).as("share"))
+      return nodes.select(col("node"), lit(0L).as("rank_e12"), lit(0.0).as("share"),
+        lit(0L).as("l1_delta_e12"))
     val tele = (Scale * 15L) / (100L * n)
     var rank = nodes.withColumn("rank", lit(Scale / n))
+    var prev = rank
     for (_ <- 1 to iterations) {
+      prev = rank
       val contrib = e.join(rank, col("src") === col("node"))
         .select(col("dst"), expr("CAST((rank * w) DIV out_w AS BIGINT)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -68,11 +71,20 @@ object Graph {
           (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank"))
         .persist())
     }
+    // convergence audit riding the loop's own cached frames: the final
+    // round's L1 delta Σ|r_k − r_{k−1}| in exact picoranks (≤ 2·Scale,
+    // so BIGINT with no float on either engine) — the number an operator
+    // checks before trusting a fixed-iteration run
+    val l1 = rank.select(col("node"), col("rank"))
+      .join(prev.select(col("node"), col("rank").as("prev_rank")), "node")
+      .agg(sum(abs(col("rank") - col("prev_rank"))).as("l1_delta_e12"))
     // share left UNROUNDED: rank < 2^53 converts to double exactly and
     // the division by 1e12 is correctly rounded in both engines, so the
     // doubles are bit-identical — rounding would only add a boundary
-    rank.select(col("node"), col("rank").as("rank_e12"),
-        (col("rank").cast("double") / lit(Scale.toDouble)).as("share"))
+    rank.crossJoin(broadcast(l1))
+      .select(col("node"), col("rank").as("rank_e12"),
+        (col("rank").cast("double") / lit(Scale.toDouble)).as("share"),
+        col("l1_delta_e12"))
       .orderBy("node")
   }
 
@@ -469,10 +481,14 @@ object Graph {
        |nodes AS (SELECT DISTINCT src AS node FROM ed),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes, nn),
-       |$steps
+       |$steps,
+       |l1 AS (
+       |  SELECT CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS l1_delta_e12
+       |  FROM r$iterations a JOIN r${iterations - 1} b ON a.node = b.node)
        |SELECT node, rank AS rank_e12,
-       |       CAST(rank AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS share
-       |FROM r$iterations ORDER BY node""".stripMargin
+       |       CAST(rank AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS share,
+       |       l1.l1_delta_e12
+       |FROM r$iterations, l1 ORDER BY node""".stripMargin
   }
 
   /** Degree assortativity of the co-purchase graph: the Pearson

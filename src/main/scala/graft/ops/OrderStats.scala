@@ -215,9 +215,16 @@ object OrderStats {
     * a map-only comparison and the rollup a partial-agged groupBy on
     * ≤ 64 segment codes.
     *
-    * Parity: metrics are integral (days, counts) or DECIMAL-summed;
-    * quartiles are 4-dp-rounded interpolations of identical doubles;
-    * scores are integer sums of comparisons.
+    * Parity: metrics are held as exact integers (days, counts, cents)
+    * and the quartile comparisons run in BIGINT on both engines — the
+    * cross-multiplied fixed-point device. An interpolated quartile
+    * q = v_lo + (v_hi − v_lo)·(fq/4) never exists as a double:
+    * m > q  ⇔  4m > (4−fq)·v_lo + fq·v_hi, with v_lo/v_hi the order
+    * statistics straddling rank p·(n−1) and fq ∈ {0..3} the rank's
+    * fractional quarter — so the tie class (a metric landing exactly on
+    * a rounded cut, where two engines' last-ulp interpolation could
+    * disagree) is closed by construction. Monetary cents stay exact
+    * below 2^51 cents per customer (~$22T) — far past any fixture.
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val day = expr("unix_micros(o_orderdate) div 86400000000")
@@ -225,33 +232,40 @@ object OrderStats {
     val cust = Caches.tracked(orders
       .groupBy(col("o_custkey"))
       .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("monetary"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mon_dec"))
       .crossJoin(broadcast(maxDay))
-      .withColumn("rec", (col("max_day") - col("last_day")).cast("double"))
-      .withColumn("g", lit("all"))
+      .withColumn("rec_l", col("max_day") - col("last_day"))
+      .withColumn("rec", col("rec_l").cast("double"))
+      .withColumn("monetary", col("mon_dec").cast("double"))
+      // DECIMAL cents → BIGINT without a double round-trip (fraction .00)
+      .withColumn("mon_c", (col("mon_dec") * lit(100)).cast("long"))
       .persist())
-    val qs = Seq(("q1", 0.25), ("q2", 0.5), ("q3", 0.75))
     // ONE two-pass selection over the unpivoted (metric, value) frame
-    // computes all nine cut points (three sequential percentiles() calls
-    // tripled the pass count: 6.7 s → ~2 s at sf0.1)
+    // reads all straddling order statistics (three sequential
+    // percentiles() calls tripled the pass count: 6.7 s → ~2 s at sf0.1)
     val melted = cust.select(
-      expr("stack(3, 'rec', rec, 'freq', CAST(freq AS DOUBLE), 'mon', monetary) AS (g, v)"))
-    val qrows = ExactQuantiles.percentiles(melted, "g", "v", qs)
-    def cutsOf(metric: String, pfx: String) = Seq(
-      max(when(col("g") === metric, col("q1"))).as(s"${pfx}1"),
-      max(when(col("g") === metric, col("q2"))).as(s"${pfx}2"),
-      max(when(col("g") === metric, col("q3"))).as(s"${pfx}3"))
-    val allCuts = cutsOf("rec", "r") ++ cutsOf("freq", "f") ++ cutsOf("mon", "m")
-    val cuts = broadcast(qrows.agg(allCuts.head, allCuts.tail: _*))
-    def scoreUp(m: Column, c1: Column, c2: Column, c3: Column): Column =
-      lit(1L) + when(m > c1, 1L).otherwise(0L) +
-        when(m > c2, 1L).otherwise(0L) + when(m > c3, 1L).otherwise(0L)
+      expr("stack(3, 'rec', rec_l, 'freq', freq, 'mon', mon_c) AS (g, v)"))
+    def quartileRanks(n: Long): Seq[Long] = (1 to 3).flatMap { i =>
+      val r = i.toLong * (n - 1); Seq(r / 4, (r + 3) / 4)
+    }
+    val ar = ExactQuantiles.valuesAtRanks(melted, "g", "v", quartileRanks)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2).toLong).toMap
+    val n = cust.count()
+    // quarter-unit threshold: m > q_i ⇔ 4m > (4−fq)·v_lo + fq·v_hi
+    def thresh(metric: String, i: Int): Long =
+      if (ar.isEmpty) 0L
+      else {
+        val r = i.toLong * (n - 1); val fq = r % 4
+        (4 - fq) * ar((metric, r / 4)) + fq * ar((metric, (r + 3) / 4))
+      }
+    def scoreUp(scaled: Column, metric: String): Column =
+      lit(1L) + (1 to 3).map(i =>
+        when(scaled * 4 > thresh(metric, i), 1L).otherwise(0L)).reduce(_ + _)
     val scored = cust
-      .crossJoin(cuts)
       .select(col("o_custkey"), col("rec"), col("monetary"),
-        (lit(5L) - scoreUp(col("rec"), col("r1"), col("r2"), col("r3"))).as("r_score"),
-        scoreUp(col("freq").cast("double"), col("f1"), col("f2"), col("f3")).as("f_score"),
-        scoreUp(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"))
+        (lit(5L) - scoreUp(col("rec_l"), "rec")).as("r_score"),
+        scoreUp(col("freq"), "freq").as("f_score"),
+        scoreUp(col("mon_c"), "mon").as("m_score"))
     scored
       .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_segment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -267,35 +281,53 @@ object OrderStats {
       |  SELECT o_custkey,
       |         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
       |         count(*) AS freq,
-      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon_c
       |  FROM orders GROUP BY o_custkey),
       |mx AS (SELECT max(last_day) AS max_day FROM cust),
       |m AS (
-      |  SELECT c.o_custkey, CAST(mx.max_day - c.last_day AS DOUBLE) AS rec,
-      |         c.freq, c.monetary
+      |  SELECT c.o_custkey, mx.max_day - c.last_day AS rec_l,
+      |         CAST(mx.max_day - c.last_day AS DOUBLE) AS rec,
+      |         c.freq, c.monetary, c.mon_c
       |  FROM cust c, mx),
+      |melted AS (
+      |  SELECT 'rec' AS g, rec_l AS v FROM m
+      |  UNION ALL SELECT 'freq', freq FROM m
+      |  UNION ALL SELECT 'mon', mon_c FROM m),
+      |rk AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk
+      |  FROM melted),
+      |nn AS (SELECT count(*) AS n FROM m),
+      |cuts AS (
+      |  SELECT rk.g, qi.i,
+      |         (4 - (qi.i * (nn.n - 1)) % 4)
+      |           * max(CASE WHEN rk.rk = (qi.i * (nn.n - 1)) // 4 THEN rk.v END)
+      |       + ((qi.i * (nn.n - 1)) % 4)
+      |           * max(CASE WHEN rk.rk = (qi.i * (nn.n - 1) + 3) // 4 THEN rk.v END) AS a
+      |  FROM rk, nn, (SELECT unnest([1, 2, 3]) AS i) qi
+      |  GROUP BY rk.g, qi.i, nn.n),
       |q AS (
-      |  SELECT round(quantile_cont(rec, 0.25), 4) AS r1,
-      |         round(quantile_cont(rec, 0.5), 4) AS r2,
-      |         round(quantile_cont(rec, 0.75), 4) AS r3,
-      |         round(quantile_cont(CAST(freq AS DOUBLE), 0.25), 4) AS f1,
-      |         round(quantile_cont(CAST(freq AS DOUBLE), 0.5), 4) AS f2,
-      |         round(quantile_cont(CAST(freq AS DOUBLE), 0.75), 4) AS f3,
-      |         round(quantile_cont(monetary, 0.25), 4) AS m1,
-      |         round(quantile_cont(monetary, 0.5), 4) AS m2,
-      |         round(quantile_cont(monetary, 0.75), 4) AS m3
-      |  FROM m),
+      |  SELECT max(CASE WHEN g = 'rec' AND i = 1 THEN a END) AS r1,
+      |         max(CASE WHEN g = 'rec' AND i = 2 THEN a END) AS r2,
+      |         max(CASE WHEN g = 'rec' AND i = 3 THEN a END) AS r3,
+      |         max(CASE WHEN g = 'freq' AND i = 1 THEN a END) AS f1,
+      |         max(CASE WHEN g = 'freq' AND i = 2 THEN a END) AS f2,
+      |         max(CASE WHEN g = 'freq' AND i = 3 THEN a END) AS f3,
+      |         max(CASE WHEN g = 'mon' AND i = 1 THEN a END) AS m1,
+      |         max(CASE WHEN g = 'mon' AND i = 2 THEN a END) AS m2,
+      |         max(CASE WHEN g = 'mon' AND i = 3 THEN a END) AS m3
+      |  FROM cuts),
       |scored AS (
       |  SELECT m.o_custkey, m.rec, m.monetary,
-      |    5 - (1 + (CASE WHEN m.rec > q.r1 THEN 1 ELSE 0 END)
-      |           + (CASE WHEN m.rec > q.r2 THEN 1 ELSE 0 END)
-      |           + (CASE WHEN m.rec > q.r3 THEN 1 ELSE 0 END)) AS r_score,
-      |    1 + (CASE WHEN CAST(m.freq AS DOUBLE) > q.f1 THEN 1 ELSE 0 END)
-      |      + (CASE WHEN CAST(m.freq AS DOUBLE) > q.f2 THEN 1 ELSE 0 END)
-      |      + (CASE WHEN CAST(m.freq AS DOUBLE) > q.f3 THEN 1 ELSE 0 END) AS f_score,
-      |    1 + (CASE WHEN m.monetary > q.m1 THEN 1 ELSE 0 END)
-      |      + (CASE WHEN m.monetary > q.m2 THEN 1 ELSE 0 END)
-      |      + (CASE WHEN m.monetary > q.m3 THEN 1 ELSE 0 END) AS m_score
+      |    5 - (1 + (CASE WHEN m.rec_l * 4 > q.r1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN m.rec_l * 4 > q.r2 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN m.rec_l * 4 > q.r3 THEN 1 ELSE 0 END)) AS r_score,
+      |    1 + (CASE WHEN m.freq * 4 > q.f1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m.freq * 4 > q.f2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m.freq * 4 > q.f3 THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN m.mon_c * 4 > q.m1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m.mon_c * 4 > q.m2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m.mon_c * 4 > q.m3 THEN 1 ELSE 0 END) AS m_score
       |  FROM m, q)
       |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_segment,
       |       count(*) AS n_customers,

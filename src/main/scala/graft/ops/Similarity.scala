@@ -1052,13 +1052,13 @@ object Similarity {
          |  SELECT e.j, sum(e.xq * d.d) AS y
          |  FROM el e JOIN d$r d USING (vec_id) GROUP BY e.j),
          |s$r AS (
-         |  SELECT greatest(length(bin(CAST(max(abs(y)) AS BIGINT))) - 10, 0) AS s
+         |  SELECT greatest(length(bin(max(abs(y)))) - 10, 0) AS s
          |  FROM y$r),
          |w$r AS (
          |  SELECT y.j,
          |         CAST(CASE WHEN y.y < 0
-         |              THEN -((-y.y) // (CAST(1 AS BIGINT) << s.s))
-         |              ELSE y.y // (CAST(1 AS BIGINT) << s.s) END AS BIGINT) AS wq
+         |              THEN -((-y.y) // (CAST(1 AS HUGEINT) << s.s))
+         |              ELSE y.y // (CAST(1 AS HUGEINT) << s.s) END AS BIGINT) AS wq
          |  FROM y$r y, s$r s)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (

@@ -140,68 +140,81 @@ object TimeSeries {
     * Scale shape: `percentile` aggregates over the HOURLY frame — the
     * buffer is bounded by hours·types (720·5 here), not corpus size, so
     * the exact median is affordable at any SF (unlike the raw-value
-    * percentile audits, which pair with sketches). Parity: medians
-    * interpolate over identical doubles; |x−med| is exact IEEE; the
-    * 3·1.4826 threshold is one Scala-computed literal in both engines.
+    * percentile audits, which pair with sketches). Parity: hourly means
+    * are quantized to micro-units ONCE (the ewma/changepoint device);
+    * both medians are then midpoints of integers, held doubled
+    * (med2 = lo+hi, mad4 likewise) so they stay exact BIGINTs — no
+    * engine ever interpolates free doubles — and the 3·1.4826 outlier
+    * gate is the integer cross-multiply 10000·adev2 > 22239·mad4
+    * (k = 44478/10000 exactly). Only the display columns divide.
     */
   def madOutliers(events: DataFrame): DataFrame = {
-    val k = 3.0 * 1.4826
     val hourly = Caches.tracked(events
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hb"))
       .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
         count(lit(1)).cast("double")).as("x"))
+      .withColumn("xq", round(col("x") * lit(1e6), 0).cast("long"))
       .persist())
+    // 2·median of integers = lo+hi order stats — exact in the double the
+    // percentile interpolation returns, so the BIGINT cast is lossless
     val med = hourly.groupBy(col("event_type"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
+      .agg(expr("CAST(2 * percentile(xq, 0.5) AS BIGINT)").as("med2"))
     val dev = hourly.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("x") - col("med")))
+      .withColumn("adev2", abs(col("xq") * 2L - col("med2")))
     val mad = dev.groupBy(col("event_type"))
-      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"),
+      .agg(max(col("med2")).as("med2"),
+        expr("CAST(2 * percentile(adev2, 0.5) AS BIGINT)").as("mad4"),
         count(lit(1)).as("n_hours"))
-    dev.select(col("event_type"), col("hb"), col("adev"))
-      .join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+    dev.select(col("event_type"), col("hb"), col("adev2"))
+      .join(broadcast(mad.select(col("event_type"), col("mad4"))), "event_type")
       .groupBy(col("event_type"))
-      .agg(sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .agg(sum(when(col("adev2") * 10000L > lit(22239L) * col("mad4"), 1L)
+        .otherwise(0L)).as("n_outliers"))
       .join(mad, "event_type")
       .select(col("event_type"), col("n_hours"),
-        round(col("med"), 6).as("median_hourly"),
-        round(col("mad"), 6).as("mad"),
+        // + 0.0: a negative median rounding to exactly zero must not
+        // export -0.0 on one engine and +0.0 on the other
+        (round(col("med2").cast("double") / lit(2000000.0), 6) + lit(0.0))
+          .as("median_hourly"),
+        round(col("mad4").cast("double") / lit(4000000.0), 6).as("mad"),
         col("n_outliers"),
         round(col("n_outliers").cast("double") / col("n_hours").cast("double"), 6)
           .as("outlier_rate"))
       .orderBy("event_type")
   }
 
-  val madOutliersSql: String = {
-    val k = 3.0 * 1.4826
-    s"""WITH hourly AS (
-       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
-       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
-       |  FROM events GROUP BY 1, 2),
-       |med AS (
-       |  SELECT event_type, quantile_cont(x, 0.5) AS med FROM hourly GROUP BY event_type),
-       |dev AS (
-       |  SELECT h.event_type, h.hb, abs(h.x - m.med) AS adev, m.med
-       |  FROM hourly h JOIN med m USING (event_type)),
-       |mad AS (
-       |  SELECT event_type, max(med) AS med, quantile_cont(adev, 0.5) AS mad,
-       |         count(*) AS n_hours
-       |  FROM dev GROUP BY event_type),
-       |outl AS (
-       |  SELECT d.event_type,
-       |         CAST(sum(CASE WHEN d.adev > CAST('$k' AS DOUBLE) * m.mad
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-       |  FROM dev d JOIN mad m USING (event_type)
-       |  GROUP BY d.event_type)
-       |SELECT m.event_type, m.n_hours,
-       |       round(m.med, 6) AS median_hourly,
-       |       round(m.mad, 6) AS mad,
-       |       o.n_outliers,
-       |       round(CAST(o.n_outliers AS DOUBLE) / CAST(m.n_hours AS DOUBLE), 6) AS outlier_rate
-       |FROM mad m JOIN outl o USING (event_type)
-       |ORDER BY m.event_type""".stripMargin
-  }
+  val madOutliersSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, hb, CAST(round(x * 1e6, 0) AS BIGINT) AS xq FROM hourly),
+      |med AS (
+      |  SELECT event_type, CAST(2 * quantile_cont(xq, 0.5) AS BIGINT) AS med2
+      |  FROM q GROUP BY event_type),
+      |dev AS (
+      |  SELECT qq.event_type, qq.hb, abs(qq.xq * 2 - m.med2) AS adev2
+      |  FROM q qq JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT d.event_type, max(m.med2) AS med2,
+      |         CAST(2 * quantile_cont(d.adev2, 0.5) AS BIGINT) AS mad4,
+      |         count(*) AS n_hours
+      |  FROM dev d JOIN med m USING (event_type) GROUP BY d.event_type),
+      |outl AS (
+      |  SELECT d.event_type,
+      |         CAST(sum(CASE WHEN d.adev2 * 10000 > 22239 * m.mad4
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |  FROM dev d JOIN mad m USING (event_type)
+      |  GROUP BY d.event_type)
+      |SELECT m.event_type, m.n_hours,
+      |       round(CAST(m.med2 AS DOUBLE) / 2000000.0, 6) + 0.0 AS median_hourly,
+      |       round(CAST(m.mad4 AS DOUBLE) / 4000000.0, 6) AS mad,
+      |       o.n_outliers,
+      |       round(CAST(o.n_outliers AS DOUBLE) / CAST(m.n_hours AS DOUBLE), 6) AS outlier_rate
+      |FROM mad m JOIN outl o USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
 
   /** Binary change-point detection on the hourly mean series per event
     * type: the split hour minimizing SSE_left + SSE_right (the first

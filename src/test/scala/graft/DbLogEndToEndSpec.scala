@@ -159,4 +159,78 @@ class DbLogEndToEndSpec extends SparkSpec {
     assert(audit.nonEmpty && audit.forall(_.getAs[Boolean]("consistent")),
       "interleavedSnapshot audit flagged an inconsistent chunk on the live log")
   }
+
+  test("streaming consistent-cut: frontier exported per micro-batch is monotone and lands on the batch answer") {
+    val u = "jdbc:derby:memory:dblog_cut;create=true"
+    val c0 = DriverManager.getConnection(u)
+    c0.createStatement().execute("CREATE TABLE CHANGELOG (pos BIGINT PRIMARY KEY, " +
+      "tbl VARCHAR(8), pk BIGINT, op VARCHAR(1), value DOUBLE)")
+    c0.close()
+    def log(rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      val c = DriverManager.getConnection(u)
+      try {
+        val ps = c.prepareStatement("INSERT INTO CHANGELOG VALUES (?, ?, ?, ?, ?)")
+        rows.foreach { case (pos, tbl, pk, op, v) =>
+          ps.setLong(1, pos); ps.setString(2, tbl); ps.setLong(3, pk)
+          ps.setString(4, op); ps.setDouble(5, v); ps.executeUpdate()
+        }
+      } finally c.close()
+    }
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // two interleaved tables so the frontier is a real cross-table min,
+    // not just "latest position"
+    log(Seq((1L, "t0", 1L, "I", 1.0), (2L, "t1", 1L, "I", 10.0),
+      (3L, "t0", 2L, "I", 2.0), (4L, "t1", 2L, "I", 20.0)))
+    val buf = new scala.collection.concurrent.TrieMap[Long, (String, Long, String, Double)]()
+    // per-micro-batch frontier export: (frontier, per-table checksum rows)
+    val exports = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Map[String, Long])]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dblog_cut").toString
+    def cutOf(df: org.apache.spark.sql.DataFrame) =
+      cdc.ChangelogApply.consistentCut(df).collect()
+        .map(r => (r.getAs[String]("tbl"), r.getAs[Long]("frontier"),
+          r.getAs[Long]("state_checksum"))).toSeq
+    def bufDf = buf.toSeq.map { case (pos, (tbl, pk, op, v)) => (tbl, pk, op, ts, pos, v) }
+      .toDF("tbl", "pk", "op", "ts", "pos", "value")
+    val q = spark.readStream.format("graft-jdbc-cdc")
+      .option("url", u).option("table", "CHANGELOG").option("posColumn", "pos")
+      .option("maxPerBatch", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          buf.put(r.getAs[Long]("pos"), (r.getAs[String]("tbl"),
+            r.getAs[Long]("pk"), r.getAs[String]("op"), r.getAs[Double]("value"))); ()
+        }
+        // the frontier export INSIDE the apply loop — what a live deploy
+        // would publish to the warehouse after each micro-batch
+        val rows = cutOf(bufDf)
+        if (rows.nonEmpty)
+          exports.add((rows.head._2, rows.map(r => r._1 -> r._3).toMap)); ()
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      log(Seq((5L, "t0", 1L, "U", 1.5), (6L, "t1", 1L, "D", 0.0),
+        (7L, "t0", 3L, "I", 3.0)))
+      q.processAllAvailable()
+      log(Seq((8L, "t1", 3L, "I", 30.0), (9L, "t0", 2L, "D", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val seq = exports.toArray(Array.empty[(Long, Map[String, Long])]).toSeq
+    assert(seq.nonEmpty)
+    // frontiers never move backwards across micro-batches
+    assert(seq.map(_._1) == seq.map(_._1).sorted,
+      s"frontier regressed across batches: ${seq.map(_._1)}")
+    // the final in-loop export equals the one-shot batch answer computed
+    // from the DATABASE's own changelog — the stream reached the same
+    // consistent state the batch path sees
+    val dbLog = spark.read.format("jdbc").option("url", u)
+      .option("query", "SELECT pos, tbl, pk, op, value FROM CHANGELOG").load()
+      .select(col("tbl"), col("pk"), col("op"), lit(ts).as("ts"),
+        col("pos"), col("value"))
+    assert(seq.last._2 == cutOf(dbLog).map(r => r._1 -> r._3).toMap)
+    assert(buf.size == 9)
+  }
 }

@@ -140,6 +140,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(row.getAs[Long]("n_events_redacted") == 1L)
   }
 
+  test("rfm: a metric landing EXACTLY on a quartile cut scores below it (integer compare)") {
+    // four single-order customers, monetary 10 / 30 / 30 / 50; the
+    // interpolated median is (30+30)/2 = 30 — customers AT 30 must not
+    // count as above it, and the comparison is BIGINT cross-multiplied
+    // (4·cents vs (4−fq)·lo + fq·hi), so no rounding boundary exists
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val orders = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 50.0))
+      .map { case (ck, v) => (ck, ck, d, v) }
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val seg = graft.ops.OrderStats.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_customers")).toMap
+    // rec all 0, freq all 1 → r_score 4, f_score 1; m_score: cents cuts
+    // q1 = (1000+3·3000)/4, q2 = 3000, q3 = (3·3000+5000)/4 → scores
+    // 10→1, 30→2 (above q1, NOT above q2=itself), 50→4
+    assert(seg == Map(411L -> 1L, 412L -> 2L, 414L -> 1L))
+  }
+
+  test("mad outliers: a deviation exactly at 3·1.4826·MAD is NOT an outlier") {
+    // hourly means ±222.39, ±50, 0 → med 0, MAD 50; 222.39 = 4.4478·50
+    // lands exactly on the threshold (22239·mad4 == 10000·adev2): the
+    // strict integer compare must exclude it on both engines. Nudging one
+    // tail to 222.40 crosses the boundary and flags exactly that hour.
+    def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, h) =>
+      ("a", new java.sql.Timestamp(h * 3600L * 1000L), v)
+    }.toDF("event_type", "ts", "value")
+    val atBoundary = graft.ops.TimeSeries.madOutliers(
+      ev(Seq(-222.39, -50.0, 0.0, 50.0, 222.39))).collect()(0)
+    assert(atBoundary.getAs[Long]("n_outliers") == 0L)
+    assert(atBoundary.getAs[Double]("mad") == 50.0)
+    val pastBoundary = graft.ops.TimeSeries.madOutliers(
+      ev(Seq(-222.39, -50.0, 0.0, 50.0, 222.40))).collect()(0)
+    assert(pastBoundary.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("zscore over an all-NULL event type reports a NULL rate, not a crash or 0/0") {
     val df = Seq(("a", Option(5.0)), ("a", Option(7.0)), ("b", Option.empty[Double]),
       ("b", Option.empty[Double])).toDF("event_type", "value")
