@@ -528,7 +528,7 @@ object Dedup {
     * the cluster_size audit).
     */
   def canonicalDocs(corpus: DataFrame, threshold: Double): DataFrame =
-    canonicalDocsFrom(corpus, nearDupClusters(corpus, threshold))
+    canonicalDocsFrom(corpus, clustersFor(corpus, threshold))
 
   /** The CLUSTER FRAME each rider consumes, shared across a curation
     * session: the CC build is the expensive prefix (LSH pairing +
@@ -542,9 +542,15 @@ object Dedup {
     * [[Caches]] registry so the caller's eviction pass reclaims it.
     * Each rider query remains able to build clusters from scratch
     * (bench isolation stays honest — see the delegating overloads).
+    *
+    * The builder is the star-contraction variant: interchangeable output
+    * with [[nearDupClusters]] (same oracle, specced equal), diameter-
+    * robust at scale, and faster per build since its structural fixpoint
+    * test needs no confirming round. Min-label propagation remains as
+    * `dedup_clusters`' own query.
     */
   def clustersFor(corpus: DataFrame, threshold: Double): DataFrame =
-    Caches.tracked(nearDupClusters(corpus, threshold).persist())
+    Caches.tracked(nearDupClustersStars(corpus, threshold).persist())
 
   /** [[canonicalDocs]] over a precomputed cluster frame ([[clustersFor]]). */
   def canonicalDocsFrom(corpus: DataFrame, clustersIn: DataFrame): DataFrame = {
@@ -591,7 +597,7 @@ object Dedup {
     */
   def effectiveTokens(docs: DataFrame, threshold: Double): DataFrame = {
     val corpus = nearDupCorpus(docs)
-    effectiveTokensFrom(docs, corpus, nearDupClusters(corpus, threshold))
+    effectiveTokensFrom(docs, corpus, clustersFor(corpus, threshold))
   }
 
   /** [[effectiveTokens]] over a precomputed cluster frame ([[clustersFor]]). */
@@ -1905,7 +1911,7 @@ object Dedup {
   def leakageSafeSplit(docs: DataFrame, threshold: Double,
                        testPct: Int, valPct: Int): DataFrame = {
     val corpus = nearDupCorpus(docs)
-    leakageSafeSplitFrom(corpus, nearDupClusters(corpus, threshold), testPct, valPct)
+    leakageSafeSplitFrom(corpus, clustersFor(corpus, threshold), testPct, valPct)
   }
 
   /** Per-doc split assignment (doc_id, cluster, split) over a precomputed
