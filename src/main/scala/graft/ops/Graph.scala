@@ -71,20 +71,24 @@ object Graph {
           (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank"))
         .persist())
     }
-    // convergence audit riding the loop's own cached frames: the final
-    // round's L1 delta Σ|r_k − r_{k−1}| in exact picoranks (≤ 2·Scale,
-    // so BIGINT with no float on either engine) — the number an operator
-    // checks before trusting a fixed-iteration run
-    val l1 = rank.select(col("node"), col("rank"))
-      .join(prev.select(col("node"), col("rank").as("prev_rank")), "node")
-      .agg(sum(abs(col("rank") - col("prev_rank"))).as("l1_delta_e12"))
+    // convergence audit: the final round's L1 delta Σ|r_k − r_{k−1}| in
+    // exact picoranks (≤ 2·Scale, so BIGINT with no float on either
+    // engine) — the number an operator checks before trusting a
+    // fixed-iteration run. The l1 plan references prev both directly
+    // and through the last round, but both physical scans share one
+    // cachedRDD, so the lineage runs once (carrying prev_rank in-row
+    // instead was far worse: each round referencing its predecessor
+    // twice re-derived the doubled lazy lineage across all rounds —
+    // measured 27 s vs 8 s at sf0.1).
+    val l1 = rank.join(prev.select(col("node"), col("rank").as("prev_rank")), "node")
+      .agg(sum(abs(col("rank") - col("prev_rank"))).as("l1"))
+      .collect()(0).getLong(0)
     // share left UNROUNDED: rank < 2^53 converts to double exactly and
     // the division by 1e12 is correctly rounded in both engines, so the
     // doubles are bit-identical — rounding would only add a boundary
-    rank.crossJoin(broadcast(l1))
-      .select(col("node"), col("rank").as("rank_e12"),
+    rank.select(col("node"), col("rank").as("rank_e12"),
         (col("rank").cast("double") / lit(Scale.toDouble)).as("share"),
-        col("l1_delta_e12"))
+        lit(l1).as("l1_delta_e12"))
       .orderBy("node")
   }
 
