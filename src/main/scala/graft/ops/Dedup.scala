@@ -410,6 +410,12 @@ object Dedup {
   def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 32): DataFrame =
     connectedComponentsStarsWithRounds(pairs, maxRounds)._1
 
+  /** Rounds during which the star loop runs its structural fixpoint
+    * check unconditionally (shallow graphs — the near-dup case — detect
+    * convergence at the round that formed the stars); later rounds gate
+    * the check behind the free per-round signature. */
+  private val StarEarlyCheckRounds = 2
+
   /** [[connectedComponentsStars]] exposing the round count the loop took —
     * the number the O(log n) claim is specced against. */
   def connectedComponentsStarsWithRounds(
@@ -420,8 +426,22 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var edges = durable(canon(
-      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))))
+    // (count, hash-sum) signature of an edge set, observed for FREE on the
+    // round's materialization job: inequality vs the previous round proves
+    // the round changed something, so past the early rounds the structural
+    // fixpoint check below runs only when the signature repeats. DECIMAL
+    // sum keeps the aggregate exact and overflow-free under ANSI mode.
+    def edgeObs(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("hs"))
+    def readObs(obs: org.apache.spark.sql.Observation): Option[(Long, String)] =
+      scala.util.Try(scala.concurrent.Await.result(
+          obs.future, scala.concurrent.duration.Duration(30, "seconds"))).toOption
+        .map(r => (r.getAs[Long]("n"), String.valueOf(r.getAs[Any]("hs"))))
+    val obs0 = org.apache.spark.sql.Observation()
+    var edges = durable(edgeObs(canon(
+      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))), obs0))
+    var prevSig = readObs(obs0)
     var converged = false
     var rounds = 0
     val cadence = new RoundDurability
@@ -442,9 +462,11 @@ object Dedup {
       // small-star: key at the larger endpoint, re-point everything in
       // that neighborhood, the key included, at its minimum
       val smins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = cadence.round(canon(
+      val obs = org.apache.spark.sql.Observation()
+      val next = cadence.round(edgeObs(canon(
         dir.join(smins, "u").select(col("v").as("x"), col("m").as("y"))
-          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))))
+          .unionAll(smins.select(col("u").as("x"), col("m").as("y")))), obs))
+      val sig = readObs(obs)
       // Fixpoint WITHOUT a confirming round: the round output is
       // round-invariant iff it is a disjoint union of min-centered stars,
       // i.e. no node appears as both a center (a) and a member (b) —
@@ -452,11 +474,25 @@ object Dedup {
       // themselves (for a star (c, m_i): every neighborhood min is c, so
       // both phases re-emit the same edges), and the algorithm's fixpoints
       // are exactly star sets (Kiveris et al. §3). One semi-join over the
-      // round's CACHED output decides it — replacing the previous
-      // signature-compare + set-equality machinery AND the extra
-      // confirming round every graph used to pay (rounds+1 → rounds).
-      converged = next.as("l")
+      // round's CACHED output decides it, so the extra confirming round
+      // every graph used to pay is gone (rounds+1 → rounds).
+      //
+      // The check itself shuffles 2·|E|, so WHEN to run it is a depth
+      // trade: near-dup graphs converge in ≤ 2 rounds (check every early
+      // round — detection at the round that formed the stars), while a
+      // deep graph's many middle rounds gate the check behind the free
+      // signature (a changed signature PROVES non-convergence; on a
+      // repeat — the true fixpoint, or a hash collision — the structural
+      // check still decides exactly). Worst case per graph: early-round
+      // checks + one confirming check at the fixpoint.
+      val mustCheck =
+        rounds < StarEarlyCheckRounds || ((prevSig, sig) match {
+          case (Some(a), Some(b)) => a == b
+          case _                  => true // metric lost → fall back to the check
+        })
+      converged = mustCheck && next.as("l")
         .join(next.as("r"), col("l.a") === col("r.b"), "left_semi").isEmpty
+      prevSig = sig
       edges = next
       rounds += 1
     }
