@@ -1153,12 +1153,45 @@ object Dedup {
     * provides; the device — rewrite only over-threshold buckets, swap
     * atomically per bucket, readers keep a consistent view — is the same.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Heal an index left by a compaction interrupted mid-swap. The swap
+    * ordering in [[compactLshIndex]] guarantees every crash point leaves
+    * a recoverable state; this is the recovery:
+    *   - live bucket dir MISSING but its aside copy present (crash
+    *     between move-aside and move-in): restore the aside copy — the
+    *     pre-compaction data, still complete; the compaction simply
+    *     re-runs on the next maintenance cycle;
+    *   - live present and aside too (crash before the aside delete):
+    *     the live dir already holds the compacted data — drop the aside;
+    *   - a stale rewrite temp dir (crash mid-write): drop it.
+    * Returns the bucket ids whose live dirs were restored. A no-crash
+    * call costs two existence checks.
+    */
+  def recoverLshIndex(path: String): Seq[Int] = {
+    val aside = new java.io.File(s"$path.compact.aside")
+    val restored = scala.collection.mutable.ListBuffer[Int]()
+    if (aside.exists()) {
+      Option(aside.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket=")).foreach { d =>
+          val live = new java.io.File(s"$path/${d.getName}")
+          if (!live.exists()) {
+            java.nio.file.Files.move(d.toPath, live.toPath)
+            restored += d.getName.stripPrefix("bucket=").toInt
+          }
+        }
+      rmTree(aside)
+    }
+    rmTree(new java.io.File(s"$path.compact"))
+    restored.toSeq.sorted
+  }
+
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxFilesPerBucket: Int): Seq[(Int, Int)] = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1: $maxFilesPerBucket")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
+    recoverLshIndex(path) // self-heal any interrupted previous swap first
     val over = lshIndexFileCounts(path).filter(_._2 > maxFilesPerBucket).toSeq.sorted
     if (over.nonEmpty) {
       val tmp = path + ".compact"
@@ -1180,10 +1213,10 @@ object Dedup {
         java.nio.file.Files.createDirectories(old.getParent)
         java.nio.file.Files.move(dst, old)
         java.nio.file.Files.move(java.nio.file.Paths.get(s"$tmp/bucket=$b"), dst)
-        rm(old.toFile)
+        rmTree(old.toFile)
       }
-      rm(new java.io.File(s"$tmp.aside"))
-      rm(new java.io.File(tmp))
+      rmTree(new java.io.File(s"$tmp.aside"))
+      rmTree(new java.io.File(tmp))
     }
     over
   }
@@ -1233,6 +1266,11 @@ object Dedup {
           .persist()
         val eq = (0 until 16).map(i =>
           when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+        // heal any swap a previous run's crash left half-done BEFORE
+        // probing — otherwise the probe silently misses the moved-aside
+        // bucket until the next maintenance cycle (no-crash cost: two
+        // existence checks)
+        recoverLshIndex(indexPath)
         val vsIndex: DataFrame =
           if (new java.io.File(indexPath).exists()) {
             val hit = bandsB.select(col("bucket")).distinct().collect().map(_.getInt(0))

@@ -403,4 +403,38 @@ class DedupSpec extends SparkSpec {
     assert(outComp == outPlain)
     assert(contentComp == contentPlain)
   }
+
+  test("index recovery heals every compaction crash point without losing a band row") {
+    import org.apache.spark.sql.functions._
+    val root = Scratch.dir("graft-recover-spec")
+    val idx = s"$root/index"
+    Dedup.writeLshIndex(
+      Dedup.nearDupCorpus(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")), idx)
+    val before = Dedup.indexContentAudit(spark, idx).collect().map(_.toString).toSeq
+    val buckets = Dedup.lshIndexFileCounts(idx).keys.toSeq.sorted
+    val (b0, b1) = (buckets.head, buckets(1))
+    // crash point A: bucket b0 moved aside, compacted copy never landed
+    val aside = new java.io.File(s"$idx.compact.aside"); aside.mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/bucket=$b0"),
+      java.nio.file.Paths.get(s"$idx.compact.aside/bucket=$b0"))
+    // crash point B: bucket b1 swapped in, its aside copy not yet deleted
+    // (stage a duplicate aside dir with a sentinel file)
+    val staleB = new java.io.File(s"$idx.compact.aside/bucket=$b1"); staleB.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx.compact.aside/bucket=$b1/stale.parquet"), "x")
+    // crash point C: a half-written rewrite temp dir
+    val tmp = new java.io.File(s"$idx.compact/bucket=$b0"); tmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx.compact/bucket=$b0/partial.parquet"), "x")
+
+    val restored = Dedup.recoverLshIndex(idx)
+    assert(restored == Seq(b0), s"expected only bucket $b0 restored: $restored")
+    assert(!new java.io.File(s"$idx.compact.aside").exists())
+    assert(!new java.io.File(s"$idx.compact").exists())
+    val after = Dedup.indexContentAudit(spark, idx).collect().map(_.toString).toSeq
+    assert(after == before, "recovered index content differs from pre-crash content")
+    // idempotent on a healthy index
+    assert(Dedup.recoverLshIndex(idx).isEmpty)
+  }
 }
