@@ -42,6 +42,17 @@ class CcPropertySpec extends SparkSpec {
     }
   }
 
+  test("no-confirming-round contract: a star input converges in exactly 1 round") {
+    // the round maps a min-centered star set to itself and the
+    // structural check detects it immediately — the rounds+1 → rounds
+    // device this spec pins against regression
+    val pairs = ((1L to 8L).map(i => (0L, i)) ++ Seq((20L, 21L), (20L, 22L)))
+      .toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.connectedComponentsStarsWithRounds(pairs)
+    assert(rounds == 1, s"star-set input should converge in 1 round, took $rounds")
+    assert(out.collect().length == 12)
+  }
+
   test("adversarial shapes: chains, bridged cliques, dup/reversed edges, empty") {
     // worst case for min-label (min at the far end of a long chain),
     // easy case it must not break for stars
