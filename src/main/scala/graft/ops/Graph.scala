@@ -29,6 +29,41 @@ object Graph {
   /** Rank mass scale: 1.0 of total rank = 1e12 picoranks. */
   val Scale: Long = 1000000000000L
 
+  /** Persist `df` hash-partitioned on `key` and force materialization.
+    *
+    * The iterative ops below scan their edge frame once per round; with
+    * the cache pre-partitioned on the round's aggregation key, every
+    * per-round `groupBy` whose keys CONTAIN `key` satisfies its required
+    * distribution straight from the cache (the bucket-aware-merge device
+    * from the streaming apply path) and the round plan carries zero
+    * exchanges. The eager count keeps later broadcast builds and round
+    * jobs reading the cache instead of re-deriving the pair join.
+    */
+  private def pinnedBy(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val out = Caches.tracked(df.repartition(parts, col(key)).persist())
+    out.count()
+    out
+  }
+
+  /** Eagerly materialize a per-round |V|-bounded frame (labels, ranks,
+    * alive sets) AND truncate its logical plan. Materializing BEFORE the
+    * frame is broadcast-joined keeps each BroadcastExchange a cheap
+    * block read — a lazy round frame would re-derive the whole
+    * preceding chain inside every broadcast build (the modularity
+    * comment's measured 4.7 s → 2.1 s hazard, once per round here).
+    * localCheckpoint (not persist) because the plan CUT matters as much
+    * as the data: with persist alone every round re-analyzes a plan
+    * that grows by one round's operators, and at 30+ jobs per query the
+    * driver-side planning gaps outweighed the jobs themselves
+    * (measured: ~4 s of the 7.4 s modularity wall was between jobs).
+    * Executor-local blocks are the right durability tier for a round
+    * frame — on a cluster, losing one means rerunning the query, the
+    * standard iterative-graph tradeoff (GraphX does the same); blocks
+    * are GC-reclaimed by the ContextCleaner once the frame is dropped.
+    */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** Distinct (order, part) pairs → symmetric directed co-purchase
     * edges weighted by the number of shared orders. Self-join fan-out is
     * bounded by basket width (not corpus size), the same bound
@@ -49,37 +84,39 @@ object Graph {
     */
   def pagerank(lineitem: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
+    val edges = pinnedBy(coPurchaseEdges(lineitem), "src")
+    // out_w and the node set are |V|-bounded (catalog keys) — broadcast
+    // the former, and both aggregations ride the src-pinned cache with
+    // no exchange
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val e = Caches.tracked(edges.join(outW, "src")
-      .select(col("src"), col("dst"), col("w"), col("out_w")).persist())
-    val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
+    val e = pinnedBy(edges.join(broadcast(outW), "src")
+      .select(col("src"), col("dst"), col("w"), col("out_w")), "dst")
+    val nodes = pinned(edges.select(col("src").as("node")).distinct())
     val n = nodes.count() // scalar probe: |V|, the teleport denominator
     if (n == 0L) // edgeless input (no order holds two distinct parts)
       return nodes.select(col("node"), lit(0L).as("rank_e12"), lit(0.0).as("share"),
         lit(0L).as("l1_delta_e12"))
     val tele = (Scale * 15L) / (100L * n)
-    var rank = nodes.withColumn("rank", lit(Scale / n))
+    var rank = pinned(nodes.withColumn("rank", lit(Scale / n)))
     var prev = rank
     for (_ <- 1 to iterations) {
       prev = rank
-      val contrib = e.join(rank, col("src") === col("node"))
+      // one O(|E|) pass per round: the rank map (|V|-bounded, already
+      // materialized) broadcasts into the dst-pinned edge cache, so the
+      // per-dst sum needs no exchange; the left join then broadcasts the
+      // |V|-bounded contribution sums back onto the node set
+      val contrib = e.join(broadcast(rank), col("src") === col("node"))
         .select(col("dst"), expr("CAST((rank * w) DIV out_w AS BIGINT)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      rank = Caches.tracked(nodes.join(contrib, col("node") === col("dst"), "left")
+      rank = pinned(nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank"))
-        .persist())
+          (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank")))
     }
     // convergence audit: the final round's L1 delta Σ|r_k − r_{k−1}| in
     // exact picoranks (≤ 2·Scale, so BIGINT with no float on either
     // engine) — the number an operator checks before trusting a
-    // fixed-iteration run. The l1 plan references prev both directly
-    // and through the last round, but both physical scans share one
-    // cachedRDD, so the lineage runs once (carrying prev_rank in-row
-    // instead was far worse: each round referencing its predecessor
-    // twice re-derived the doubled lazy lineage across all rounds —
-    // measured 27 s vs 8 s at sf0.1).
+    // fixed-iteration run. Both rank frames are pinned caches, so the
+    // join reads two cached |V| frames and nothing re-derives.
     val l1 = rank.join(prev.select(col("node"), col("rank").as("prev_rank")), "node")
       .agg(sum(abs(col("rank") - col("prev_rank"))).as("l1"))
       .collect()(0).getLong(0)
@@ -102,34 +139,59 @@ object Graph {
     * (vote mass × 1e8 − label composite argmax), so both engines agree
     * bit-for-bit and the oracle unrolls the rounds as CTEs.
     *
-    * Scale shape: one round = edge-frame join + two partial-agged
-    * groupBys on (dst, label) then dst — the CC/PageRank shuffle
-    * pattern, O(|E|) per round. Labels assumed < 1e8 (fixture part keys
-    * are ≪; a larger id space widens the composite multiplier).
+    * Scale shape: one round = ONE exchange-free O(|E|) pass over the
+    * dst-pinned edge cache with the |V|-bounded label map broadcast in
+    * (see [[lpRounds]]). Labels assumed < 1e8 (fixture part keys are ≪;
+    * a larger id space widens the composite multiplier).
     */
   def labelPropagation(lineitem: DataFrame, rounds: Int): DataFrame =
-    labelPropagationOn(Caches.tracked(coPurchaseEdges(lineitem).persist()), rounds)
+    labelPropagationOn(coPurchaseEdges(lineitem), rounds)
 
   /** Label propagation over a PRE-BUILT (and ideally persisted) edge
     * frame — callers that also consume the edges (the modularity audit)
     * share one build instead of re-running the pair join.
     */
   def labelPropagationOn(edges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val nodes = Caches.tracked(edges.select(col("src").as("node")).distinct().persist())
-    var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      val votes = edges.join(labels, col("src") === col("node"))
-        .select(col("dst"), col("label"), col("w"))
-        .unionByName(labels.select(col("node").as("dst"), col("label"), lit(1L).as("w")))
-        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
-      labels = Caches.tracked(votes
-        .groupBy(col("dst"))
-        .agg(max_by(col("label"), col("cnt") * lit(100000000L) - col("label")).as("label"))
-        .select(col("dst").as("node"), col("label"))
-        .persist())
-    }
+    val labels = lpRounds(pinnedBy(edges, "dst"), rounds)
     labels.select(col("node"), col("label").as("community")).orderBy("node")
+  }
+
+  /** The propagation rounds over an edge frame ALREADY pinned on dst
+    * (see [[pinnedBy]]). Returns the final (node, label) map, pinned.
+    *
+    * Each round is one O(|E|) pass with zero exchanges: the |V|-bounded
+    * label map (materialized) broadcasts into the dst-pinned edge cache,
+    * the per-(dst, label) vote sum and the per-dst argmax both satisfy
+    * their distributions from the cache's dst partitioning, and the
+    * self-vote folds in arithmetically instead of by union (a union
+    * would discard the cache's partitioning and force a shuffle): a
+    * vote row matching the node's own label gets +1, and a node whose
+    * own label drew no neighbor votes keeps it iff the best neighbor
+    * key stays below the self-vote key (cnt 1). Key equality implies
+    * the same label, so `>=` is tie-exact with the oracle's unioned
+    * form. Requires every node to have in-edges (the co-purchase graph
+    * is symmetric), else a voteless node would drop from the map.
+    */
+  private def lpRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var labels = pinned(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
+    for (_ <- 1 to rounds) {
+      val votes = edges.join(broadcast(labels), col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
+      val own = broadcast(labels.select(col("node").as("dst"), col("label").as("own")))
+      labels = pinned(votes.join(own, "dst")
+        .withColumn("key",
+          (col("cnt") + when(col("label") === col("own"), lit(1L)).otherwise(lit(0L)))
+            * lit(100000000L) - col("label"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), col("key")).as("cand"),
+          max(col("key")).as("best"), max(col("own")).as("own_label"))
+        .select(col("dst").as("node"),
+          when(col("best") >= lit(100000000L) - col("own_label"), col("cand"))
+            .otherwise(col("own_label")).as("label")))
+    }
+    labels
   }
 
   /** CTE prefix shared by the label-propagation query and the modularity
@@ -175,24 +237,20 @@ object Graph {
     * double. Fan-out and magnitudes match the PageRank notes.
     */
   def modularity(lineitem: DataFrame, rounds: Int): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
-    val edges = Caches.tracked(coPurchaseEdges(lineitem).persist())
-    // The node→community map is |V|-bounded (catalog keys, ≪ |E|) — it
-    // is COLLECTED and re-embedded as a local relation, the IVF-centroid
-    // device: left as a lazy (even persisted) subtree, each
-    // BroadcastExchange re-derives the 4-round propagation inside its
-    // own build (measured: 4.7 s → 2.1 s for the labeled-edge pass).
-    // At 100 TB the community map is exactly the artifact you persist
-    // and broadcast with the partition.
-    val labelRows = labelPropagationOn(edges, rounds)
-      .select(col("node"), col("community")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val nNodes = labelRows.length.toLong
-    val local = labelRows.toDF("node", "community")
+    // ONE pinned edge cache feeds both the propagation rounds and the
+    // audit pass. The node→community map is |V|-bounded (catalog keys,
+    // ≪ |E|) and comes back from lpRounds already MATERIALIZED, so each
+    // BroadcastExchange below is a cheap cache read — a lazy subtree
+    // here re-derived the whole 4-round propagation inside every
+    // broadcast build (measured: 4.7 s → 2.1 s for the labeled-edge
+    // pass). At 100 TB the community map is exactly the artifact you
+    // persist and broadcast with the partition.
+    val edges = pinnedBy(coPurchaseEdges(lineitem), "dst")
+    val labels = lpRounds(edges, rounds)
+    val nNodes = labels.count() // cached — a free scalar probe
     val el = edges
-      .join(broadcast(local.select(col("node").as("src"), col("community").as("c_src"))), "src")
-      .join(broadcast(local.select(col("node").as("dst"), col("community").as("c_dst"))), "dst")
+      .join(broadcast(labels.select(col("node").as("src"), col("label").as("c_src"))), "src")
+      .join(broadcast(labels.select(col("node").as("dst"), col("label").as("c_dst"))), "dst")
     // ONE pass over el: 2m = Σ_c deg(c) (every edge's weight lands in
     // exactly one community's deg), so Σ_c [w_in·2m − deg²] factors to
     // 2m·Σw_in − Σdeg² and the whole audit is two chained partial-aggs —
@@ -340,15 +398,16 @@ object Graph {
     */
   def kCore(lineitem: DataFrame, minSupport: Int, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1: $k, $rounds")
-    val e = Caches.tracked(symmetrize(supportEdges(lineitem, minSupport)).persist())
+    // src-pinned core cache + broadcast |V|-bounded alive sets: each
+    // peel is one exchange-free pass over the cached edges
+    val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     def coreDeg(alive: DataFrame): DataFrame =
-      e.join(alive.select(col("node").as("sn")), col("src") === col("sn"))
-        .join(alive.select(col("node").as("dn")), col("dst") === col("dn"))
+      e.join(broadcast(alive.select(col("node").as("sn"))), col("src") === col("sn"))
+        .join(broadcast(alive.select(col("node").as("dn"))), col("dst") === col("dn"))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var alive = Caches.tracked(e.select(col("src").as("node")).distinct().persist())
+    var alive = pinned(e.select(col("src").as("node")).distinct())
     for (_ <- 1 to rounds)
-      alive = Caches.tracked(
-        coreDeg(alive).filter(col("deg") >= k).select(col("src").as("node")).persist())
+      alive = pinned(coreDeg(alive).filter(col("deg") >= k).select(col("src").as("node")))
     coreDeg(alive).select(col("src").as("node"), col("deg").as("core_deg")).orderBy("node")
   }
 
@@ -383,17 +442,20 @@ object Graph {
     */
   def bfsReach(lineitem: DataFrame, minSupport: Int, seeds: Int, maxHops: Int): DataFrame = {
     require(seeds >= 1 && maxHops >= 1, s"seeds and maxHops must be >= 1: $seeds, $maxHops")
-    val e = Caches.tracked(symmetrize(supportEdges(lineitem, minSupport)).persist())
+    // src-pinned core cache: the degree agg rides the cache partitioning
+    // and each hop broadcasts the |reached|-bounded distance frame —
+    // the only per-round exchange is the min-relaxation's groupBy
+    val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val seedDf = deg
       .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
       .filter(col("rn") <= seeds).select(col("node"))
-    var dist = seedDf.withColumn("hops", lit(0L))
+    var dist = pinned(seedDf.withColumn("hops", lit(0L)))
     for (_ <- 1 to maxHops) {
-      val next = e.join(dist, col("src") === col("node"))
+      val next = e.join(broadcast(dist), col("src") === col("node"))
         .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
-      dist = Caches.tracked(dist.unionByName(next)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops")).persist())
+      dist = pinned(dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops")))
     }
     dist.orderBy("node")
   }
@@ -429,17 +491,23 @@ object Graph {
     */
   def linkPredict(lineitem: DataFrame, minSupport: Int, topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1: $topN")
-    val eo = Caches.tracked(supportEdges(lineitem, minSupport).persist())
-    val e = symmetrize(eo)
+    // dst-pinned symmetric core: the wedge self-join co-locates on the
+    // shared endpoint straight from the cache (zero exchanges on either
+    // side); the support core and the |V|-bounded degree map broadcast
+    // into the anti-join and the two enrichment joins
+    val eo = pinned(supportEdges(lineitem, minSupport))
+    val e = pinnedBy(symmetrize(eo), "dst")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val cn = e.as("x").join(e.as("y"),
         col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("a"), col("y.src").as("b"))
       .agg(count(lit(1)).as("cn"))
-    val cand = cn.join(eo, cn("a") === eo("s") && cn("b") === eo("d"), "left_anti")
+    val cand = cn.join(broadcast(eo), cn("a") === eo("s") && cn("b") === eo("d"), "left_anti")
     cand
-      .join(deg.select(col("node").as("na"), col("deg").as("deg_a")), col("a") === col("na"))
-      .join(deg.select(col("node").as("nb"), col("deg").as("deg_b")), col("b") === col("nb"))
+      .join(broadcast(deg.select(col("node").as("na"), col("deg").as("deg_a"))),
+        col("a") === col("na"))
+      .join(broadcast(deg.select(col("node").as("nb"), col("deg").as("deg_b"))),
+        col("b") === col("nb"))
       .select(col("a"), col("b"), col("cn"),
         round(col("cn").cast("double") /
           nullif((col("deg_a") + col("deg_b") - col("cn")).cast("double"), lit(0.0)), 6)

@@ -412,10 +412,16 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one explode (the stride starts):\n$p")
   }
 
-  test("pagerank: contribution aggregates partial-merge before the shuffle") {
+  test("pagerank: rounds pre-materialize; the returned frame adds no hash shuffle") {
+    // the iterative rounds run eagerly (pinned localCheckpoints, each an
+    // exchange-free pass over the dst-pinned edge cache), so the frame
+    // handed back must be a plain read of the checkpointed rank RDD —
+    // only the output sort's range exchange on top
     val p = plan("graph_pagerank")
-    assert(p.contains("partial_sum") || p.contains("Partial"),
-      s"per-dst contribution sums must map-side combine:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"final ranks must read the materialized round output:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no hash shuffle on top of the materialized ranks:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in pagerank:\n$p")
   }
 
