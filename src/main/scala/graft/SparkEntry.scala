@@ -1308,6 +1308,8 @@ object SparkEntry {
     // fixed-point weighted PageRank over the part co-purchase graph —
     // 6 integer-arithmetic iterations, bit-identical in both engines
     "graph_pagerank" -> ((s, dir) => Graph.pagerank(t(s, dir, "lineitem"), 6)),
+    // HITS hubs/authorities on the bipartite customer→part purchase graph
+    "graph_hits" -> ((s, dir) => Graph.hits(t(s, dir, "orders"), t(s, dir, "lineitem"), 4)),
 
     // sync weighted label propagation: deterministic community detection
     // (4 BIGINT rounds, smallest-label tie-break, weight-1 self-vote)
@@ -2050,6 +2052,7 @@ object SparkEntry {
     "ann_recall_audit" -> Similarity.ivfRecallAuditSql(8, 5, 32, 2),
     "ann_ndcg_audit" -> Similarity.ivfNdcgAuditSql(8, 5, 32, 2),
     "graph_pagerank" -> Graph.pagerankSql(6),
+    "graph_hits" -> Graph.hitsSql(4),
     "graph_communities" -> Graph.labelPropagationSql(4),
     "graph_triangles" -> Graph.triangleStatsSql(2),
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),

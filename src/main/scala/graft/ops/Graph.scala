@@ -563,6 +563,98 @@ object Graph {
        |FROM r$iterations, l1 ORDER BY node""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment") over the BIPARTITE customer→part purchase
+    * graph — the asymmetric companion to [[pagerank]]: the co-purchase
+    * graph is symmetric, so hubs ≡ authorities there, while the
+    * bipartite graph separates "big buyers" (hubs) from "widely bought
+    * parts" (authorities). `iterations` alternations of
+    *   a(p) ← Σ_c w·h(c),   h(c) ← Σ_p w·a(p),
+    * each followed by L1 re-normalization to Σ = [[Scale]]. The
+    * textbook L2 norm needs a sqrt (a last-ulp cross-engine hazard);
+    * L1 keeps every step exact: vote sums aggregate in DECIMAL(38,0)
+    * (DuckDB's BIGINT sum is HUGEINT — same exactness), and the rescale
+    * is a truncating integral divide on non-negative operands (Spark
+    * `DIV` = DuckDB `//`), so both engines are bit-identical and the
+    * oracle unrolls the rounds as chained CTEs.
+    *
+    * Scale shape: TWO pinned copies of the O(|E|) edge frame — one per
+    * join side (by part, by customer; the second repartitions the
+    * first's cache, not the source scan) — make each half-round one
+    * exchange-free pass with the |V|-bounded score map broadcast in.
+    * The normalization total is a scalar probe of the pinned per-round
+    * frame (O(|P|) or O(|C|) rows). Magnitude bounds: h ≤ Scale so
+    * w·h ≤ max_w·1e12, and Σs ≤ Scale·max_outw — DECIMAL-exact at any
+    * corpus size, and the ×Scale rescale peaks below 1e31 ≪ both
+    * DECIMAL(38,0) and HUGEINT.
+    */
+  def hits(orders: DataFrame, lineitem: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val raw = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c")), "ok")
+      .groupBy(col("c"), col("p")).agg(count(lit(1)).as("w"))
+    val eByP = pinnedBy(raw, "p")
+    val eByC = pinnedBy(eByP, "c")
+    val custs = pinned(eByC.select(col("c")).distinct())
+    val nC = custs.count()
+    if (nC == 0L) // no purchases at all
+      return custs.select(lit("hub").as("kind"), col("c").as("id"), lit(0L).as("score_e12"))
+    // rescale scores to Σ = Scale: tot > 0 always (every node keeps
+    // ≥ Scale DIV |V| ≥ 1 mass and every node has an edge), and the
+    // per-row truncation loses < 1, so Σ ∈ (Scale − |V|, Scale]
+    def renorm(scored: DataFrame, key: String, out: String): DataFrame = {
+      val tot = scored.agg(sum(col("s")).as("t")).collect()(0).getDecimal(0)
+      pinned(scored.select(col(key),
+        expr(s"CAST((s * ${Scale}L) DIV CAST('${tot.toBigInteger}' AS DECIMAL(38,0)) AS BIGINT)")
+          .as(out)))
+    }
+    var hub = pinned(custs.select(col("c"), lit(Scale / nC).as("h")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val ap = pinned(eByP.join(broadcast(hub), "c")
+        .groupBy(col("p"))
+        .agg(sum((col("w") * col("h")).cast("decimal(38,0)")).as("s")))
+      auth = renorm(ap, "p", "a")
+      val hp = pinned(eByC.join(broadcast(auth), "p")
+        .groupBy(col("c"))
+        .agg(sum((col("w") * col("a")).cast("decimal(38,0)")).as("s")))
+      hub = renorm(hp, "c", "h")
+    }
+    auth.select(lit("authority").as("kind"), col("p").as("id"), col("a").as("score_e12"))
+      .unionByName(hub.select(lit("hub").as("kind"), col("c").as("id"), col("h").as("score_e12")))
+      .orderBy("kind", "id")
+  }
+
+  def hitsSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""a${i}p AS (
+         |  SELECT e.p, sum(e.w * h${i - 1}.h) AS s
+         |  FROM e JOIN h${i - 1} ON e.c = h${i - 1}.c GROUP BY e.p),
+         |a${i}t AS (SELECT sum(s) AS t FROM a${i}p),
+         |a$i AS (
+         |  SELECT p, CAST((s * 1000000000000) // t AS BIGINT) AS a FROM a${i}p, a${i}t),
+         |h${i}p AS (
+         |  SELECT e.c, sum(e.w * a$i.a) AS s
+         |  FROM e JOIN a$i ON e.p = a$i.p GROUP BY e.c),
+         |h${i}t AS (SELECT sum(s) AS t FROM h${i}p),
+         |h$i AS (
+         |  SELECT c, CAST((s * 1000000000000) // t AS BIGINT) AS h FROM h${i}p, h${i}t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o.o_custkey AS c, l.l_partkey AS p, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |cs AS (SELECT DISTINCT c FROM e),
+       |nc AS (SELECT count(*) AS n FROM cs),
+       |h0 AS (SELECT c, 1000000000000 // nc.n AS h FROM cs, nc),
+       |$steps
+       |SELECT 'authority' AS kind, p AS id, a AS score_e12 FROM a$iterations
+       |UNION ALL
+       |SELECT 'hub' AS kind, c AS id, h AS score_e12 FROM h$iterations
+       |ORDER BY kind, id""".stripMargin
+  }
+
   /** Degree assortativity of the co-purchase graph: the Pearson
     * correlation of (deg(src), deg(dst)) over all directed edges —
     * positive = hubs buy with hubs, negative = hub-and-spoke catalog.

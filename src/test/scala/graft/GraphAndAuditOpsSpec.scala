@@ -99,6 +99,44 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got(0).getDouble(3) == 1.0, s"jaccard of the open triad: ${got(0)}")
   }
 
+  // ---- HITS ----
+
+  /** rows = (custkey, orderkey, partkey) purchases. */
+  private def hitsFixtures(rows: (Long, Long, Long)*) = {
+    val orders = rows.map { case (c, o, _) => (o, c) }.distinct.toDF("o_orderkey", "o_custkey")
+    val li = rows.map { case (_, o, p) => (o, p) }.toDF("l_orderkey", "l_partkey")
+    (orders, li)
+  }
+
+  test("hits: L1 mass conserved per side up to per-row truncation") {
+    val (o, li) = hitsFixtures(
+      (1L, 101L, 10L), (1L, 101L, 20L), (2L, 102L, 10L), (3L, 103L, 10L), (3L, 103L, 30L))
+    val rows = Graph.hits(o, li, 4).collect()
+    val bySide = rows.groupBy(_.getString(0))
+    assert(bySide.keySet == Set("authority", "hub"), s"both sides present: $bySide")
+    for ((name, side) <- bySide) {
+      val tot = side.map(_.getLong(2)).sum
+      // each renorm truncates < 1 unit per row
+      assert(tot <= Graph.Scale && tot > Graph.Scale - side.length - 1,
+        s"$name mass not conserved: $tot vs ${Graph.Scale}")
+    }
+  }
+
+  test("hits: the universally bought part tops authorities; the broad buyer tops hubs") {
+    val (o, li) = hitsFixtures(
+      (1L, 101L, 10L), (1L, 101L, 20L), (2L, 102L, 10L), (3L, 103L, 10L), (3L, 103L, 30L))
+    val rows = Graph.hits(o, li, 4).collect()
+    val auth = rows.filter(_.getString(0) == "authority")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val hub = rows.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(auth(10L) > auth(20L) && auth(10L) > auth(30L),
+      s"part 10 (bought by all) must dominate: $auth")
+    // customers 1 and 3 buy {popular, niche} symmetrically; 2 buys only
+    // the popular part — fewer endorsements, lower hub score
+    assert(hub(1L) == hub(3L) && hub(1L) > hub(2L), s"broad buyers must tie and lead: $hub")
+  }
+
   // ---- hybrid retrieval ----
 
   test("hybridRrf: fused score is exactly the RRF of the component ranks") {
