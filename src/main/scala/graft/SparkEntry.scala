@@ -1511,6 +1511,8 @@ object SparkEntry {
     // ---- Multimodal (real ImageIO PNG codec; synthetic deterministic
     // images so the lossless round-trip is oracle-checkable) ----
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
+    // Variance-of-Laplacian blur scoring through the real ImageIO codec
+    "mm_sharpness" -> ((s, dir) => Multimodal.sharpness(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
     "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8)),
@@ -2135,6 +2137,7 @@ object SparkEntry {
     "text_quality_gate_sketch" -> Curation.qualityGateSketchSql(0.6, 64),
 
     "mm_features" -> Multimodal.featurizeSql,
+    "mm_sharpness" -> Multimodal.sharpnessSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
     "mm_resize" -> Multimodal.resizeSql(8),
     "mm_phash_dedup" -> Multimodal.phashPairsSql(3),

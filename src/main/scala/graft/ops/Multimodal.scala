@@ -174,6 +174,94 @@ object Multimodal {
       |  CAST(list_aggregate([pxs[i + 1] * (i + 1) FOR i IN range(0, width * height)], 'sum') AS BIGINT) AS px_weighted
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** Per-image 4-neighbor Laplacian census over INTERIOR pixels — all
+    * integer-exact (see [[laplacianStats]]); `sharpness` derives from
+    * the two sums in one fixed double expression at the output edge.
+    */
+  final case class LaplacianStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_interior: Long,
+      lap_sum: Long,
+      lap_sq_sum: Long)
+
+  /** Variance-of-Laplacian sharpness — the standard blur filter an
+    * image-curation pipeline runs before training (a defocused image's
+    * Laplacian response collapses toward zero). Per image: the 4-neighbor
+    * Laplacian L = 4·p − p_left − p_right − p_up − p_down over interior
+    * pixels, accumulated as exact integer Σ L and Σ L² (|L| ≤ 6·255, so
+    * the sums stay far below 2^53); variance = (n·ΣL² − (ΣL)²)/n² is one
+    * fixed double expression both engines evaluate identically on those
+    * exact integers. Decode goes through the REAL ImageIO codec; the
+    * oracle recomputes the same census from the pixel formula (valid
+    * because the PNG round-trip is bit-lossless), so a stride, channel
+    * or boundary defect in the stencil breaks the match.
+    */
+  def laplacianStats(payloads: Dataset[MediaPayload],
+                     newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[LaplacianStats] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        val (w, h) = (d.width, d.height)
+        var n = 0L; var s = 0L; var sq = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val l = 4L * d.px(y * w + x) - d.px(y * w + x - 1) - d.px(y * w + x + 1) -
+              d.px((y - 1) * w + x) - d.px((y + 1) * w + x)
+            n += 1; s += l; sq += l * l
+            x += 1
+          }
+          y += 1
+        }
+        LaplacianStats(p.doc_id, w, h, n, s, sq)
+      }
+    }
+  }
+
+  /** Full sharpness pipeline: synth image → PNG encode → ImageIO decode →
+    * Laplacian census → variance, ordered for the oracle. Fixture images
+    * are ≥ 8×8, so the interior is never empty.
+    */
+  def sharpness(docs: DataFrame): DataFrame =
+    laplacianStats(imagePayloads(docs)).toDF()
+      .withColumn("sharpness",
+        round((col("n_interior") * col("lap_sq_sum") - col("lap_sum") * col("lap_sum"))
+          .cast("double") / (col("n_interior") * col("n_interior")).cast("double"), 6))
+      .orderBy("doc_id")
+
+  /** Oracle: the same census from the pixel formula. The synthetic pixel
+    * is linear in (x, y) modulo 256, so the Laplacian is zero except
+    * where the modulus wraps between stencil neighbors — a deterministic
+    * nonzero pattern that exercises every term of the stencil.
+    */
+  val sharpnessSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(1, w - 1)) AS x FROM g),
+      |pix AS (SELECT doc_id, w, h, x, unnest(range(1, h - 1)) AS y FROM xs),
+      |lap AS (
+      |  SELECT doc_id, w, h,
+      |    (4 * ((x * 31 + y * 17 + doc_id * 13) % 256)
+      |     - (((x - 1) * 31 + y * 17 + doc_id * 13) % 256)
+      |     - (((x + 1) * 31 + y * 17 + doc_id * 13) % 256)
+      |     - ((x * 31 + (y - 1) * 17 + doc_id * 13) % 256)
+      |     - ((x * 31 + (y + 1) * 17 + doc_id * 13) % 256)) AS l
+      |  FROM pix)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  count(*) AS n_interior,
+      |  CAST(sum(l) AS BIGINT) AS lap_sum,
+      |  CAST(sum(l * l) AS BIGINT) AS lap_sq_sum,
+      |  round(CAST(count(*) * sum(l * l) - sum(l) * sum(l) AS DOUBLE)
+      |        / CAST(count(*) * count(*) AS DOUBLE), 6) AS sharpness
+      |FROM lap GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ audio
 
   /** One audio record entering the decode stage. */

@@ -425,6 +425,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere in pagerank:\n$p")
   }
 
+  test("hits/communities: rounds pre-materialize; returned frames add no hash shuffle") {
+    for (q <- Seq("graph_hits", "graph_communities")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q must read materialized round output:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must add no hash shuffle on top of the materialized rounds:\n$p")
+    }
+  }
+
   test("pivot: conditional-aggregate pass with the value list given — no Expand, one scan each") {
     val p = plan("q_pivot_revenue")
     assert(!p.contains("Expand ["),

@@ -152,6 +152,25 @@ class TextAndMultimodalSpec extends SparkSpec {
       px.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
   }
 
+  test("sharpness: Laplacian census matches the formula; flat images score zero") {
+    val got = Multimodal.sharpness(docs(3L -> "x")).collect()(0)
+    val (w, h) = ((8 + 3 % 9), (8 + (3 * 7) % 9))
+    def p(x: Int, y: Int): Long = (x * 31 + y * 17 + 3 * 13) % 256
+    val ls = for (y <- 1 until h - 1; x <- 1 until w - 1)
+      yield 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) - p(x, y - 1) - p(x, y + 1)
+    assert(got.getAs[Long]("n_interior") == (w - 2).toLong * (h - 2))
+    assert(got.getAs[Long]("lap_sum") == ls.sum)
+    assert(got.getAs[Long]("lap_sq_sum") == ls.map(l => l * l).sum)
+    // a constant raster has zero Laplacian response everywhere
+    val flat = new Multimodal.Decoder {
+      def decode(q: Multimodal.MediaPayload) =
+        Multimodal.DecodedImage(8, 8, Array.fill(64)(200))
+    }
+    val z = Multimodal.laplacianStats(
+      Multimodal.imagePayloads(docs(1L -> "x")), () => flat).collect()(0)
+    assert(z.lap_sum == 0L && z.lap_sq_sum == 0L && z.n_interior == 36L)
+  }
+
   test("multimodal resize: stride downsample bounds the longer side") {
     val got = Multimodal.resize(docs(8L -> "x"), 8).collect()(0) // 16x... image
     val (w, h) = ((8 + 8 % 9), (8 + (8 * 7) % 9)) // 16, 14
