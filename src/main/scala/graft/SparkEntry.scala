@@ -1278,6 +1278,8 @@ object SparkEntry {
 
     // Storage-compression audit: int8 scalar quantization of embeddings
     "emb_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    // Greedy k-center coreset selection in exact-integer int8 code space
+    "emb_kcenter_coreset" -> ((s, dir) => Similarity.kCenterCoreset(t(s, dir, "embeddings"), 8)),
 
     // One Lloyd iteration over the IVF cells: index-quality refinement
     "emb_kmeans_refine" -> ((s, dir) => Similarity.kmeansRefine(t(s, dir, "embeddings"), 32)),
@@ -2046,6 +2048,7 @@ object SparkEntry {
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
+    "emb_kcenter_coreset" -> Similarity.kCenterCoresetSql(8),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),

@@ -515,6 +515,107 @@ object Similarity {
       |       round(list_sum([(v[i] - (lo + q[i] * scale)) * (v[i] - (lo + q[i] * scale)) FOR i IN range(1, len(v) + 1)]) / len(v), 9) AS mse
       |FROM qd ORDER BY vec_id""".stripMargin
 
+  /** GLOBAL per-dimension int8 codes — the exact-integer feature space
+    * the coreset selection below runs in. Unlike [[quantizeInt8]]'s
+    * per-VECTOR affine codes (storage compression — fine for
+    * reconstructing each vector, but each vector gets its own codebook,
+    * so inter-vector code distances are meaningless), the corpus-global
+    * per-dimension (lo, scale) preserves geometry up to per-axis
+    * rescaling: code distance is a faithful surrogate for L2. The dim
+    * stats are a dim-bounded driver probe (one partial-agged pass),
+    * re-embedded as literal arrays — the IVF-centroid device.
+    */
+  private def globalInt8Codes(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy("i").collect()
+    val lo = stats.map(_.getDouble(1)).toSeq
+    val sc = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    e.select(col("vec_id"),
+      zip_with(zip_with(col("v"), typedLit(lo), (x, l) => x - l), typedLit(sc),
+        (d, s) => when(s === lit(0.0), lit(0L))
+          .otherwise(round(d / s, 0).cast("long"))).as("q"))
+  }
+
+  /** Greedy k-center coreset selection (Gonzalez farthest-point
+    * traversal) — the data-pruning step that picks a maximally-spread
+    * subset of a corpus for training or labeling. Runs in the
+    * corpus-global int8 code space ([[globalInt8Codes]]) on purpose:
+    * squared L2 between codes is EXACT integer
+    * arithmetic (diff ≤ 255, ×dim ≪ 2^53), so the per-round argmax —
+    * farthest point from the chosen set, ties to the smallest vec_id —
+    * is fully deterministic and the DuckDB oracle unrolls the identical
+    * rounds as CTEs. A float-space version would hinge the selection on
+    * last-ulp distance ties; the quantized selection is the one you can
+    * replay bit-identically across engines and cluster layouts.
+    *
+    * Per round: one map-only pass over the code frame against the single
+    * broadcast-literal new center (least(mind, d²)), then a global top-1
+    * (TakeOrdered — partial per-partition top-k, no sort shuffle) and a
+    * k-bounded driver probe. Round frames localCheckpoint (fixed k, the
+    * Graph rounds' plan-cut rationale). Output: each selected center
+    * with its selection gain (its min-dist² to the prior centers — the
+    * coverage radius the selection just removed) plus the final
+    * coverage radius after all k centers.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def d2(center: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x)
+    val q = globalInt8Codes(emb).localCheckpoint()
+    val first = q.orderBy("vec_id").limit(1).collect()(0)
+    var centers = Vector((1, first.getLong(0), 0L))
+    var m = q.withColumn("mind", d2(first.getSeq[Long](1))).localCheckpoint()
+    for (r <- 2 to k) {
+      val nxt = m.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+      centers = centers :+ ((r, nxt.getLong(0), nxt.getLong(2)))
+      m = m.withColumn("mind", least(col("mind"), d2(nxt.getSeq[Long](1))))
+        .localCheckpoint()
+    }
+    val radius = m.agg(max(col("mind"))).collect()(0).getLong(0)
+    centers.toDF("sel_round", "center_id", "gain_dist_sq")
+      .withColumn("coverage_radius_sq", lit(radius))
+      .orderBy("sel_round")
+  }
+
+  def kCenterCoresetSql(k: Int): String = {
+    def d2(qa: String, qb: String): String =
+      s"CAST(list_sum([($qa[i] - $qb[i]) * ($qa[i] - $qb[i]) FOR i IN range(1, len($qa) + 1)]) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT vec_id AS cid, q AS cq, mind FROM m${r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT m.vec_id, m.q, least(m.mind, ${d2("m.q", "c.cq")}) AS mind
+         |        FROM m${r - 1} m, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map(r =>
+      s"SELECT $r AS sel_round, cid AS center_id, mind AS gain FROM c$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+       |  FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+       |la AS (SELECT list(lo ORDER BY i) AS lo,
+       |              list((hi - lo) / 255.0 ORDER BY i) AS sc FROM dims),
+       |q AS (SELECT vec_id,
+       |        [CASE WHEN la.sc[i] = 0 THEN 0
+       |              ELSE CAST(round((v[i] - la.lo[i]) / la.sc[i], 0) AS BIGINT) END
+       |         FOR i IN range(1, len(v) + 1)] AS q
+       |      FROM e, la),
+       |c1 AS (SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 1),
+       |m1 AS (SELECT q.vec_id, q.q, ${d2("q.q", "c1.cq")} AS mind FROM q, c1),
+       |$rounds,
+       |cov AS (SELECT CAST(max(mind) AS BIGINT) AS radius FROM m$k),
+       |sel AS (
+       |  SELECT 1 AS sel_round, cid AS center_id, CAST(0 AS BIGINT) AS gain FROM c1
+       |  UNION ALL $sel)
+       |SELECT CAST(sel_round AS INTEGER) AS sel_round, center_id,
+       |       CAST(gain AS BIGINT) AS gain_dist_sq, cov.radius AS coverage_radius_sq
+       |FROM sel, cov ORDER BY sel_round""".stripMargin
+  }
+
   /** One Lloyd (k-means) refinement iteration over the IVF cells: new
     * centroid = element-wise mean of each cell's members; output per cell
     * is the member count and the cosine between the seed centroid and the

@@ -124,6 +124,25 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("k-center coreset: gains non-increasing, radius bounded, centers spread") {
+    // 1-D line geometry embedded in 2-D: ids 0..4 at x = 0, 1, 5, 6, 20
+    val line = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(5.0f, 0.0f)),
+      (3L, Array(6.0f, 0.0f)), (4L, Array(20.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(line, 3).collect()
+    val ids = got.map(_.getAs[Long]("center_id"))
+    assert(ids.length == ids.distinct.length, s"centers must be distinct: ${ids.toSeq}")
+    assert(ids(0) == 0L, "seed is the smallest vec_id")
+    assert(ids(1) == 4L, s"farthest point (x=20) must be picked second: ${ids.toSeq}")
+    val gains = got.map(_.getAs[Long]("gain_dist_sq")).drop(1)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"gains must be non-increasing: ${gains.toSeq}")
+    val radius = got.head.getAs[Long]("coverage_radius_sq")
+    assert(radius <= gains.last,
+      s"final radius $radius cannot exceed the last selection gain ${gains.last}")
+  }
+
   test("centroid count is fixed-k: cells stay <= nlist as the corpus doubles") {
     // threshold -1 keeps every within-cell pair, so distinct `cell` values
     // in the output count the non-singleton cells — bounded by nlist on
