@@ -1006,6 +1006,8 @@ object SparkEntry {
       Analytics.cubeRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
 
     "events_sessionize" -> ((s, dir) => Analytics.sessionize(t(s, dir, "events"))),
+    // Inter-arrival regularity (bot/automation) scoring, exact-integer CV²
+    "events_bot_regularity" -> ((s, dir) => Analytics.botRegularity(t(s, dir, "events"), 8)),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
     // last-touch attribution: carry-forward window, no range self-join
@@ -1955,6 +1957,7 @@ object SparkEntry {
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
 
     "events_sessionize" -> Analytics.sessionizeSql,
+    "events_bot_regularity" -> Analytics.botRegularitySql(8),
     "events_transitions" -> Analytics.markovTransitionsSql,
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
     "er_fuzzy_resolve" -> EntityResolution.resolveSql(1),

@@ -232,6 +232,62 @@ object Analytics {
       |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Inter-arrival regularity scoring — the bot/automation detector a
+    * traffic-curation pipeline runs before training on user behavior:
+    * humans are bursty (high coefficient of variation of the gaps
+    * between their events), schedulers and scripts are metronomic (CV²
+    * near 0). Per user with at least `minGaps` gaps and a positive
+    * span: gap mean, CV² in exact parts-per-million, and the
+    * regularity flag.
+    *
+    * Parity: gaps are integral µs (ordered by (ts, event_id) — a total
+    * order, and non-negative by construction); Σgap² aggregates in
+    * DECIMAL(38,0) (a single gap² can exceed 2^63 — DuckDB mirrors in
+    * HUGEINT); CV² = (m·Q − S²)/S² is exported as the truncating
+    * integral `(1e6·num) DIV S²` and the flag compares `10·num < S²`
+    * directly in exact wide-integer arithmetic — no division, no
+    * rounding boundary anywhere (the abcXyz cross-multiply device).
+    * Scale shape: one shuffle on user_id (lag window + the groupBy
+    * share it), partial-agged sums, no joins.
+    */
+  def botRegularity(events: DataFrame, minGaps: Int): DataFrame = {
+    require(minGaps >= 1, s"minGaps must be >= 1: $minGaps")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"), sum(col("gap")).as("s"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("qq"))
+      .filter(col("m") >= minGaps && col("s") > 0L)
+      .select(col("user_id"), (col("m") + lit(1L)).as("n_events"),
+        expr("CAST(s DIV m AS BIGINT)").as("gap_mean_us"),
+        expr("CAST((1000000 * (m * qq - CAST(s AS DECIMAL(38,0)) * s))" +
+          " DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("cv2_e6"),
+        expr("10 * (m * qq - CAST(s AS DECIMAL(38,0)) * s) < CAST(s AS DECIMAL(38,0)) * s")
+          .as("is_regular"))
+      .orderBy("user_id")
+  }
+
+  def botRegularitySql(minGaps: Int): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+       |g AS (
+       |  SELECT user_id,
+       |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+       |  FROM e),
+       |a AS (
+       |  SELECT user_id, count(*) AS m, CAST(sum(gap) AS BIGINT) AS s,
+       |         sum(CAST(gap AS HUGEINT) * gap) AS qq
+       |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+       |SELECT user_id, m + 1 AS n_events,
+       |  CAST(s // m AS BIGINT) AS gap_mean_us,
+       |  CAST((1000000 * (m * qq - CAST(s AS HUGEINT) * s))
+       |       // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_e6,
+       |  (10 * (m * qq - CAST(s AS HUGEINT) * s)) < (CAST(s AS HUGEINT) * s) AS is_regular
+       |FROM a WHERE m >= $minGaps AND s > 0
+       |ORDER BY user_id""".stripMargin
+
   /** Last-touch attribution: each purchase is credited to the most recent
     * click by the same user within `windowSec` — the point-in-time self
     * lookup every clickstream pipeline needs.

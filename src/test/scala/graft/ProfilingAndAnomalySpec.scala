@@ -54,6 +54,26 @@ class ProfilingAndAnomalySpec extends SparkSpec {
     assert(got("li_quantity_positive") == ((1L, false)))
   }
 
+  test("botRegularity: metronome flags regular, bursty human does not, short user excluded") {
+    import spark.implicits._
+    // user 1: 10 events at an exact 1000µs cadence; user 2: 9 unit gaps
+    // then one huge burst gap; user 3: below the minGaps cut
+    val rows =
+      (0 until 10).map(i => (100L + i, 1L, i * 1000L)) ++
+      ((0 until 9).map(i => (200L + i, 2L, i.toLong)) :+ (209L, 2L, 100008L)) ++
+      (0 until 3).map(i => (300L + i, 3L, i * 5L))
+    val ev = rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = Analytics.botRegularity(ev, 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L), s"short user must be excluded: ${got.keySet}")
+    assert(got(1L).getAs[Boolean]("is_regular") && got(1L).getAs[Long]("cv2_e6") == 0L,
+      "a metronomic cadence has zero CV²")
+    assert(!got(2L).getAs[Boolean]("is_regular"), "a bursty timeline must not flag")
+    assert(got(1L).getAs[Long]("gap_mean_us") == 1000L)
+    assert(got(1L).getAs[Long]("n_events") == 10L)
+  }
+
   test("zscore outliers: a planted far outlier is flagged, tight cluster is not") {
     import spark.implicits._
     // 100 values at ~10 ± 1 plus one at 1000: only the spike exceeds 3 sigma
