@@ -915,6 +915,8 @@ object SparkEntry {
     "text_winnowing" -> ((s, dir) => TextAnalysis.winnowing(t(s, dir, "documents"), 4)),
     // Holt level+trend smoothing with one-step-ahead fitted values
     "events_holt_daily" -> ((s, dir) => TimeSeries.holtDaily(t(s, dir, "events"))),
+    // Rolling-origin one-step backtest: Holt vs naive, exact milli-unit MAE/MASE
+    "events_forecast_backtest" -> ((s, dir) => TimeSeries.holtBacktest(t(s, dir, "events"))),
     // per-table position-density audit (drop-window quantification)
     "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
     // embedding-distribution drift: centroid L2/cosine between halves
@@ -1917,6 +1919,7 @@ object SparkEntry {
     "mm_video_scene_cuts" -> Multimodal.videoSceneCutsSql(35),
     "text_winnowing" -> TextAnalysis.winnowingSql(4),
     "events_holt_daily" -> TimeSeries.holtDailySql,
+    "events_forecast_backtest" -> TimeSeries.holtBacktestSql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),

@@ -582,7 +582,11 @@ object TimeSeries {
       .orderBy("day")
   }
 
-  val holtDailySql: String = {
+  /** Shared oracle CTE chain for the Holt recurrence: `daily`, `q`
+    * (quantized milli-units + rank), `h1..hN`, and `hist` (all states).
+    * Pre-stripped — safe to interpolate into stripMargin templates.
+    */
+  private val holtChainSql: String = {
     def sdiv(e: String, k: Int) =
       s"CAST(CASE WHEN ($e) < 0 THEN -((-($e)) // $k) ELSE ($e) // $k END AS BIGINT)"
     val steps = (2 to HoltDays).map { t =>
@@ -593,7 +597,7 @@ object TimeSeries {
          |  FROM q, h${t - 1} h WHERE q.rn = $t)""".stripMargin
     }.mkString(",\n")
     val hist = (1 to HoltDays).map(t => s"SELECT * FROM h$t").mkString("\n  UNION ALL ")
-    s"""WITH daily AS (
+    s"""daily AS (
        |  SELECT epoch_us(ts) // 86400000000 AS d,
        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
        |  FROM events GROUP BY 1 ORDER BY d LIMIT $HoltDays),
@@ -604,7 +608,11 @@ object TimeSeries {
        |h1 AS (SELECT 1 AS rn, xq AS l, CAST(0 AS BIGINT) AS b FROM q WHERE rn = 1),
        |$steps,
        |hist AS (
-       |  $hist)
+       |  $hist)""".stripMargin
+  }
+
+  val holtDailySql: String = {
+    s"""WITH $holtChainSql
        |SELECT make_timestamp(q.d * 86400000000) AS day,
        |       q.x AS revenue,
        |       CAST(h.l AS DOUBLE) / 1e3 AS level,
@@ -615,4 +623,68 @@ object TimeSeries {
        |LEFT JOIN hist p ON p.rn = q.rn - 1
        |ORDER BY day""".stripMargin
   }
+
+  /** Rolling-origin one-step backtest of the [[holtDaily]] forecaster
+    * against the naive (yesterday's value) baseline — the eval a
+    * forecasting layer must pass before anyone trusts it: at every day
+    * t ≥ 2, forecast x̂_t = l_{t−1} + b_{t−1} from data before t only,
+    * score |x_t − x̂_t|, and compare against |x_t − x_{t−1}|. Absolute
+    * errors accumulate in the recurrence's EXACT milli-units, so the
+    * summary — per-forecast MAEs (truncating divide), MASE in exact
+    * parts-per-million, and the skill flag — is bit-identical across
+    * engines with no float summation anywhere. Same bounded driver
+    * loop as the fit ([[HoltDays]] rows); the oracle reuses the fit's
+    * unrolled CTE chain and joins consecutive states.
+    */
+  def holtBacktest(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .orderBy("d")
+      .limit(HoltDays)
+    val pts = daily.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    def q(x: Double): Long =
+      new java.math.BigDecimal(x * 1e3).setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValue()
+    def sdiv(v: Long, k: Long): Long = if (v < 0) -((-v) / k) else v / k
+    var l = 0L; var b = 0L; var prevXq = 0L
+    var n = 0L; var se = 0L; var sn = 0L
+    pts.zipWithIndex.foreach { case ((_, x), i) =>
+      val xq = q(x)
+      if (i == 0) { l = xq; b = 0L }
+      else {
+        se += math.abs(xq - (l + b))
+        sn += math.abs(xq - prevXq)
+        n += 1
+        val lNew = sdiv(xq + l + b, 2L)
+        b = sdiv(lNew - l + 3L * b, 4L)
+        l = lNew
+      }
+      prevXq = xq
+    }
+    Seq((n,
+        if (n == 0L) None else Some(se / n),
+        if (n == 0L) None else Some(sn / n),
+        if (sn == 0L) None else Some(1000000L * se / sn),
+        se < sn))
+      .toDF("n_forecasts", "holt_mae_milli", "naive_mae_milli", "mase_e6",
+        "holt_beats_naive")
+  }
+
+  val holtBacktestSql: String =
+    s"""WITH $holtChainSql,
+       |err AS (
+       |  SELECT abs(q.xq - (p.l + p.b)) AS ae, abs(q.xq - pq.xq) AS an
+       |  FROM q JOIN hist p ON p.rn = q.rn - 1
+       |         JOIN q pq ON pq.rn = q.rn - 1),
+       |agg AS (SELECT count(*) AS n, CAST(sum(ae) AS BIGINT) AS se,
+       |               CAST(sum(an) AS BIGINT) AS sn FROM err)
+       |SELECT n AS n_forecasts,
+       |  CASE WHEN n = 0 THEN NULL ELSE CAST(se // n AS BIGINT) END AS holt_mae_milli,
+       |  CASE WHEN n = 0 THEN NULL ELSE CAST(sn // n AS BIGINT) END AS naive_mae_milli,
+       |  CASE WHEN sn = 0 THEN NULL ELSE CAST((1000000 * se) // sn AS BIGINT) END AS mase_e6,
+       |  se < sn AS holt_beats_naive
+       |FROM agg""".stripMargin
 }

@@ -14,6 +14,26 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("holt backtest: learns a linear trend and beats naive; constant series degenerates") {
+    def series(vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("day", "value")
+        .withColumn("ts", expr("timestamp_micros(day * 86400000000)")).drop("day")
+    // perfect linear trend: naive is off by exactly 1.0/day forever,
+    // Holt's trend state converges onto the slope
+    val linear = TimeSeries.holtBacktest(series((1 to 30).map(_.toDouble))).collect()(0)
+    assert(linear.getAs[Long]("n_forecasts") == 29L)
+    assert(linear.getAs[Long]("naive_mae_milli") == 1000L)
+    assert(linear.getAs[Boolean]("holt_beats_naive"),
+      s"Holt must beat naive on a pure trend: $linear")
+    assert(linear.getAs[Long]("mase_e6") < 1000000L)
+    // constant series: both forecasters are exact; MASE undefined
+    val const = TimeSeries.holtBacktest(series(Seq.fill(10)(5.0))).collect()(0)
+    assert(const.getAs[Long]("holt_mae_milli") == 0L)
+    assert(const.isNullAt(const.fieldIndex("mase_e6")))
+    assert(!const.getAs[Boolean]("holt_beats_naive"))
+  }
+
   test("skyline equals the brute-force dominance scan") {
     val parts = Seq(
       (1L, "a", 1, 10.0), (2L, "b", 1, 8.0), (3L, "c", 2, 7.0),
