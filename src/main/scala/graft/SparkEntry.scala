@@ -1336,6 +1336,8 @@ object SparkEntry {
     // common-neighbor / Jaccard link prediction over non-adjacent core
     // pairs; wedge-bounded candidates, partial top-k cut
     "graph_link_predict" -> ((s, dir) => Graph.linkPredict(t(s, dir, "lineitem"), 2, 20)),
+    // Edge-embeddedness census: the weak-tie (zero-common-neighbor) structure
+    "graph_weak_ties" -> ((s, dir) => Graph.weakTies(t(s, dir, "lineitem"), 2)),
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
@@ -2069,6 +2071,7 @@ object SparkEntry {
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
     "graph_link_predict" -> Graph.linkPredictSql(2, 20),
+    "graph_weak_ties" -> Graph.weakTiesSql(2),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

@@ -532,6 +532,41 @@ object Graph {
        |FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
        |ORDER BY c.cn DESC, c.a, c.b LIMIT $topN""".stripMargin
 
+  /** Edge-embeddedness census over the support core — Granovetter's
+    * weak-tie structure: for every ADJACENT pair, the number of common
+    * neighbors (embeddedness); the histogram's zero bucket counts the
+    * weak ties, edges whose endpoints share no other neighbor — the
+    * bridges information must cross. Candidate common-neighbor pairs
+    * come from the same wedge join as [[linkPredict]] (Σ deg² bound of
+    * the FILTERED core, co-located on the pinned dst partitioning);
+    * the census is one wedge-bounded shuffle plus the histogram's
+    * |distinct emb|-sized aggregate. All counts integral.
+    */
+  def weakTies(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val eo = pinned(supportEdges(lineitem, minSupport))
+    val e = pinnedBy(symmetrize(eo), "dst")
+    val cn = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    eo.join(cn, col("s") === col("a") && col("d") === col("b"), "left")
+      .select(coalesce(col("cn"), lit(0L)).as("embeddedness"))
+      .groupBy(col("embeddedness")).agg(count(lit(1)).as("n_edges"))
+      .orderBy("embeddedness")
+  }
+
+  def weakTiesSql(minSupport: Int): String =
+    s"""${coreSqlPrefix(minSupport)},
+       |cn AS (
+       |  SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+       |  GROUP BY x.src, y.src),
+       |adj AS (
+       |  SELECT coalesce(cn.cn, 0) AS embeddedness
+       |  FROM eo LEFT JOIN cn ON eo.s = cn.a AND eo.d = cn.b)
+       |SELECT embeddedness, count(*) AS n_edges
+       |FROM adj GROUP BY embeddedness ORDER BY embeddedness""".stripMargin
+
   def pagerankSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>
       s"""c$i AS (

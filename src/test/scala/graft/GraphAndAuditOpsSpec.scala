@@ -99,6 +99,16 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got(0).getDouble(3) == 1.0, s"jaccard of the open triad: ${got(0)}")
   }
 
+  test("weak ties: triangle edges are embedded, spokes are weak") {
+    // order 1 buys a triangle {1,2,3}; orders 2 and 3 form two spokes
+    // off part 5 (5-10, 5-11) with no closure
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 5L, 2L -> 10L, 3L -> 5L, 3L -> 11L)
+    val got = Graph.weakTies(li, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 3L),
+      s"expected 2 weak spokes and 3 embeddedness-1 triangle edges: $got")
+  }
+
   // ---- HITS ----
 
   /** rows = (custkey, orderkey, partkey) purchases. */
