@@ -636,24 +636,27 @@ object Graph {
       return custs.select(lit("hub").as("kind"), col("c").as("id"), lit(0L).as("score_e12"))
     // rescale scores to Σ = Scale: tot > 0 always (every node keeps
     // ≥ Scale DIV |V| ≥ 1 mass and every node has an edge), and the
-    // per-row truncation loses < 1, so Σ ∈ (Scale − |V|, Scale]
-    def renorm(scored: DataFrame, key: String, out: String): DataFrame = {
+    // per-row truncation loses < 1, so Σ ∈ (Scale − |V|, Scale].
+    // ONE pin per half-round: the vote sums materialize (and the total
+    // is a cheap agg over that checkpoint); the rescale itself stays a
+    // lazy projection — its only consumers are the next half-round's
+    // broadcast build and the final output, both reading the cache
+    def renorm(scored0: DataFrame, key: String, out: String): DataFrame = {
+      val scored = pinned(scored0)
       val tot = scored.agg(sum(col("s")).as("t")).collect()(0).getDecimal(0)
-      pinned(scored.select(col(key),
+      scored.select(col(key),
         expr(s"CAST((s * ${Scale}L) DIV CAST('${tot.toBigInteger}' AS DECIMAL(38,0)) AS BIGINT)")
-          .as(out)))
+          .as(out))
     }
-    var hub = pinned(custs.select(col("c"), lit(Scale / nC).as("h")))
+    var hub = custs.select(col("c"), lit(Scale / nC).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val ap = pinned(eByP.join(broadcast(hub), "c")
+      auth = renorm(eByP.join(broadcast(hub), "c")
         .groupBy(col("p"))
-        .agg(sum((col("w") * col("h")).cast("decimal(38,0)")).as("s")))
-      auth = renorm(ap, "p", "a")
-      val hp = pinned(eByC.join(broadcast(auth), "p")
+        .agg(sum((col("w") * col("h")).cast("decimal(38,0)")).as("s")), "p", "a")
+      hub = renorm(eByC.join(broadcast(auth), "p")
         .groupBy(col("c"))
-        .agg(sum((col("w") * col("a")).cast("decimal(38,0)")).as("s")))
-      hub = renorm(hp, "c", "h")
+        .agg(sum((col("w") * col("a")).cast("decimal(38,0)")).as("s")), "c", "h")
     }
     auth.select(lit("authority").as("kind"), col("p").as("id"), col("a").as("score_e12"))
       .unionByName(hub.select(lit("hub").as("kind"), col("c").as("id"), col("h").as("score_e12")))
