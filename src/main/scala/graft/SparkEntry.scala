@@ -780,6 +780,8 @@ object SparkEntry {
     // Benford first-digit audit: observed vs log10(1+1/d) shares over
     // order totals — the fabricated-data screen
     "quality_benford" -> ((s, dir) => Profiling.benfordAudit(t(s, dir, "orders"))),
+    // Class-balance audit: per-label shares + chi-square-vs-uniform, exact ppm
+    "quality_label_balance" -> ((s, dir) => Profiling.labelBalance(t(s, dir, "embeddings"))),
 
     // KMV sketch inside watermarked streaming state: distinct users per
     // finalized hour from k-bounded mergeable sketch state
@@ -1865,6 +1867,7 @@ object SparkEntry {
     "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
 
     "quality_benford" -> Profiling.benfordAuditSql,
+    "quality_label_balance" -> Profiling.labelBalanceSql,
 
     "events_sliding_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),

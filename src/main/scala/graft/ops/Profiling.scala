@@ -355,4 +355,44 @@ object Profiling {
       |       round(1.0 - CAST(max(ss) AS DOUBLE)
       |             / CAST(max(n_c) * max(n_c) AS DOUBLE), 6) AS gini
       |FROM terms GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  /** Class-balance audit of a labeled training set — the check a
+    * classifier pipeline runs before trusting its sampling: per-label
+    * exact counts, share in parts-per-million (truncating integral
+    * divide), and the chi-square-against-uniform statistic
+    * χ² = Σ_c (k·n_c − n)² / (n·k) in exact ppm as a constant column
+    * (the pagerank-l1 rider shape). The squared terms aggregate in
+    * DECIMAL(38,0) (HUGEINT in the oracle), so there is no float or
+    * rounding boundary anywhere. Scale shape: one partial-agged
+    * groupBy to |labels| rows; totals and the statistic are
+    * label-bounded broadcasts.
+    */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val g = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val tot = g.agg(sum(col("n_vecs")).as("n"), count(lit(1)).as("k"))
+    val gg = g.crossJoin(broadcast(tot))
+    val chi = gg
+      .agg(sum(expr("CAST(k * n_vecs - n AS DECIMAL(38,0)) * (k * n_vecs - n)")).as("ss"),
+        max(col("n")).as("nn"), max(col("k")).as("kk"))
+      .select(expr(
+        "CAST((1000000 * ss) DIV CAST(nn * kk AS DECIMAL(38,0)) AS BIGINT)")
+        .as("chi2_ppm"))
+    gg.select(col("label"), col("n_vecs"),
+        expr("CAST((1000000 * n_vecs) DIV n AS BIGINT)").as("share_ppm"))
+      .crossJoin(broadcast(chi))
+      .orderBy("label")
+  }
+
+  val labelBalanceSql: String =
+    """WITH g AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+      |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, count(*) AS k FROM g),
+      |c AS (
+      |  SELECT CAST((1000000 * sum(CAST(t.k * g.n_vecs - t.n AS HUGEINT)
+      |                             * (t.k * g.n_vecs - t.n)))
+      |              // (t.n * t.k) AS BIGINT) AS chi2_ppm
+      |  FROM g, t GROUP BY t.n, t.k)
+      |SELECT g.label, g.n_vecs,
+      |       CAST((1000000 * g.n_vecs) // t.n AS BIGINT) AS share_ppm,
+      |       c.chi2_ppm
+      |FROM g, t, c ORDER BY g.label""".stripMargin
 }

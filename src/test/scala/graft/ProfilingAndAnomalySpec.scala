@@ -54,6 +54,19 @@ class ProfilingAndAnomalySpec extends SparkSpec {
     assert(got("li_quantity_positive") == ((1L, false)))
   }
 
+  test("labelBalance: uniform labels score chi2 zero; skew raises it; shares sum to ~1e6") {
+    import spark.implicits._
+    def balance(labels: Seq[Int]) = graft.ops.Profiling.labelBalance(
+      labels.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("vec_id", "label"))
+      .collect()
+    val uniform = balance(Seq.fill(6)(0) ++ Seq.fill(6)(1) ++ Seq.fill(6)(2))
+    assert(uniform.forall(_.getAs[Long]("chi2_ppm") == 0L), "uniform must score zero")
+    assert(uniform.map(_.getAs[Long]("share_ppm")).sum > 999998L)
+    val skewed = balance(Seq.fill(16)(0) ++ Seq.fill(1)(1) ++ Seq.fill(1)(2))
+    assert(skewed.head.getAs[Long]("chi2_ppm") > 10000000L,
+      s"a 16:1:1 skew must exceed chi2 10: ${skewed.head}")
+  }
+
   test("botRegularity: metronome flags regular, bursty human does not, short user excluded") {
     import spark.implicits._
     // user 1: 10 events at an exact 1000µs cadence; user 2: 9 unit gaps
