@@ -1,6 +1,16 @@
 package graft
 
-// scratch profiler — NOT part of the library; delete before committing
+/** Dev profiling main (not part of the library surface): times named
+  * [[SparkEntry.queries]] at a given sfDir with the Bench harness's
+  * session settings, counting jobs/stages per run and printing the
+  * per-job wall times with their call sites. This is the feedback loop
+  * behind the round-9 iterative-op work — at fixture scale those
+  * queries are JOB-COUNT dominated, so the first question is always
+  * "how many jobs, and where do the gaps between them go", not "which
+  * shuffle is big" (see CLAUDE.md round-9 notes).
+  *
+  * Usage: `sbt 'runMain graft.ProfileQ <sfDir> <query> [query...]'`
+  */
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.AtomicInteger
