@@ -919,6 +919,8 @@ object SparkEntry {
     "events_holt_daily" -> ((s, dir) => TimeSeries.holtDaily(t(s, dir, "events"))),
     // Rolling-origin one-step backtest: Holt vs naive, exact milli-unit MAE/MASE
     "events_forecast_backtest" -> ((s, dir) => TimeSeries.holtBacktest(t(s, dir, "events"))),
+    // Pairwise Pearson among zero-filled hourly count series per event type
+    "events_metric_correlation" -> ((s, dir) => TimeSeries.typeCorrelation(t(s, dir, "events"))),
     // per-table position-density audit (drop-window quantification)
     "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
     // embedding-distribution drift: centroid L2/cosine between halves
@@ -1175,6 +1177,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Dedup.duplicatedCorpus(t(s, dir, "documents")))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // MinHash estimator calibration: exact Jaccard per agreeing-slot bucket
+    "dedup_lsh_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Dedup.nearDupCorpus(t(s, dir, "documents")))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.nearDupCorpus(t(s, dir, "documents")), 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1925,6 +1930,7 @@ object SparkEntry {
     "text_winnowing" -> TextAnalysis.winnowingSql(4),
     "events_holt_daily" -> TimeSeries.holtDailySql,
     "events_forecast_backtest" -> TimeSeries.holtBacktestSql,
+    "events_metric_correlation" -> TimeSeries.typeCorrelationSql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),
@@ -2024,6 +2030,7 @@ object SparkEntry {
 
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),
+    "dedup_lsh_calibration" -> Dedup.minhashCalibrationSql,
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_prefix_join" -> Dedup.prefixFilterJoinSql(0.75),

@@ -229,6 +229,72 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Calibration curve of the MinHash estimator against exact shingle
+    * Jaccard — the audit that says whether "est ≥ t" thresholds mean
+    * what operators think they mean: for every LSH candidate pair,
+    * bucket by the number of agreeing signature slots (0..16) and
+    * summarize the TRUE Jaccard inside each bucket. A well-calibrated
+    * estimator has mean_jaccard_ppm ≈ est16/16 ppm per bucket; drift
+    * (bad permutations, shingle skew) shows up as a bowed curve.
+    *
+    * Everything is integral: true Jaccard exports as the truncating
+    * `(1e6·|∩|) DIV |∪|` and the per-bucket mean as `Σppm DIV n` — no
+    * float anywhere, so the curve is bit-identical across engines. One
+    * tokenize+shingle+hash pass feeds the signature pipeline and the
+    * exact verify arrays (the [[ngramJaccard]] sharing shape); cost is
+    * LSH-candidate-bounded, never all-pairs.
+    */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val th = Caches.tracked(docFeatures(docs)
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist())
+    val sig = Caches.tracked(minhashSignaturesFromHashes(th).persist())
+    val cand = lshCandidates(sig)
+    val eq = (0 until 16).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), eq.as("est16"))
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jppm",
+        expr("CAST((1000000 * inter) DIV (na + nb - inter) AS BIGINT)"))
+      .groupBy(col("est16"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(jppm) DIV count(1) AS BIGINT)").as("mean_jaccard_ppm"),
+        min(col("jppm")).as("min_jaccard_ppm"),
+        max(col("jppm")).as("max_jaccard_ppm"))
+      .orderBy("est16")
+  }
+
+  def minhashCalibrationSql: String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b, ($eq) AS est16,
+       |         len(list_intersect(a.sh, b.sh)) AS inter, a.n AS na, b.n AS nb
+       |  FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+       |              JOIN sig y ON c.doc_b = y.doc_id
+       |              JOIN by_doc a ON c.doc_a = a.doc_id
+       |              JOIN by_doc b ON c.doc_b = b.doc_id),
+       |ppm AS (
+       |  SELECT est16, CAST((1000000 * inter) // (na + nb - inter) AS BIGINT) AS jppm
+       |  FROM scored)
+       |SELECT est16, count(*) AS n_pairs,
+       |       CAST(sum(jppm) // count(*) AS BIGINT) AS mean_jaccard_ppm,
+       |       CAST(min(jppm) AS BIGINT) AS min_jaccard_ppm,
+       |       CAST(max(jppm) AS BIGINT) AS max_jaccard_ppm
+       |FROM ppm GROUP BY est16 ORDER BY est16""".stripMargin
+  }
+
   /** Connected components over the MinHash-LSH near-duplicate pairs —
     * the step that turns pairwise matches into dedup GROUPS. Pairs are a
     * relation, not a partition: A≈B and B≈C chain into {A,B,C} even when

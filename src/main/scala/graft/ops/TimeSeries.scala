@@ -624,6 +624,78 @@ object TimeSeries {
        |ORDER BY day""".stripMargin
   }
 
+  /** Pairwise Pearson correlation among the event types' hourly count
+    * series — the "which metrics move together" matrix an observability
+    * or feature-selection pass computes. The series are ZERO-FILLED
+    * over the observed hour grid first (an inner join on hours where
+    * both types fired would silently condition on activity — the
+    * classic correlation-of-counts bug); the grid is O(hours·|types|),
+    * bounded by the time range, never by event volume. The six
+    * sufficient statistics per pair are exact BIGINT sums (counts are
+    * integers), and the correlation is one fixed double expression on
+    * them — the [[Graph.assortativity]] device; `+ 0.0` normalizes the
+    * IEEE −0.0 a tiny negative correlation rounds to. Zero-variance
+    * series yield NULL (guarded divisor) identically in both engines.
+    */
+  def typeCorrelation(events: DataFrame): DataFrame = {
+    val hc = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hcC = Caches.tracked(hc.persist())
+    val hours = hcC.select(col("h")).distinct()
+    val types = hcC.select(col("event_type")).distinct()
+    val grid = Caches.tracked(hours.crossJoin(broadcast(types))
+      .join(hcC, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .persist())
+    val p = grid.as("x").join(grid.as("y"),
+        col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x.n")).as("sx"), sum(col("y.n")).as("sy"),
+        sum(col("x.n") * col("y.n")).as("sxy"),
+        sum(col("x.n") * col("x.n")).as("sxx"),
+        sum(col("y.n") * col("y.n")).as("syy"))
+    p.select(col("type_a"), col("type_b"), col("n_hours"),
+        round((col("n_hours").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          nullif(sqrt((col("n_hours").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n_hours").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), lit(0.0)), 6)
+          .plus(lit(0.0)).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeCorrelationSql: String =
+    """WITH hc AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |hours AS (SELECT DISTINCT h FROM hc),
+      |types AS (SELECT DISTINCT event_type FROM hc),
+      |grid AS (
+      |  SELECT hours.h, types.event_type, coalesce(hc.n, 0) AS n
+      |  FROM hours CROSS JOIN types
+      |  LEFT JOIN hc ON hc.h = hours.h AND hc.event_type = types.event_type),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         count(*) AS n_hours,
+      |         CAST(sum(x.n) AS BIGINT) AS sx, CAST(sum(y.n) AS BIGINT) AS sy,
+      |         CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+      |         CAST(sum(x.n * x.n) AS BIGINT) AS sxx,
+      |         CAST(sum(y.n * y.n) AS BIGINT) AS syy
+      |  FROM grid x JOIN grid y ON x.h = y.h AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_hours,
+      |       round((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / nullif(sqrt((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                           * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
+      |         + 0.0 AS corr
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
   /** Rolling-origin one-step backtest of the [[holtDaily]] forecaster
     * against the naive (yesterday's value) baseline — the eval a
     * forecasting layer must pass before anyone trusts it: at every day

@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getAs[Long]("n_dups") == 2 && got(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("calibration: identical docs land in the est16=16 bucket at exactly 1e6 ppm") {
+    val got = Dedup.minhashCalibration(corpus(1L -> a, 2L -> a, 3L -> aNear, 4L -> b))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.contains(16), s"the exact-duplicate pair must agree on all slots: ${got.keySet}")
+    val full = got(16)
+    // the identical pair tops the bucket at exactly 1e6; the planted
+    // near-twin (J ≈ 0.95) may share the bucket, so the MEAN need only
+    // stay calibrated-high, not exact
+    assert(full.getAs[Long]("max_jaccard_ppm") == 1000000L)
+    assert(full.getAs[Long]("mean_jaccard_ppm") >= 900000L)
+    // every bucket's summary is internally consistent and ppm-bounded
+    got.values.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_jaccard_ppm"),
+        r.getAs[Long]("mean_jaccard_ppm"), r.getAs[Long]("max_jaccard_ppm"))
+      assert(mn <= mean && mean <= mx && mx <= 1000000L, s"inconsistent bucket: $r")
+    }
+  }
+
   test("minhash: identical docs have identical signatures, disjoint docs differ") {
     val sig = Dedup.minhashSignatures(corpus(1L -> a, 2L -> a, 3L -> b))
       .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap

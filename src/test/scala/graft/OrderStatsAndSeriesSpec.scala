@@ -34,6 +34,23 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(!const.getAs[Boolean]("holt_beats_naive"))
   }
 
+  test("typeCorrelation: proportional series hit 1.0; absent hours zero-fill") {
+    // hours 0..2 — a: (1,2,3), b: (2,4,6), c only fires in hour 0: (3,0,0)
+    def at(h: Long, tpe: String, k: Int) =
+      (0 until k).map(_ => (h * 3600000000L, tpe))
+    val rows = at(0, "a", 1) ++ at(1, "a", 2) ++ at(2, "a", 3) ++
+      at(0, "b", 2) ++ at(1, "b", 4) ++ at(2, "b", 6) ++ at(0, "c", 3)
+    val ev = rows.toDF("us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = TimeSeries.typeCorrelation(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("a", "b")) == 1.0, s"proportional series must correlate exactly: $got")
+    // with c zero-filled to (3,0,0): corr(a,c) = -3/sqrt(12) ≈ -0.866025;
+    // an inner join on co-active hours would have left a single point
+    assert(got(("a", "c")) == -0.866025, s"zero-fill must shape corr(a,c): $got")
+    assert(got(("b", "c")) == -0.866025)
+  }
+
   test("skyline equals the brute-force dominance scan") {
     val parts = Seq(
       (1L, "a", 1, 10.0), (2L, "b", 1, 8.0), (3L, "c", 2, 7.0),
