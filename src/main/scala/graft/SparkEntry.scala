@@ -921,6 +921,8 @@ object SparkEntry {
     "events_forecast_backtest" -> ((s, dir) => TimeSeries.holtBacktest(t(s, dir, "events"))),
     // Pairwise Pearson among zero-filled hourly count series per event type
     "events_metric_correlation" -> ((s, dir) => TimeSeries.typeCorrelation(t(s, dir, "events"))),
+    // CUPED variance reduction: pre-period covariate adjusts per-arm post means
+    "events_cuped_adjustment" -> ((s, dir) => OrderStats.cupedAdjustment(t(s, dir, "events"))),
     // per-table position-density audit (drop-window quantification)
     "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
     // embedding-distribution drift: centroid L2/cosine between halves
@@ -1931,6 +1933,7 @@ object SparkEntry {
     "events_holt_daily" -> TimeSeries.holtDailySql,
     "events_forecast_backtest" -> TimeSeries.holtBacktestSql,
     "events_metric_correlation" -> TimeSeries.typeCorrelationSql,
+    "events_cuped_adjustment" -> OrderStats.cupedAdjustmentSql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),

@@ -450,6 +450,100 @@ object OrderStats {
       |       round(zv, 4) AS z_score, abs(zv) > 1.96 AS significant
       |FROM z""".stripMargin
 
+  /** CUPED variance reduction (Deng et al., WSDM'13) for the parity-arm
+    * experiment: each user's PRE-period activity (event count before
+    * the stream's midpoint — the [[graft.ops.Profiling.psiDrift]] split
+    * device) is the covariate X for their POST-period metric Y, and the
+    * pooled θ = cov(X,Y)/var(X) shifts each arm's post-period mean to
+    * ȳ_arm − θ·(x̄_arm − x̄). Output per arm: user count, raw and
+    * adjusted means, plus the pooled θ and ρ² riders (ρ² IS the
+    * variance-reduction fraction CUPED buys — the number that justifies
+    * running it).
+    *
+    * Parity: X and Y are integer counts, so every sufficient statistic
+    * (n, Σx, Σy, Σxy, Σxx, Σyy — per arm and pooled) is an exact
+    * BIGINT; θ, the adjusted means and ρ² are fixed double expressions
+    * on those integers, nullif-guarded against zero variance and
+    * `+ 0.0`-normalized where a sign crossing could round to −0.0.
+    * Scale shape: one groupBy(user_id) with the midpoint broadcast in,
+    * then arm-level and pooled aggregates over the |users| frame.
+    */
+  def cupedAdjustment(events: DataFrame): DataFrame = {
+    val mid = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    val perUser = Caches.tracked(events.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(expr("unix_micros(ts)") <= col("mid_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(expr("unix_micros(ts)") > col("mid_us"), 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .persist())
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+    // cov numerator and the two variance terms as named columns: ρ²'s
+    // square is an explicit num*num (pow(x, 2.0) is a libm-vs-JVM
+    // last-ulp hazard; plain multiplication is identical by IEEE)
+    val numE = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vxE = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vyE = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val thetaE = numE / nullif(vxE, lit(0.0))
+    arms.crossJoin(broadcast(g))
+      .select(col("arm"), col("n_users"),
+        round(col("sya").cast("double") / col("n_users").cast("double"), 6).as("mean_post"),
+        round(thetaE, 6).plus(lit(0.0)).as("theta"),
+        round(col("sya").cast("double") / col("n_users").cast("double") -
+          thetaE * (col("sxa").cast("double") / col("n_users").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")), 6)
+          .plus(lit(0.0)).as("mean_post_adj"),
+        round(numE * numE / nullif(vxE * vyE, lit(0.0)), 6).as("rho2"))
+      .orderBy("arm")
+  }
+
+  val cupedAdjustmentSql: String =
+    """WITH mid AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |         CAST(sum(CASE WHEN epoch_us(ts) <= mid.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN epoch_us(ts) > mid.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |         user_id % 2 AS arm
+      |  FROM events, mid GROUP BY user_id, mid.mid_us),
+      |g AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pu),
+      |arms AS (
+      |  SELECT arm, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS sxa,
+      |         CAST(sum(y) AS BIGINT) AS sya
+      |  FROM pu GROUP BY arm),
+      |st AS (
+      |  SELECT arms.*, g.*,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+      |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+      |  FROM arms, g),
+      |th AS (SELECT st.*, num / nullif(vx, 0.0) AS theta FROM st)
+      |SELECT arm, n_users,
+      |       round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_post,
+      |       round(theta, 6) + 0.0 AS theta,
+      |       round(CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |             - theta * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+      |         AS mean_post_adj,
+      |       round(num * num / nullif(vx * vy, 0.0), 6) AS rho2
+      |FROM th ORDER BY arm""".stripMargin
+
   /** Experiment power analysis: the per-arm sample size needed to detect
     * a relative lift over the OBSERVED conversion rate at 80% power /
     * 5% two-sided alpha — n = (z_a + z_b)^2 · (p1(1−p1) + p2(1−p2)) / δ²

@@ -34,6 +34,27 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(!const.getAs[Boolean]("holt_beats_naive"))
   }
 
+  test("cuped: a fully predictive covariate equalizes adjusted means, rho2 = 1") {
+    // post count = 2 x pre count for every user: theta = 2, rho2 = 1, and
+    // the arms' different raw post means are entirely explained by their
+    // pre-period imbalance — adjusted means coincide exactly
+    val rows = (1 to 4).flatMap { u =>
+      val pre = (0 until u).map(j => (u.toLong, u * 10L + j))
+      val post = (0 until 2 * u).map(j => (u.toLong, 2000000L + u * 10L + j))
+      pre ++ post
+    }
+    val ev = rows.toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.cupedAdjustment(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Double]("rho2") == 1.0 && got(0L).getAs[Double]("theta") == 2.0)
+    assert(got(0L).getAs[Double]("mean_post") == 6.0 &&
+      got(1L).getAs[Double]("mean_post") == 4.0, s"raw means differ by design: $got")
+    assert(got(0L).getAs[Double]("mean_post_adj") == 5.0 &&
+      got(1L).getAs[Double]("mean_post_adj") == 5.0,
+      s"adjustment must remove the pre-period imbalance: $got")
+  }
+
   test("typeCorrelation: proportional series hit 1.0; absent hours zero-fill") {
     // hours 0..2 — a: (1,2,3), b: (2,4,6), c only fires in hour 0: (3,0,0)
     def at(h: Long, tpe: String, k: Int) =
