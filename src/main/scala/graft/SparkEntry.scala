@@ -1347,6 +1347,8 @@ object SparkEntry {
     "graph_link_predict" -> ((s, dir) => Graph.linkPredict(t(s, dir, "lineitem"), 2, 20)),
     // Edge-embeddedness census: the weak-tie (zero-common-neighbor) structure
     "graph_weak_ties" -> ((s, dir) => Graph.weakTies(t(s, dir, "lineitem"), 2)),
+    // Hash-seeded random-walk corpus (DeepWalk sequences), fully deterministic
+    "graph_walk_corpus" -> ((s, dir) => Graph.walkCorpus(t(s, dir, "lineitem"), 2, 6, 3, 5)),
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
@@ -2085,6 +2087,7 @@ object SparkEntry {
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
     "graph_link_predict" -> Graph.linkPredictSql(2, 20),
     "graph_weak_ties" -> Graph.weakTiesSql(2),
+    "graph_walk_corpus" -> Graph.walkCorpusSql(2, 6, 3, 5),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

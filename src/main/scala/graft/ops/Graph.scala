@@ -567,6 +567,84 @@ object Graph {
        |SELECT embeddedness, count(*) AS n_edges
        |FROM adj GROUP BY embeddedness ORDER BY embeddedness""".stripMargin
 
+  /** Deterministic random-walk corpus over the support core — the
+    * DeepWalk/node2vec data-generation step that turns a graph into
+    * training sequences for embedding models. "Random" is hash-seeded:
+    * at step s, walk w standing on node v moves to the neighbor at rank
+    * [[graft.functions.PortableHash.tokenHash]]("w|s|v") mod deg(v) in
+    * the node's dst-sorted adjacency — fully deterministic, replayable
+    * on any cluster layout, and exactly mirrored by the oracle's
+    * unrolled CTEs (the hash is non-negative, so `%` agrees across
+    * engines). Walks start at the `seeds` highest-degree hubs,
+    * `walksPerSeed` each.
+    *
+    * Scale shape: the positional adjacency pins on src (the window and
+    * every per-step join/aggregation ride that partitioning); each step
+    * broadcasts the O(seeds·walks) frontier into the adjacency cache —
+    * one exchange-free pass per step. Output rows: (walk_id, step,
+    * node) sequences, walk_id = seed·1000 + walk index.
+    */
+  def walkCorpus(lineitem: DataFrame, minSupport: Int, seeds: Int,
+                 walksPerSeed: Int, steps: Int): DataFrame = {
+    require(seeds >= 1 && walksPerSeed >= 1 && steps >= 1,
+      s"seeds, walksPerSeed and steps must be >= 1: $seeds, $walksPerSeed, $steps")
+    val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = pinned(e.withColumn("pos", row_number().over(wAdj) - lit(1)))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seedDf = deg
+      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("src"))))
+      .filter(col("rn") <= seeds).select(col("src").as("node"))
+    var frontier = pinned(seedDf
+      .select(col("node"), explode(sequence(lit(0), lit(walksPerSeed - 1))).as("wj"))
+      .select((col("node") * lit(1000L) + col("wj")).as("walk_id"),
+        lit(0).as("step"), col("node")))
+    var acc = frontier
+    for (s <- 1 to steps) {
+      val pick = frontier
+        .join(broadcast(deg.select(col("src").as("node"), col("deg"))), "node")
+        .withColumn("r", pmod(graft.functions.PortableHash.tokenHash(
+          concat_ws("|", col("walk_id"), lit(s), col("node"))), col("deg")))
+      val next = adj.join(broadcast(pick),
+          adj("src") === pick("node") && adj("pos") === pick("r"))
+        .select(col("walk_id"), lit(s).as("step"), col("dst").as("node"))
+      frontier = pinned(next)
+      acc = acc.unionByName(frontier)
+    }
+    acc.orderBy("walk_id", "step")
+  }
+
+  def walkCorpusSql(minSupport: Int, seeds: Int, walksPerSeed: Int, steps: Int): String = {
+    import graft.functions.PortableHash
+    val stepCtes = (1 to steps).map { s =>
+      s"""s$s AS (
+         |  SELECT f.walk_id, $s AS step, a.dst AS node
+         |  FROM s${s - 1} f
+         |  JOIN deg d ON d.src = f.node
+         |  JOIN adj a ON a.src = f.node
+         |   AND a.pos = ${PortableHash.tokenHashSql(s"concat_ws('|', f.walk_id, $s, f.node)")} % d.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to steps).map(s => s"SELECT * FROM s$s").mkString("\n  UNION ALL ")
+    s"""${coreSqlPrefix(minSupport)},
+       |adj AS (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos
+       |  FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT node FROM (
+       |    SELECT src AS node, row_number() OVER (ORDER BY count(*) DESC, src) AS rn
+       |    FROM e GROUP BY src)
+       |  WHERE rn <= $seeds),
+       |s0 AS (
+       |  SELECT node * 1000 + wj AS walk_id, 0 AS step, node
+       |  FROM seeds, unnest(range(0, $walksPerSeed)) AS t(wj)),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM (
+       |  SELECT * FROM s0
+       |  UNION ALL $unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   def pagerankSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>
       s"""c$i AS (

@@ -109,6 +109,24 @@ class GraphAndAuditOpsSpec extends SparkSpec {
       s"expected 2 weak spokes and 3 embeddedness-1 triangle edges: $got")
   }
 
+  test("walk corpus: every hop follows an edge; walks are complete and replayable") {
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 2L, 2L -> 4L, 3L -> 3L, 3L -> 4L)
+    def run() = Graph.walkCorpus(li, 1, 2, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = run()
+    val walks = rows.groupBy(_._1)
+    assert(walks.size == 6, s"2 seeds x 3 walks: ${walks.keySet}")
+    // order 1 is a 3-basket: {1,2,3} forms a clique, not a path
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    walks.values.foreach { w =>
+      val seq = w.sortBy(_._2).map(_._3)
+      assert(seq.length == 5, s"each walk has steps+1 rows: $seq")
+      seq.zip(seq.tail).foreach(hop => assert(edges(hop), s"non-edge hop $hop in $seq"))
+    }
+    assert(run().toSeq == rows.toSeq, "hash-seeded walks must replay identically")
+  }
+
   // ---- HITS ----
 
   /** rows = (custkey, orderkey, partkey) purchases. */
