@@ -1349,6 +1349,8 @@ object SparkEntry {
     "graph_weak_ties" -> ((s, dir) => Graph.weakTies(t(s, dir, "lineitem"), 2)),
     // Hash-seeded random-walk corpus (DeepWalk sequences), fully deterministic
     "graph_walk_corpus" -> ((s, dir) => Graph.walkCorpus(t(s, dir, "lineitem"), 2, 6, 3, 5)),
+    // Per-hub local clustering coefficient (ego-network density)
+    "graph_ego_density" -> ((s, dir) => Graph.egoDensity(t(s, dir, "lineitem"), 2, 20)),
 
     // Compressed-index audit: recall@k of IVF+PQ vs exact L2 (probe loss
     // + quantization loss — the number m/ncode/nprobe are tuned against)
@@ -2088,6 +2090,7 @@ object SparkEntry {
     "graph_link_predict" -> Graph.linkPredictSql(2, 20),
     "graph_weak_ties" -> Graph.weakTiesSql(2),
     "graph_walk_corpus" -> Graph.walkCorpusSql(2, 6, 3, 5),
+    "graph_ego_density" -> Graph.egoDensitySql(2, 20),
     "ann_ivfpq_recall" -> Similarity.ivfPqRecallAuditSql(8, 5, 32, 2, 4, 16, 64),
     "ann_dim_truncation" -> Similarity.dimTruncationAuditSql(8, 5, Seq(8, 16, 32)),
 

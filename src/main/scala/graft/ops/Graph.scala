@@ -567,6 +567,56 @@ object Graph {
        |SELECT embeddedness, count(*) AS n_edges
        |FROM adj GROUP BY embeddedness ORDER BY embeddedness""".stripMargin
 
+  /** Per-hub ego-network density (local clustering coefficient) over
+    * the support core: for each of the `topN` highest-degree hubs, the
+    * fraction of its neighbor pairs that are themselves adjacent —
+    * 1.0 means the hub sits inside a clique (removing it changes
+    * nothing), near 0 means a star whose spokes depend on it. The
+    * per-node companion to [[triangleStats]]' global census. Wedges
+    * enumerate from the src-pinned symmetric core (co-located
+    * self-join, Σ deg² bound); closure is a semi-join against the
+    * broadcast ordered core. Counts are integral; the one division is
+    * guarded and rounded.
+    */
+  def egoDensity(lineitem: DataFrame, minSupport: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val eo = pinned(supportEdges(lineitem, minSupport))
+    val e = pinnedBy(symmetrize(eo), "src")
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .join(broadcast(eo), col("x.dst") === col("s") && col("y.dst") === col("d"), "left_semi")
+      .groupBy(col("x.src").as("node")).agg(count(lit(1)).as("tri"))
+    val hubs = deg
+      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
+      .filter(col("rn") <= topN).select(col("node"), col("deg"))
+    hubs.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_closed"),
+        expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)").as("n_wedges"),
+        round(coalesce(col("tri"), lit(0L)).cast("double") /
+          nullif(expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)").cast("double"), lit(0.0)), 6)
+          .as("local_cc"))
+      .orderBy("node")
+  }
+
+  def egoDensitySql(minSupport: Int, topN: Int): String =
+    s"""${coreSqlPrefix(minSupport)},
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |tri AS (
+       |  SELECT x.src AS node, CAST(count(*) AS BIGINT) AS tri
+       |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+       |  WHERE EXISTS (SELECT 1 FROM eo WHERE eo.s = x.dst AND eo.d = y.dst)
+       |  GROUP BY x.src),
+       |hubs AS (SELECT node, deg FROM (
+       |    SELECT node, deg, row_number() OVER (ORDER BY deg DESC, node) AS rn FROM deg)
+       |  WHERE rn <= $topN)
+       |SELECT h.node, h.deg, coalesce(t.tri, 0) AS n_closed,
+       |       CAST(h.deg * (h.deg - 1) // 2 AS BIGINT) AS n_wedges,
+       |       round(CAST(coalesce(t.tri, 0) AS DOUBLE)
+       |             / nullif(CAST(h.deg * (h.deg - 1) // 2 AS DOUBLE), 0.0), 6) AS local_cc
+       |FROM hubs h LEFT JOIN tri t ON h.node = t.node ORDER BY h.node""".stripMargin
+
   /** Deterministic random-walk corpus over the support core — the
     * DeepWalk/node2vec data-generation step that turns a graph into
     * training sequences for embedding models. "Random" is hash-seeded:

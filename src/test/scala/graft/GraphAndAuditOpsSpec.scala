@@ -99,6 +99,18 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got(0).getDouble(3) == 1.0, s"jaccard of the open triad: ${got(0)}")
   }
 
+  test("ego density: a clique hub scores 1.0, a star hub 0.0") {
+    // order 1: clique {1,2,3}; orders 2-3: star center 5 with leaves 10, 11
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 5L, 2L -> 10L, 3L -> 5L, 3L -> 11L)
+    val got = Graph.egoDensity(li, 1, 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("local_cc") == 1.0, s"clique member: ${got(1L)}")
+    assert(got(5L).getAs[Double]("local_cc") == 0.0 &&
+      got(5L).getAs[Long]("n_wedges") == 1L, s"star center: ${got(5L)}")
+    // degree-1 leaves have zero wedges — guarded NULL, not a division error
+    assert(got(10L).isNullAt(got(10L).fieldIndex("local_cc")))
+  }
+
   test("weak ties: triangle edges are embedded, spokes are weak") {
     // order 1 buys a triangle {1,2,3}; orders 2 and 3 form two spokes
     // off part 5 (5-10, 5-11) with no closure
