@@ -534,14 +534,23 @@ object Dedup {
           .unionAll(smins.select(col("u").as("x"), col("m").as("y")))), obs))
       val sig = readObs(obs)
       // Fixpoint WITHOUT a confirming round: the round output is
-      // round-invariant iff it is a disjoint union of min-centered stars,
-      // i.e. no node appears as both a center (a) and a member (b) —
+      // round-invariant iff it is a DISJOINT union of min-centered stars.
+      // That needs BOTH structural conditions: (i) no node appears as
+      // both a center (a) and a member (b) — excludes two-level chains —
+      // and (ii) every member appears exactly once as b (one center per
+      // member). (i) alone is NOT sufficient: a path 1-4-3-5-2 yields a
+      // round-1 output {(1,3),(1,4),(2,3),(2,5)} that puts node 3 under
+      // two centers yet has disjoint a/b sets, so the loop would declare
+      // convergence one round early and SPLIT a real component (see
+      // CcPropertySpec "two-center counterexample"). Given a<b (canon)
+      // plus (i)+(ii), each star's center is its component minimum, and
       // large-star and small-star each map exactly such sets to
       // themselves (for a star (c, m_i): every neighborhood min is c, so
-      // both phases re-emit the same edges), and the algorithm's fixpoints
-      // are exactly star sets (Kiveris et al. §3). One semi-join over the
-      // round's CACHED output decides it, so the extra confirming round
-      // every graph used to pay is gone (rounds+1 → rounds).
+      // both phases re-emit the same edges) — the algorithm's fixpoints
+      // are exactly star sets (Kiveris et al. §3). One union+aggregate
+      // over the round's CACHED output decides both conditions, so the
+      // extra confirming round every graph used to pay is gone
+      // (rounds+1 → rounds).
       //
       // The check itself shuffles 2·|E|, so WHEN to run it is a depth
       // trade: near-dup graphs converge in ≤ 2 rounds (check every early
@@ -556,8 +565,15 @@ object Dedup {
           case (Some(a), Some(b)) => a == b
           case _                  => true // metric lost → fall back to the check
         })
-      converged = mustCheck && next.as("l")
-        .join(next.as("r"), col("l.a") === col("r.b"), "left_semi").isEmpty
+      converged = mustCheck && {
+        val roles = next
+          .select(col("a").as("node"), lit(1L).as("ca"), lit(0L).as("cb"))
+          .unionAll(next.select(col("b").as("node"), lit(0L).as("ca"), lit(1L).as("cb")))
+          .groupBy(col("node"))
+          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+        roles.filter(col("nb") > lit(1L) ||
+          (col("na") > lit(0L) && col("nb") > lit(0L))).isEmpty
+      }
       prevSig = sig
       edges = next
       rounds += 1

@@ -757,6 +757,6 @@ object TimeSeries {
        |  CASE WHEN n = 0 THEN NULL ELSE CAST(se // n AS BIGINT) END AS holt_mae_milli,
        |  CASE WHEN n = 0 THEN NULL ELSE CAST(sn // n AS BIGINT) END AS naive_mae_milli,
        |  CASE WHEN sn = 0 THEN NULL ELSE CAST((1000000 * se) // sn AS BIGINT) END AS mase_e6,
-       |  se < sn AS holt_beats_naive
+       |  coalesce(se, 0) < coalesce(sn, 0) AS holt_beats_naive
        |FROM agg""".stripMargin
 }

@@ -53,6 +53,19 @@ class CcPropertySpec extends SparkSpec {
     assert(out.collect().length == 12)
   }
 
+  test("two-center counterexample: path 1-4-3-5-2 must not converge early") {
+    // round 1 of this path yields {(1,3),(1,4),(2,3),(2,5)} — disjoint
+    // a/b sets (passes the a-as-b test alone) but node 3 sits under TWO
+    // centers; the fixpoint test must also require each b exactly once,
+    // else the loop splits one component of 5 into two clusters of 3
+    val pairs = Seq((1L, 4L), (3L, 4L), (3L, 5L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val (out, rounds) = Dedup.connectedComponentsStarsWithRounds(pairs)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == (1L to 5L).map(i => (i, 1L, 5L)),
+      s"expected one component of 5 centered at 1, got $rows (rounds=$rounds)")
+    compare(Seq((1L, 4L), (3L, 4L), (3L, 5L), (2L, 5L)), "path-1-4-3-5-2")
+  }
+
   test("adversarial shapes: chains, bridged cliques, dup/reversed edges, empty") {
     // worst case for min-label (min at the far end of a long chain),
     // easy case it must not break for stars
