@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Benchmark main (driver contract): runs every [[SparkEntry.queries]]
+  * entry at `SPARK_GRAFT_SF_DIR`, printing a machine-parseable JSON
+  * summary. Two outputs, because the driver keeps only a ~2000-char
+  * tail of sbt stdout (BENCH_r07–r09 all carried `"parsed": null`):
+  *
+  *  - the FULL stamped JSON (per-query best-of-2 seconds, both raw runs,
+  *    loadavg, per-table fixture row counts — the round-6 fixture-drift
+  *    lesson institutionalized) is written to `bench_full.json` in the
+  *    working directory and `/tmp/bench_last.json`;
+  *  - stdout's LAST line is a COMPACT version of the same JSON whose
+  *    `queries` map is trimmed to the slowest entries that fit a
+  *    1900-byte budget (`queries_omitted` counts the rest, `full`
+  *    points at the full file) so the tail still parses.
+  *
+  * `SPARK_GRAFT_JOBLOG=1` additionally records Spark job counts per
+  * query into the full JSON (`jobs`) — at fixture scale iterative
+  * queries are job-count dominated, so this is the first regression
+  * signal (the ProfileQ device, here for free each round).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,6 +33,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobCount = new AtomicInteger(0)
+    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
+    if (jobLog) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
     // optional comma-separated name filter for targeted local iteration
     // (the driver never sets it — full sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
@@ -29,23 +58,24 @@ object Bench {
       // GC debt inherited from earlier queries doesn't land on whichever
       // query happens to run late in the loop (round-1 artifact: tfidf
       // "37.5s" of which ~30s was inherited pause, 1.8s steady-state).
-      val dt = (1 to 2).map { _ =>
+      var jobs = 0
+      val runs = (1 to 2).map { _ =>
+        jobCount.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
+        jobs = jobCount.get()
         ops.Caches.releaseCaches(); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
         t
-      }.min
-      name -> dt
+      }
+      (name, runs.min, runs, jobs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Headline throughput vs the reference's 10^4-10^5 events/s design
     // target (BASELINE.md): full changelog apply (normalize -> route ->
     // LWW merge) measured end-to-end. Steady-state: best of 3 runs, so a
-    // GC pause inherited from the preceding 46-query loop can't masquerade
+    // GC pause inherited from the preceding query loop can't masquerade
     // as apply cost (it did in round 1: 4530 "ev/s" from one 22 s outlier
     // vs the 0.6 s the same query took inside the loop).
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -59,14 +89,56 @@ object Bench {
       t
     }.min
     val eps = (nEvents / applySec).round
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"apply_events_per_sec":$eps,"sf":"$sfDir"}"""
-    println(line)
-    // the stdout line has been tail-truncated in driver logs three rounds
-    // running — persist the full per-query map to a file as well
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json")), line + "\n")
-    catch { case _: Throwable => () }
+    // stamps: cross-round comparisons need to know what they ran against
+    val loadavg = try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fixtureRows = tables.flatMap { t =>
+      try Some(t -> spark.read.parquet(s"$sfDir/$t.parquet").count())
+      catch { case _: Throwable => None }
+    }
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val stamps =
+      s""""apply_events_per_sec":$eps,"sf":"$sfDir","loadavg":"$loadavg",""" +
+      s""""fixture_rows":${fixtureRows.map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")}"""
+    val runsJson = results.map { case (k, _, rs, _) =>
+      "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")
+    val jobsJson = if (jobLog) results.map { case (k, _, _, j) =>
+      "\"" + k + "\":" + j }.mkString(""","jobs":{""", ",", "}") else ""
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},""" +
+      s"""$stamps,"runs":$runsJson$jobsJson}"""
+    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json"), "bench_full.json")
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
+        catch { case _: Throwable => () }
+      }
+    // compact stdout line LAST: slowest queries first until the byte
+    // budget is spent — the 2000-char driver tail must keep a parseable
+    // JSON object with the headline numbers
+    // 2000-char driver tail minus sbt's "[info] " prefix, the trailing
+    // "[success] Total time: ..." line and a blank-line margin
+    val budget = 1750
+    val bySlow = results.sortBy(-_._2)
+    val fixed =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$stamps,""" +
+      s""""full":"bench_full.json","queries_omitted":000,"queries":{}}"""
+    var used = fixed.length
+    val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    bySlow.foreach { case (k, v, _, _) =>
+      val cost = k.length + fmt(v).length + 4
+      if (used + cost <= budget) { kept += (k -> v); used += cost }
+    }
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$stamps,""" +
+      s""""full":"bench_full.json","queries_omitted":${results.size - kept.size},""" +
+      s""""queries":${qmap(kept.toSeq)}}"""
+    println(fullLine) // humans and any driver that keeps full stdout
+    println(compact)  // the line the 2000-char tail actually preserves
     spark.stop()
   }
 }

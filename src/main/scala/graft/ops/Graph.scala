@@ -39,7 +39,7 @@ object Graph {
     * exchanges. The eager count keeps later broadcast builds and round
     * jobs reading the cache instead of re-deriving the pair join.
     */
-  private def pinnedBy(df: DataFrame, key: String): DataFrame = {
+  private[graft] def pinnedBy(df: DataFrame, key: String): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val out = Caches.tracked(df.repartition(parts, col(key)).persist())
     out.count()
@@ -62,7 +62,7 @@ object Graph {
     * standard iterative-graph tradeoff (GraphX does the same); blocks
     * are GC-reclaimed by the ContextCleaner once the frame is dropped.
     */
-  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
+  private[graft] def pinned(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Distinct (order, part) pairs → symmetric directed co-purchase
     * edges weighted by the number of shared orders. Self-join fan-out is
@@ -101,16 +101,7 @@ object Graph {
     var prev = rank
     for (_ <- 1 to iterations) {
       prev = rank
-      // one O(|E|) pass per round: the rank map (|V|-bounded, already
-      // materialized) broadcasts into the dst-pinned edge cache, so the
-      // per-dst sum needs no exchange; the left join then broadcasts the
-      // |V|-bounded contribution sums back onto the node set
-      val contrib = e.join(broadcast(rank), col("src") === col("node"))
-        .select(col("dst"), expr("CAST((rank * w) DIV out_w AS BIGINT)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      rank = pinned(nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank")))
+      rank = pinned(pagerankRound(e, nodes, rank, tele))
     }
     // convergence audit: the final round's L1 delta Σ|r_k − r_{k−1}| in
     // exact picoranks (≤ 2·Scale, so BIGINT with no float on either
@@ -127,6 +118,24 @@ object Graph {
         (col("rank").cast("double") / lit(Scale.toDouble)).as("share"),
         lit(l1).as("l1_delta_e12"))
       .orderBy("node")
+  }
+
+  /** ONE un-pinned PageRank round over a dst-pinned edge cache `e` and
+    * materialized |V|-bounded `nodes`/`rank` frames: one O(|E|) pass —
+    * the rank map broadcasts into the dst-pinned edge cache, so the
+    * per-dst sum needs no exchange; the left join then broadcasts the
+    * |V|-bounded contribution sums back onto the node set. Exposed
+    * `private[graft]` so `PlanShapeSpec` pins the zero-shuffle round
+    * plan as a CI contract (the round-9 headline perf property).
+    */
+  private[graft] def pagerankRound(e: DataFrame, nodes: DataFrame,
+                                   rank: DataFrame, tele: Long): DataFrame = {
+    val contrib = e.join(broadcast(rank), col("src") === col("node"))
+      .select(col("dst"), expr("CAST((rank * w) DIV out_w AS BIGINT)").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(tele) + expr("CAST((85 * coalesce(s, 0)) DIV 100 AS BIGINT)")).as("rank"))
   }
 
   /** Synchronous weighted label propagation — community detection over
@@ -176,22 +185,31 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     var labels = pinned(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
-    for (_ <- 1 to rounds) {
-      val votes = edges.join(broadcast(labels), col("src") === col("node"))
-        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
-      val own = broadcast(labels.select(col("node").as("dst"), col("label").as("own")))
-      labels = pinned(votes.join(own, "dst")
-        .withColumn("key",
-          (col("cnt") + when(col("label") === col("own"), lit(1L)).otherwise(lit(0L)))
-            * lit(100000000L) - col("label"))
-        .groupBy(col("dst"))
-        .agg(max_by(col("label"), col("key")).as("cand"),
-          max(col("key")).as("best"), max(col("own")).as("own_label"))
-        .select(col("dst").as("node"),
-          when(col("best") >= lit(100000000L) - col("own_label"), col("cand"))
-            .otherwise(col("own_label")).as("label")))
-    }
+    for (_ <- 1 to rounds)
+      labels = pinned(lpRound(edges, labels))
     labels
+  }
+
+  /** ONE un-pinned label-propagation round over a dst-pinned edge cache
+    * and a materialized |V|-bounded label map (see [[lpRounds]] for the
+    * semantics). Both groupBys key on supersets of dst, so the whole
+    * round carries zero shuffle exchanges off the cache. Exposed
+    * `private[graft]` for the `PlanShapeSpec` round-plan contract.
+    */
+  private[graft] def lpRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = edges.join(broadcast(labels), col("src") === col("node"))
+      .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("cnt"))
+    val own = broadcast(labels.select(col("node").as("dst"), col("label").as("own")))
+    votes.join(own, "dst")
+      .withColumn("key",
+        (col("cnt") + when(col("label") === col("own"), lit(1L)).otherwise(lit(0L)))
+          * lit(100000000L) - col("label"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("label"), col("key")).as("cand"),
+        max(col("key")).as("best"), max(col("own")).as("own_label"))
+      .select(col("dst").as("node"),
+        when(col("best") >= lit(100000000L) - col("own_label"), col("cand"))
+          .otherwise(col("own_label")).as("label"))
   }
 
   /** CTE prefix shared by the label-propagation query and the modularity
@@ -315,7 +333,7 @@ object Graph {
     * filter is the scale knob that keeps Σ deg² (the wedge bound all the
     * pair-enumerating ops pay) small.
     */
-  private def supportEdges(lineitem: DataFrame, minSupport: Int): DataFrame = {
+  private[graft] def supportEdges(lineitem: DataFrame, minSupport: Int): DataFrame = {
     val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -327,7 +345,7 @@ object Graph {
 
   /** Both directions of an ordered edge list — the undirected adjacency
     * view (src, dst). */
-  private def symmetrize(eo: DataFrame): DataFrame =
+  private[graft] def symmetrize(eo: DataFrame): DataFrame =
     eo.select(col("s").as("src"), col("d").as("dst"))
       .unionAll(eo.select(col("d").as("src"), col("s").as("dst")))
 
@@ -498,10 +516,7 @@ object Graph {
     val eo = pinned(supportEdges(lineitem, minSupport))
     val e = pinnedBy(symmetrize(eo), "dst")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val cn = e.as("x").join(e.as("y"),
-        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
-      .agg(count(lit(1)).as("cn"))
+    val cn = commonNeighborPairs(e)
     val cand = cn.join(broadcast(eo), cn("a") === eo("s") && cn("b") === eo("d"), "left_anti")
     cand
       .join(broadcast(deg.select(col("node").as("na"), col("deg").as("deg_a"))),
@@ -532,6 +547,21 @@ object Graph {
        |FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
        |ORDER BY c.cn DESC, c.a, c.b LIMIT $topN""".stripMargin
 
+  /** Common-neighbor counts for every ordered pair (a < b) sharing at
+    * least one neighbor, enumerated by the wedge self-join over a
+    * dst-pinned symmetric core `e` — the Σ deg² bound of the FILTERED
+    * core, never all-pairs. The self-join co-locates on the cache's dst
+    * partitioning (zero exchanges on either join side); the only
+    * shuffle is the census aggregate itself, keyed (a, b). Shared by
+    * [[linkPredict]] and [[weakTies]]; `PlanShapeSpec` pins the
+    * one-exchange shape.
+    */
+  private[graft] def commonNeighborPairs(e: DataFrame): DataFrame =
+    e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("cn"))
+
   /** Edge-embeddedness census over the support core — Granovetter's
     * weak-tie structure: for every ADJACENT pair, the number of common
     * neighbors (embeddedness); the histogram's zero bucket counts the
@@ -545,10 +575,7 @@ object Graph {
   def weakTies(lineitem: DataFrame, minSupport: Int): DataFrame = {
     val eo = pinned(supportEdges(lineitem, minSupport))
     val e = pinnedBy(symmetrize(eo), "dst")
-    val cn = e.as("x").join(e.as("y"),
-        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
-      .agg(count(lit(1)).as("cn"))
+    val cn = commonNeighborPairs(e)
     eo.join(cn, col("s") === col("a") && col("d") === col("b"), "left")
       .select(coalesce(col("cn"), lit(0L)).as("embeddedness"))
       .groupBy(col("embeddedness")).agg(count(lit(1)).as("n_edges"))
@@ -638,6 +665,10 @@ object Graph {
                  walksPerSeed: Int, steps: Int): DataFrame = {
     require(seeds >= 1 && walksPerSeed >= 1 && steps >= 1,
       s"seeds, walksPerSeed and steps must be >= 1: $seeds, $walksPerSeed, $steps")
+    // walk_id packs node·1000 + walk index — the multiplier bounds the
+    // per-seed fan-out, else ids collide across seeds (both engines)
+    require(walksPerSeed <= 1000,
+      s"walk_id packing (node*1000 + wj) requires walksPerSeed <= 1000, got $walksPerSeed")
     val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = pinned(e.withColumn("pos", row_number().over(wAdj) - lit(1)))
@@ -779,17 +810,24 @@ object Graph {
     var hub = custs.select(col("c"), lit(Scale / nC).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      auth = renorm(eByP.join(broadcast(hub), "c")
-        .groupBy(col("p"))
-        .agg(sum((col("w") * col("h")).cast("decimal(38,0)")).as("s")), "p", "a")
-      hub = renorm(eByC.join(broadcast(auth), "p")
-        .groupBy(col("c"))
-        .agg(sum((col("w") * col("a")).cast("decimal(38,0)")).as("s")), "c", "h")
+      auth = renorm(hitsVotes(eByP, hub, "c", "p", "h"), "p", "a")
+      hub = renorm(hitsVotes(eByC, auth, "p", "c", "a"), "c", "h")
     }
     auth.select(lit("authority").as("kind"), col("p").as("id"), col("a").as("score_e12"))
       .unionByName(hub.select(lit("hub").as("kind"), col("c").as("id"), col("h").as("score_e12")))
       .orderBy("kind", "id")
   }
+
+  /** ONE un-normalized HITS half-round: the |V|-bounded score map
+    * broadcasts into the edge cache pinned on `groupKey`, so the vote
+    * sum needs no exchange (see [[hits]]). Exposed `private[graft]` for
+    * the `PlanShapeSpec` half-round contract.
+    */
+  private[graft] def hitsVotes(e: DataFrame, scores: DataFrame, joinKey: String,
+                               groupKey: String, scoreCol: String): DataFrame =
+    e.join(broadcast(scores), joinKey)
+      .groupBy(col(groupKey))
+      .agg(sum((col("w") * col(scoreCol)).cast("decimal(38,0)")).as("s"))
 
   def hitsSql(iterations: Int): String = {
     val steps = (1 to iterations).map { i =>

@@ -137,6 +137,10 @@ class GraphAndAuditOpsSpec extends SparkSpec {
       seq.zip(seq.tail).foreach(hop => assert(edges(hop), s"non-edge hop $hop in $seq"))
     }
     assert(run().toSeq == rows.toSeq, "hash-seeded walks must replay identically")
+    // walk_id packs node*1000 + index: fan-out past the multiplier must
+    // be rejected, not silently collide ids across seeds
+    val e = intercept[IllegalArgumentException](Graph.walkCorpus(li, 1, 2, 1001, 1))
+    assert(e.getMessage.contains("walksPerSeed <= 1000"))
   }
 
   // ---- HITS ----

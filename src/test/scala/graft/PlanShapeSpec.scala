@@ -551,4 +551,85 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("percentile"),
       s"latency quantiles must come from the bounded histogram sketch:\n$p")
   }
+
+  // ---- exchange-free iterative graph rounds (the round-9 headline):
+  // one round built over the production pinnedBy cache + materialized
+  // |V|-bounded frames must plan with ZERO shuffle exchanges — a
+  // refactor that re-introduces a union into the self-vote fold, drops
+  // a broadcast hint, or loses the cache partitioning flips these red.
+
+  import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
+  import graft.ops.Graph
+
+  private def symEdges = {
+    import spark.implicits._
+    Seq((10L, 20L, 2L), (20L, 10L, 2L), (10L, 30L, 1L),
+        (30L, 10L, 1L), (20L, 30L, 1L), (30L, 20L, 1L)).toDF("src", "dst", "w")
+  }
+
+  /** Shuffle exchanges in the query's OWN plan — tree traversal (string
+    * matching would also count the pinning exchange printed inside the
+    * InMemoryRelation cache-build subtree, which is exactly the shuffle
+    * the cache exists to pay once). Descends through the AQE wrapper to
+    * the initial plan: the contract is that EnsureRequirements inserts
+    * no shuffle at all, not that AQE optimizes one away.
+    */
+  private def countHashExchanges(df: org.apache.spark.sql.DataFrame): (Int, String) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case s: ShuffleExchangeLike   => 1 + s.children.map(walk).sum
+      case other                    => other.children.map(walk).sum
+    }
+    val plan = df.queryExecution.executedPlan
+    (walk(plan), plan.toString)
+  }
+
+  test("LP round: zero shuffle exchanges — broadcast label map over the dst-pinned cache") {
+    val e = Graph.pinnedBy(symEdges, "dst")
+    val labels = Graph.pinned(
+      e.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+    val (n, p) = countHashExchanges(Graph.lpRound(e, labels))
+    assert(n == 0, s"LP round must be exchange-free over the pinned cache, got $n:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"label map must broadcast into the cache:\n$p")
+  }
+
+  test("pagerank round: zero shuffle exchanges — rank map broadcast, per-dst sum on the cache") {
+    val raw = symEdges
+    val outW = raw.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val e = Graph.pinnedBy(raw.join(broadcast(outW), "src")
+      .select(col("src"), col("dst"), col("w"), col("out_w")), "dst")
+    val nodes = Graph.pinned(raw.select(col("src").as("node")).distinct())
+    val rank = Graph.pinned(nodes.withColumn("rank", lit(1000000L)))
+    val (n, p) = countHashExchanges(Graph.pagerankRound(e, nodes, rank, 5L))
+    assert(n == 0, s"pagerank round must be exchange-free over the pinned cache, got $n:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rank/contrib maps must broadcast:\n$p")
+  }
+
+  test("HITS half-round: zero shuffle exchanges — score map broadcast into the groupKey-pinned copy") {
+    import spark.implicits._
+    val e = Graph.pinnedBy(
+      Seq((1L, 10L, 2L), (1L, 20L, 1L), (2L, 10L, 1L)).toDF("c", "p", "w"), "p")
+    val hub = Graph.pinned(Seq((1L, 500000L), (2L, 500000L)).toDF("c", "h"))
+    val (n, p) = countHashExchanges(Graph.hitsVotes(e, hub, "c", "p", "h"))
+    assert(n == 0, s"HITS half-round must be exchange-free, got $n:\n$p")
+  }
+
+  test("wedge census: the self-join co-locates on the pinned dst partitioning (one exchange)") {
+    import spark.implicits._
+    // force the merge-join path: the contract is cache co-location, not
+    // a small-input broadcast rescue
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val eo = Graph.pinned(Seq((10L, 20L), (10L, 30L), (20L, 30L)).toDF("s", "d"))
+      val e = Graph.pinnedBy(Graph.symmetrize(eo), "dst")
+      val (n, p) = countHashExchanges(Graph.commonNeighborPairs(e))
+      assert(n == 1,
+        s"wedge self-join must ride the cache; only the (a,b) census shuffles — got $n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian in the wedge join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
