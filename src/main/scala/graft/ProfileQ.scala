@@ -36,10 +36,16 @@ object ProfileQ {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); starts(j.jobId) = j.time
+        // explicit job description (setJobDescription) beats the stage
+        // name when present — streamingNovelty tags its per-batch phases
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         val site = j.stageInfos.lastOption.map(_.details.linesIterator.toSeq
           .filter(l => l.contains("graft") && !l.contains("ProfileQ")).take(2).mkString(" <- "))
           .getOrElse("")
-        descs(j.jobId) = j.stageInfos.map(_.name).mkString("|").take(80) + " @ " + site.take(160)
+        descs(j.jobId) =
+          (if (desc.nonEmpty) s"[$desc] " else "") +
+            j.stageInfos.map(_.name).mkString("|").take(80) + " @ " + site.take(160)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         lines.add(f"job ${j.jobId}%3d ${(j.time - starts.getOrElse(j.jobId, j.time)) / 1000.0}%6.2fs  ${descs.getOrElse(j.jobId, "")}")

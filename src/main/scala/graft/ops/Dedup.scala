@@ -168,6 +168,21 @@ object Dedup {
     sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
   }
 
+  /** [[lshBands]] carrying the full signature columns through the
+    * explode — (doc_id, s0..s15, band, bh) in ONE projection, replacing
+    * the bands⋈sig self-join the index writer/prober used to pay (a
+    * join per batch whose only purpose was re-attaching columns the
+    * explode already had in hand).
+    */
+  def lshBandRows(sig: DataFrame): DataFrame = {
+    val bandArr = array((0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(j => col(s"s${rowsPerBand * b + j}").cast("string"))
+      md5(concat_ws(",", slice: _*))
+    }: _*)
+    sig.select(col("doc_id") +: (0 until 16).map(i => col(s"s$i")) :+
+      posexplode(bandArr).as(Seq("band", "bh")): _*)
+  }
+
   private val bandsSql: String = {
     val rows = (0 until nBands).map { b =>
       val slice = (0 until rowsPerBand).map(j => s"CAST(s${rowsPerBand * b + j} AS VARCHAR)").mkString(", ")
@@ -1159,13 +1174,11 @@ object Dedup {
     * scan planning, no file of a cold bucket is even listed.
     */
   def writeLshIndex(corpus: DataFrame, path: String): Unit = {
-    val sig = minhashSignatures(corpus).persist()
-    lshBands(sig).join(sig, Seq("doc_id"))
+    lshBandRows(minhashSignatures(corpus))
       .withColumn("bucket",
         pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
       .repartition(indexBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    sig.unpersist()
   }
 
   /** Probe the persisted index with a fresh crawl batch: signatures and
@@ -1182,8 +1195,7 @@ object Dedup {
     */
   def lshIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame, threshold: Double): DataFrame = {
-    val sigB = Caches.tracked(minhashSignatures(batch).persist())
-    val probe = Caches.tracked(lshBands(sigB).join(sigB, Seq("doc_id"))
+    val probe = Caches.tracked(lshBandRows(minhashSignatures(batch))
       .withColumn("bucket",
         pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
       .persist())
@@ -1337,12 +1349,23 @@ object Dedup {
     val q = stream.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        def phase(p: String): Unit =
+          s.sparkContext.setJobDescription(s"novelty b$batchId $p")
+        phase("build")
+        // batch-sized shuffle width: a micro-batch is a few thousand
+        // rows — the session's cluster-sized shuffle width would cut it
+        // into ~100-row tasks whose scheduling overhead dominates every
+        // one of the batch's small jobs. Scoped to the batch body
+        // (foreachBatch bodies run sequentially) and restored below.
+        val sessionWidth = s.conf.get("spark.sql.shuffle.partitions")
+        val batchWidth = math.max(4, s.sparkContext.defaultParallelism / 4)
+        s.conf.set("spark.sql.shuffle.partitions", batchWidth)
+        try {
         // one-file micro-batches arrive as ONE partition; the shingle
         // explode behind minhashSignatures would run single-threaded
         // without this spread (the StreamingApply prepartition recipe)
         val docs = batch.repartition(s.sparkContext.defaultParallelism).persist()
-        val sigB = minhashSignatures(docs).persist()
-        val bandsB = lshBands(sigB).join(sigB, Seq("doc_id"))
+        val bandsB = lshBandRows(minhashSignatures(docs))
           .withColumn("bucket",
             pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
           .persist()
@@ -1353,30 +1376,43 @@ object Dedup {
         // bucket until the next maintenance cycle (no-crash cost: two
         // existence checks)
         recoverLshIndex(indexPath)
-        val vsIndex: DataFrame =
+        // ONE probe join covers both the vs-index and the intra-batch
+        // comparison: ingestion order means "earlier" ≡ "smaller doc_id"
+        // on BOTH sides (the batch contract this op documents), so the
+        // index rows (bucket-pruned to the batch's buckets) and the
+        // batch's own band rows union into a single "earlier-candidate"
+        // side and one broadcast of the batch decides everything — half
+        // the joins/broadcast builds per micro-batch of the former
+        // two-join + union shape, same pairs by construction (same-bh
+        // rows share a bucket, so the bucket equality is a no-op on the
+        // intra part).
+        val probeCols = col("doc_id") +: col("band") +: col("bh") +: col("bucket") +:
+          (0 until 16).map(i => col(s"s$i"))
+        val earlierSide: DataFrame =
           if (new java.io.File(indexPath).exists()) {
+            phase("hit-buckets")
             val hit = bandsB.select(col("bucket")).distinct().collect().map(_.getInt(0))
+            phase("probe+out")
             s.read.parquet(indexPath)
-              .filter(col("bucket").isin(hit.map(Integer.valueOf): _*)).as("x")
-              .join(broadcast(bandsB.as("y")),
-                col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
-                  col("x.bh") === col("y.bh"))
-              .filter(eq / lit(16.0) >= threshold)
-              .select(col("y.doc_id").as("id"), col("x.doc_id").as("earlier"))
-          } else
-            docs.select(col("doc_id").as("id"), col("doc_id").as("earlier")).limit(0)
-        val intra = bandsB.as("x")
-          .join(bandsB.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
+              .filter(col("bucket").isin(hit.map(Integer.valueOf): _*))
+              .select(probeCols: _*)
+              .unionByName(bandsB.select(probeCols: _*))
+          } else bandsB.select(probeCols: _*)
+        val dupOf = earlierSide.as("x")
+          .join(broadcast(bandsB.as("y")),
+            col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+              col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
           .filter(eq / lit(16.0) >= threshold)
           .select(col("y.doc_id").as("id"), col("x.doc_id").as("earlier"))
-        val dupOf = vsIndex.unionByName(intra)
           .groupBy(col("id")).agg(min(col("earlier")).as("dup_of"))
+        // batch-sized output: collapse to one task/file per micro-batch
+        // (32 shuffle-width files of a 12k-row frame are pure overhead)
         docs.select(col("doc_id"))
           .join(dupOf, col("doc_id") === col("id"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("novel"), col("dup_of"))
+          .coalesce(1)
           .write.mode("append").parquet(outPath)
+        phase("append")
         // consolidate before the append: partitionBy from 32 task
         // partitions would scatter up to 32x16 sliver files per batch —
         // one shuffle to bucket-aligned partitions writes one file per
@@ -1384,12 +1420,16 @@ object Dedup {
         // index's file count linear in batches, not tasks x buckets
         bandsB.repartition(indexBuckets, col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(indexPath)
-        bandsB.unpersist(); sigB.unpersist(); docs.unpersist()
+        bandsB.unpersist(); docs.unpersist()
         // maintenance rider: bound the index's per-bucket file count so
         // continuous appends can't turn directory listing into the probe
         // bottleneck (runs between batches — no reader is mid-scan)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          phase("compact")
           compactLshIndex(s, indexPath, maxFilesPerBucket)
+        }
+        } finally s.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+        s.sparkContext.setJobDescription(null)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
