@@ -52,7 +52,7 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    ops.Caches.releaseCaches(); spark.catalog.clearCache() // drop persists leaked by warmup queries
+    ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // drop persists leaked by warmup queries
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of 2 runs: steady-state per query, so first-run codegen/JIT and
       // GC debt inherited from earlier queries doesn't land on whichever
@@ -65,7 +65,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         jobs = jobCount.get()
-        ops.Caches.releaseCaches(); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+        ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
         t
       }
@@ -85,7 +85,7 @@ object Bench {
       // capture BEFORE teardown, matching the per-query loop — cache
       // eviction is harness bookkeeping, not apply cost
       val t = (System.nanoTime() - t0) / 1e9
-      ops.Caches.releaseCaches(); spark.catalog.clearCache()
+      ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache()
       t
     }.min
     val eps = (nEvents / applySec).round

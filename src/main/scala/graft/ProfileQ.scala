@@ -53,14 +53,14 @@ object ProfileQ {
     })
     // warmup at sf0.001
     names.foreach { n => try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () } }
-    ops.Caches.releaseCaches(); spark.catalog.clearCache(); System.gc()
+    ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache(); System.gc()
     names.foreach { n =>
       val dts = (1 to 2).map { _ =>
         jobs.set(0); stages.set(0); lines.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        ops.Caches.releaseCaches(); spark.catalog.clearCache(); System.gc()
+        ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache(); System.gc()
         dt
       }
       println(f"== $n: ${dts.min}%6.2f s (runs: ${dts.map(d => f"$d%.2f").mkString(", ")}), jobs=${jobs.get}, stages=${stages.get} (last run)")

@@ -171,6 +171,26 @@ object SparkEntry {
       s"$tmp/index"
     })
 
+  /** Run `body` with the session's shuffle width scoped down to a
+    * micro-batch size (cores/4, floor 4) and restored after. Stateful
+    * streaming queries pin their state-store partition count from
+    * `spark.sql.shuffle.partitions` at first start: at cluster width
+    * (32) every fixture-scale micro-batch commits 32 state/delta files
+    * plus WAL fsyncs, and that per-batch filesystem churn — not the
+    * 2-3s of actual jobs — dominated the streaming tail's wall time
+    * (measured band 3.5-14s for events_hourly_stream on an idle
+    * machine, untouched code; SCALING.md "streaming tail" section). On
+    * a real deployment this is the standard per-query state-width knob;
+    * batch-only consumers of the result are unaffected, and widths
+    * never change results (exact aggregations either way).
+    */
+  private def withBatchShuffleWidth[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, s.sparkContext.defaultParallelism / 4))
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Near-dup cluster assignment (doc_id, cluster, cluster_size) at
     * threshold 0.5, materialized ONCE per process per sfDir as a parquet
     * artifact — the disk twin of [[graft.ops.Dedup.clustersFor]] (and
@@ -506,7 +526,7 @@ object SparkEntry {
         .orderBy("task_seq")),
 
     // Structured Streaming apply: the events changelog split into 4
-    // files → 4 genuine micro-batches (maxFilesPerTrigger=1) → foreachBatch
+    // files -> 4 genuine micro-batches (maxFilesPerTrigger=1) -> foreachBatch
     // incremental LWW state over the WIDE envelope (full after-images
     // through the schema-registry decode); final state must equal the
     // one-shot wide batch materialization (same oracle as
@@ -593,7 +613,7 @@ object SparkEntry {
     // aggregate emitted by append-mode streaming equals the batch hourly
     // aggregate restricted to watermark-finalized windows
     // (window_end <= max_ts - delay)
-    "events_hourly_stream" -> ((s, dir) => {
+    "events_hourly_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
@@ -655,7 +675,7 @@ object SparkEntry {
     // every session but each user's last) or when the event-time timeout
     // fires (deterministic given the final watermark) — so the streamed
     // output equals the batch sessionization minus still-open sessions
-    "events_sessionize_stream" -> ((s, dir) => {
+    "events_sessionize_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       import s.implicits._
       val chunks = chunkedEvents(s, dir)
@@ -676,7 +696,7 @@ object SparkEntry {
     // built-in session_window sessions: engine-managed gap-session state,
     // append emits a session once the watermark passes its end — oracle
     // is the batch gaps-and-islands cut at the final watermark
-    "events_session_window_stream" -> ((s, dir) => {
+    "events_session_window_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
@@ -808,7 +828,7 @@ object SparkEntry {
 
     // KMV sketch inside watermarked streaming state: distinct users per
     // finalized hour from k-bounded mergeable sketch state
-    "events_distinct_stream" -> ((s, dir) => {
+    "events_distinct_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.ops.Sketches
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
@@ -827,7 +847,7 @@ object SparkEntry {
 
     // streaming sliding windows: append-mode 1h/30min windows over the
     // chunked replay equal the batch assignment on finalized windows
-    "events_sliding_stream" -> ((s, dir) => {
+    "events_sliding_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
@@ -1175,7 +1195,7 @@ object SparkEntry {
     // the SAME heap aggregate as genuine streaming state: complete-mode
     // aggregation over the chunked replay; the final emitted table equals
     // the batch top-k (k-bounded buffers merge across micro-batches)
-    "events_topk_stream" -> ((s, dir) => {
+    "events_topk_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.functions.TopKFunctions
       TopKFunctions.register(s)
       val chunks = chunkedEvents(s, dir)
