@@ -1136,6 +1136,13 @@ object SparkEntry {
     // 7-day rolling revenue per type: daily pre-agg then a RANGE window
     // over epoch days (calendar-gap-correct, unlike a ROWS frame)
     "events_rolling_avg" -> ((s, dir) => Analytics.rollingRevenue(t(s, dir, "events"))),
+    // per-event trailing 1h RANGE-frame velocity features (count + milli
+    // value mass in the hour ending at each event)
+    "events_trailing_window" -> ((s, dir) =>
+      Analytics.trailingWindow(t(s, dir, "events"), 3600L * 1000000L)),
+    // sample-ratio-mismatch audit per entry segment: the pre-metric
+    // health check of the experimentation family
+    "events_srm_check" -> ((s, dir) => OrderStats.srmCheck(t(s, dir, "events"))),
 
     // Per-type 3-sigma anomaly rates: decimal moments, division-free test
     "events_anomaly" -> ((s, dir) => Analytics.zscoreOutliers(t(s, dir, "events"))),
@@ -1237,6 +1244,10 @@ object SparkEntry {
     // random-hyperplane (cosine) LSH: label-free embedding near-dup
     "dedup_hyperplane_lsh" -> ((s, dir) => Dedup.hyperplaneLsh(t(s, dir, "embeddings"), 16, 4, 64, 0.3)),
     "ann_hyperplane_recall" -> ((s, dir) => Dedup.hyperplaneRecall(t(s, dir, "embeddings"), 16, 4, 64, 0.3)),
+    // contrastive hard-negative mining: per anchor, the most-similar
+    // vectors BELOW the near-dup threshold (+ skipped-positive audit)
+    "emb_hard_negatives" -> ((s, dir) =>
+      ops.Similarity.hardNegatives(t(s, dir, "embeddings"), 8, 5, 0.9)),
 
     // Substring-level dedup: maximal cross-document duplicated token
     // spans (suffix-array-style) via positional shingles + islands merge
@@ -1393,6 +1404,10 @@ object SparkEntry {
     // multi-source BFS hop distances from the 3 highest-degree hubs
     // (min-plus frontier relaxation, 4 unrolled integral rounds)
     "graph_bfs_reach" -> ((s, dir) => Graph.bfsReach(t(s, dir, "lineitem"), 2, 3, 4)),
+    // bounded-hop closeness centrality per hub: labeled multi-source BFS,
+    // exact integer hop mass (completes the centrality family beside
+    // pagerank/HITS)
+    "graph_closeness" -> ((s, dir) => Graph.closeness(t(s, dir, "lineitem"), 2, 3, 4)),
 
     // common-neighbor / Jaccard link prediction over non-adjacent core
     // pairs; wedge-bounded candidates, partial top-k cut
@@ -1427,6 +1442,10 @@ object SparkEntry {
     // reciprocal-rank fusion (K=60) on integral ranks, final top-10
     "rag_hybrid_rrf" -> ((s, dir) =>
       Retrieval.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"), 20, 10)),
+    // pseudo-relevance feedback (RM3 shape): top-3 feedback docs donate
+    // their 2 strongest non-query terms, second BM25 pass re-ranks
+    "rag_query_expansion" -> ((s, dir) =>
+      Retrieval.queryExpansion(t(s, dir, "documents"), fdbk = 3, expand = 2, k = 10)),
     // tokenizer application: first-12-token encode against a top-16 vocab
     "text_token_ids" -> ((s, dir) => TextAnalysis.tokenIds(t(s, dir, "documents"), 16, 12)),
     "text_hash_sample" -> ((s, dir) => TextAnalysis.hashSample(t(s, dir, "documents"), 10)),
@@ -1586,6 +1605,9 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     // Variance-of-Laplacian blur scoring through the real ImageIO codec
     "mm_sharpness" -> ((s, dir) => Multimodal.sharpness(t(s, dir, "documents"))),
+    // 8-bucket intensity histogram + modal bucket + division-free Simpson
+    // uniformity through the real PNG codec
+    "mm_color_histogram" -> ((s, dir) => Multimodal.colorHistogram(t(s, dir, "documents"))),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.payloads(t(s, dir, "documents")), 32, 8)),
     "mm_resize" -> ((s, dir) => Multimodal.resize(t(s, dir, "documents"), 8)),
@@ -2064,6 +2086,8 @@ object SparkEntry {
     "events_funnel" -> Analytics.funnelSql(Seq("view", "click", "purchase")),
     "events_retention" -> Analytics.retentionSql,
     "events_rolling_avg" -> Analytics.rollingRevenueSql,
+    "events_trailing_window" -> Analytics.trailingWindowSql(3600L * 1000000L),
+    "events_srm_check" -> OrderStats.srmCheckSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,
     "events_new_users" -> Analytics.newUsersSql,
     "lineitem_profile" -> Profiling.tableProfileSql("lineitem",
@@ -2126,6 +2150,7 @@ object SparkEntry {
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
     "emb_kcenter_coreset" -> Similarity.kCenterCoresetSql(8),
+    "emb_hard_negatives" -> Similarity.hardNegativesSql(8, 5, 0.9),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
@@ -2139,6 +2164,7 @@ object SparkEntry {
     "graph_triangles" -> Graph.triangleStatsSql(2),
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
+    "graph_closeness" -> Graph.closenessSql(2, 3, 4),
     "graph_link_predict" -> Graph.linkPredictSql(2, 20),
     "graph_weak_ties" -> Graph.weakTiesSql(2),
     "graph_walk_corpus" -> Graph.walkCorpusSql(2, 6, 3, 5),
@@ -2153,6 +2179,7 @@ object SparkEntry {
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
     "rag_hybrid_rrf" -> Retrieval.hybridRrfSql(20, 10),
+    "rag_query_expansion" -> Retrieval.queryExpansionSql(3, 2, 10),
     "text_token_ids" -> TextAnalysis.tokenIdsSql(16, 12),
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),
 
@@ -2221,6 +2248,7 @@ object SparkEntry {
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_sharpness" -> Multimodal.sharpnessSql,
+    "mm_color_histogram" -> Multimodal.colorHistogramSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),
     "mm_resize" -> Multimodal.resizeSql(8),
     "mm_phash_dedup" -> Multimodal.phashPairsSql(3),

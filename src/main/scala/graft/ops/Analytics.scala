@@ -206,6 +206,45 @@ object Analytics {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Per-event trailing time-RANGE aggregate — "this user's activity in
+    * the hour ending at this event": count and milli-unit value sum over
+    * the user's events in [t − window, t]. A RANGE frame over event-time
+    * micros (not a ROWS frame, not a bucketed window): every row sees
+    * its own trailing interval, the primitive behind rate limiting,
+    * velocity features and fraud scores. Peers (equal timestamps) enter
+    * the frame together in both engines, and the summed value is
+    * integral (round-then-cast milli units — the double→long device), so
+    * the result is bit-exact.
+    *
+    * Scale shape: one shuffle on user_id; the range frame is a sorted
+    * per-partition sliding sum, O(n) per user with two pointers — no
+    * self-join, no explode of the interval.
+    */
+  def trailingWindow(events: DataFrame, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0L)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("mv"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("trailing_n"),
+        sum(col("mv")).over(w).as("trailing_value_milli"))
+      .orderBy("event_id")
+  }
+
+  def trailingWindowSql(windowUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |         CAST(round(value * 1000) AS BIGINT) AS mv
+       |  FROM events)
+       |SELECT event_id, user_id,
+       |       count(*) OVER w AS trailing_n,
+       |       CAST(sum(mv) OVER w AS BIGINT) AS trailing_value_milli
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |             RANGE BETWEEN $windowUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   /** Sessionization: a new session starts after a >30 min gap per user.
     * lag + running-sum windows, both keyed by user — one shuffle total
     * (both windows share the user partitioning).

@@ -478,6 +478,70 @@ object Graph {
     dist.orderBy("node")
   }
 
+  /** Closeness centrality (Bavelas harmonic-free form) for the `seeds`
+    * highest-degree hubs over the support core: per seed, a labeled
+    * multi-source BFS carries the seed id through the min-plus rounds
+    * ([[bfsReach]] with a seed column), then closeness is reported as
+    * exact integers — nodes reached within `maxHops`, total hop mass,
+    * and `closeness_e6 = 1e6·(n_reached − 1) DIV total_hops` (truncating
+    * divide, NULL for an isolated seed) — so both engines agree
+    * bit-for-bit and the oracle unrolls the rounds as CTEs. Bounded-hop
+    * closeness is the practical variant at scale: exact closeness needs
+    * all-pairs distances, while the k-hop ego mass is one labeled BFS.
+    *
+    * Scale shape: identical to [[bfsReach]] per round (edge join against
+    * the O(seeds·reached) frame + partial-agged min keyed (node, seed));
+    * the frontier frame is seeds-bounded, the final aggregate
+    * seeds-sized.
+    */
+  def closeness(lineitem: DataFrame, minSupport: Int, seeds: Int, maxHops: Int): DataFrame = {
+    require(seeds >= 1 && maxHops >= 1, s"seeds and maxHops must be >= 1: $seeds, $maxHops")
+    val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seedDf = deg
+      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
+      .filter(col("rn") <= seeds).select(col("node"))
+    var dist = pinned(seedDf.select(col("node"), col("node").as("seed"), lit(0L).as("hops")))
+    for (_ <- 1 to maxHops) {
+      val next = e.join(broadcast(dist), col("src") === col("node"))
+        .select(col("dst").as("node"), col("seed"), (col("hops") + lit(1L)).as("hops"))
+      dist = pinned(dist.unionByName(next)
+        .groupBy(col("node"), col("seed")).agg(min(col("hops")).as("hops")))
+    }
+    dist.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("hops")).as("total_hops"))
+      .select(col("seed"), col("n_reached"), col("total_hops"),
+        when(col("total_hops") > 0L,
+          expr("CAST((1000000 * (n_reached - 1)) DIV total_hops AS BIGINT)"))
+          .as("closeness_e6"))
+      .orderBy("seed")
+  }
+
+  def closenessSql(minSupport: Int, seeds: Int, maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, seed, min(hops) AS hops FROM (
+         |    SELECT node, seed, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.seed, p.hops + 1 AS hops
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY node, seed)""".stripMargin
+    }.mkString(",\n")
+    s"""${coreSqlPrefix(minSupport)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |seeds AS (SELECT node FROM (
+       |    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn FROM deg)
+       |  WHERE rn <= $seeds),
+       |d0 AS (SELECT node, node AS seed, CAST(0 AS BIGINT) AS hops FROM seeds),
+       |$steps
+       |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       |       CAST(sum(hops) AS BIGINT) AS total_hops,
+       |       CASE WHEN sum(hops) > 0
+       |            THEN CAST((1000000 * (count(*) - 1)) // sum(hops) AS BIGINT)
+       |       END AS closeness_e6
+       |FROM d$maxHops GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   def bfsReachSql(minSupport: Int, seeds: Int, maxHops: Int): String = {
     val steps = (1 to maxHops).map { i =>
       s"""d$i AS (

@@ -262,6 +262,75 @@ object Multimodal {
       |        / CAST(count(*) * count(*) AS DOUBLE), 6) AS sharpness
       |FROM lap GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Per-image 8-bucket intensity histogram (bucket = px DIV 32) with
+    * the two decisions a visual-curation gate reads off it: the modal
+    * bucket (largest count, smallest bucket on ties — a flat/banner
+    * image concentrates in one bucket) and the Simpson collision mass
+    * `simpson_ppm = 10⁶·Σc² DIV n²` (1e6/8 = uniform, → 1e6 =
+    * single-tone) — the division-free uniformity score, no
+    * data-dependent logarithm (entropy's ln differs across libm in the
+    * last ulp; Σc² is exact integer on both engines).
+    */
+  final case class ColorHistogram(
+      doc_id: Long, width: Int, height: Int,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long,
+      mode_bucket: Long, simpson_ppm: Long)
+
+  def colorHistogramStats(payloads: Dataset[MediaPayload],
+                          newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[ColorHistogram] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        val c = new Array[Long](8)
+        var i = 0
+        while (i < d.px.length) { c(d.px(i) / 32) += 1; i += 1 }
+        var mode = 0
+        var ssq = 0L
+        var b = 0
+        while (b < 8) {
+          if (c(b) > c(mode)) mode = b // strict >: ties keep the smaller bucket
+          ssq += c(b) * c(b)
+          b += 1
+        }
+        val n = d.px.length.toLong
+        ColorHistogram(p.doc_id, d.width, d.height,
+          c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
+          mode.toLong, 1000000L * ssq / (n * n))
+      }
+    }
+  }
+
+  /** Full pipeline: synth image → PNG encode → REAL ImageIO decode →
+    * histogram census, ordered for the oracle (which rebuilds the same
+    * counts from the pixel formula — the bit-lossless-round-trip device
+    * of [[featurize]]/[[sharpness]]).
+    */
+  def colorHistogram(docs: DataFrame): DataFrame =
+    colorHistogramStats(imagePayloads(docs)).toDF().orderBy("doc_id")
+
+  val colorHistogramSql: String = {
+    val hcols = (0 to 7).map(b =>
+      s"CAST(sum(CASE WHEN bucket = $b THEN c ELSE 0 END) AS BIGINT) AS h$b").mkString(",\n  ")
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 9 AS h
+       |  FROM documents),
+       |pix AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM g),
+       |bk AS (
+       |  SELECT doc_id, w, h,
+       |         (((i % w) * 31 + (i // w) * 17 + doc_id * 13) % 256) // 32 AS bucket
+       |  FROM pix),
+       |cnt AS (SELECT doc_id, w, h, bucket, count(*) AS c FROM bk GROUP BY ALL)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  $hcols,
+       |  CAST(arg_max(bucket, c * 10 - bucket) AS BIGINT) AS mode_bucket,
+       |  CAST((1000000 * sum(c * c)) // (w * h * w * h) AS BIGINT) AS simpson_ppm
+       |FROM cnt GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ audio
 
   /** One audio record entering the decode stage. */

@@ -390,6 +390,64 @@ object OrderStats {
     * Scale shape: one per-user window (shuffle on user_id), one 2-row
     * aggregate, driver-free.
     */
+  /** Sample-ratio-mismatch audit — the health check every experiment
+    * platform runs BEFORE reading the metrics: under the designed 50/50
+    * assignment (arm = user_id % 2, the [[abTestConversion]] hash), the
+    * per-arm user counts must match a fair coin; a skewed split means
+    * the assignment or logging is broken and every downstream metric is
+    * biased. Two-cell χ² = (n_a − n_b)²/n, reported per entry segment
+    * (the user's first event_type) plus an ALL row, in exact ppm with
+    * the division-free flag: SRM iff 10⁶·(n_a−n_b)² > 3841459·n
+    * (3.841459 = χ²₁ at α=0.05, precomputed — the embed-the-constant
+    * device, no engine libm involved).
+    *
+    * Scale shape: one window keyed by user (first event), one grouped
+    * aggregate per segment, integer arithmetic end-to-end; the ALL row
+    * folds from the segment aggregates, not a second scan.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val users = events
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("segment"),
+        (col("user_id") % 2).cast("long").as("arm"))
+    val seg = users.groupBy(col("segment"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val all = seg.agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+      .select(lit("ALL").as("segment"), col("n_a"), col("n_b"))
+    seg.unionByName(all)
+      .select(col("segment"), col("n_a"), col("n_b"),
+        expr("CAST((1000000 * (n_a - n_b) * (n_a - n_b)) DIV (n_a + n_b) AS BIGINT)")
+          .as("chi2_ppm"),
+        (lit(1000000L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(3841459L) * (col("n_a") + col("n_b"))).as("srm"))
+      .orderBy("segment")
+  }
+
+  val srmCheckSql: String =
+    """WITH u AS (
+      |  SELECT event_type AS segment, user_id % 2 AS arm
+      |  FROM (SELECT user_id, event_type,
+      |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |        FROM events)
+      |  WHERE rn = 1),
+      |seg AS (
+      |  SELECT segment,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u GROUP BY segment),
+      |both_rows AS (
+      |  SELECT * FROM seg
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT) FROM seg)
+      |SELECT segment, n_a, n_b,
+      |       CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS BIGINT) AS chi2_ppm,
+      |       1000000 * (n_a - n_b) * (n_a - n_b) > 3841459 * (n_a + n_b) AS srm
+      |FROM both_rows ORDER BY segment""".stripMargin
+
   def abTestConversion(events: DataFrame): DataFrame = {
     val wFirst = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -78,4 +78,71 @@ object Retrieval {
        |SELECT query, doc_id, bm25_rank, ann_rank, rrf, rank FROM ranked
        |WHERE rank <= $kFinal ORDER BY query, rank""".stripMargin
   }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio shape):
+    * pass 1 retrieves each query's `fdbk` top BM25 documents; the
+    * `expand` strongest non-query terms of those documents (by summed
+    * term frequency — an INTEGRAL weight, so candidate selection has no
+    * float-ranking hazard; ties break on the term string) join the
+    * query; pass 2 re-ranks the corpus under the expanded term set.
+    * Output rows carry the expansion terms (sorted, comma-joined) so an
+    * operator can audit what the feedback loop added.
+    *
+    * Scale shape: both passes are [[TextAnalysis.bm25Rank]] passes over
+    * the SAME persisted tf/dl corpus frames (one tokenize, two scoring
+    * joins); the feedback frame is fdbk·|Q| rows, candidate weighting is
+    * one aggregate over the feedback docs' terms, and the expanded
+    * workload stays a broadcast-sized (query, term) list.
+    */
+  def queryExpansion(docs: DataFrame, fdbk: Int, expand: Int, k: Int): DataFrame = {
+    require(fdbk >= 1 && expand >= 1 && k >= 1,
+      s"fdbk, expand and k must be >= 1: $fdbk, $expand, $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q1 = broadcast(TextAnalysis.bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query", "term"))
+    val (tf, dl) = TextAnalysis.bm25Corpus(docs)
+    val feedback = TextAnalysis.bm25Rank(tf, dl, q1, fdbk)
+      .select(col("query"), col("doc_id"))
+    val cand = feedback.join(tf, "doc_id")
+      .join(q1, Seq("query", "term"), "left_anti")
+      .groupBy(col("query"), col("term")).agg(sum(col("tf")).as("w"))
+    val wSel = Window.partitionBy(col("query")).orderBy(col("w").desc, col("term"))
+    val exp = cand.withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= expand).select(col("query"), col("term"))
+    val q2 = q1.select(col("query"), col("term")).unionByName(exp)
+    val expStr = exp.groupBy(col("query"))
+      .agg(concat_ws(",", sort_array(collect_list(col("term")))).as("expanded_terms"))
+    TextAnalysis.bm25Rank(tf, dl, q2, k)
+      .join(broadcast(expStr), Seq("query"), "left")
+      .select(col("query"), col("doc_id"), col("bm25"), col("rank"),
+        coalesce(col("expanded_terms"), lit("")).as("expanded_terms"))
+      .orderBy(col("query"), col("rank"))
+  }
+
+  def queryExpansionSql(fdbk: Int, expand: Int, k: Int): String =
+    s"""WITH ${TextAnalysis.bm25CorpusCtesSql},
+       |q(query, term) AS (VALUES ${TextAnalysis.bm25QueryValuesSql}),
+       |${TextAnalysis.bm25PassCtesSql("q", "1")},
+       |fb AS (SELECT query, doc_id FROM ranked1 WHERE rank <= $fdbk),
+       |cand AS (
+       |  SELECT b.query, f.term, CAST(sum(f.tf) AS BIGINT) AS w
+       |  FROM fb b JOIN tf f ON b.doc_id = f.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM q WHERE q.query = b.query AND q.term = f.term)
+       |  GROUP BY b.query, f.term),
+       |exp AS (
+       |  SELECT query, term FROM (
+       |    SELECT query, term,
+       |           row_number() OVER (PARTITION BY query ORDER BY w DESC, term) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $expand),
+       |q2 AS (SELECT query, term FROM q UNION ALL SELECT query, term FROM exp),
+       |${TextAnalysis.bm25PassCtesSql("q2", "2")},
+       |expstr AS (
+       |  SELECT query, string_agg(term, ',' ORDER BY term) AS expanded_terms
+       |  FROM exp GROUP BY query)
+       |SELECT r.query, r.doc_id, r.bm25, r.rank,
+       |       coalesce(e.expanded_terms, '') AS expanded_terms
+       |FROM ranked2 r LEFT JOIN expstr e ON r.query = e.query
+       |WHERE r.rank <= $k ORDER BY r.query, r.rank""".stripMargin
 }

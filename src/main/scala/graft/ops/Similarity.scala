@@ -81,6 +81,67 @@ object Similarity {
        |SELECT query_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining for contrastive training — per anchor (the
+    * deterministic `vec_id < nAnchors` set), the `k` most similar
+    * corpus vectors BELOW the near-duplicate threshold: similar enough
+    * to be informative negatives, dissimilar enough to not be latent
+    * positives (mining a near-dup as a negative is the classic
+    * false-negative poisoning of a contrastive batch). Also reports how
+    * many candidates were skipped as too-similar (`n_skipped_positives`)
+    * — the audit column that catches a threshold set so low the
+    * "negatives" are duplicates.
+    *
+    * Scale shape: anchors broadcast, the corpus streams through ONE
+    * codegen'd cosine projection (the [[bruteForceTopK]] pattern); the
+    * positive census and the negative ranking are two windows sharing
+    * the anchor partitioning — one shuffle of |corpus|·nAnchors scored
+    * rows. At index scale the scored stream would be the IVF-probed
+    * candidate set instead; the mining logic is unchanged.
+    */
+  def hardNegatives(emb: DataFrame, nAnchors: Int, k: Int, dupThreshold: Double): DataFrame = {
+    require(nAnchors >= 1 && k >= 1, s"nAnchors and k must be >= 1: $nAnchors, $k")
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+    val wAll = Window.partitionBy(col("anchor_id"))
+    val wRank = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("n_skipped_positives",
+        sum(when(col("cosine") >= dupThreshold, 1L).otherwise(0L)).over(wAll))
+      .filter(col("cosine") < dupThreshold)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"), col("cosine"),
+        col("rank"), col("n_skipped_positives"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  def hardNegativesSql(nAnchors: Int, k: Int, dupThreshold: Double): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS anchor_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nAnchors),
+       |scored AS (
+       |  SELECT q.anchor_id, e.vec_id,
+       |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cosine
+       |  FROM e, q WHERE e.vec_id <> q.anchor_id),
+       |tagged AS (
+       |  SELECT *,
+       |         CAST(sum(CASE WHEN cosine >= $dupThreshold THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY anchor_id) AS BIGINT) AS n_skipped_positives
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT anchor_id, vec_id AS negative_id, cosine, n_skipped_positives,
+       |         row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM tagged WHERE cosine < $dupThreshold)
+       |SELECT anchor_id, negative_id, cosine, rank, n_skipped_positives
+       |FROM ranked WHERE rank <= $k ORDER BY anchor_id, rank""".stripMargin
+
   /** IVF approximate top-k. Centroids: a FIXED-COUNT deterministic sample —
     * the `nlist` corpus vectors with the smallest portable hash of their id
     * (hash order ≈ uniform random, but reproducible in the oracle). nlist

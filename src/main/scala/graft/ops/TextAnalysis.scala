@@ -405,14 +405,33 @@ object TextAnalysis {
     import spark.implicits._
     val qterms = broadcast(
       bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query", "term"))
+    val (tf, dl) = bm25Corpus(docs)
+    bm25Rank(tf, dl, qterms, k)
+  }
+
+  /** The per-corpus BM25 frames shared by every scoring pass: (doc,
+    * term) tf and per-doc length. tf feeds BOTH the df aggregate and the
+    * scoring join; dl feeds BOTH the corpus stats and the per-doc norm —
+    * each persists once (tracked, caller evicts) instead of
+    * re-tokenizing the corpus per subtree.
+    */
+  private[ops] def bm25Corpus(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
-    // tf feeds BOTH the df aggregate and the scoring join; dl feeds BOTH
-    // the corpus stats and the per-doc norm — persist each once (tracked,
-    // caller evicts) instead of re-tokenizing the corpus per subtree
     val tf = Caches.tracked(
       tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist())
     val dl = Caches.tracked(docs.select(col("doc_id"),
       size(Tokenize.tokens(col("text"))).cast("long").as("dl")).persist())
+    (tf, dl)
+  }
+
+  /** One BM25 scoring pass over prepared [[bm25Corpus]] frames for an
+    * arbitrary (query, term) workload — the core [[bm25TopK]] and the
+    * pseudo-relevance-feedback second pass ([[Retrieval.queryExpansion]])
+    * share. Same rounding ladder on both engines: per-term score at
+    * 9 dp, DECIMAL sum, 6 dp before the rank.
+    */
+  private[ops] def bm25Rank(tf: DataFrame, dl: DataFrame,
+                            qterms: DataFrame, k: Int): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dfq = tf.join(qterms.select(col("term")).distinct(), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -437,41 +456,54 @@ object TextAnalysis {
       .orderBy(col("query"), col("rank"))
   }
 
-  def bm25TopKSql(k: Int): String = {
-    val values = bm25Queries
-      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
-       |q(query, term) AS (VALUES $values),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS dl
-       |       FROM documents),
-       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-       |dfq AS (SELECT tf.term, count(*) AS df
-       |        FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+  /** CTE bodies for one BM25 scoring pass against query CTE `$q` —
+    * emits `dfq$tag`, `per$tag`, `agg$tag`, `ranked$tag` over the shared
+    * `tf`/`dl`/`stats` CTEs ([[bm25CorpusCtesSql]]). Pre-stripped.
+    */
+  private[ops] def bm25PassCtesSql(q: String, tag: String): String =
+    s"""dfq$tag AS (SELECT tf.term, count(*) AS df
+       |        FROM tf JOIN (SELECT DISTINCT term FROM $q) qt ON tf.term = qt.term
        |        GROUP BY 1),
-       |per AS (
-       |  SELECT q.query, f.doc_id,
+       |per$tag AS (
+       |  SELECT $q.query, f.doc_id,
        |         round(
        |           ln((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1.0e0) *
        |             (f.tf * ${bm25K1 + 1}e0) /
        |             (f.tf + ${bm25K1}e0 *
        |               (${1 - bm25B}e0 + ${bm25B}e0 * l.dl * s.n_docs / s.sum_dl)),
        |           9) AS s
-       |  FROM tf f JOIN q ON f.term = q.term
+       |  FROM tf f JOIN $q ON f.term = $q.term
        |            JOIN dl l ON f.doc_id = l.doc_id
-       |            JOIN dfq d ON f.term = d.term, stats s),
-       |agg AS (
+       |            JOIN dfq$tag d ON f.term = d.term, stats s),
+       |agg$tag AS (
        |  SELECT query, doc_id,
        |         round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
-       |  FROM per GROUP BY 1, 2),
-       |ranked AS (
-       |  SELECT *, CAST(row_number() OVER
+       |  FROM per$tag GROUP BY 1, 2),
+       |ranked$tag AS (
+       |  SELECT query, doc_id, bm25, CAST(row_number() OVER
        |    (PARTITION BY query ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
-       |  FROM agg)
+       |  FROM agg$tag)""".stripMargin
+
+  /** Shared corpus CTEs (`tok`, `tf`, `dl`, `stats`) over `documents`.
+    * Pre-stripped. */
+  private[ops] val bm25CorpusCtesSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS dl
+       |       FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl)""".stripMargin
+
+  /** The VALUES list for the fixed [[bm25Queries]] workload. */
+  private[ops] val bm25QueryValuesSql: String = bm25Queries
+    .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+
+  def bm25TopKSql(k: Int): String =
+    s"""WITH $bm25CorpusCtesSql,
+       |q(query, term) AS (VALUES $bm25QueryValuesSql),
+       |${bm25PassCtesSql("q", "")}
        |SELECT query, doc_id, bm25, rank FROM ranked WHERE rank <= $k
        |ORDER BY query, rank""".stripMargin
-  }
 
   /** Deterministic hash sampling: the reproducible (cross-engine,
     * cross-run) alternative to `sample()` for pipeline debugging at

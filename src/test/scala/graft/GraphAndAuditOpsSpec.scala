@@ -88,6 +88,24 @@ class GraphAndAuditOpsSpec extends SparkSpec {
       s"distances from hub 2, island unreached: $got")
   }
 
+  test("closeness: path center beats endpoint; isolated-pair seed guards the divide") {
+    // same path 1-2-3-4 + island {8,9} as the bfsReach spec, 2 seeds:
+    // degree order is 2,3 (deg 2) then 1,4,8,9 (deg 1) — seeds {2, 3}
+    val li = liDf(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 2L, 3L -> 2L, 3L -> 3L,
+      4L -> 2L, 4L -> 3L, 5L -> 3L, 5L -> 4L, 6L -> 3L, 6L -> 4L,
+      7L -> 8L, 7L -> 9L, 8L -> 8L, 8L -> 9L)
+    val got = Graph.closeness(li, 2, 2, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.get(3))).toMap
+    // from 2: dists {2:0, 1:1, 3:1, 4:2} → n=4, Σ=4, 1e6·3/4 = 750000
+    assert(got(2L) == (4L, 4L, 750000L), s"$got")
+    // from 3: dists {3:0, 2:1, 4:1, 1:2} → same mass by symmetry
+    assert(got(3L) == (4L, 4L, 750000L), s"$got")
+    // single seed on the 8-9 island: Σhops = 1 → 1e6·1/1
+    val island = Graph.closeness(liDf(7L -> 8L, 7L -> 9L, 8L -> 8L, 8L -> 9L), 2, 1, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.get(3))).toMap
+    assert(island(8L) == (2L, 1L, 1000000L), s"$island")
+  }
+
   test("linkPredict: predicts the open triad's missing edge, skips existing edges") {
     // path 1-2-3: nodes 1 and 3 share neighbor 2 but are not adjacent →
     // the one predicted link, cn=1, jaccard = 1/(1+1-1) = 1.0

@@ -200,4 +200,42 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === nUsers)
     assert(r.getAs[Double]("rate_a") >= 0 && r.getAs[Double]("rate_a") <= 1)
   }
+
+  test("srm check: balanced split passes, broken assignment flags; ALL folds segments") {
+    def ev(users: Seq[Long]) = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, "click", 1.0, s"p$i")
+    }.toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(event_id * 1000000)"))
+    // users 0..99: exact 50/50 by parity — no SRM anywhere
+    val ok = OrderStats.srmCheck(ev(0L until 100L)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ok("ALL").getAs[Long]("n_a") == 50L && ok("ALL").getAs[Long]("n_b") == 50L)
+    assert(!ok("ALL").getAs[Boolean]("srm"))
+    assert(ok("click").getAs[Long]("chi2_ppm") == 0L)
+    // 90 even users vs 10 odd: chi2 = 80^2/100 = 64 >> 3.84 — flagged
+    val skewed = OrderStats.srmCheck(ev(
+      (0L until 180L by 2L) ++ (1L until 20L by 2L))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(skewed("ALL").getAs[Boolean]("srm"), s"${skewed("ALL")}")
+    assert(skewed("ALL").getAs[Long]("chi2_ppm") == 64000000L)
+  }
+
+  test("trailing range window counts exactly the events in (t-1h, t] per user") {
+    // user 1: events at 0, 30min, 61min, 200min — the 61min event sees
+    // the 30min one (31min gap) but NOT the t=0 one (61min > 1h);
+    // equal-timestamp peers (user 2) see each other both ways
+    val rows = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 1800L, 2.0), (3L, 1L, 3660L, 4.0),
+      (4L, 1L, 12000L, 8.0), (5L, 2L, 100L, 1.5), (6L, 2L, 100L, 2.5))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+    val got = graft.ops.Analytics.trailingWindow(rows, 3600L * 1000000L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (1L, 1000L))
+    assert(got(2L) == (2L, 3000L), s"30min event sees t=0: $got")
+    assert(got(3L) == (2L, 6000L), s"61min event sees 30min but not t=0: $got")
+    assert(got(4L) == (1L, 8000L), s"isolated event sees only itself: $got")
+    assert(got(5L) == (2L, 4000L) && got(6L) == (2L, 4000L),
+      s"equal-ts peers share the frame: $got")
+  }
 }

@@ -29,6 +29,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("hard negatives: near-dups are skipped and counted, not mined") {
+    // anchor = v0 (1,0). cos: v1 ≈ .994 (a latent positive at thr .9),
+    // v2 ≈ .707, v3 = 0, v4 ≈ -.995 — negatives are {v2, v3, v4} ranked
+    // by similarity, and exactly one skipped positive is reported
+    val got = Similarity.hardNegatives(vecs, 1, 3, 0.9).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L),
+      s"hardest (most similar) sub-threshold vectors first: ${got.toSeq}")
+    assert(got.forall(_.getLong(4) == 1L),
+      s"v1 (cos .994 >= .9) must be skipped as a latent positive: ${got.toSeq}")
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // threshold above every cosine: nothing skipped, v1 becomes minable
+    val loose = Similarity.hardNegatives(vecs, 1, 1, 1.1).collect()(0)
+    assert(loose.getLong(1) == 1L && loose.getLong(4) == 0L)
+  }
+
   test("IVF with full probe coverage equals brute force") {
     val bf = Similarity.bruteForceTopK(vecs, 1, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq

@@ -171,6 +171,45 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(z.lap_sum == 0L && z.lap_sq_sum == 0L && z.n_interior == 36L)
   }
 
+  test("color histogram: buckets match the formula; flat image is single-tone") {
+    val got = Multimodal.colorHistogram(docs(3L -> "x")).collect()(0)
+    val (w, h) = ((8 + 3 % 9), (8 + (3 * 7) % 9))
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x * 31 + y * 17 + 3 * 13) % 256
+    val c = (0 to 7).map(b => px.count(_ / 32 == b).toLong)
+    (0 to 7).foreach(b => assert(got.getAs[Long](s"h$b") == c(b), s"bucket $b: $got"))
+    val bestCount = c.max
+    assert(got.getAs[Long]("mode_bucket") == c.indexOf(bestCount).toLong,
+      "modal bucket ties to the smallest index")
+    val n = w.toLong * h
+    assert(got.getAs[Long]("simpson_ppm") == 1000000L * c.map(x => x * x).sum / (n * n))
+    // constant raster: all mass in bucket 200/32 = 6, simpson = 1e6
+    val flat = new Multimodal.Decoder {
+      def decode(q: Multimodal.MediaPayload) =
+        Multimodal.DecodedImage(8, 8, Array.fill(64)(200))
+    }
+    val z = Multimodal.colorHistogramStats(
+      Multimodal.imagePayloads(docs(1L -> "x")), () => flat).collect()(0)
+    assert(z.h6 == 64L && z.mode_bucket == 6L && z.simpson_ppm == 1000000L)
+  }
+
+  test("query expansion: feedback terms join the query and can promote a doc") {
+    // corpus engineered so 'spark query join' retrieves d1/d2 first;
+    // their shared strong term 'shuffle' (absent from the query) is the
+    // top expansion candidate and must appear in expanded_terms
+    val rows = graft.ops.Retrieval.queryExpansion(docs(
+      1L -> "spark join shuffle shuffle",
+      2L -> "spark query shuffle shuffle",
+      3L -> "shuffle shuffle shuffle stage",
+      4L -> "filter scan"), fdbk = 2, expand = 1, k = 4).collect()
+    val sq = rows.filter(_.getString(0) == "spark query join")
+    assert(sq.nonEmpty)
+    assert(sq.forall(_.getString(4) == "shuffle"),
+      s"the feedback docs' dominant non-query term expands the query: ${sq.toSeq}")
+    // d3 matches ONLY the expansion term, so it can now be retrieved
+    assert(sq.exists(_.getLong(1) == 3L),
+      s"expansion must recall the doc matching no original term: ${sq.toSeq}")
+  }
+
   test("multimodal resize: stride downsample bounds the longer side") {
     val got = Multimodal.resize(docs(8L -> "x"), 8).collect()(0) // 16x... image
     val (w, h) = ((8 + 8 % 9), (8 + (8 * 7) % 9)) // 16, 14
