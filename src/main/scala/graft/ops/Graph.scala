@@ -736,7 +736,9 @@ object Graph {
     val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = pinned(e.withColumn("pos", row_number().over(wAdj) - lit(1)))
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // |V|-bounded and broadcast EVERY step — pin it once so each step's
+    // broadcast build reads a checkpoint instead of re-aggregating adj
+    val deg = pinned(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val seedDf = deg
       .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("src"))))
       .filter(col("rn") <= seeds).select(col("src").as("node"))
