@@ -1143,6 +1143,11 @@ object SparkEntry {
     // sample-ratio-mismatch audit per entry segment: the pre-metric
     // health check of the experimentation family
     "events_srm_check" -> ((s, dir) => OrderStats.srmCheck(t(s, dir, "events"))),
+    // stratified matching estimator: per pre-activity stratum arm
+    // comparison + matched-weight ATT (the observational companion to
+    // CUPED/DiD)
+    "events_propensity_strata" -> ((s, dir) =>
+      OrderStats.propensityStrata(t(s, dir, "events"))),
 
     // Per-type 3-sigma anomaly rates: decimal moments, division-free test
     "events_anomaly" -> ((s, dir) => Analytics.zscoreOutliers(t(s, dir, "events"))),
@@ -1232,6 +1237,10 @@ object SparkEntry {
     // MinHash estimator calibration: exact Jaccard per agreeing-slot bucket
     "dedup_lsh_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Dedup.nearDupCorpus(t(s, dir, "documents")))),
+    // banding design sweep: candidates/verified/recall per (b x r) cut of
+    // the 16-slot signature — the S-curve tuning table
+    "dedup_band_sweep" -> ((s, dir) =>
+      Dedup.bandingSweep(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.nearDupCorpus(t(s, dir, "documents")), 3)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -2088,6 +2097,7 @@ object SparkEntry {
     "events_rolling_avg" -> Analytics.rollingRevenueSql,
     "events_trailing_window" -> Analytics.trailingWindowSql(3600L * 1000000L),
     "events_srm_check" -> OrderStats.srmCheckSql,
+    "events_propensity_strata" -> OrderStats.propensityStrataSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,
     "events_new_users" -> Analytics.newUsersSql,
     "lineitem_profile" -> Profiling.tableProfileSql("lineitem",
@@ -2114,6 +2124,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql(0.5),
     "dedup_lsh_calibration" -> Dedup.minhashCalibrationSql,
+    "dedup_band_sweep" -> Dedup.bandingSweepSql(0.5),
     "dedup_simhash" -> Dedup.simhashPairsSql(3),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(0.5),
     "dedup_prefix_join" -> Dedup.prefixFilterJoinSql(0.75),

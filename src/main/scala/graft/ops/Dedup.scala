@@ -244,6 +244,124 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** LSH banding design sweep — the OTHER tuning axis beside
+    * [[minhashCalibration]]'s estimator curve: for each way of cutting
+    * the 16-slot signature into b bands of r = 16/b rows
+    * (b ∈ 1,2,4,8), the candidate count the bucket join generates, how
+    * many candidates verify at est ≥ threshold, and recall/precision
+    * against the union of verified pairs across ALL swept bandings (the
+    * measurable ground truth — absolute recall would need the all-pairs
+    * join LSH exists to avoid; documented, not hidden). More bands of
+    * fewer rows = more candidates and higher recall (the S-curve moves
+    * left); the sweep is what picks b for a target threshold.
+    *
+    * Parity/scale: each banding's bands come from the ONE persisted
+    * signature frame (the [[lshBands]] single-explode shape); candidate
+    * joins are bucket self-joins bounded by bucket occupancy; every
+    * output number is an integral count or a truncating-DIV ppm.
+    */
+  def bandingSweep(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = Caches.tracked(minhashSignatures(docs).persist())
+    val eq = (0 until 16).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    def verifiedFor(b: Int): (DataFrame, DataFrame) = {
+      val r = 16 / b
+      val bandArr = array((0 until b).map { i =>
+        md5(concat_ws(",", (0 until r).map(j => col(s"s${r * i + j}").cast("string")): _*))
+      }: _*)
+      val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ver = cand
+        .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+        .filter(eq / lit(16.0) >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      (cand, ver)
+    }
+    val sweep = Seq(1, 2, 4, 8).map(b => b -> verifiedFor(b))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candCounts = sweep.map { case (b, (c, _)) =>
+      c.select(lit(b).as("n_bands"), lit(1L).as("one"))
+        .groupBy(col("n_bands")).agg(count(lit(1)).as("n_candidates"))
+    }.reduce(_.unionByName(_))
+    val verified = Caches.tracked(sweep.map { case (b, (_, v)) =>
+      v.select(lit(b).as("n_bands"), col("doc_a"), col("doc_b"))
+    }.reduce(_.unionByName(_)).persist())
+    val verCounts = verified.groupBy(col("n_bands")).agg(count(lit(1)).as("n_verified"))
+    val truth = verified.select(col("doc_a"), col("doc_b")).distinct()
+      .agg(count(lit(1)).as("n_truth"))
+    Seq(1, 2, 4, 8).toDF("n_bands")
+      .withColumn("rows_per_band", (lit(16) / col("n_bands")).cast("int"))
+      .join(candCounts, Seq("n_bands"), "left")
+      .join(verCounts, Seq("n_bands"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_truth"),
+        when(col("n_truth") > 0L, expr(
+          "CAST((1000000 * coalesce(n_verified, 0)) DIV n_truth AS BIGINT)"))
+          .as("recall_ppm"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0L, expr(
+          "CAST((1000000 * coalesce(n_verified, 0)) DIV n_candidates AS BIGINT)"))
+          .as("precision_ppm"))
+      .orderBy("n_bands")
+  }
+
+  def bandingSweepSql(threshold: Double): String = {
+    val eq = (0 until 16).map(i => s"(CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+    def bandRows(b: Int): String = {
+      val r = 16 / b
+      (0 until b).map { i =>
+        val slice = (0 until r).map(j => s"CAST(s${r * i + j} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $i AS band, md5(concat_ws(',', $slice)) AS bh FROM sig"
+      }.mkString("\n    UNION ALL ")
+    }
+    val perB = Seq(1, 2, 4, 8).map { b =>
+      s"""bands$b AS (
+         |    ${bandRows(b)}),
+         |cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands$b a JOIN bands$b b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver$b AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand$b c JOIN sig x ON c.doc_a = x.doc_id
+         |               JOIN sig y ON c.doc_b = y.doc_id
+         |  WHERE ($eq) / 16.0 >= $threshold)""".stripMargin
+    }.mkString(",\n")
+    val verAll = Seq(1, 2, 4, 8)
+      .map(b => s"SELECT $b AS n_bands, doc_a, doc_b FROM ver$b")
+      .mkString("\n  UNION ALL ")
+    val counts = Seq(1, 2, 4, 8).map(b =>
+      s"SELECT $b AS n_bands, (SELECT count(*) FROM cand$b) AS n_candidates, " +
+        s"(SELECT count(*) FROM ver$b) AS n_verified").mkString("\n  UNION ALL ")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$perB,
+       |verall AS (
+       |  $verAll),
+       |truth AS (SELECT count(*) AS n_truth FROM
+       |  (SELECT DISTINCT doc_a, doc_b FROM verall)),
+       |counts AS (
+       |  $counts)
+       |SELECT c.n_bands, CAST(16 / c.n_bands AS INTEGER) AS rows_per_band,
+       |       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(c.n_verified AS BIGINT) AS n_verified,
+       |       CAST(t.n_truth AS BIGINT) AS n_truth,
+       |       CASE WHEN t.n_truth > 0
+       |            THEN CAST((1000000 * c.n_verified) // t.n_truth AS BIGINT) END AS recall_ppm,
+       |       CASE WHEN c.n_candidates > 0
+       |            THEN CAST((1000000 * c.n_verified) // c.n_candidates AS BIGINT) END AS precision_ppm
+       |FROM counts c, truth t ORDER BY c.n_bands""".stripMargin
+  }
+
   /** Calibration curve of the MinHash estimator against exact shingle
     * Jaccard — the audit that says whether "est ≥ t" thresholds mean
     * what operators think they mean: for every LSH candidate pair,

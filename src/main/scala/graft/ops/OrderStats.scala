@@ -390,6 +390,114 @@ object OrderStats {
     * Scale shape: one per-user window (shuffle on user_id), one 2-row
     * aggregate, driver-free.
     */
+  /** Stratified outcome comparison (propensity-style matching on a
+    * coarsened covariate) — the observational companion to
+    * [[cupedAdjustment]]: users are stratified by PRE-period activity
+    * (fixed integer buckets — no quantile-boundary hazard), the
+    * POST-period value mass is compared between arms WITHIN each
+    * stratum, and the `att_weighted` row aggregates the per-stratum
+    * differences with matched weights w_s = min(n_treat, n_ctrl) — the
+    * standard stratification estimator that removes covariate imbalance
+    * a naive mean difference would absorb.
+    *
+    * Parity: outcomes in exact milli units, per-stratum means by
+    * truncating divide on non-negative sums; the ATT numerator can be
+    * negative, where Spark `DIV` (toward zero) and DuckDB `//` (floor)
+    * disagree — so the division is shifted positive by K·den and K is
+    * subtracted back (floor(a/W)+K identity, exact on both engines).
+    * One user-grained aggregate, one stratum-grained pass; all counts
+    * integral.
+    */
+  def propensityStrata(events: DataFrame): DataFrame = {
+    val K = 10000000L
+    val mid = events.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    val perUser = events.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(expr("unix_micros(ts)") <= col("mid_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(expr("unix_micros(ts)") > col("mid_us"),
+          expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L)).as("y_milli"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .withColumn("stratum",
+        when(col("x") <= 29L, "act_00_29").when(col("x") <= 33L, "act_30_33")
+          .when(col("x") <= 37L, "act_34_37").otherwise("act_38_up"))
+    val strata = Caches.tracked(perUser.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === 1L, col("y_milli")).otherwise(0L)).as("sum_t"),
+        sum(when(col("arm") === 0L, col("y_milli")).otherwise(0L)).as("sum_c"))
+      .withColumn("mean_treat_milli",
+        when(col("n_treat") > 0L, expr("CAST(sum_t DIV n_treat AS BIGINT)")))
+      .withColumn("mean_ctrl_milli",
+        when(col("n_ctrl") > 0L, expr("CAST(sum_c DIV n_ctrl AS BIGINT)")))
+      .withColumn("diff_milli", col("mean_treat_milli") - col("mean_ctrl_milli"))
+      .persist())
+    val w = when(col("diff_milli").isNotNull, least(col("n_treat"), col("n_ctrl")))
+      .otherwise(0L)
+    val att = strata.agg(
+        sum(col("n_treat")).as("n_treat"), sum(col("n_ctrl")).as("n_ctrl"),
+        sum(w * coalesce(col("diff_milli"), lit(0L))).as("num"),
+        sum(w).as("den"))
+      .select(lit("att_weighted").as("stratum"), col("n_treat"), col("n_ctrl"),
+        lit(null).cast("long").as("mean_treat_milli"),
+        lit(null).cast("long").as("mean_ctrl_milli"),
+        when(col("den") > 0L,
+          expr(s"CAST((num + den * ${K}L) DIV den AS BIGINT) - ${K}L")).as("diff_milli"))
+    strata.select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        col("mean_treat_milli"), col("mean_ctrl_milli"), col("diff_milli"))
+      .unionByName(att)
+      .orderBy("stratum")
+  }
+
+  val propensityStrataSql: String = {
+    val k = 10000000L
+    s"""WITH mid AS (
+       |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN epoch_us(ts) <= mid.mid_us THEN 1 ELSE 0 END) AS x,
+       |         sum(CASE WHEN epoch_us(ts) > mid.mid_us
+       |                  THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS y_milli
+       |  FROM events, mid GROUP BY user_id),
+       |t AS (
+       |  SELECT CASE WHEN x <= 29 THEN 'act_00_29' WHEN x <= 33 THEN 'act_30_33'
+       |              WHEN x <= 37 THEN 'act_34_37' ELSE 'act_38_up' END AS stratum,
+       |         user_id % 2 AS arm, y_milli
+       |  FROM u),
+       |s AS (
+       |  SELECT stratum,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+       |         CAST(sum(CASE WHEN arm = 1 THEN y_milli ELSE 0 END) AS BIGINT) AS sum_t,
+       |         CAST(sum(CASE WHEN arm = 0 THEN y_milli ELSE 0 END) AS BIGINT) AS sum_c
+       |  FROM t GROUP BY stratum),
+       |d AS (
+       |  SELECT stratum, n_treat, n_ctrl,
+       |         CASE WHEN n_treat > 0 THEN CAST(sum_t // n_treat AS BIGINT) END AS mean_treat_milli,
+       |         CASE WHEN n_ctrl > 0 THEN CAST(sum_c // n_ctrl AS BIGINT) END AS mean_ctrl_milli
+       |  FROM s),
+       |d2 AS (SELECT *, mean_treat_milli - mean_ctrl_milli AS diff_milli FROM d),
+       |att AS (
+       |  SELECT 'att_weighted' AS stratum,
+       |         CAST(sum(n_treat) AS BIGINT) AS n_treat,
+       |         CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+       |         CAST(NULL AS BIGINT) AS mean_treat_milli,
+       |         CAST(NULL AS BIGINT) AS mean_ctrl_milli,
+       |         CASE WHEN sum(CASE WHEN diff_milli IS NOT NULL THEN least(n_treat, n_ctrl) ELSE 0 END) > 0
+       |              THEN CAST((sum(CASE WHEN diff_milli IS NOT NULL
+       |                                  THEN least(n_treat, n_ctrl) * diff_milli ELSE 0 END)
+       |                         + sum(CASE WHEN diff_milli IS NOT NULL
+       |                                    THEN least(n_treat, n_ctrl) ELSE 0 END) * $k)
+       |                        // sum(CASE WHEN diff_milli IS NOT NULL
+       |                                    THEN least(n_treat, n_ctrl) ELSE 0 END) AS BIGINT) - $k
+       |         END AS diff_milli
+       |  FROM d2)
+       |SELECT stratum, n_treat, n_ctrl, mean_treat_milli, mean_ctrl_milli, diff_milli FROM d2
+       |UNION ALL
+       |SELECT stratum, n_treat, n_ctrl, mean_treat_milli, mean_ctrl_milli, diff_milli FROM att
+       |ORDER BY stratum""".stripMargin
+  }
+
   /** Sample-ratio-mismatch audit — the health check every experiment
     * platform runs BEFORE reading the metrics: under the designed 50/50
     * assignment (arm = user_id % 2, the [[abTestConversion]] hash), the

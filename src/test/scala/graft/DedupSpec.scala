@@ -260,6 +260,28 @@ class DedupSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches()
   }
 
+  test("banding sweep: recall monotone in bands, verified within candidates and truth") {
+    import spark.implicits._
+    val docs = (1L to 12L).map { i =>
+      (i, (1 to 20).map(j => s"w${(i * 7 + j) % 40}").mkString(" "), "web")
+    }.toDF("doc_id", "text", "source")
+    val rows = Dedup.bandingSweep(Dedup.nearDupCorpus(docs), 0.5).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(16, 8, 4, 2))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"verified <= candidates: $r")
+      assert(r.getLong(3) <= r.getLong(4), s"verified <= truth (the union): $r")
+    }
+    // more bands of fewer rows can only ADD candidate pairs that agree on
+    // a shorter slice — recall is monotone along the sweep
+    val recalls = rows.map(_.getLong(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be non-decreasing in n_bands: ${recalls.toSeq}")
+    // the planted near-dup pairs clear est >= 0.5 somewhere: truth nonempty
+    assert(rows.head.getLong(4) >= 12L, s"every planted pair verifies: ${rows.toSeq}")
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("duplicateSpans: planted shared run is recovered exactly; disjoint doc clean") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")

@@ -220,6 +220,32 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(skewed("ALL").getAs[Long]("chi2_ppm") == 64000000L)
   }
 
+  test("propensity strata: within-stratum diffs, empty-arm guard, negative ATT exact") {
+    // mid = 500s. user 1 (treat) and user 2 (ctrl): 1 pre event each →
+    // act_00_29; post outcomes 2.0 vs 5.0 → diff -3000 milli. user 31
+    // (treat): 30 pre events → act_30_33 with NO control — diff NULL,
+    // weight 0. ATT = -3000 exactly (the floor-shift must be exact on a
+    // negative numerator).
+    val rows =
+      Seq((1L, 0L, 0.0), (1L, 1000L, 2.0), (2L, 1L, 0.0), (2L, 1000L, 5.0)) ++
+        (0L until 30L).map(i => (31L, i, 0.0)) :+ ((31L, 1000L, 4.0))
+    val ev = rows.toDF("user_id", "sec", "value")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+    val got = OrderStats.propensityStrata(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("act_00_29")
+    assert(s1.getLong(1) == 1L && s1.getLong(2) == 1L)
+    assert(s1.getLong(3) == 2000L && s1.getLong(4) == 5000L && s1.getLong(5) == -3000L)
+    val s2 = got("act_30_33")
+    assert(s2.getLong(1) == 1L && s2.getLong(2) == 0L)
+    assert(s2.getLong(3) == 4000L && s2.isNullAt(4) && s2.isNullAt(5),
+      s"empty control arm must NULL the mean and diff: $s2")
+    val att = got("att_weighted")
+    assert(att.getLong(1) == 2L && att.getLong(2) == 1L)
+    assert(att.getLong(5) == -3000L,
+      s"matched-weight ATT ignores the unmatched stratum and stays exact: $att")
+  }
+
   test("trailing range window counts exactly the events in (t-1h, t] per user") {
     // user 1: events at 0, 30min, 61min, 200min — the 61min event sees
     // the 30min one (31min gap) but NOT the t=0 one (61min > 1h);
