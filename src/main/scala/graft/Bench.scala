@@ -58,13 +58,23 @@ object Bench {
       // GC debt inherited from earlier queries doesn't land on whichever
       // query happens to run late in the loop (round-1 artifact: tfidf
       // "37.5s" of which ~30s was inherited pause, 1.8s steady-state).
+      // listener events are delivered on the async bus thread: drain it
+      // before reading/zeroing the counter, or a late onJobStart from
+      // this run undercounts here and bleeds into the next run's zero
+      def drainListenerBus(): Unit = if (jobLog) try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .foreach(_.invoke(bus))
+      } catch { case _: Throwable => () }
       var jobs = 0
       val runs = (1 to 2).map { _ =>
-        jobCount.set(0)
+        drainListenerBus(); jobCount.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
-        jobs = jobCount.get()
+        drainListenerBus(); jobs = jobCount.get()
         ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
         t

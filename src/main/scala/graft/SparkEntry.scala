@@ -171,25 +171,18 @@ object SparkEntry {
       s"$tmp/index"
     })
 
-  /** Run `body` with the session's shuffle width scoped down to a
-    * micro-batch size (cores/4, floor 4) and restored after. Stateful
-    * streaming queries pin their state-store partition count from
-    * `spark.sql.shuffle.partitions` at first start: at cluster width
-    * (32) every fixture-scale micro-batch commits 32 state/delta files
-    * plus WAL fsyncs, and that per-batch filesystem churn — not the
-    * 2-3s of actual jobs — dominated the streaming tail's wall time
-    * (measured band 3.5-14s for events_hourly_stream on an idle
-    * machine, untouched code; SCALING.md "streaming tail" section). On
-    * a real deployment this is the standard per-query state-width knob;
-    * batch-only consumers of the result are unaffected, and widths
-    * never change results (exact aggregations either way).
+  /** Micro-batch-scale state width for the streaming entries: at
+    * cluster width (32) every fixture-scale micro-batch commits 32
+    * state/delta files plus WAL fsyncs, and that per-batch filesystem
+    * churn — not the 2-3s of actual jobs — dominated the streaming
+    * tail's wall time (measured band 3.5-14s for events_hourly_stream
+    * on an idle machine, untouched code; SCALING.md "streaming tail"
+    * section). On a real deployment this is the standard per-query
+    * state-width knob; widths never change results (exact aggregations
+    * either way). One shared definition: [[ops.Caches.withBatchShuffleWidth]].
     */
-  private def withBatchShuffleWidth[A](s: SparkSession)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.max(4, s.sparkContext.defaultParallelism / 4))
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withBatchShuffleWidth[A](s: SparkSession)(body: => A): A =
+    ops.Caches.withBatchShuffleWidth(s)(body)
 
   /** Near-dup cluster assignment (doc_id, cluster, cluster_size) at
     * threshold 0.5, materialized ONCE per process per sfDir as a parquet
@@ -653,12 +646,9 @@ object SparkEntry {
       // state-store partition count is locked in at query start from
       // spark.sql.shuffle.partitions: per micro-batch each partition pays
       // a store load + delta commit, a fixed overhead that dwarfs the
-      // ~50k-row batches here. 8 stores (the bucketed-state convention of
-      // StreamingApply) instead of 32 trims that constant 4x; at real
-      // scale the stream would START with the larger count instead.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // ~50k-row batches here; at real scale the stream would START with
+      // the larger count instead.
+      withBatchShuffleWidth(s) {
         val q = StreamingAnalytics.streamingDedup(in, "fp")
           .drop("fp")
           .writeStream.outputMode("append").format("memory").queryName(name)
@@ -666,7 +656,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.table(name).orderBy("event_id")
     }),
 
@@ -875,11 +865,9 @@ object SparkEntry {
       val name = s"stream_join_${hourlyStreamSeq.incrementAndGet()}"
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
       // stream-stream join keeps 4 state stores per shuffle partition;
-      // 8 partitions (the bucketed-state convention) cuts the per-batch
-      // fixed store-commit overhead 4x at these batch sizes
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // batch-width state cuts the per-batch fixed store-commit overhead
+      // 4x at these batch sizes
+      withBatchShuffleWidth(s) {
         val q = StreamingAnalytics.intervalJoin(
             in.filter(col("event_type") === "click"),
             in.filter(col("event_type") === "purchase"),
@@ -889,7 +877,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.table(name).groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           min(unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("min_lag_us"),
@@ -908,9 +896,7 @@ object SparkEntry {
       val schema = s.read.parquet(chunks).schema
       val name = s"stream_join_outer_${hourlyStreamSeq.incrementAndGet()}"
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withBatchShuffleWidth(s) {
         val q = StreamingAnalytics.intervalJoin(
             in.filter(col("event_type") === "click"),
             in.filter(col("event_type") === "purchase"),
@@ -920,7 +906,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.table(name).groupBy("user_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("r_ts")).as("n_matched"),

@@ -51,10 +51,28 @@ object Caches {
       ()
     } catch { case _: Throwable => () }
     // memory-sink views are one-shot per query invocation (sequenced
-    // names); dropping them frees the collected rows
+    // names); dropping them frees the collected rows. Name families:
+    // *_stream_N / stream_*_N (all contain "stream") and sess_win_N.
     try spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name.contains("_stream"))
+      .filter(t => t.isTemporary &&
+        (t.name.contains("stream") || t.name.startsWith("sess_win")))
       .foreach(t => spark.catalog.dropTempView(t.name))
     catch { case _: Throwable => () }
+  }
+
+  /** Run `body` with the session's shuffle width scoped down to a
+    * micro-batch size (cores/4, floor 4) and restored after. Stateful
+    * streaming queries pin their state-store partition count from
+    * `spark.sql.shuffle.partitions` at first start; at cluster width a
+    * fixture-scale micro-batch pays one state/delta commit + fsync per
+    * partition per batch, which dominates wall. The single definition
+    * behind every scoped-width site (SparkEntry streaming entries,
+    * [[Dedup.streamingNovelty]]'s batch body).
+    */
+  def withBatchShuffleWidth[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism / 4))
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

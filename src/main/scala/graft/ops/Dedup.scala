@@ -179,7 +179,7 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(j => col(s"s${rowsPerBand * b + j}").cast("string"))
       md5(concat_ws(",", slice: _*))
     }: _*)
-    sig.select(col("doc_id") +: (0 until 16).map(i => col(s"s$i")) :+
+    sig.select(col("doc_id") +: (0 until nBands * rowsPerBand).map(i => col(s"s$i")) :+
       posexplode(bandArr).as(Seq("band", "bh")): _*)
   }
 
@@ -287,7 +287,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val candCounts = sweep.map { case (b, (c, _)) =>
-      c.select(lit(b).as("n_bands"), lit(1L).as("one"))
+      c.select(lit(b).as("n_bands"))
         .groupBy(col("n_bands")).agg(count(lit(1)).as("n_candidates"))
     }.reduce(_.unionByName(_))
     val verified = Caches.tracked(sweep.map { case (b, (_, v)) =>
@@ -1474,11 +1474,8 @@ object Dedup {
         // rows — the session's cluster-sized shuffle width would cut it
         // into ~100-row tasks whose scheduling overhead dominates every
         // one of the batch's small jobs. Scoped to the batch body
-        // (foreachBatch bodies run sequentially) and restored below.
-        val sessionWidth = s.conf.get("spark.sql.shuffle.partitions")
-        val batchWidth = math.max(4, s.sparkContext.defaultParallelism / 4)
-        s.conf.set("spark.sql.shuffle.partitions", batchWidth)
-        try {
+        // (foreachBatch bodies run sequentially).
+        Caches.withBatchShuffleWidth(s) {
         // one-file micro-batches arrive as ONE partition; the shingle
         // explode behind minhashSignatures would run single-threaded
         // without this spread (the StreamingApply prepartition recipe)
@@ -1505,7 +1502,7 @@ object Dedup {
         // rows share a bucket, so the bucket equality is a no-op on the
         // intra part).
         val probeCols = col("doc_id") +: col("band") +: col("bh") +: col("bucket") +:
-          (0 until 16).map(i => col(s"s$i"))
+          (0 until nBands * rowsPerBand).map(i => col(s"s$i"))
         val earlierSide: DataFrame =
           if (new java.io.File(indexPath).exists()) {
             phase("hit-buckets")
@@ -1546,7 +1543,7 @@ object Dedup {
           phase("compact")
           compactLshIndex(s, indexPath, maxFilesPerBucket)
         }
-        } finally s.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+        }
         s.sparkContext.setJobDescription(null)
         ()
       }

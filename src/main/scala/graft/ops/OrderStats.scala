@@ -404,12 +404,15 @@ object OrderStats {
     * truncating divide on non-negative sums; the ATT numerator can be
     * negative, where Spark `DIV` (toward zero) and DuckDB `//` (floor)
     * disagree — so the division is shifted positive by K·den and K is
-    * subtracted back (floor(a/W)+K identity, exact on both engines).
+    * subtracted back (floor(a/W)+K identity, exact on both engines);
+    * K = 1e12 milli leaves ~6 orders of magnitude of headroom over the
+    * fixture's per-user value mass, and K·den ≈ 1e17 stays far inside
+    * BIGINT.
     * One user-grained aggregate, one stratum-grained pass; all counts
     * integral.
     */
   def propensityStrata(events: DataFrame): DataFrame = {
-    val K = 10000000L
+    val K = 1000000000000L
     val mid = events.agg(
       expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
     val perUser = events.crossJoin(broadcast(mid))
@@ -450,7 +453,7 @@ object OrderStats {
   }
 
   val propensityStrataSql: String = {
-    val k = 10000000L
+    val k = 1000000000000L
     s"""WITH mid AS (
        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us FROM events),
        |u AS (

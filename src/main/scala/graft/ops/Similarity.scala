@@ -103,9 +103,12 @@ object Similarity {
     val e = prepared(emb)
     val q = e.filter(col("vec_id") < nAnchors)
       .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // + 0.0 after the rounding: a tiny negative cosine rounds to -0.0 in
+    // DuckDB but +0.0 via Spark's HALF_UP path, and the gate compares
+    // reprs (the CLAUDE.md negative-zero rule; IEEE -0.0 + 0.0 = +0.0)
     val scored = e.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("vec_id"),
-        cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("cosine"))
+        (cosine(col("qv"), col("qn"), col("v"), col("nrm")) + lit(0.0)).as("cosine"))
     val wAll = Window.partitionBy(col("anchor_id"))
     val wRank = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -128,7 +131,7 @@ object Similarity {
        |q AS (SELECT vec_id AS anchor_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nAnchors),
        |scored AS (
        |  SELECT q.anchor_id, e.vec_id,
-       |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) AS cosine
+       |         round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 6) + 0.0 AS cosine
        |  FROM e, q WHERE e.vec_id <> q.anchor_id),
        |tagged AS (
        |  SELECT *,
