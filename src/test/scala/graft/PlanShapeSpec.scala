@@ -587,6 +587,31 @@ class PlanShapeSpec extends SparkSpec {
     (walk(plan), plan.toString)
   }
 
+  test("hard negatives: anchors broadcast, corpus streams once, no cartesian") {
+    val p = plan("emb_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs shape:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the anchor set must broadcast into the corpus scan:\n$p")
+  }
+
+  test("trailing window: one exchange on the user key, RANGE frame (no self-join)") {
+    val p = plan("events_trailing_window")
+    assert(!p.contains("Join"), s"the trailing interval must not self-join:\n$p")
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"one shuffle on user_id only, got $hashExchanges:\n$p")
+  }
+
+  test("query expansion: both BM25 passes read the SAME persisted tf/dl corpus frames") {
+    val df = SparkEntry.queries("rag_query_expansion")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the tokenize+tf build appears as cached scans, not as repeated
+    // corpus re-tokenization: at least two InMemoryTableScans over tf
+    // (pass 1 + pass 2) and no more than one tokenize explode lineage
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      s"tf/dl must come from the shared persisted frames in both passes:\n$p")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("LP round: zero shuffle exchanges — broadcast label map over the dst-pinned cache") {
     val e = Graph.pinnedBy(symEdges, "dst")
     val labels = Graph.pinned(
