@@ -16,10 +16,12 @@ import java.util.concurrent.atomic.AtomicInteger
   *    1900-byte budget (`queries_omitted` counts the rest, `full`
   *    points at the full file) so the tail still parses.
   *
-  * `SPARK_GRAFT_JOBLOG=1` additionally records Spark job counts per
-  * query into the full JSON (`jobs`) — at fixture scale iterative
-  * queries are job-count dominated, so this is the first regression
-  * signal (the ProfileQ device, here for free each round).
+  * Spark job counts are recorded per query into the full JSON by
+  * DEFAULT (`jobs` = count from the run that produced the min time,
+  * `jobs_runs` = per-run counts alongside `runs`) — at fixture scale
+  * iterative queries are job-count dominated, so this is the first
+  * regression signal (the ProfileQ device, here for free each round;
+  * opt OUT with `SPARK_GRAFT_JOBLOG=0`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,7 +36,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobCount = new AtomicInteger(0)
-    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
+    val jobLog = !sys.env.get("SPARK_GRAFT_JOBLOG").contains("0")
     if (jobLog) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -68,18 +70,23 @@ object Bench {
           .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
           .foreach(_.invoke(bus))
       } catch { case _: Throwable => () }
-      var jobs = 0
-      val runs = (1 to 2).map { _ =>
+      val measured = (1 to 2).map { _ =>
         drainListenerBus(); jobCount.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
-        drainListenerBus(); jobs = jobCount.get()
+        drainListenerBus()
+        val j = jobCount.get()
         ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
-        t
+        (t, j)
       }
-      (name, runs.min, runs, jobs)
+      val runs = measured.map(_._1)
+      // the headline `jobs` stamp must describe the SAME run as the
+      // reported min time, or the pair is incoherent (it was run-2's
+      // count next to min-of-both timing through round 10)
+      val jobs = measured.minBy(_._1)._2
+      (name, runs.min, runs, jobs, measured.map(_._2))
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Headline throughput vs the reference's 10^4-10^5 events/s design
@@ -115,10 +122,14 @@ object Bench {
     val stamps =
       s""""apply_events_per_sec":$eps,"sf":"$sfDir","loadavg":"$loadavg",""" +
       s""""fixture_rows":${fixtureRows.map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")}"""
-    val runsJson = results.map { case (k, _, rs, _) =>
+    val runsJson = results.map { case (k, _, rs, _, _) =>
       "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")
-    val jobsJson = if (jobLog) results.map { case (k, _, _, j) =>
-      "\"" + k + "\":" + j }.mkString(""","jobs":{""", ",", "}") else ""
+    val jobsJson = if (jobLog) {
+      results.map { case (k, _, _, j, _) =>
+        "\"" + k + "\":" + j }.mkString(""","jobs":{""", ",", "}") +
+      results.map { case (k, _, _, _, js) =>
+        "\"" + k + "\":[" + js.mkString(",") + "]" }.mkString(""","jobs_runs":{""", ",", "}")
+    } else ""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},""" +
       s"""$stamps,"runs":$runsJson$jobsJson}"""
@@ -139,7 +150,7 @@ object Bench {
       s""""full":"bench_full.json","queries_omitted":000,"queries":{}}"""
     var used = fixed.length
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    bySlow.foreach { case (k, v, _, _) =>
+    bySlow.foreach { case (k, v, _, _, _) =>
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }

@@ -201,9 +201,13 @@ object SparkEntry {
   private def clusterArtifact(s: SparkSession, dir: String): String =
     clusterArtifactCache.getOrElseUpdate(dir, {
       val out = s"${scratchDir("graft_clusters")}/clusters"
+      // cluster-keyed repartition (mirroring writeLshIndex's bucketed
+      // layout): the write parallelizes and downstream cluster-grained
+      // consumers read co-located rows — a coalesce(1) here would make
+      // the artifact build itself the single-task bottleneck at scale
       Dedup.nearDupClustersStars(
           Dedup.nearDupCorpus(t(s, dir, "documents").select(col("doc_id"), col("text"))), 0.5)
-        .coalesce(1).write.mode("overwrite").parquet(out)
+        .repartition(col("cluster")).write.mode("overwrite").parquet(out)
       out
     })
 
@@ -297,6 +301,15 @@ object SparkEntry {
     })
 
   private val hourlyStreamSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Mint a memory-sink view name AND register it for teardown in one
+    * step — every streaming entry's `queryName` goes through here, so
+    * [[ops.Caches.releaseStreamingState]] drops exactly the views that
+    * exist (no name-substring heuristics; a family added tomorrow is
+    * covered by construction).
+    */
+  private def mintStreamView(prefix: String): String =
+    ops.Caches.registerStreamView(s"${prefix}_${hourlyStreamSeq.incrementAndGet()}")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * materialize current table state from the changelog (LWW per pk).
@@ -610,7 +623,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"hourly_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("hourly_stream")
       val q = StreamingAnalytics.windowedCounts(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
           .select(col("ts"), col("event_type"), col("value")))
@@ -631,7 +644,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = replayedChunks(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"stream_dedup_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("stream_dedup")
       // fingerprint = md5 over a delimited field concat (NOT to_json —
       // JSON rendering per row was ~2x the fingerprint cost); the
       // leading unique event_id makes the encoding injective, so content
@@ -670,7 +683,7 @@ object SparkEntry {
       import s.implicits._
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"sess_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("sess_stream")
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
         .select(col("user_id"), col("ts"), col("event_type"))
         .as[StreamingAnalytics.SessionInput]
@@ -690,7 +703,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"sess_win_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("sess_win")
       val q = StreamingAnalytics.sessionWindowCounts(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
           .select(col("user_id"), col("ts"), col("value")))
@@ -822,7 +835,7 @@ object SparkEntry {
       import graft.ops.Sketches
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"distinct_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("distinct_stream")
       val q = Sketches.streamingApproxDistinct(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
           .select(col("ts"), col("event_type"), col("user_id")), 64)
@@ -841,7 +854,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"sliding_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("sliding_stream")
       val q = StreamingAnalytics.slidingCounts(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
           .select(col("ts"), col("value")))
@@ -862,7 +875,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"stream_join_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("stream_join")
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
       // stream-stream join keeps 4 state stores per shuffle partition;
       // batch-width state cuts the per-batch fixed store-commit overhead
@@ -894,7 +907,7 @@ object SparkEntry {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"stream_join_outer_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("stream_join_outer")
       val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
       withBatchShuffleWidth(s) {
         val q = StreamingAnalytics.intervalJoin(
@@ -1198,7 +1211,7 @@ object SparkEntry {
       TopKFunctions.register(s)
       val chunks = chunkedEvents(s, dir)
       val schema = s.read.parquet(chunks).schema
-      val name = s"topk_stream_${hourlyStreamSeq.incrementAndGet()}"
+      val name = mintStreamView("topk_stream")
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
         .filter(col("user_id") < 20)
         .groupBy(col("user_id"))

@@ -29,6 +29,23 @@ object Caches {
   /** Number of currently tracked frames (spec observability). */
   def trackedCount: Int = synchronized(frames.size)
 
+  /** Memory-sink temp views minted by streaming queries, registered at
+    * creation so teardown drops EXACTLY these — a substring filter
+    * ("name contains stream") both missed real families (4 of 9, caught
+    * only in hand-review) and would silently delete any future
+    * non-streaming view that happens to contain the word. Every sink
+    * name goes through [[registerStreamView]] (SparkEntry's mint
+    * helper); [[releaseStreamingState]] drains the set.
+    */
+  private val streamViews = scala.collection.mutable.Set.empty[String]
+
+  /** Register a memory-sink view name for teardown; returns it for chaining. */
+  def registerStreamView(name: String): String =
+    synchronized { streamViews += name; name }
+
+  /** Registered-but-not-yet-torn-down view names (spec observability). */
+  def pendingStreamViews: Set[String] = synchronized(streamViews.toSet)
+
   /** Tear down executor-side streaming residue a finished query leaves in
     * a long-lived JVM: loaded state-store providers (kept in a
     * process-wide map and re-visited by the 60s maintenance thread
@@ -51,13 +68,28 @@ object Caches {
       ()
     } catch { case _: Throwable => () }
     // memory-sink views are one-shot per query invocation (sequenced
-    // names); dropping them frees the collected rows. Name families:
-    // *_stream_N / stream_*_N (all contain "stream") and sess_win_N.
-    try spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary &&
-        (t.name.contains("stream") || t.name.startsWith("sess_win")))
-      .foreach(t => spark.catalog.dropTempView(t.name))
-    catch { case _: Throwable => () }
+    // names registered at mint time); dropping them frees the
+    // collected rows. Exact-name drops only — no substring heuristics.
+    val views = synchronized { val v = streamViews.toList; streamViews.clear(); v }
+    views.foreach { v =>
+      try spark.catalog.dropTempView(v) catch { case _: Throwable => () }
+    }
+  }
+
+  /** True iff the process-wide state-store provider map is empty —
+    * reached via the same reflective path [[releaseStreamingState]]
+    * uses, so a Spark upgrade that breaks the unload hook ALSO breaks
+    * this probe and the spec pinning it fails loudly (instead of the
+    * residue fix silently disarming).
+    */
+  def loadedStateStoreProviders: Int = {
+    val cls = Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.StateStore$")
+    val module = cls.getField("MODULE$").get(null)
+    val m = cls.getDeclaredMethod("loadedProviders")
+    m.setAccessible(true)
+    val map = m.invoke(module).asInstanceOf[scala.collection.mutable.HashMap[_, _]]
+    map.synchronized(map.size)
   }
 
   /** Run `body` with the session's shuffle width scoped down to a

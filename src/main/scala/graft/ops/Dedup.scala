@@ -1491,6 +1491,31 @@ object Dedup {
         // bucket until the next maintenance cycle (no-crash cost: two
         // existence checks)
         recoverLshIndex(indexPath)
+        // The fused earlier-candidate probe keys "earlier ingested" to
+        // "smaller doc_id" (the x.doc_id < y.doc_id predicate below), so
+        // correctness DEPENDS on batches arriving in doc-id order. Assert
+        // that contract per batch instead of trusting it: the index
+        // carries its ingest frontier (max doc_id, stamped batch id) in a
+        // metadata file, and a NEW batch whose min doc_id does not exceed
+        // the frontier fails loudly rather than silently flipping
+        // duplicates to novel. A REPLAY of the stamped batch (foreachBatch
+        // is at-least-once: crash between index append and checkpoint
+        // commit) legitimately overlaps the frontier, so same-or-older
+        // batch ids skip the check.
+        val frontierFile = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier")
+        val (recBatch, recMax) =
+          if (java.nio.file.Files.exists(frontierFile)) {
+            val parts = java.nio.file.Files.readString(frontierFile).trim.split(",")
+            (parts(0).toLong, parts(1).toLong)
+          } else (-1L, Long.MinValue)
+        val stats = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val batchEmpty = stats.isNullAt(0)
+        if (!batchEmpty && batchId > recBatch)
+          require(stats.getLong(0) > recMax,
+            s"ingestion-order contract broken: batch $batchId min doc_id " +
+              s"${stats.getLong(0)} <= already-indexed max $recMax — the fused " +
+              "earlier-candidate probe assumes doc-id-ordered ingestion; " +
+              "re-ingest out-of-order data through a full rebuild instead")
         // ONE probe join covers both the vs-index and the intra-batch
         // comparison: ingestion order means "earlier" ≡ "smaller doc_id"
         // on BOTH sides (the batch contract this op documents), so the
@@ -1535,6 +1560,19 @@ object Dedup {
         // index's file count linear in batches, not tasks x buckets
         bandsB.repartition(indexBuckets, col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(indexPath)
+        // advance the ingest frontier AFTER the append (tmp + ATOMIC_MOVE,
+        // the watermark-persist device): a crash between append and this
+        // write leaves the old frontier, and the replayed batch id skips
+        // the order check above. Underscore-prefixed = invisible to the
+        // parquet reader's file index.
+        if (!batchEmpty) {
+          val tmpF = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier.tmp")
+          java.nio.file.Files.writeString(tmpF,
+            s"$batchId,${math.max(recMax, stats.getLong(1))}")
+          java.nio.file.Files.move(tmpF, frontierFile,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         bandsB.unpersist(); docs.unpersist()
         // maintenance rider: bound the index's per-bucket file count so
         // continuous appends can't turn directory listing into the probe

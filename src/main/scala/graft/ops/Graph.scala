@@ -469,13 +469,26 @@ object Graph {
       .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
       .filter(col("rn") <= seeds).select(col("node"))
     var dist = pinned(seedDf.withColumn("hops", lit(0L)))
-    for (_ <- 1 to maxHops) {
-      val next = e.join(broadcast(dist), col("src") === col("node"))
-        .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
-      dist = pinned(dist.unionByName(next)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops")))
-    }
+    for (_ <- 1 to maxHops) dist = pinned(minPlusRound(e, dist, Seq("node")))
     dist.orderBy("node")
+  }
+
+  /** One min-plus relaxation round shared by [[bfsReach]] (keys =
+    * `node`) and [[closeness]] (keys = `node, seed` — the labeled
+    * multi-source variant): broadcast the reached-bounded distance frame
+    * into the pinned edge cache, extend each frontier edge by one hop,
+    * and take the per-key MIN over old ∪ extended. The broadcast join
+    * rides the cache (no edge shuffle); the min-relaxation groupBy after
+    * the union is the round's ONE exchange (a union discards
+    * partitioning — CI-pinned in PlanShapeSpec).
+    */
+  private[graft] def minPlusRound(e: DataFrame, dist: DataFrame,
+                                  keys: Seq[String]): DataFrame = {
+    val carry = keys.filterNot(_ == "node").map(col)
+    val next = e.join(broadcast(dist), col("src") === col("node"))
+      .select(col("dst").as("node") +: carry :+ (col("hops") + lit(1L)).as("hops"): _*)
+    dist.unionByName(next)
+      .groupBy(keys.map(col): _*).agg(min(col("hops")).as("hops"))
   }
 
   /** Closeness centrality (Bavelas harmonic-free form) for the `seeds`
@@ -502,12 +515,8 @@ object Graph {
       .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
       .filter(col("rn") <= seeds).select(col("node"))
     var dist = pinned(seedDf.select(col("node"), col("node").as("seed"), lit(0L).as("hops")))
-    for (_ <- 1 to maxHops) {
-      val next = e.join(broadcast(dist), col("src") === col("node"))
-        .select(col("dst").as("node"), col("seed"), (col("hops") + lit(1L)).as("hops"))
-      dist = pinned(dist.unionByName(next)
-        .groupBy(col("node"), col("seed")).agg(min(col("hops")).as("hops")))
-    }
+    for (_ <- 1 to maxHops)
+      dist = pinned(minPlusRound(e, dist, Seq("node", "seed")))
     dist.groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"), sum(col("hops")).as("total_hops"))
       .select(col("seed"), col("n_reached"), col("total_hops"),

@@ -421,6 +421,12 @@ object OrderStats {
         sum(when(expr("unix_micros(ts)") > col("mid_us"),
           expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L)).as("y_milli"))
       .withColumn("arm", (col("user_id") % 2).cast("long"))
+      // FIXTURE-GENERATION COUPLING: these cuts bracket the current
+      // fixtures' per-user pre-period count distribution (~33 median at
+      // sf0.1). A regeneration that shifts that distribution collapses
+      // users into one stratum WITHOUT failing the oracle gate (both
+      // engines share the cuts) — OrderStatsAndSeriesSpec's
+      // ">= 2 strata populated in both arms" test is the loud alarm.
       .withColumn("stratum",
         when(col("x") <= 29L, "act_00_29").when(col("x") <= 33L, "act_30_33")
           .when(col("x") <= 37L, "act_34_37").otherwise("act_38_up"))

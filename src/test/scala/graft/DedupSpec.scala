@@ -402,6 +402,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming novelty REJECTS out-of-doc-id-order ingestion (the fused-probe contract)") {
+    import org.apache.spark.sql.functions._
+    // the fused earlier-candidate probe equates "earlier ingested" with
+    // "smaller doc_id"; an out-of-order re-ingest would silently flip
+    // duplicates to novel. The per-batch ingest-frontier check must turn
+    // that into a loud failure instead.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(40).collect()
+    val root = Scratch.dir("graft-order-spec")
+    val chunks = s"$root/chunks"; new java.io.File(chunks).mkdirs()
+    import spark.implicits._
+    def writeChunk(rows: Array[org.apache.spark.sql.Row], name: String): Unit = {
+      rows.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp_$name")
+      val part = new java.io.File(s"$root/tmp_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$chunks/$name.parquet"))
+    }
+    // batch 0 carries the HIGH half, batch 1 the LOW half (mod-time order
+    // drives FileStreamSource's pick order) — a doc-id-order violation
+    writeChunk(docs.drop(20), "chunk_0")
+    Thread.sleep(1100) // distinct mod-time seconds: pin the pick order
+    writeChunk(docs.take(20), "chunk_1")
+    val schema = spark.read.parquet(chunks).schema
+    val ex = intercept[Exception] {
+      Dedup.streamingNovelty(spark, chunks, schema,
+        s"$root/index", s"$root/out", s"$root/ckpt", 0.5)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("ingestion-order contract broken")),
+      s"expected the ingest-frontier require to fire, got: $ex")
+  }
+
   test("novelty-index compaction: per-bucket file count stays bounded, results and content unchanged") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -34,6 +34,25 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(!const.getAs[Boolean]("holt_beats_naive"))
   }
 
+  test("propensity strata: the fixed cuts populate >= 2 strata in BOTH arms on the gate fixture") {
+    // the stratum cut points (29/33/37) are tuned to the current
+    // fixture generation's per-user pre-period counts. A fixture
+    // regeneration (the round-6 drift lesson) could silently collapse
+    // every user into one stratum — the ATT row then degenerates to a
+    // plain mean difference while the oracle gate stays green (both
+    // engines use the same cuts). This spec makes that drift LOUD:
+    // stratification only removes covariate imbalance if >= 2 strata
+    // carry users in both arms.
+    val rows = SparkEntry.queries("events_propensity_strata")(
+      spark, "/root/testdata/sf0.01").collect()
+    val populated = rows.filter(r => r.getString(0).startsWith("act_") &&
+      r.getLong(1) > 0L && r.getLong(2) > 0L)
+    assert(populated.length >= 2,
+      s"fixture drift: <2 strata populated in both arms — re-derive the cuts. " +
+        s"Got: ${rows.mkString("; ")}")
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("cuped: a fully predictive covariate equalizes adjusted means, rho2 = 1") {
     // post count = 2 x pre count for every user: theta = 2, rho2 = 1, and
     // the arms' different raw post means are entirely explained by their

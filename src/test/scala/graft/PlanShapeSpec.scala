@@ -642,6 +642,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == 0, s"HITS half-round must be exchange-free, got $n:\n$p")
   }
 
+  test("dedup riders scan the cluster parquet artifact — no shingle/minhash rebuild") {
+    // the round-10 17.7s -> 1.0s rider win: canonicalization, leakage
+    // split and token accounting read the once-per-process cluster
+    // artifact instead of re-running LSH+CC per consumer. A refactor
+    // that silently falls back to from-scratch clustersFor would stay
+    // oracle-green (same rows) and only the bench would notice — so the
+    // fast path is a CI contract: the executed plan must contain a
+    // parquet scan of the artifact directory and none of the signature
+    // lineage (posexplode over band arrays, s0.. columns).
+    for (q <- Seq("dedup_canonical", "dedup_leakage_split", "dedup_effective_tokens")) {
+      val p = plan(q)
+      assert(p.contains("graft_clusters"),
+        s"$q must read the persisted cluster artifact:\n$p")
+      assert(!p.contains("posexplode"),
+        s"$q must not rebuild the LSH band lineage:\n$p")
+      assert(!p.contains("s0#"),
+        s"$q must not rebuild minhash signatures:\n$p")
+    }
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
+  test("min-plus BFS round: distance frame broadcasts into the pinned cache, one exchange (the min groupBy)") {
+    // shared by bfsReach (node) and closeness (node, seed): the union
+    // with the frontier extension discards partitioning, so the round
+    // pays exactly ONE exchange — the min-relaxation groupBy — and the
+    // edge cache never re-shuffles
+    import spark.implicits._
+    val e = Graph.pinnedBy(Graph.symmetrize(
+      Seq((10L, 20L), (20L, 30L)).toDF("s", "d")), "src")
+    val dist = Graph.pinned(Seq((10L, 10L, 0L)).toDF("node", "seed", "hops"))
+    val (n, p) = countHashExchanges(Graph.minPlusRound(e, dist, Seq("node", "seed")))
+    assert(n == 1, s"labeled min-plus round must shuffle once (the min groupBy), got $n:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"distance frame must broadcast:\n$p")
+  }
+
   test("wedge census: the self-join co-locates on the pinned dst partitioning (one exchange)") {
     import spark.implicits._
     // force the merge-join path: the contract is cache co-location, not
