@@ -101,15 +101,19 @@ object Retrieval {
     import spark.implicits._
     val q1 = broadcast(TextAnalysis.bm25Queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query", "term"))
-    val (tf, dl) = TextAnalysis.bm25Corpus(docs)
+    val (tf, dl) = TextAnalysis.bm25Corpus(docs, checkpoint = true)
     val feedback = TextAnalysis.bm25Rank(tf, dl, q1, fdbk)
       .select(col("query"), col("doc_id"))
     val cand = feedback.join(tf, "doc_id")
       .join(q1, Seq("query", "term"), "left_anti")
       .groupBy(col("query"), col("term")).agg(sum(col("tf")).as("w"))
     val wSel = Window.partitionBy(col("query")).orderBy(col("w").desc, col("term"))
+    // exp feeds BOTH the pass-2 workload and the expanded_terms audit
+    // column — checkpointing this (queries·expand)-bounded frame runs
+    // pass 1 ONCE instead of twice (it re-executed under each consumer)
     val exp = cand.withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= expand).select(col("query"), col("term"))
+      .localCheckpoint()
     val q2 = q1.select(col("query"), col("term")).unionByName(exp)
     val expStr = exp.groupBy(col("query"))
       .agg(concat_ws(",", sort_array(collect_list(col("term")))).as("expanded_terms"))

@@ -415,13 +415,23 @@ object TextAnalysis {
     * each persists once (tracked, caller evicts) instead of
     * re-tokenizing the corpus per subtree.
     */
-  private[ops] def bm25Corpus(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[ops] def bm25Corpus(docs: DataFrame,
+                              checkpoint: Boolean = false): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("term"))
-    val tf = Caches.tracked(
-      tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).persist())
-    val dl = Caches.tracked(docs.select(col("doc_id"),
-      size(Tokenize.tokens(col("text"))).cast("long").as("dl")).persist())
-    (tf, dl)
+    val tfRaw = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dlRaw = docs.select(col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("dl"))
+    if (checkpoint)
+      // eager localCheckpoint instead of persist for MULTI-pass callers
+      // (RM3's two scoring passes + feedback/candidate joins): a persist
+      // caches the rows but every downstream action still re-ANALYZES
+      // the tokenize lineage — at fixture scale those driver-side
+      // planning gaps, not the jobs, dominated rag_query_expansion
+      // (47 jobs / 3.2s). Fixed-round and |corpus|-bounded → eligible
+      // under the repo's localCheckpoint rule (CLAUDE.md round 9).
+      (tfRaw.localCheckpoint(), dlRaw.localCheckpoint())
+    else
+      (Caches.tracked(tfRaw.persist()), Caches.tracked(dlRaw.persist()))
   }
 
   /** One BM25 scoring pass over prepared [[bm25Corpus]] frames for an

@@ -601,14 +601,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges == 1, s"one shuffle on user_id only, got $hashExchanges:\n$p")
   }
 
-  test("query expansion: both BM25 passes read the SAME persisted tf/dl corpus frames") {
+  test("query expansion: both BM25 passes read the SAME checkpointed tf/dl corpus frames") {
     val df = SparkEntry.queries("rag_query_expansion")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the tokenize+tf build appears as cached scans, not as repeated
-    // corpus re-tokenization: at least two InMemoryTableScans over tf
-    // (pass 1 + pass 2) and no more than one tokenize explode lineage
-    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
-      s"tf/dl must come from the shared persisted frames in both passes:\n$p")
+    // tf/dl are eagerly localCheckpointed at build time (plan-cutting —
+    // the fix for the 47-job lineage re-analysis), so every downstream
+    // consumer scans the materialized RDD and the final plan contains
+    // ZERO corpus re-tokenization (no Generate over the token arrays)
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 3,
+      s"tf/dl/exp must come from the checkpointed frames in both passes:\n$p")
+    assert(!p.contains("Generate"),
+      s"no tokenize lineage may survive into the scoring plan:\n$p")
     graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
   }
 
