@@ -1439,6 +1439,80 @@ object Analytics {
       |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Stationary distribution of the [[markovTransitions]] chain — the
+    * long-run share of time a user's behavior spends in each event type,
+    * by fixed-point power iteration in ppm-scaled BIGINT arithmetic (the
+    * pagerank device: Spark `DIV` ≡ DuckDB `//` on non-negative
+    * operands, so every round is bit-identical and the oracle unrolls
+    * rounds as chained CTEs). Scale shape: the transition COUNTING is
+    * the data-sized pass (one window shuffle on user_id + one
+    * partial-aggregated groupBy); the iteration runs on the
+    * |states|²-bounded matrix (states = event-type alphabet, not data),
+    * broadcast each round. Truncating DIV leaks ≤1 ppm of mass per
+    * round on each engine identically — the published-ppm columns are
+    * exact integers, never last-ulp doubles.
+    */
+  def markovStationary(events: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = Caches.tracked(counts
+      .withColumn("n_prev", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST((n * 1000000) DIV n_prev AS BIGINT)").as("p_ppm"))
+      .persist())
+    val all = Window.partitionBy(lit(1))
+    var x = p.select(col("prev_type").as("state")).distinct()
+      .withColumn("cnt", count(lit(1)).over(all))
+      .select(col("state"), expr("CAST(1000000 DIV cnt AS BIGINT)").as("x"))
+    for (_ <- 1 to rounds) {
+      x = p.join(broadcast(x), col("prev_type") === col("state"))
+        .groupBy(col("next_type"))
+        .agg(expr("CAST(sum(x * p_ppm) DIV 1000000 AS BIGINT)").as("x"))
+        .select(col("next_type").as("state"), col("x"))
+    }
+    val nOut = p.groupBy(col("prev_type").as("event_type")).agg(sum(col("n")).as("n_out"))
+    nOut.join(x.withColumnRenamed("state", "event_type"), Seq("event_type"))
+      .select(col("event_type"), col("n_out"), col("x").as("stationary_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  def markovStationarySql(rounds: Int): String = {
+    val x0 =
+      """x0 AS (
+        |  SELECT prev_type AS state,
+        |         CAST(1000000 // (SELECT count(DISTINCT prev_type) FROM c) AS BIGINT) AS x
+        |  FROM (SELECT DISTINCT prev_type FROM c))""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""x$i AS (
+         |  SELECT p.next_type AS state,
+         |         CAST(sum(x.x * p.p_ppm) // 1000000 AS BIGINT) AS x
+         |  FROM p JOIN x${i - 1} x ON p.prev_type = x.state GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+       |         event_type AS next_type
+       |  FROM events),
+       |c AS (
+       |  SELECT prev_type, next_type, count(*) AS n
+       |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |p AS (
+       |  SELECT prev_type, next_type, n,
+       |         CAST((n * 1000000) // (sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_ppm
+       |  FROM c),
+       |$x0,
+       |$iters,
+       |nout AS (SELECT prev_type AS event_type, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1)
+       |SELECT nout.event_type, nout.n_out, xf.x AS stationary_ppm
+       |FROM nout JOIN x$rounds xf ON nout.event_type = xf.state
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Market-basket co-occurrence: the top part pairs bought together in
     * one order. The standard frequent-itemset-of-size-2 mining pass.
     *

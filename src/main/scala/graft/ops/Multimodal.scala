@@ -331,6 +331,131 @@ object Multimodal {
        |FROM cnt GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   }
 
+  /** Synthetic images WITH a letterbox: formula pixels (always ≥ 16)
+    * inside a known black border of 0–2 rows/columns per side derived
+    * from the id — the frame geometry the oracle recomputes
+    * arithmetically while the operator must MEASURE it from the decoded
+    * raster.
+    */
+  def letterboxPayloads(docs: DataFrame): Dataset[MediaPayload] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (12 + id % 7).toInt
+        val h = (12 + (id * 5) % 7).toInt
+        val bt = (id % 3).toInt; val bb = ((id * 7) % 3).toInt
+        val bl = ((id * 3) % 3).toInt; val br = ((id * 11) % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val inside = x >= bl && x < w - br && y >= bt && y < h - bb
+            val v = if (inside) (16 + ((x * 31 + y * 17 + id * 13) % 240)).toInt else 0
+            raster.setSample(x, y, 0, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaPayload(id, bos.toByteArray)
+      }
+    }
+  }
+
+  final case class LetterboxStats(
+      doc_id: Long, width: Int, height: Int,
+      top_border: Long, bottom_border: Long,
+      left_border: Long, right_border: Long,
+      n_content: Long, content_sum: Long, border_ppm: Long)
+
+  /** Letterbox/pillarbox detection — the crop-before-train pass a visual
+    * curation pipeline runs so black bars don't become spurious features:
+    * per side, the count of leading/trailing all-dark (≤ threshold 8)
+    * rows/columns of the DECODED raster, plus the content census
+    * (`n_content`, `content_sum` over bright pixels) and the integral
+    * `border_ppm` wasted-area score. All outputs exact integers; the
+    * oracle recomputes them from the synthesis formula (interior pixels
+    * are ≥ 16, so measured borders equal the synthesized geometry — any
+    * decode/stride/scan defect breaks the hash).
+    */
+  def letterboxStats(payloads: Dataset[MediaPayload],
+                     newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[LetterboxStats] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val thr = 8
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        val w = d.width; val h = d.height
+        def rowDark(y: Int): Boolean = {
+          var x = 0
+          while (x < w) { if (d.px(y * w + x) > thr) return false; x += 1 }
+          true
+        }
+        def colDark(x: Int): Boolean = {
+          var y = 0
+          while (y < h) { if (d.px(y * w + x) > thr) return false; y += 1 }
+          true
+        }
+        var top = 0
+        while (top < h && rowDark(top)) top += 1
+        var bottom = 0
+        while (bottom < h - top && rowDark(h - 1 - bottom)) bottom += 1
+        var left = 0
+        while (left < w && colDark(left)) left += 1
+        var right = 0
+        while (right < w - left && colDark(w - 1 - right)) right += 1
+        var nContent = 0L
+        var contentSum = 0L
+        var i = 0
+        while (i < d.px.length) {
+          if (d.px(i) > thr) { nContent += 1L; contentSum += d.px(i) }
+          i += 1
+        }
+        val n = w.toLong * h
+        LetterboxStats(p.doc_id, w, h, top.toLong, bottom.toLong,
+          left.toLong, right.toLong, nContent, contentSum,
+          1000000L * (n - nContent) / n)
+      }
+    }
+  }
+
+  /** Full pipeline: synth bordered image → PNG encode → REAL ImageIO
+    * decode → border scan, ordered for the oracle.
+    */
+  def letterboxDetect(docs: DataFrame): DataFrame =
+    letterboxStats(letterboxPayloads(docs)).toDF().orderBy("doc_id")
+
+  val letterboxDetectSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 12 + doc_id % 7 AS w, 12 + (doc_id * 5) % 7 AS h,
+      |         doc_id % 3 AS bt, (doc_id * 7) % 3 AS bb,
+      |         (doc_id * 3) % 3 AS bl, (doc_id * 11) % 3 AS br
+      |  FROM documents),
+      |pix AS (SELECT *, unnest(range(0, w * h)) AS i FROM g),
+      |v AS (
+      |  SELECT doc_id, w, h, bt, bb, bl, br,
+      |         CASE WHEN (i % w) >= bl AND (i % w) < w - br
+      |                AND (i // w) >= bt AND (i // w) < h - bb
+      |              THEN 16 + (((i % w) * 31 + (i // w) * 17 + doc_id * 13) % 240)
+      |              ELSE 0 END AS px
+      |  FROM pix)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(bt AS BIGINT) AS top_border, CAST(bb AS BIGINT) AS bottom_border,
+      |  CAST(bl AS BIGINT) AS left_border, CAST(br AS BIGINT) AS right_border,
+      |  CAST(count(*) FILTER (WHERE px > 8) AS BIGINT) AS n_content,
+      |  CAST(sum(px) AS BIGINT) AS content_sum,
+      |  CAST((1000000 * (w * h - count(*) FILTER (WHERE px > 8))) // (w * h) AS BIGINT)
+      |    AS border_ppm
+      |FROM v GROUP BY doc_id, w, h, bt, bb, bl, br ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ audio
 
   /** One audio record entering the decode stage. */

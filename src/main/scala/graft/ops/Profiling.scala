@@ -105,6 +105,57 @@ object Profiling {
        |ORDER BY child_tbl, fk""".stripMargin
   }
 
+  final case class FdCandidate(name: String, df: DataFrame, det: Seq[String], dep: String)
+
+  /** Approximate functional-dependency audit — for each DECLARED
+    * candidate FD `det → dep`, the g3 violation measure: the minimum
+    * number of rows to delete so the FD holds exactly (per determinant
+    * group, everything except the plurality dependent value violates).
+    * This is the profiling pass a schema-discovery / data-contract
+    * pipeline runs to find which "keys" actually determine which
+    * attributes, and how dirty the near-FDs are. A key FD reports 0
+    * violations; a fabricated FD reports a large ppm.
+    *
+    * Scale shape: per FD, two partial-aggregated shuffles over only the
+    * FD's columns (pruned scan): groupBy(det, dep) counts, then a
+    * per-det max/sum, then one global fold — never a self-join, never a
+    * distinct-pairs materialization. All outputs exact integers
+    * (truncating-DIV ppm).
+    */
+  def fdAudit(fds: Seq[FdCandidate]): DataFrame =
+    fds.map { f =>
+      val detCols = f.det.map(col)
+      f.df.groupBy(detCols :+ col(f.dep): _*).agg(count(lit(1)).as("n"))
+        .groupBy(detCols: _*)
+        .agg(sum(col("n")).as("nr"), max(col("n")).as("keep"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("nr")).as("n_rows"), sum(col("keep")).as("n_keep"))
+        .select(lit(f.name).as("fd"), col("n_groups"), col("n_rows"), col("n_keep"),
+          (col("n_rows") - col("n_keep")).as("n_violations"),
+          expr("CAST((1000000 * (n_rows - n_keep)) DIV n_rows AS BIGINT)")
+            .as("violation_ppm"))
+    }.reduce(_ unionAll _).orderBy("fd")
+
+  /** Oracle rows: (name, relationSql, detCols, depCol). */
+  def fdAuditSql(fds: Seq[(String, String, Seq[String], String)]): String = {
+    val rows = fds.map { case (name, rel, det, dep) =>
+      val detList = det.mkString(", ")
+      s"""SELECT '$name' AS fd,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  CAST(sum(nr) - sum(keep) AS BIGINT) AS n_violations,
+         |  CAST((1000000 * (sum(nr) - sum(keep))) // sum(nr) AS BIGINT) AS violation_ppm
+         |FROM (
+         |  SELECT $detList, sum(n) AS nr, max(n) AS keep
+         |  FROM (SELECT $detList, $dep, count(*) AS n FROM $rel GROUP BY $detList, $dep) c
+         |  GROUP BY $detList) g""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |) ORDER BY fd""".stripMargin
+  }
+
   /** Benford's-law first-digit audit over order totals — the classic
     * fabricated-data screen: naturally-occurring amounts follow
     * P(d) = log₁₀(1 + 1/d); synthetic or tampered ledgers don't. Output

@@ -1515,6 +1515,162 @@ object Similarity {
             lit(0.0)), 6).as("centroid_cosine"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH over the whole corpus — every vector
+    * is an anchor; edges are its `k` most-cosine-similar neighbors
+    * (self excluded), rank ties broken on vec_id. The kNN graph is the
+    * shared substrate of three curation audits ([[knnHubness]],
+    * [[knnLabelAgreement]], [[knnOutliers]]) — like the near-dup cluster
+    * table, at 100 TB it is a PERSISTED dataset built once (via IVF/LSH
+    * candidate generation, the [[ivfTopK]]/blocked device — each anchor
+    * scores |corpus|/nlist · nprobe candidates, not the corpus) and read
+    * by every consumer; the exact all-pairs build here is the fixture-
+    * scale baseline the approximate build would be recalled against.
+    *
+    * Plan shape: corpus broadcast once, corpus streams through ONE
+    * codegen'd cosine projection, one |corpus|·|corpus| window shuffle
+    * partitioned by anchor. Cosines rounded to 6 dp before ranking
+    * (+0.0 kills the −0.0 repr hazard).
+    */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = prepared(emb)
+    val q = e.select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+        (cosine(col("qv"), col("qn"), col("v"), col("nrm")) + lit(0.0)).as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** The shared oracle prefix: recomputes the kNN graph from scratch in
+    * DuckDB (so gate-checking a rider that READS the persisted graph
+    * artifact also proves artifact ≡ from-scratch, the cluster-artifact
+    * device).
+    */
+  private def knnCtes(k: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT anchor_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY anchor_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  def knnGraphSql(k: Int): String =
+    s"""WITH ${knnCtes(k)}
+       |SELECT anchor_id, neighbor_id, cosine, rank
+       |FROM knn ORDER BY anchor_id, rank""".stripMargin
+
+  /** Hubness census — the k-occurrence distribution of the kNN graph:
+    * how many anchors' top-k lists each vector appears in. High-dim
+    * embedding spaces concentrate: a few "hub" vectors appear in
+    * thousands of lists (they dominate retrieval results and poison
+    * contrastive sampling) while "anti-hubs" (occurrence 0) are
+    * unreachable. One aggregation over the persisted graph + an
+    * anti-hub left join against the corpus ids; `is_hub` uses the
+    * standard 2k cut.
+    */
+  def knnHubness(knn: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val occ = knn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("o"))
+    val perVec = emb.select(col("vec_id"))
+      .join(occ, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("k_occurrence"))
+    perVec.groupBy(col("k_occurrence"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("is_hub", col("k_occurrence") >= lit(2L * k))
+      .orderBy(col("k_occurrence"))
+  }
+
+  def knnHubnessSql(k: Int): String =
+    s"""WITH ${knnCtes(k)},
+       |occ AS (SELECT neighbor_id, count(*) AS o FROM knn GROUP BY 1),
+       |per_vec AS (
+       |  SELECT coalesce(occ.o, 0) AS k_occurrence
+       |  FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
+       |SELECT k_occurrence, CAST(count(*) AS BIGINT) AS n_vectors,
+       |       k_occurrence >= ${2 * k} AS is_hub
+       |FROM per_vec GROUP BY 1 ORDER BY k_occurrence""".stripMargin
+
+  /** kNN label-agreement audit — per anchor, how many of its k nearest
+    * neighbors share its label; aggregated per label. Low agreement_ppm
+    * for one label = that class is diffuse or mislabeled; `n_suspect`
+    * (anchors with ZERO same-label neighbors) is the classic
+    * confident-learning noisy-label candidate count a curation pipeline
+    * reviews before training. Two broadcast label joins + two
+    * aggregations over the persisted graph.
+    */
+  def knnLabelAgreement(knn: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    val perAnchor = knn
+      .join(broadcast(lab.select(col("vec_id").as("anchor_id"), col("label").as("a_label"))),
+        Seq("anchor_id"))
+      .join(broadcast(lab.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))),
+        Seq("neighbor_id"))
+      .groupBy(col("anchor_id"), col("a_label").as("label"))
+      .agg(sum(when(col("a_label") === col("n_label"), 1L).otherwise(0L)).as("n_agree"))
+    perAnchor.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("n_agree")).as("sum_agree"),
+        sum(when(col("n_agree") === 0L, 1L).otherwise(0L)).as("n_suspect"))
+      .withColumn("agree_ppm",
+        expr(s"CAST((1000000 * sum_agree) DIV (n_vectors * $k) AS BIGINT)"))
+      .select(col("label"), col("n_vectors"), col("sum_agree"),
+        col("agree_ppm"), col("n_suspect"))
+      .orderBy(col("label"))
+  }
+
+  def knnLabelAgreementSql(k: Int): String =
+    s"""WITH ${knnCtes(k)},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |per_anchor AS (
+       |  SELECT knn.anchor_id, la.label,
+       |         CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM knn
+       |  JOIN lab la ON knn.anchor_id = la.vec_id
+       |  JOIN lab lb ON knn.neighbor_id = lb.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(sum(n_agree) AS BIGINT) AS sum_agree,
+       |       CAST((1000000 * CAST(sum(n_agree) AS BIGINT)) // (count(*) * $k) AS BIGINT) AS agree_ppm,
+       |       CAST(sum(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+       |FROM per_anchor GROUP BY label ORDER BY label""".stripMargin
+
+  /** Isolation outliers — the `topN` vectors whose k-th neighbor is
+    * FARTHEST (smallest rank-k cosine): the k-distance outlier score a
+    * curation pipeline uses to surface corrupt/off-distribution
+    * embeddings before training. One filter + one top-N over the
+    * persisted graph (the rank=k row per anchor already carries the
+    * score); the top-N is sort+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition partial top-N, no global
+    * sort) — the rank column is minted on the N survivors.
+    */
+  def knnOutliers(knn: DataFrame, k: Int, topN: Int): DataFrame = {
+    val top = knn.filter(col("rank") === k)
+      .select(col("anchor_id"), col("cosine").as("kth_cosine"))
+      .orderBy(col("kth_cosine").asc, col("anchor_id"))
+      .limit(topN)
+    val w = Window.orderBy(col("kth_cosine").asc, col("anchor_id"))
+    top.withColumn("isolation_rank", row_number().over(w).cast("long"))
+      .orderBy(col("isolation_rank"))
+  }
+
+  def knnOutliersSql(k: Int, topN: Int): String =
+    s"""WITH ${knnCtes(k)},
+       |kth AS (SELECT anchor_id, cosine AS kth_cosine FROM knn WHERE rank = $k)
+       |SELECT anchor_id, kth_cosine,
+       |       CAST(row_number() OVER (ORDER BY kth_cosine ASC, anchor_id) AS BIGINT) AS isolation_rank
+       |FROM kth QUALIFY isolation_rank <= $topN ORDER BY isolation_rank""".stripMargin
+
   val centroidDriftSql: String =
     """WITH el AS (
       |  SELECT vec_id % 2 = 0 AS even, j,

@@ -696,6 +696,79 @@ object TimeSeries {
       |         + 0.0 AS corr
       |FROM p ORDER BY type_a, type_b""".stripMargin
 
+  /** Autocorrelation function of the hourly event-count series at the
+    * declared lags — the seasonality screen a capacity/forecasting layer
+    * runs first (a strong lag-24 spike = daily cycle; all-flat = no
+    * structure worth a seasonal model). Series on a DENSE hour grid
+    * (missing hours are true zeros — sparse alignment would silently
+    * skip gaps and bias every lag).
+    *
+    * Parity/scale: the [[typeCorrelation]] device — all moments are
+    * exact integer sums (shuffle-order free), Pearson is ONE fixed
+    * double expression per lag row, rounded (+0.0). One aggregation to
+    * hourly counts (|hours|-bounded, data-sized pass), then one
+    * lag-exploded self-join on the hour grid: |hours|·|lags| rows, never
+    * data-sized. The grid frame is persisted and reused for both join
+    * sides.
+    */
+  def autocorrelation(events: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    val hc = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = Caches.tracked(hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      .persist())
+    val p = grid.as("x")
+      .withColumn("lag", explode(lit(lags.map(_.toLong).toArray)))
+      .join(grid.as("y"), col("y.h") === col("x.h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x.n")).as("sx"), sum(col("y.n")).as("sy"),
+        sum(col("x.n") * col("y.n")).as("sxy"),
+        sum(col("x.n") * col("x.n")).as("sxx"),
+        sum(col("y.n") * col("y.n")).as("syy"))
+    p.select(col("lag"), col("n_pairs"),
+        round((col("n_pairs").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          nullif(sqrt((col("n_pairs").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n_pairs").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), lit(0.0)), 6)
+          .plus(lit(0.0)).as("acf"))
+      .orderBy("lag")
+  }
+
+  def autocorrelationSql(lags: Seq[Int]): String =
+    s"""WITH hc AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+       |grid AS (
+       |  SELECT gh.h, coalesce(hc.n, 0) AS n
+       |  FROM (SELECT unnest(range(h0, h1 + 1)) AS h FROM b) gh
+       |  LEFT JOIN hc ON hc.h = gh.h),
+       |lg AS (SELECT unnest([${lags.mkString(", ")}]) AS lag),
+       |p AS (
+       |  SELECT lg.lag, count(*) AS n_pairs,
+       |         CAST(sum(x.n) AS BIGINT) AS sx, CAST(sum(y.n) AS BIGINT) AS sy,
+       |         CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+       |         CAST(sum(x.n * x.n) AS BIGINT) AS sxx,
+       |         CAST(sum(y.n * y.n) AS BIGINT) AS syy
+       |  FROM grid x CROSS JOIN lg JOIN grid y ON y.h = x.h + lg.lag
+       |  GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |       round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |             / nullif(sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                           * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6)
+       |         + 0.0 AS acf
+       |FROM p ORDER BY lag""".stripMargin
+
   /** Rolling-origin one-step backtest of the [[holtDaily]] forecaster
     * against the naive (yesterday's value) baseline — the eval a
     * forecasting layer must pass before anyone trusts it: at every day

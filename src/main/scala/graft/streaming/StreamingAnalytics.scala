@@ -192,6 +192,92 @@ object StreamingAnalytics {
       }
   }
 
+  final case class CepInput(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** Constant-size CEP state per user: the latest signup's event time,
+    * and the latest click that HAD a signup before it (carrying that
+    * signup's time — a later signup must not retroactively re-anchor an
+    * already-taken click). -1L = absent (sentinel keeps the state a flat
+    * product of primitives — one fixed-width row in the state store).
+    */
+  final case class FunnelState(sig_us: Long, click_us: Long, click_sig_us: Long)
+  final case class FunnelOut(
+      event_id: Long, user_id: Long, signup_us: Long, click_us: Long,
+      purchase_us: Long, span_us: Long)
+
+  /** Streaming complex-event pattern match (the Flink-CEP shape): per
+    * user, signup → click → purchase in event-time order with the whole
+    * span inside `windowUs`, matched with LAST-predecessor semantics —
+    * each purchase anchors to the latest preceding click that itself had
+    * a signup before it. State is ONE constant-size row per user (no
+    * event buffering — the pattern's memory is exactly its last partial
+    * match), matches emit immediately in the purchase's micro-batch, and
+    * the streamed output over any batch split equals one batch
+    * carry-forward window pass (the [[attribution]] design; batch-split
+    * spec pins it). Within a batch rows are sorted by (event time µs,
+    * event_id) — the same total order the batch oracle's window frames
+    * use. A purchase does not consume the click: a second purchase
+    * inside the window re-matches the same prefix, exactly like the
+    * batch semantics.
+    */
+  def funnelMatch(events: Dataset[CepInput], windowUs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CepInput], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = List.newBuilder[FunnelOut]
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          for (e <- sorted) e.event_type match {
+            case "signup" => st = st.copy(sig_us = usOf(e.ts))
+            case "click" if st.sig_us >= 0L =>
+              st = st.copy(click_us = usOf(e.ts), click_sig_us = st.sig_us)
+            case "purchase" if st.click_us >= 0L =>
+              val t = usOf(e.ts)
+              if (t - st.click_sig_us <= windowUs)
+                out += FunnelOut(e.event_id, user, st.click_sig_us, st.click_us, t,
+                  t - st.click_sig_us)
+            case _ => ()
+          }
+          if (st.sig_us >= 0L || st.click_us >= 0L) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Batch oracle of [[funnelMatch]] (DuckDB): the carry-forward frames
+    * UNBOUNDED..CURRENT are equivalent to the sequential scan because
+    * the carried CASE is NULL on the current row itself (a click is not
+    * a signup; a purchase is not a click).
+    */
+  def funnelMatchSql(windowUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |sigc AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sig
+       |  FROM e),
+       |carr AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type = 'click' AND last_sig IS NOT NULL
+       |                    THEN us END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us,
+       |    last_value(CASE WHEN event_type = 'click' AND last_sig IS NOT NULL
+       |                    THEN last_sig END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_sig_us
+       |  FROM sigc)
+       |SELECT event_id, user_id, click_sig_us AS signup_us, click_us,
+       |       us AS purchase_us, us - click_sig_us AS span_us
+       |FROM carr
+       |WHERE event_type = 'purchase' AND click_sig_us IS NOT NULL
+       |  AND us - click_sig_us <= $windowUs
+       |ORDER BY event_id""".stripMargin
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

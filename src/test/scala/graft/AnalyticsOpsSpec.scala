@@ -100,4 +100,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     // blocked: dirty "red widget" of Brand#2 never sees Brand#1's copy
     assert(got(1000013L) == (13L, 1L, 1L))
   }
+
+  test("markov stationary: hand-unrolled fixed-point on a 2-state chain") {
+    import spark.implicits._
+    // one user, sequence a,a,b,a (by event_id): transitions a→a, a→b, b→a
+    // → p(a,a)=p(a,b)=500000 ppm, p(b,a)=1000000 ppm. From x0=(500000,
+    // 500000), six truncating-DIV rounds give (664062, 335937) — the
+    // same integers DuckDB's // produces (hand-unrolled here).
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"), (4L, 1L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+    val got = Analytics.markovStationary(ev, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L, 664062L), ("b", 1L, 335937L)), got.toSeq)
+    // truncation leaks at most 1 ppm per state per round; never inflates
+    val mass = got.map(_._3).sum
+    assert(mass <= 1000000L && mass >= 1000000L - 6 * 2, s"mass=$mass")
+  }
 }

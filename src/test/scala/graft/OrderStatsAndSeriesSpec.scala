@@ -283,4 +283,24 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(got(5L) == (2L, 4000L) && got(6L) == (2L, 4000L),
       s"equal-ts peers share the frame: $got")
   }
+
+  test("autocorrelation: period-2 series flips sign by lag parity; gap hours zero-fill") {
+    // hours 0..5 with counts 1,3,1,3,1,3 → acf(1) = -1, acf(2) = +1
+    def at(h: Long, k: Int) = (0 until k).map(_ => h * 3600000000L)
+    val ev = (Seq(0L, 2L, 4L).flatMap(at(_, 1)) ++ Seq(1L, 3L, 5L).flatMap(at(_, 3)))
+      .toDF("us").withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = TimeSeries.autocorrelation(ev, Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (5L, -1.0), s"alternating series anti-correlates at lag 1: $got")
+    assert(got(2L) == (4L, 1.0), s"and repeats exactly at lag 2: $got")
+    // a dense-grid zero: counts 2,0,2 over hours 0..2 (hour 1 has no
+    // events). Sparse alignment would pair (2,2) once and leave acf(1)
+    // undefined; the dense grid pairs (2,0) and (0,2) → acf(1) = -1
+    val gap = (at(0L, 2) ++ at(2L, 2))
+      .toDF("us").withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val g2 = TimeSeries.autocorrelation(gap, Seq(1)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g2(1L) == (2L, -1.0), s"missing hour must enter as a true zero: $g2")
+    graft.ops.Caches.releaseCaches()
+  }
 }

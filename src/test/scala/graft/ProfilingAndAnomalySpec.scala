@@ -113,4 +113,21 @@ class ProfilingAndAnomalySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got.head == ("x y", 3L)) // "x y" twice in doc1 + once in doc2
   }
+
+  test("fdAudit: g3 counts the non-plurality rows; a key FD reports zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, "x"), (1L, 2, "x"), (1L, 3, "y"), // k=1: plurality x (2 of 3)
+      (2L, 4, "z"))                             // k=2: single value
+      .toDF("k", "row_id", "v")
+    val got = Profiling.fdAudit(Seq(
+        Profiling.FdCandidate("t.k->v", df, Seq("k"), "v"),
+        Profiling.FdCandidate("t.k,row_id->v", df, Seq("k", "row_id"), "v")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // k→v: 2 groups, 4 rows, keep 2+1=3, violations 1, ppm 250000
+    assert(got("t.k->v") == (2L, 4L, 3L, 1L, 250000L), got)
+    // the key FD holds exactly
+    assert(got("t.k,row_id->v") == (4L, 4L, 4L, 0L, 0L), got)
+  }
 }

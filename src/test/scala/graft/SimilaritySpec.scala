@@ -169,4 +169,44 @@ class SimilaritySpec extends SparkSpec {
     assert(nCells(vecs) <= 2)
     assert(nCells(doubled) <= 2)
   }
+
+  test("kNN graph: every vector gets k ranked neighbors, no self-edges, known order") {
+    val knn = Similarity.knnGraph(vecs, 2)
+    val rows = knn.collect().map(r =>
+      (r.getAs[Long]("anchor_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(rows.length == 5 * 2, s"5 anchors x k=2: ${rows.length}")
+    assert(rows.forall { case (a, n, _) => a != n }, "self-edges excluded")
+    // v0 = (1,0): nearest is v1 (cos .994), then v2 (.707)
+    assert(rows.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq == Seq(1L, 2L))
+    // v4 = (-1,.1): nearest is v3 (cos ~.0995), then v2 (~-.63)
+    assert(rows.filter(_._1 == 4L).sortBy(_._3).map(_._2).toSeq == Seq(3L, 2L))
+  }
+
+  test("kNN riders: hubness census covers every vector; agreement and outliers are consistent") {
+    val knn = Similarity.knnGraph(vecs, 2)
+    val hub = Similarity.knnHubness(knn, vecs, 2).collect()
+    // the census partitions the corpus: n_vectors sums to |V|, and total
+    // k-occurrence mass is exactly |V|*k (every top-k list has k slots)
+    assert(hub.map(_.getAs[Long]("n_vectors")).sum == 5L)
+    assert(hub.map(r => r.getAs[Long]("k_occurrence") * r.getAs[Long]("n_vectors")).sum == 10L)
+    val agree = Similarity.knnLabelAgreement(knn, vecs, 2).collect()
+    assert(agree.map(_.getAs[Long]("n_vectors")).sum == 5L)
+    assert(agree.forall { r =>
+      val ppm = r.getAs[Long]("agree_ppm")
+      ppm >= 0L && ppm <= 1000000L
+    })
+    // label 0 = {v0,v1,v2}: v0's 2-NN = {v1,v2} both label 0 → some anchor
+    // has full agreement; label 1 = {v3,v4}: v3's 2-NN = {v2,v1}? cos(v3,v2)=.707,
+    // cos(v3,v4)≈.0995 → {v2, v4}: one agree. No label is all-suspect.
+    val lab0 = agree.find(_.getAs[Int]("label") == 0).get
+    assert(lab0.getAs[Long]("sum_agree") > 0L)
+    val out = Similarity.knnOutliers(knn, 2, 3).collect()
+    assert(out.map(_.getAs[Long]("isolation_rank")).toSeq == Seq(1L, 2L, 3L))
+    val kth = out.map(_.getAs[Double]("kth_cosine"))
+    assert(kth.zip(kth.tail).forall { case (a, b) => a <= b },
+      s"most isolated (smallest rank-k cosine) first: ${kth.toSeq}")
+    // v4 is the geometric outlier: its 2nd-nearest cosine (~-.63) is the
+    // smallest in the corpus → isolation rank 1
+    assert(out.head.getAs[Long]("anchor_id") == 4L)
+  }
 }

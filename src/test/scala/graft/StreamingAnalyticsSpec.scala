@@ -326,4 +326,65 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(emitted.get((hourTs(1), "a")).contains((2L, 2.0)),
       s"hour-1 sketch must recover users 3,4: $emitted")
   }
+
+  test("streaming CEP funnel: last-predecessor semantics, window cut, state across batches") {
+    import graft.streaming.StreamingAnalytics.{CepInput, FunnelOut}
+    val win = 3600L * 1000000L // 60 min
+    val rows = Seq(
+      CepInput(0L, 1L, ts(10), "signup"),
+      CepInput(1L, 1L, ts(20), "click"),
+      CepInput(2L, 1L, ts(30), "purchase"),   // match: span 20 min
+      CepInput(3L, 1L, ts(40), "signup"),     // must NOT re-anchor click e1
+      CepInput(4L, 1L, ts(50), "purchase"),   // match: SAME prefix, span 40 min
+      CepInput(5L, 2L, ts(10), "click"),      // click before any signup: ignored
+      CepInput(6L, 2L, ts(20), "purchase"),   // no qualifying click → no match
+      CepInput(7L, 2L, ts(30), "signup"),
+      CepInput(8L, 2L, ts(35), "click"),
+      CepInput(9L, 2L, ts(300), "purchase"),  // span 270 min > 60 → no match
+      CepInput(10L, 3L, ts(5), "purchase"))   // no state at all
+    val ms = MemoryStream[CepInput](spark, numPartitions = 1)
+    val q = StreamingAnalytics.funnelMatch(ms.toDS(), win)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // split so user 1's signup+click land in a DIFFERENT batch than
+      // both its purchases, and user 2's prefix precedes its purchase
+      ms.addData(rows.take(2): _*); q.processAllAvailable()
+      ms.addData(rows.slice(2, 7): _*); q.processAllAvailable()
+      ms.addData(rows.drop(7): _*); q.processAllAvailable()
+      val got = spark.table("funnel_out").as[FunnelOut].collect().sortBy(_.event_id)
+      val us = (m: Long) => m * 60000000L
+      assert(got.map(o => (o.event_id, o.signup_us, o.click_us, o.purchase_us, o.span_us)).toSeq
+        == Seq(
+          (2L, us(10), us(20), us(30), us(20)),
+          (4L, us(10), us(20), us(50), us(40))),
+        s"exactly e2 and e4 match, both anchored to (signup e0, click e1): ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming CEP funnel: batch-split invariance (all-at-once equals split delivery)") {
+    import graft.streaming.StreamingAnalytics.{CepInput, FunnelOut}
+    val win = 3600L * 1000000L
+    val rows = Seq(
+      CepInput(0L, 1L, ts(10), "signup"), CepInput(1L, 1L, ts(20), "click"),
+      CepInput(2L, 1L, ts(30), "purchase"), CepInput(3L, 1L, ts(40), "signup"),
+      CepInput(4L, 1L, ts(50), "purchase"), CepInput(5L, 2L, ts(30), "signup"),
+      CepInput(6L, 2L, ts(35), "click"), CepInput(7L, 2L, ts(45), "purchase"))
+    def run(splits: Seq[Seq[CepInput]], name: String): Seq[(Long, Long)] = {
+      val ms = MemoryStream[CepInput](spark, numPartitions = 1)
+      val q = StreamingAnalytics.funnelMatch(ms.toDS(), win)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        splits.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[FunnelOut].collect().map(o => (o.event_id, o.span_us))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val whole = run(Seq(rows), "funnel_whole")
+    val split = run(rows.grouped(3).toSeq, "funnel_split")
+    assert(whole == split, s"whole=$whole split=$split")
+    assert(whole.map(_._1) == Seq(2L, 4L, 7L))
+  }
 }

@@ -250,4 +250,41 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(cross.isEmpty, s"unrelated images paired: ${cross.toSeq}")
     ops.Caches.releaseCaches()
   }
+
+  test("letterbox: measured borders equal the synthesized frame; content census exact") {
+    // id 4: w=16, h=12+20%7=16? (4*5)%7=6 → h=18... compute in-test from
+    // the same arithmetic instead of hand constants
+    val id = 4L
+    val got = Multimodal.letterboxDetect(docs(id -> "x")).collect()(0)
+    val (w, h) = ((12 + id % 7).toInt, (12 + (id * 5) % 7).toInt)
+    val (bt, bb, bl, br) =
+      ((id % 3).toInt, ((id * 7) % 3).toInt, ((id * 3) % 3).toInt, ((id * 11) % 3).toInt)
+    assert(got.getAs[Int]("width") == w && got.getAs[Int]("height") == h)
+    assert(got.getAs[Long]("top_border") == bt && got.getAs[Long]("bottom_border") == bb)
+    assert(got.getAs[Long]("left_border") == bl && got.getAs[Long]("right_border") == br)
+    val inner = for (y <- bt until h - bb; x <- bl until w - br)
+      yield 16 + ((x * 31 + y * 17 + id * 13) % 240)
+    assert(got.getAs[Long]("n_content") == inner.size.toLong)
+    assert(got.getAs[Long]("content_sum") == inner.map(_.toLong).sum)
+    assert(got.getAs[Long]("border_ppm") ==
+      1000000L * (w.toLong * h - inner.size) / (w.toLong * h))
+  }
+
+  test("letterbox: a dark pixel INSIDE content does not extend a border") {
+    // 4x4 raster: row 0 dark (border), row 1 has one dark pixel among
+    // bright ones — the scan must stop at the first non-dark row/column
+    val px = Array(
+      0, 0, 0, 0,
+      200, 0, 200, 200,
+      200, 200, 200, 200,
+      200, 200, 200, 200)
+    val dec = new Multimodal.Decoder {
+      def decode(q: Multimodal.MediaPayload) = Multimodal.DecodedImage(4, 4, px)
+    }
+    val got = Multimodal.letterboxStats(
+      Multimodal.letterboxPayloads(docs(1L -> "x")), () => dec).collect()(0)
+    assert(got.top_border == 1L && got.bottom_border == 0L)
+    assert(got.left_border == 0L && got.right_border == 0L)
+    assert(got.n_content == 11L && got.content_sum == 2200L)
+  }
 }
