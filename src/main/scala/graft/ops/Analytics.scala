@@ -1461,24 +1461,30 @@ object Analytics {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val p = Caches.tracked(counts
+    val p = counts
       .withColumn("n_prev", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("CAST((n * 1000000) DIV n_prev AS BIGINT)").as("p_ppm"))
-      .persist())
-    val all = Window.partitionBy(lit(1))
-    var x = p.select(col("prev_type").as("state")).distinct()
-      .withColumn("cnt", count(lit(1)).over(all))
-      .select(col("state"), expr("CAST(1000000 DIV cnt AS BIGINT)").as("x"))
-    for (_ <- 1 to rounds) {
-      x = p.join(broadcast(x), col("prev_type") === col("state"))
-        .groupBy(col("next_type"))
-        .agg(expr("CAST(sum(x * p_ppm) DIV 1000000 AS BIGINT)").as("x"))
-        .select(col("next_type").as("state"), col("x"))
-    }
-    val nOut = p.groupBy(col("prev_type").as("event_type")).agg(sum(col("n")).as("n_out"))
-    nOut.join(x.withColumnRenamed("state", "event_type"), Seq("event_type"))
-      .select(col("event_type"), col("n_out"), col("x").as("stationary_ppm"))
+    // the transition matrix is |alphabet|²-bounded (event-type alphabet,
+    // NOT data-sized) — collect it and iterate on the driver: a
+    // distributed 5-row fixed-point would pay ~4 broadcast+agg jobs per
+    // round for zero parallelism (the bounded-probe precedent). All
+    // arithmetic stays non-negative BIGINT, so Scala `/` ≡ Spark DIV ≡
+    // DuckDB `//` and every round is bit-identical to the oracle's CTEs.
+    val mat = p.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val states = mat.map(_._1).distinct.sorted
+    var x: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to rounds)
+      x = mat.groupBy(_._2).collect {
+        case (next, rows) if states.contains(next) =>
+          next -> rows.map { case (prev, _, _, ppm) => x.getOrElse(prev, 0L) * ppm }.sum / 1000000L
+      }
+    val nOut = mat.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._3).sum }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.toSeq.map(s => (s, nOut(s), x.getOrElse(s, 0L)))
+      .toDF("event_type", "n_out", "stationary_ppm")
       .orderBy(col("event_type"))
   }
 

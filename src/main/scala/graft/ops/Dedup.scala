@@ -264,38 +264,47 @@ object Dedup {
     val sig = Caches.tracked(minhashSignatures(docs).persist())
     val eq = (0 until 16).map(i =>
       when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
-    def verifiedFor(b: Int): (DataFrame, DataFrame) = {
+    // ONE exploded frame carries all four bandings (Σb = 15 band rows per
+    // doc — the same total the four per-banding frames held), keyed
+    // (n_bands, band, bh): one bucket self-join generates every banding's
+    // candidates in one pass instead of four (was 53 jobs / 3.9 s).
+    val bandStructs = Seq(1, 2, 4, 8).flatMap { b =>
       val r = 16 / b
-      val bandArr = array((0 until b).map { i =>
-        md5(concat_ws(",", (0 until r).map(j => col(s"s${r * i + j}").cast("string")): _*))
-      }: _*)
-      val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "bh")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val ver = cand
-        .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
-        .filter(eq / lit(16.0) >= threshold)
-        .select(col("doc_a"), col("doc_b"))
-      (cand, ver)
+      (0 until b).map { i =>
+        struct(lit(b).as("n_bands"), lit(i).as("band"),
+          md5(concat_ws(",", (0 until r).map(j => col(s"s${r * i + j}").cast("string")): _*))
+            .as("bh"))
+      }
     }
-    val sweep = Seq(1, 2, 4, 8).map(b => b -> verifiedFor(b))
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.n_bands").as("n_bands"),
+        col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = Caches.tracked(bands.as("a")
+      .join(bands.as("b"),
+        col("a.n_bands") === col("b.n_bands") && col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.n_bands").as("n_bands"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist())
+    // verify each DISTINCT pair once (fewer-band candidate sets are
+    // subsets of more-band ones, so the old per-banding verify re-scored
+    // shared pairs up to 4x), then re-attach per banding by join
+    val ver = Caches.tracked(cand.select(col("doc_a"), col("doc_b")).distinct()
+      .join(sig.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sig.as("y"), col("doc_b") === col("y.doc_id"))
+      .filter(eq / lit(16.0) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist())
     val spark = docs.sparkSession
     import spark.implicits._
-    val candCounts = sweep.map { case (b, (c, _)) =>
-      c.select(lit(b).as("n_bands"))
-        .groupBy(col("n_bands")).agg(count(lit(1)).as("n_candidates"))
-    }.reduce(_.unionByName(_))
-    val verified = Caches.tracked(sweep.map { case (b, (_, v)) =>
-      v.select(lit(b).as("n_bands"), col("doc_a"), col("doc_b"))
-    }.reduce(_.unionByName(_)).persist())
-    val verCounts = verified.groupBy(col("n_bands")).agg(count(lit(1)).as("n_verified"))
-    val truth = verified.select(col("doc_a"), col("doc_b")).distinct()
-      .agg(count(lit(1)).as("n_truth"))
+    val candCounts = cand.groupBy(col("n_bands")).agg(count(lit(1)).as("n_candidates"))
+    val verCounts = cand.join(ver, Seq("doc_a", "doc_b"))
+      .groupBy(col("n_bands")).agg(count(lit(1)).as("n_verified"))
+    // ground truth = the union of verified pairs across all bandings;
+    // every verified pair is a candidate of at least one banding, so the
+    // distinct-verified frame IS that union
+    val truth = ver.agg(count(lit(1)).as("n_truth"))
     Seq(1, 2, 4, 8).toDF("n_bands")
       .withColumn("rows_per_band", (lit(16) / col("n_bands")).cast("int"))
       .join(candCounts, Seq("n_bands"), "left")

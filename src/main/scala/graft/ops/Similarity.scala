@@ -1526,17 +1526,27 @@ object Similarity {
     * by every consumer; the exact all-pairs build here is the fixture-
     * scale baseline the approximate build would be recalled against.
     *
-    * Plan shape: corpus broadcast once, corpus streams through ONE
-    * codegen'd cosine projection, one |corpus|·|corpus| window shuffle
-    * partitioned by anchor. Cosines rounded to 6 dp before ranking
-    * (+0.0 kills the −0.0 repr hazard).
+    * Plan shape: ANCHORS stream, pre-partitioned on anchor_id, the
+    * corpus is broadcast — so the |corpus|² scored rows are born already
+    * distributed by anchor and the per-anchor ranking window adds NO
+    * exchange (BNLJ preserves the streamed side's partitioning; a
+    * single-file corpus would otherwise score every pair in one task).
+    * Cosine is the codegen'd [[graft.functions.DotProductD]]; rounded to
+    * 6 dp before ranking (+0.0 kills the −0.0 repr hazard).
     */
   def knnGraph(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val e = prepared(emb)
-    val q = e.select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("anchor_id"))
-      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    // EXPLICIT width: the anchor frame is tiny in BYTES (AQE would
+    // coalesce a bare repartition to one partition) but each anchor row
+    // fans out |corpus| scored rows in the BNLJ — partition count must
+    // track the downstream work, not the input size
+    val width = emb.sparkSession.sparkContext.defaultParallelism
+    val anchors = e.select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .repartition(width, col("anchor_id"))
+    val scored = anchors.join(broadcast(corpus), col("neighbor_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
         (cosine(col("qv"), col("qn"), col("v"), col("nrm")) + lit(0.0)).as("cosine"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
