@@ -980,6 +980,8 @@ object SparkEntry {
     // point and a range predicate under ingest-time vs z-order vs
     // hilbert layouts — the read-side payoff of the layout family
     "files_zone_prune" -> ((s, dir) => Layout.zonePrune(t(s, dir, "events"), 16)),
+    // OPTIMIZE metric: per-layout/dimension zone-map overlap depth sweep
+    "files_clustering_depth" -> ((s, dir) => Layout.clusteringDepth(t(s, dir, "events"), 16)),
 
     // KMV join-cardinality estimate: |orders ⋈ σ(customer)| from two
     // k-bounded sketches, audited against the exact join
@@ -1339,6 +1341,9 @@ object SparkEntry {
         s.read.parquet(knnArtifact(s, dir)), t(s, dir, "embeddings"), 10)),
     "emb_knn_outliers" -> ((s, dir) =>
       ops.Similarity.knnOutliers(s.read.parquet(knnArtifact(s, dir)), 10, 25)),
+    // JL ±1 projection audit: distance-preservation in exact fixed-point
+    "emb_jl_distortion" -> ((s, dir) =>
+      ops.Similarity.jlDistortion(t(s, dir, "embeddings"), 16, 32)),
 
     // Substring-level dedup: maximal cross-document duplicated token
     // spans (suffix-array-style) via positional shingles + islands merge
@@ -2100,6 +2105,7 @@ object SparkEntry {
     "text_chunking" -> Curation.chunkDocsSql(64, 48),
 
     "files_zone_prune" -> Layout.zonePruneSql(16),
+    "files_clustering_depth" -> Layout.clusteringDepthSql(16),
 
     "sketch_join_cardinality" -> Sketches.kmvJoinCardinalitySql(256, "BUILDING"),
 
@@ -2265,6 +2271,7 @@ object SparkEntry {
     "emb_knn_hubness" -> Similarity.knnHubnessSql(10),
     "emb_knn_agreement" -> Similarity.knnLabelAgreementSql(10),
     "emb_knn_outliers" -> Similarity.knnOutliersSql(10, 25),
+    "emb_jl_distortion" -> Similarity.jlDistortionSql(16, 32),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),

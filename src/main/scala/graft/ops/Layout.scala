@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout optimization for scan pruning — the write-path lever that
@@ -395,6 +396,98 @@ object Layout {
        |                    ELSE round(CAST(aud.rows_scanned AS DOUBLE) / m.m_day, 4) END)
        |       END AS read_amplification
        |FROM aud, m ORDER BY aud.predicate, aud.layout""".stripMargin
+  }
+
+  /** Clustering-depth audit — the lakehouse OPTIMIZE metric the zone
+    * maps deserve alongside [[zonePrune]]'s workload view: per layout and
+    * per dimension, sweep the per-file [min, max] intervals and report
+    * the MAX overlap depth (how many files a worst-case point predicate
+    * must read) and the span-weighted AVERAGE depth in ppm (1e6 =
+    * perfectly disjoint files). Ingest-time layout is deep on user_id
+    * (every file spans all users); space-filling layouts trade a little
+    * day-depth for shallow user-depth.
+    *
+    * Scale shape: the sweep runs over the MANIFESTS (2 boundary rows per
+    * file), not the data; boundary deltas are pre-aggregated per point so
+    * the running-sum window is tie-free and deterministic; all outputs
+    * exact integers (truncating-DIV ppm).
+    */
+  def clusteringDepth(events: DataFrame, nFiles: Int): DataFrame = {
+    val stats = Caches.tracked(
+      timeFileStats(events, nFiles).withColumn("layout", lit("time"))
+        .unionByName(zorderFileStats(events, nFiles).withColumn("layout", lit("zorder")))
+        .unionByName(hilbertFileStats(events, nFiles).withColumn("layout", lit("hilbert")))
+        .persist())
+    def depthFor(dim: String, lo: String, hi: String): DataFrame = {
+      val bounds = stats.select(col("layout"), col(lo).as("b"), lit(1L).as("d"))
+        .unionByName(stats.select(col("layout"), (col(hi) + 1L).as("b"), lit(-1L).as("d")))
+        .groupBy(col("layout"), col("b")).agg(sum(col("d")).as("delta"))
+      val w = Window.partitionBy(col("layout")).orderBy(col("b"))
+      val seg = bounds
+        .withColumn("depth", sum(col("delta")).over(w))
+        .withColumn("next_b", lead(col("b"), 1).over(w))
+        .filter(col("next_b").isNotNull && col("depth") > 0L)
+        .withColumn("len", col("next_b") - col("b"))
+      seg.groupBy(col("layout"))
+        .agg(max(col("depth")).as("max_depth"),
+          sum(col("depth") * col("len")).as("mass"), sum(col("len")).as("span"))
+        .select(col("layout"), lit(dim).as("dim"), col("max_depth"),
+          col("span").as("covered_span"),
+          expr("CAST((1000000 * mass) DIV span AS BIGINT)").as("avg_depth_ppm"))
+    }
+    depthFor("user_id", "min_user", "max_user")
+      .unionByName(depthFor("day", "min_day", "max_day"))
+      .orderBy(col("dim"), col("layout"))
+  }
+
+  def clusteringDepthSql(nFiles: Int): String = {
+    def sweep(dim: String, lo: String, hi: String, tag: String): String =
+      s"""bnd$tag AS (
+         |  SELECT layout, b, CAST(sum(d) AS BIGINT) AS delta FROM (
+         |    SELECT layout, $lo AS b, 1 AS d FROM stats
+         |    UNION ALL SELECT layout, $hi + 1 AS b, -1 AS d FROM stats) u
+         |  GROUP BY layout, b),
+         |sw$tag AS (
+         |  SELECT layout, b,
+         |         sum(delta) OVER (PARTITION BY layout ORDER BY b) AS depth,
+         |         lead(b) OVER (PARTITION BY layout ORDER BY b) AS next_b
+         |  FROM bnd$tag),
+         |seg$tag AS (
+         |  SELECT layout, depth, next_b - b AS len
+         |  FROM sw$tag WHERE next_b IS NOT NULL AND depth > 0),
+         |res$tag AS (
+         |  SELECT layout, '$dim' AS dim,
+         |         CAST(max(depth) AS BIGINT) AS max_depth,
+         |         CAST(sum(len) AS BIGINT) AS covered_span,
+         |         CAST((1000000 * sum(depth * len)) // sum(len) AS BIGINT) AS avg_depth_ppm
+         |  FROM seg$tag GROUP BY layout)""".stripMargin
+    s"""WITH dd AS (
+       |  SELECT user_id,
+       |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |         epoch_us(ts) AS us
+       |  FROM events),
+       |tb AS (SELECT min(us) AS lo, max(us) AS hi FROM dd),
+       |tl AS (
+       |  SELECT file_id, count(*) AS n_rows,
+       |         count(DISTINCT user_id) AS n_users,
+       |         min(user_id) AS min_user, max(user_id) AS max_user,
+       |         min(day) AS min_day, max(day) AS max_day
+       |  FROM (
+       |    SELECT user_id, day,
+       |           ((us - tb.lo) * $nFiles) // (tb.hi - tb.lo + 1) AS file_id
+       |    FROM dd, tb)
+       |  GROUP BY file_id),
+       |zs AS (${zorderFileStatsSql(nFiles)}),
+       |hs AS (${hilbertFileStatsSql(nFiles)}),
+       |stats AS (
+       |  SELECT 'time' AS layout, * FROM tl
+       |  UNION ALL SELECT 'zorder' AS layout, * FROM zs
+       |  UNION ALL SELECT 'hilbert' AS layout, * FROM hs),
+       |${sweep("user_id", "min_user", "max_user", "u")},
+       |${sweep("day", "min_day", "max_day", "d")}
+       |SELECT layout, dim, max_depth, covered_span, avg_depth_ppm
+       |FROM (SELECT * FROM resu UNION ALL SELECT * FROM resd) r
+       |ORDER BY dim, layout""".stripMargin
   }
 
   def zorderFileStatsSql(nFiles: Int): String = {

@@ -1681,6 +1681,91 @@ object Similarity {
        |       CAST(row_number() OVER (ORDER BY kth_cosine ASC, anchor_id) AS BIGINT) AS isolation_rank
        |FROM kth QUALIFY isolation_rank <= $topN ORDER BY isolation_rank""".stripMargin
 
+  /** The fixed ±1 JL sign matrix, precomputed in Scala and embedded as
+    * the SAME literals in the Spark plan and the oracle SQL (the
+    * log-constant device): sign(j,i) from the Knuth multiplicative hash
+    * of the flat index. d_out×d_in with d_in = 64.
+    */
+  private def jlSigns(dOut: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until dOut).map(j => (0 until 64).map { i =>
+      val h = (((j * 64 + i).toLong * graft.functions.PortableHash.Knuth) % (1L << 31)) % 2L
+      if (h == 0L) 1 else -1
+    })
+
+  /** Johnson–Lindenstrauss distance-preservation audit — project the
+    * 64-dim embeddings onto `dOut` ±1 random-sign dimensions (the cheap
+    * dimensionality reduction an ANN prefilter or a sketch-join uses)
+    * and measure, per pair of the first `nAnchors` vectors, how well
+    * squared L2 distances survive: `distortion_ppm` =
+    * 10⁶·‖ya−yb‖² DIV (dOut·‖xa−xb‖²) ≈ 10⁶ when the projection is
+    * healthy (E‖y‖² = dOut·‖x‖² for ±1 signs). The audit that sizes
+    * dOut before trusting projected distances at 100 TB.
+    *
+    * Parity: coordinates quantized to 1e3 fixed-point BIGINT at the scan
+    * edge (the [[centroidDrift]] device, narrower so the 1e6 ppm scaling
+    * of the squared-distance ratio stays inside BIGINT), every later
+    * step — signed
+    * sums, squared diffs, the ppm ratio — is exact integer arithmetic on
+    * both engines. Scale shape: the projection is a per-row map (the
+    * linear-scale path); the pair audit is bounded to nAnchors² rows.
+    */
+  def jlDistortion(emb: DataFrame, dOut: Int, nAnchors: Int): DataFrame = {
+    require(dOut >= 1 && dOut <= 64 && nAnchors >= 2, s"bad dims: $dOut, $nAnchors")
+    val signs = jlSigns(dOut)
+    val e = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))").as("xq"))
+    val ys = array((0 until dOut).map { j =>
+      (0 until 64).map { i =>
+        val el = element_at(col("xq"), i + 1)
+        if (signs(j)(i) > 0) el else (el * lit(-1L): Column)
+      }.reduce(_ + _)
+    }: _*)
+    val q = e.select(col("vec_id"), col("xq"), ys.as("yq"))
+    val d2 = (a: String, b: String, n: Int) => expr(
+      s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q)), 0L, (acc, x) -> acc + x)")
+    q.as("a").join(broadcast(q.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        d2("a.xq", "b.xq", 64).as("x_d2"), d2("a.yq", "b.yq", dOut).as("y_d2"))
+      .select(col("vec_a"), col("vec_b"), col("x_d2"), col("y_d2"),
+        when(col("x_d2") > 0L,
+          expr(s"CAST((1000000 * y_d2) DIV ($dOut * x_d2) AS BIGINT)"))
+          .as("distortion_ppm"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def jlDistortionSql(dOut: Int, nAnchors: Int): String = {
+    val signs = jlSigns(dOut)
+    val yExprs = (0 until dOut).map { j =>
+      (0 until 64).map(i =>
+        s"${if (signs(j)(i) > 0) "+" else "-"} xq[${i + 1}]").mkString(" ")
+    }.mkString(",\n      ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $nAnchors),
+       |q AS (
+       |  SELECT vec_id,
+       |         [CAST(round(v[i + 1] * 1000, 0) AS BIGINT) FOR i IN range(0, 64)] AS xq
+       |  FROM e),
+       |p AS (
+       |  SELECT vec_id, xq, [
+       |      $yExprs] AS yq
+       |  FROM q),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum([(a.xq[i + 1] - b.xq[i + 1]) * (a.xq[i + 1] - b.xq[i + 1])
+       |                   FOR i IN range(0, 64)]) AS BIGINT) AS x_d2,
+       |    CAST(list_sum([(a.yq[i + 1] - b.yq[i + 1]) * (a.yq[i + 1] - b.yq[i + 1])
+       |                   FOR i IN range(0, $dOut)]) AS BIGINT) AS y_d2
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, x_d2, y_d2,
+       |       CASE WHEN x_d2 > 0
+       |            THEN CAST((1000000 * y_d2) // ($dOut * x_d2) AS BIGINT) END
+       |  AS distortion_ppm
+       |FROM pairs ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val centroidDriftSql: String =
     """WITH el AS (
       |  SELECT vec_id % 2 = 0 AS even, j,

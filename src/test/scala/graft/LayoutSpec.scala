@@ -145,4 +145,25 @@ class LayoutSpec extends SparkSpec {
       assert(hilbertRef(x1, y1) == d)
     }
   }
+
+  test("clustering depth: ingest layout is user-shallow by luck, day-deep by construction") {
+    // 8 events over 8 hours of ONE day, user_id = i % 4: the 4 time files
+    // hold users {0,1},{2,3},{0,1},{2,3} → user intervals overlap in
+    // pairs (max depth 2); every file's day interval is the same single
+    // day → day depth = 4 files across the whole covered span
+    val ev = spark.range(8).select(
+      (col("id") % 4).as("user_id"),
+      to_timestamp(col("id") * 3600 + 1).as("ts"))
+    val got = Layout.clusteringDepth(ev, 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("max_depth"), r.getAs[Long]("avg_depth_ppm"))).toMap
+    assert(got(("time", "day")) == (4L, 4000000L),
+      s"all four files overlap on the single day: $got")
+    assert(got(("time", "user_id"))._1 == 2L,
+      s"interleaved users overlap the time files in pairs: $got")
+    // 6 rows (3 layouts x 2 dims), every covered segment has depth >= 1
+    assert(got.size == 6)
+    assert(got.values.forall { case (mx, ppm) => mx >= 1L && ppm >= 1000000L })
+    graft.ops.Caches.releaseCaches()
+  }
 }

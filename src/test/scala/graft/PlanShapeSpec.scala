@@ -666,6 +666,36 @@ class PlanShapeSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
   }
 
+  test("kNN graph: corpus broadcast, no cartesian, ranking window rides the anchor repartition") {
+    val df = SparkEntry.queries("emb_knn_graph")(spark, dir)
+    val (n, p) = countHashExchanges(df)
+    assert(!p.contains("CartesianProduct"), s"no all-pairs cartesian shape:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus must broadcast into the streamed anchor side:\n$p")
+    // one explicit-width anchor repartition; the window's required
+    // clustering is satisfied by the BNLJ's streamed-side partitioning,
+    // so no second hash exchange exists (the global output sort is a
+    // range exchange, also counted by the walker)
+    assert(n <= 2, s"anchor repartition + output sort only, got $n:\n$p")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
+  test("kNN riders scan the knn parquet artifact — no cosine rebuild") {
+    // same device (and same failure mode) as the cluster-artifact
+    // contract: a refactor that silently falls back to the from-scratch
+    // |corpus|^2 build would stay oracle-green and only the bench would
+    // notice — the executed plan must read the artifact and contain no
+    // dot-product lineage
+    for (q <- Seq("emb_knn_hubness", "emb_knn_agreement", "emb_knn_outliers")) {
+      val p = plan(q)
+      assert(p.contains("graft_knn"),
+        s"$q must read the persisted kNN artifact:\n$p")
+      assert(!p.contains("dot_product_d"),
+        s"$q must not recompute cosines:\n$p")
+    }
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("min-plus BFS round: distance frame broadcasts into the pinned cache, one exchange (the min groupBy)") {
     // shared by bfsReach (node) and closeness (node, seed): the union
     // with the frontier extension discards partitioning, so the round

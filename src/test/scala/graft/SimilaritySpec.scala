@@ -209,4 +209,20 @@ class SimilaritySpec extends SparkSpec {
     // smallest in the corpus → isolation rank 1
     assert(out.head.getAs[Long]("anchor_id") == 4L)
   }
+
+  test("JL distortion: single-coordinate pair is exactly 1e6; zero distance yields null") {
+    // x_a = e_0, x_b = 0: x_d2 = 1000², y_j = ±1000 for every j →
+    // y_d2 = 16·1000², distortion = 1e6·y_d2 / (16·x_d2) = 1e6 exactly.
+    // x_c duplicates x_a: x_d2 = 0 → distortion must be null, not a crash
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val vecs64 = Seq(
+      (0L, e0, 0), (1L, Array.fill(64)(0.0f), 0), (2L, e0, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.jlDistortion(vecs64, 16, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got((0L, 1L)) == Some(1000000L), s"unit pair must be exactly 1e6: $got")
+    assert(got((1L, 2L)) == Some(1000000L))
+    assert(got((0L, 2L)) == None, "identical vectors have no distortion ratio")
+  }
 }
