@@ -1344,6 +1344,10 @@ object SparkEntry {
     // JL ±1 projection audit: distance-preservation in exact fixed-point
     "emb_jl_distortion" -> ((s, dir) =>
       ops.Similarity.jlDistortion(t(s, dir, "embeddings"), 16, 32)),
+    // SemDeDup: CC over above-threshold kNN edges (artifact rider +
+    // the shared star-contraction build)
+    "dedup_semantic_clusters" -> ((s, dir) =>
+      ops.Similarity.semanticClustersFrom(s.read.parquet(knnArtifact(s, dir)), 0.45)),
 
     // Substring-level dedup: maximal cross-document duplicated token
     // spans (suffix-array-style) via positional shingles + islands merge
@@ -1529,6 +1533,9 @@ object SparkEntry {
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
     "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // per-language tokenizer-efficiency audit (context-budget driver)
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
@@ -2272,6 +2279,7 @@ object SparkEntry {
     "emb_knn_agreement" -> Similarity.knnLabelAgreementSql(10),
     "emb_knn_outliers" -> Similarity.knnOutliersSql(10, 25),
     "emb_jl_distortion" -> Similarity.jlDistortionSql(16, 32),
+    "dedup_semantic_clusters" -> Similarity.semanticClustersSql(10, 0.45),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,
     "emb_pq_codes" -> Similarity.pqQuantizeSql(4, 16, 64),
@@ -2296,6 +2304,7 @@ object SparkEntry {
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
+    "text_tokenizer_fertility" -> TextAnalysis.tokenizerFertilitySql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),

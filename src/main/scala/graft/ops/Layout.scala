@@ -413,11 +413,16 @@ object Layout {
     * exact integers (truncating-DIV ppm).
     */
   def clusteringDepth(events: DataFrame, nFiles: Int): DataFrame = {
-    val stats = Caches.tracked(
+    // eager localCheckpoint, not persist: the manifest is nFiles×3 rows
+    // but its LOGICAL plan carries the 16-step hilbert recurrence — the
+    // four sweep aggregations below would each re-analyze it (driver
+    // planning gaps dominating wall, the fixed-round rule from the graph
+    // rounds). Bounded frame → eligible; cuts the plan to an RDD scan.
+    val stats =
       timeFileStats(events, nFiles).withColumn("layout", lit("time"))
         .unionByName(zorderFileStats(events, nFiles).withColumn("layout", lit("zorder")))
         .unionByName(hilbertFileStats(events, nFiles).withColumn("layout", lit("hilbert")))
-        .persist())
+        .localCheckpoint()
     def depthFor(dim: String, lo: String, hi: String): DataFrame = {
       val bounds = stats.select(col("layout"), col(lo).as("b"), lit(1L).as("d"))
         .unionByName(stats.select(col("layout"), (col(hi) + 1L).as("b"), lit(-1L).as("d")))

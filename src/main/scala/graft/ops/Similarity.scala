@@ -1681,6 +1681,50 @@ object Similarity {
        |       CAST(row_number() OVER (ORDER BY kth_cosine ASC, anchor_id) AS BIGINT) AS isolation_rank
        |FROM kth QUALIFY isolation_rank <= $topN ORDER BY isolation_rank""".stripMargin
 
+  /** Semantic deduplication (the SemDeDup shape): connected components
+    * over the kNN graph's above-threshold cosine edges — groups of
+    * embeddings similar enough that a curation pipeline keeps one
+    * representative per group. Where the MinHash family catches LEXICAL
+    * near-dups, this catches paraphrases/re-encodings that share no
+    * n-grams. Thresholding the kNN graph instead of all pairs is the
+    * standard scale approximation (degree ≤ k by construction, so the
+    * edge set is |corpus|·k-bounded and CC components cannot blow up
+    * through hub vectors); the CC itself is the star-contraction loop
+    * shared with the MinHash clusters ([[graft.ops.Dedup]]'s
+    * durable-checkpoint cadence). Only clustered vectors appear
+    * (unclustered = implicit singletons), mirroring `dedup_clusters`.
+    */
+  def semanticClustersFrom(knn: DataFrame, threshold: Double): DataFrame =
+    Dedup.connectedComponentsStars(
+        knn.filter(col("cosine") >= threshold)
+          .select(least(col("anchor_id"), col("neighbor_id")).as("doc_a"),
+            greatest(col("anchor_id"), col("neighbor_id")).as("doc_b"))
+          .distinct())
+      .select(col("doc_id").as("vec_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+
+  /** From-scratch overload (the library path when no artifact exists). */
+  def semanticClusters(emb: DataFrame, k: Int, threshold: Double): DataFrame =
+    semanticClustersFrom(knnGraph(emb, k), threshold)
+
+  def semanticClustersSql(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${knnCtes(k)},
+       |sp AS (
+       |  SELECT DISTINCT least(anchor_id, neighbor_id) AS doc_a,
+       |         greatest(anchor_id, neighbor_id) AS doc_b
+       |  FROM knn WHERE cosine >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+       |          UNION ALL SELECT doc_b, doc_a FROM sp),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT c.id AS vec_id, c.cluster, s.cluster_size
+       |FROM comp c JOIN sizes s ON c.cluster = s.cluster
+       |ORDER BY vec_id""".stripMargin
+
   /** The fixed ±1 JL sign matrix, precomputed in Scala and embedded as
     * the SAME literals in the Spark plan and the oracle SQL (the
     * log-constant device): sign(j,i) from the Knuth multiplicative hash

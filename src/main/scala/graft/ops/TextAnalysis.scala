@@ -226,6 +226,47 @@ object TextAnalysis {
        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer fertility by language — the tokenizer-efficiency audit a
+    * multilingual pretraining mix is budgeted with: `fertility_ppm` =
+    * BPE-ish tokens per whitespace word (×10⁶) and `chars_per_token_ppm`
+    * per language. A language whose fertility is 2× the corpus mean pays
+    * 2× the context window for the same text — the number that drives
+    * per-language sampling weights and tokenizer retraining decisions.
+    * One pruned scan, one partial-agged groupBy on the (tiny) language
+    * key; ratios are truncating-DIV integers on aggregate sums (never
+    * per-doc floats averaged).
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(Tokenize.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        expr("CAST((1000000 * bpe_tokens) DIV greatest(ws_tokens, 1) AS BIGINT)")
+          .as("fertility_ppm"),
+        expr("CAST((1000000 * n_chars) DIV greatest(bpe_tokens, 1) AS BIGINT)")
+          .as("chars_per_token_ppm"))
+      .orderBy(col("lang"))
+
+  val tokenizerFertilitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         CAST(len(${Tokenize.tokensSql("text")}) AS BIGINT) AS ws,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+       |         CAST(length(text) AS BIGINT) AS nc
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(nc) AS BIGINT) AS n_chars,
+       |       CAST((1000000 * CAST(sum(bpe) AS BIGINT)) // greatest(CAST(sum(ws) AS BIGINT), 1) AS BIGINT) AS fertility_ppm,
+       |       CAST((1000000 * CAST(sum(nc) AS BIGINT)) // greatest(CAST(sum(bpe) AS BIGINT), 1) AS BIGINT) AS chars_per_token_ppm
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   /** TF-IDF top term per document: tf = term count in doc, idf =
     * ln(N / df). ONE tokenize+explode pass: df is derived from the tf
     * frame (tf already holds one row per distinct (doc, term), so

@@ -210,6 +210,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("anchor_id") == 4L)
   }
 
+  test("semantic clusters: above-threshold kNN edges chain transitively; loners absent") {
+    // k=2, tau=.75: edges v0-v1 (cos .994) and v1-v2 (cos .78) chain into
+    // {0,1,2} even though cos(v0,v2)=.707 < tau; v3/v4 have no qualifying
+    // edge and must be absent (implicit singletons)
+    val got = Similarity.semanticClusters(vecs, 2, 0.75).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> (0L, 3L), 1L -> (0L, 3L), 2L -> (0L, 3L)), got)
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("JL distortion: single-coordinate pair is exactly 1e6; zero distance yields null") {
     // x_a = e_0, x_b = 0: x_d2 = 1000², y_j = ±1000 for every j →
     // y_d2 = 16·1000², distortion = 1e6·y_d2 / (16·x_d2) = 1e6 exactly.
