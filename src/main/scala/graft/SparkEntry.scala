@@ -1038,6 +1038,10 @@ object SparkEntry {
       Dedup.bitextCandidates(t(s, dir, "documents"), t(s, dir, "embeddings"),
         16, 8, 64, 0.3)),
     // chunk-granularity duplication audit over the sliding chunks
+    // content-defined chunking: insertion-robust boundaries + chunk-level
+    // exact dedup (the storage-dedup complement of document MinHash)
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      Curation.cdcChunkDedup(t(s, dir, "documents"), 16L)),
     "dedup_chunk_overlap" -> ((s, dir) =>
       Curation.chunkOverlap(t(s, dir, "documents"), 64, 48)),
     // numeric/temporal blocked ER: near-identical invoices per customer
@@ -2136,6 +2140,7 @@ object SparkEntry {
     "events_conversion_latency" -> OrderStats.conversionLatencySql,
     "events_impact_did" -> OrderStats.impactDiDSql("2024-01-16 00:00:00"),
     "dedup_chunk_overlap" -> Curation.chunkOverlapSql(64, 48),
+    "dedup_cdc_chunks" -> Curation.cdcChunkDedupSql(16L),
     "orders_near_dup_invoices" -> EntityResolution.nearDupInvoicesSql(5.0, 7),
     "events_entropy_profile" -> Profiling.entropyProfileSql,
     "text_keyphrases" -> TextAnalysis.keyphrasesSql(3),

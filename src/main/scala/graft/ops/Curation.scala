@@ -453,6 +453,87 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (the rsync/FastCDC idea on tokens): a
+    * chunk boundary falls BEFORE every shingle position whose 3-gram
+    * hash is ≡ 0 mod `div` — boundaries are decided by local CONTENT,
+    * so inserting a token near the head of a document shifts every
+    * fixed-stride chunk of [[chunkOverlap]] but leaves all CDC chunk
+    * fingerprints beyond the edit intact (the property the spec pins).
+    * Expected chunk length ≈ `div` shingles. Per doc: chunk count,
+    * chunks whose exact fingerprint occurs in another document, and the
+    * shared share in ppm — chunk-level exact dedup, the storage-dedup
+    * complement of the document-level MinHash family.
+    *
+    * Scale shape: one positional-shingle explode (the dedup family's
+    * shared device), one per-doc window cumsum for chunk ids, one
+    * hash-groupBy for fingerprints, one occurrence groupBy + hash join
+    * back — all linear, no pairwise work. Fingerprints are md5 over the
+    * pos-ordered shingle-hash sequence (deterministic under any shuffle
+    * via array_sort on (pos, h); DuckDB mirrors with ORDER BY inside
+    * string_agg).
+    */
+  def cdcChunkDedup(docs: DataFrame, div: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(div >= 2, s"div must be >= 2: $div")
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.Tokenize.shingles3(
+          graft.functions.Tokenize.tokens(col("text")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.PortableHash.tokenHash(col("col")).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fp = Caches.tracked(sh
+      .withColumn("brk",
+        when(col("pos") > 0L && col("h") % lit(div) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(pos, h))), " +
+        "x -> CAST(x.h AS STRING))))").as("f"),
+        count(lit(1)).as("n_shingles"))
+      .persist())
+    val occ = fp.select(col("doc_id"), col("f")).distinct()
+      .groupBy(col("f")).agg(count(lit(1)).as("nd"))
+    fp.join(occ, "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        expr("CAST((1000000 * n_shared_chunks) DIV n_chunks AS BIGINT)").as("shared_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def cdcChunkDedupSql(div: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${graft.functions.Tokenize.tokensSql("text")} AS toks FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 3
+       |           THEN [{'pos': CAST(i - 1 AS BIGINT),
+       |                  'h': ${graft.functions.PortableHash.tokenHashSql(
+                              "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}}
+       |                 FOR i IN range(1, len(toks) - 1)]
+       |           ELSE [] END AS ss
+       |  FROM toks),
+       |sh AS (SELECT doc_id, unnest(ss, recursive := true) FROM shl),
+       |ch AS (
+       |  SELECT doc_id, pos, h,
+       |         sum(CASE WHEN pos > 0 AND h % $div = 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+       |  FROM sh),
+       |fp AS (
+       |  SELECT doc_id, chunk,
+       |         md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY pos)) AS f,
+       |         count(*) AS n_shingles
+       |  FROM ch GROUP BY doc_id, chunk),
+       |occ AS (
+       |  SELECT f, count(*) AS nd
+       |  FROM (SELECT DISTINCT doc_id, f FROM fp) GROUP BY f)
+       |SELECT fp.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN occ.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       |       CAST((1000000 * sum(CASE WHEN occ.nd > 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |         AS shared_ppm
+       |FROM fp JOIN occ ON fp.f = occ.f
+       |GROUP BY fp.doc_id ORDER BY fp.doc_id""".stripMargin
+
   def chunkOverlapSql(chunkSize: Int, stride: Int): String =
     s"""WITH ch AS (
        |  SELECT doc_id, chunk_hash FROM (${chunkDocsSql(chunkSize, stride)})),

@@ -58,4 +58,25 @@ class CurationOpsSpec extends SparkSpec {
   private implicit class Tuples3ToMap(rows: Array[(Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Boolean)] = rows.map(t => t._1 -> (t._2, t._3)).toMap
   }
+
+  test("CDC chunking: a head insertion leaves every chunk past the edit shared") {
+    import graft.ops.Curation
+    // content-defined boundaries are decided by local 3-gram hashes, so
+    // doc 2 = doc 1 with ONE token prepended re-fingerprints only the
+    // chunk containing the edit; every later chunk is byte-identical.
+    // (Fixed-stride chunks would ALL shift — that contrast is the point.)
+    val base = (1 to 240).map(i => s"w${(i * 7) % 41}").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, "zz " + base),
+      (3L, (1 to 240).map(i => s"q${(i * 5) % 43}").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val got = Curation.cdcChunkDedup(docs, 16L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, s1) = got(1L); val (n2, s2) = got(2L)
+    assert(n1 > 3, s"enough chunks to make the claim meaningful: $got")
+    assert(s1 >= n1 - 1 && s2 >= n2 - 1,
+      s"all chunks past the edited head must keep their fingerprints: $got")
+    assert(got(3L)._2 == 0L, s"unrelated doc shares nothing: $got")
+    graft.ops.Caches.releaseCaches()
+  }
 }
