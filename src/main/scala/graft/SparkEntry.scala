@@ -1540,6 +1540,8 @@ object SparkEntry {
     // per-language tokenizer-efficiency audit (context-budget driver)
     "text_tokenizer_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(t(s, dir, "documents"))),
+    // exact pairwise domain-shift (total-variation, cross-multiplied ppm)
+    "text_source_tvd" -> ((s, dir) => TextAnalysis.sourceTvd(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
     // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
@@ -2310,6 +2312,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_tokenizer_fertility" -> TextAnalysis.tokenizerFertilitySql,
+    "text_source_tvd" -> TextAnalysis.sourceTvdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),

@@ -226,6 +226,71 @@ object TextAnalysis {
        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the domain-shift screen a mixture designer reads
+    * before setting sampling weights (TVD 0 = same distribution, 1e6 ppm
+    * = disjoint support). TVD instead of KL/JS on purpose: ½·Σ|p−q|
+    * cross-multiplies into EXACT integer arithmetic
+    * (Σ|n_a·N_b − n_b·N_a| over the union vocab, then one truncating
+    * DIV by 2·N_a·N_b — no data-dependent logarithm, no float sums).
+    * BIGINT budget: the summed numerator is ≤ 2·N_a·N_b, so the 1e6 ppm
+    * scaling holds while N_a·N_b ≤ ~9e12 (≈3M tokens per side); beyond
+    * that, divide the per-source counts by a common power of ten first
+    * (same truncation on both engines).
+    *
+    * Scale shape: ONE tokenize + (source, term) groupBy is the data
+    * pass; everything after runs on |vocab|·|sources|²-bounded frames
+    * (source totals self-joined into pairs, terms cross-joined in, two
+    * hash joins back to the counts).
+    */
+  def sourceTvd(docs: DataFrame): DataFrame = {
+    val c = Caches.tracked(docs
+      .select(col("source"), explode(Tokenize.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .persist())
+    val tot = c.groupBy(col("source")).agg(sum(col("n")).as("total"))
+    val pairs = tot.as("a").join(tot.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        col("a.total").as("ta"), col("b.total").as("tb"))
+    val terms = c.select(col("term")).distinct()
+    pairs.join(broadcast(terms))
+      .join(c.select(col("source").as("sa"), col("term"), col("n").as("na")),
+        Seq("sa", "term"), "left")
+      .join(c.select(col("source").as("sb"), col("term"), col("n").as("nb")),
+        Seq("sb", "term"), "left")
+      .na.fill(0L, Seq("na", "nb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"))
+      .agg(sum(when(col("na") > 0L || col("nb") > 0L, 1L).otherwise(0L)).as("vocab_union"),
+        sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("s"))
+      .select(col("source_a"), col("source_b"), col("n_tokens_a"), col("n_tokens_b"),
+        col("vocab_union"),
+        expr("CAST((1000000 * s) DIV (2 * n_tokens_a * n_tokens_b) AS BIGINT)")
+          .as("tvd_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceTvdSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${Tokenize.tokensSql("text")}) AS term FROM documents),
+       |c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS sa, b.source AS sb, a.total AS ta, b.total AS tb
+       |  FROM tot a JOIN tot b ON a.source < b.source),
+       |t AS (SELECT DISTINCT term FROM c),
+       |j AS (
+       |  SELECT p.sa, p.sb, p.ta, p.tb,
+       |         coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb
+       |  FROM p CROSS JOIN t
+       |  LEFT JOIN c ca ON ca.source = p.sa AND ca.term = t.term
+       |  LEFT JOIN c cb ON cb.source = p.sb AND cb.term = t.term)
+       |SELECT sa AS source_a, sb AS source_b, ta AS n_tokens_a, tb AS n_tokens_b,
+       |       CAST(sum(CASE WHEN na > 0 OR nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_union,
+       |       CAST((1000000 * CAST(sum(abs(na * tb - nb * ta)) AS BIGINT))
+       |            // (2 * ta * tb) AS BIGINT) AS tvd_ppm
+       |FROM j GROUP BY sa, sb, ta, tb ORDER BY source_a, source_b""".stripMargin
+
   /** Tokenizer fertility by language — the tokenizer-efficiency audit a
     * multilingual pretraining mix is budgeted with: `fertility_ppm` =
     * BPE-ish tokens per whitespace word (×10⁶) and `chars_per_token_ppm`

@@ -251,6 +251,22 @@ class TextAndMultimodalSpec extends SparkSpec {
     ops.Caches.releaseCaches()
   }
 
+  test("source TVD: hand value exact; identical sources read zero; disjoint read 1e6") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x y", "a"), (2L, "x y y", "b"),
+      (3L, "x x y", "c"),                      // c == a's distribution
+      (4L, "z z", "d")                         // disjoint support
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis.sourceTvd(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("tvd_ppm")).toMap
+    // TVD(a,b) = 1/2(|2/3-1/3| + |1/3-2/3|) = 1/3 → 333333 ppm truncated
+    assert(got(("a", "b")) == 333333L, got)
+    assert(got(("a", "c")) == 0L, s"identical distributions: $got")
+    assert(got(("a", "d")) == 1000000L, s"disjoint support is the max: $got")
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("letterbox: measured borders equal the synthesized frame; content census exact") {
     // id 4: w=16, h=12+20%7=16? (4*5)%7=6 → h=18... compute in-test from
     // the same arithmetic instead of hand constants
