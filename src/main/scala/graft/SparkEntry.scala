@@ -1053,6 +1053,10 @@ object SparkEntry {
     "text_keyphrases" -> ((s, dir) => TextAnalysis.keyphrases(t(s, dir, "documents"), 3)),
     // l-diversity: sensitive-value diversity within k-anonymity classes
     "quality_l_diversity" -> ((s, dir) => Scrub.lDiversity(t(s, dir, "customer"), 3)),
+    // t-closeness: per-class vs global sensitive-value TVD (exact BIGINT)
+    "quality_t_closeness" -> ((s, dir) => Scrub.tCloseness(t(s, dir, "customer"), 200000L)),
+    // Fellegi-Sunter m/u estimation by fixed-point EM over the pattern census
+    "er_em_weights" -> ((s, dir) => EntityResolution.emWeights(t(s, dir, "part"), 4)),
     // degree assortativity: Pearson over (deg src, deg dst) edge pairs
     "graph_assortativity" -> ((s, dir) => Graph.assortativity(t(s, dir, "lineitem"))),
     // modularity audit of the label-propagation partition
@@ -2147,6 +2151,8 @@ object SparkEntry {
     "events_entropy_profile" -> Profiling.entropyProfileSql,
     "text_keyphrases" -> TextAnalysis.keyphrasesSql(3),
     "quality_l_diversity" -> Scrub.lDiversitySql(3),
+    "quality_t_closeness" -> Scrub.tClosenessSql(200000L),
+    "er_em_weights" -> EntityResolution.emWeightsSql(4),
     "graph_assortativity" -> Graph.assortativitySql,
     "graph_modularity" -> Graph.modularitySql(4),
     "dedup_hybrid_verify" -> Dedup.hybridVerifySql(0.95),

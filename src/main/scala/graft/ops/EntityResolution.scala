@@ -158,4 +158,148 @@ object EntityResolution {
        |WHERE abs(a.price - b.price) <= $priceTol
        |  AND abs(a.day - b.day) <= $dayTol
        |ORDER BY custkey, order_a, order_b""".stripMargin
+
+  /** Fellegi–Sunter match-weight estimation by EM — the UNSUPERVISED
+    * calibration step a record-linkage pipeline runs before [[resolve]]
+    * can score: given brand-blocked candidate pairs and three cheap
+    * agreement features (first name token, second name token, size
+    * within ±1), estimate per-feature m = P(agree | match) and
+    * u = P(agree | non-match) plus the match prior, with no labels.
+    * The published m/u and agreement/disagreement weight ratios are what
+    * a production linker (Splink-style) thresholds on.
+    *
+    * Parity device — fixed-point EM in non-negative BIGINT ppm (the
+    * [[graft.ops.Analytics.markovStationary]] altitude rule): the DATA
+    * pass is one blocked self-join folded to the 2³-pattern census
+    * (map-side combine → 8 rows); the EM state is SCHEMA-bounded
+    * (7 scalars), so iteration runs on the driver in Scala `/` ≡ DuckDB
+    * `//` arithmetic and the oracle unrolls rounds as chained CTEs over
+    * the same census. E-step conditional probabilities chain
+    * multiply-then-truncate per factor (each partial ≤ 1e12 — no
+    * overflow); M-step sums are pre-scaled by 1000 before the ppm blow-up
+    * so Σn·w·1e6 stays under 2⁶³ at any fixture size (documented bound:
+    * n_pairs ≤ 9e12). No logarithm, no float anywhere — every round is
+    * bit-identical across engines.
+    *
+    * Scale shape: the only data-sized work is the blocked pair census
+    * (shuffle on brand; block width is vocabulary-bounded; at 100 TB the
+    * block key sharpens exactly as [[resolve]] documents — the EM itself
+    * never sees more than 8 rows).
+    */
+  def emWeights(part: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8]: $rounds")
+    val f = part.select(col("p_partkey").as("k"), col("p_brand").as("blk"),
+      expr("split_part(p_name, ' ', 1)").as("t1"),
+      expr("split_part(p_name, ' ', 2)").as("t2"),
+      col("p_size").cast("long").as("sz"))
+    val census = f.as("a").join(f.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .select(
+        (col("a.t1") === col("b.t1")).cast("int").as("g1"),
+        (col("a.t2") === col("b.t2")).cast("int").as("g2"),
+        (abs(col("a.sz") - col("b.sz")) <= 1L).cast("int").as("g3"))
+      .groupBy(col("g1"), col("g2"), col("g3")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (Array(r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    val M = 1000000L
+    var p = 10000L
+    var m = Array(800000L, 800000L, 800000L)
+    var u = Array(200000L, 200000L, 200000L)
+    val nPairs = census.map(_._2).sum
+    for (_ <- 1 to rounds) {
+      // E-step: per pattern, w = P(match | γ) in ppm. The factor chain
+      // truncates after EACH multiply — the oracle nests the same way.
+      val ws = census.map { case (g, n) =>
+        val a = (0 to 2).foldLeft(p)((acc, i) =>
+          acc * (if (g(i) == 1) m(i) else M - m(i)) / M)
+        val b = (0 to 2).foldLeft(M - p)((acc, i) =>
+          acc * (if (g(i) == 1) u(i) else M - u(i)) / M)
+        (g, n, a * M / math.max(a + b, 1L))
+      }
+      val s = ws.map { case (_, n, w) => n * w }.sum
+      val su = ws.map { case (_, n, w) => n * (M - w) }.sum
+      p = s / math.max(nPairs, 1L)
+      m = (0 to 2).map { i =>
+        val si = ws.collect { case (g, n, w) if g(i) == 1 => n * w }.sum
+        (si / 1000L) * M / math.max(s / 1000L, 1L)
+      }.toArray
+      u = (0 to 2).map { i =>
+        val si = ws.collect { case (g, n, w) if g(i) == 1 => n * (M - w) }.sum
+        (si / 1000L) * M / math.max(su / 1000L, 1L)
+      }.toArray
+    }
+    val spark = part.sparkSession
+    import spark.implicits._
+    Seq("name_tok1", "name_tok2", "size_within1").zipWithIndex.map { case (name, i) =>
+      (name, m(i), u(i),
+        m(i) * M / math.max(u(i), 1L),
+        (M - m(i)) * M / math.max(M - u(i), 1L),
+        p, nPairs)
+    }.toDF("feature", "m_ppm", "u_ppm", "w_agree_ppm", "w_disagree_ppm",
+      "p_match_ppm", "n_pairs")
+      .orderBy(col("feature"))
+  }
+
+  def emWeightsSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""w$i AS (
+         |  SELECT g.g1, g.g2, g.g3, g.n,
+         |    CAST((a * 1000000) // greatest(a + b, 1) AS BIGINT) AS w
+         |  FROM (
+         |    SELECT g.g1, g.g2, g.g3, g.n,
+         |      (((r.p
+         |         * (CASE WHEN g.g1 = 1 THEN r.m1 ELSE 1000000 - r.m1 END) // 1000000)
+         |         * (CASE WHEN g.g2 = 1 THEN r.m2 ELSE 1000000 - r.m2 END) // 1000000)
+         |         * (CASE WHEN g.g3 = 1 THEN r.m3 ELSE 1000000 - r.m3 END) // 1000000) AS a,
+         |      ((((1000000 - r.p)
+         |         * (CASE WHEN g.g1 = 1 THEN r.u1 ELSE 1000000 - r.u1 END) // 1000000)
+         |         * (CASE WHEN g.g2 = 1 THEN r.u2 ELSE 1000000 - r.u2 END) // 1000000)
+         |         * (CASE WHEN g.g3 = 1 THEN r.u3 ELSE 1000000 - r.u3 END) // 1000000) AS b
+         |    FROM pat g CROSS JOIN r${i - 1} r) g),
+         |r$i AS (
+         |  SELECT
+         |    CAST(sum(n * w) // greatest(sum(n), 1) AS BIGINT) AS p,
+         |    CAST((CAST(sum(CASE WHEN g1 = 1 THEN n * w ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * w) AS BIGINT) // 1000, 1) AS BIGINT) AS m1,
+         |    CAST((CAST(sum(CASE WHEN g2 = 1 THEN n * w ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * w) AS BIGINT) // 1000, 1) AS BIGINT) AS m2,
+         |    CAST((CAST(sum(CASE WHEN g3 = 1 THEN n * w ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * w) AS BIGINT) // 1000, 1) AS BIGINT) AS m3,
+         |    CAST((CAST(sum(CASE WHEN g1 = 1 THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * (1000000 - w)) AS BIGINT) // 1000, 1) AS BIGINT) AS u1,
+         |    CAST((CAST(sum(CASE WHEN g2 = 1 THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * (1000000 - w)) AS BIGINT) // 1000, 1) AS BIGINT) AS u2,
+         |    CAST((CAST(sum(CASE WHEN g3 = 1 THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) // 1000)
+         |         * 1000000 // greatest(CAST(sum(n * (1000000 - w)) AS BIGINT) // 1000, 1) AS BIGINT) AS u3
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT p_partkey AS k, p_brand AS blk,
+       |         split_part(p_name, ' ', 1) AS t1, split_part(p_name, ' ', 2) AS t2,
+       |         CAST(p_size AS BIGINT) AS sz
+       |  FROM part),
+       |pat AS (
+       |  SELECT CAST(a.t1 = b.t1 AS INT) AS g1, CAST(a.t2 = b.t2 AS INT) AS g2,
+       |         CAST(abs(a.sz - b.sz) <= 1 AS INT) AS g3, count(*) AS n
+       |  FROM f a JOIN f b ON a.blk = b.blk AND a.k < b.k
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM pat),
+       |r0 AS (SELECT CAST(10000 AS BIGINT) AS p,
+       |              CAST(800000 AS BIGINT) AS m1, CAST(800000 AS BIGINT) AS m2,
+       |              CAST(800000 AS BIGINT) AS m3,
+       |              CAST(200000 AS BIGINT) AS u1, CAST(200000 AS BIGINT) AS u2,
+       |              CAST(200000 AS BIGINT) AS u3),
+       |$iters
+       |SELECT f.feature, f.m_ppm, f.u_ppm,
+       |       CAST(f.m_ppm * 1000000 // greatest(f.u_ppm, 1) AS BIGINT) AS w_agree_ppm,
+       |       CAST((1000000 - f.m_ppm) * 1000000
+       |            // greatest(1000000 - f.u_ppm, 1) AS BIGINT) AS w_disagree_ppm,
+       |       r.p AS p_match_ppm, tot.n_pairs
+       |FROM (
+       |  SELECT 'name_tok1' AS feature, m1 AS m_ppm, u1 AS u_ppm FROM r$rounds
+       |  UNION ALL SELECT 'name_tok2', m2, u2 FROM r$rounds
+       |  UNION ALL SELECT 'size_within1', m3, u3 FROM r$rounds) f
+       |CROSS JOIN r$rounds r CROSS JOIN tot
+       |ORDER BY feature""".stripMargin
+  }
 }

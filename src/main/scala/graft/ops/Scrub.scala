@@ -199,6 +199,80 @@ object Scrub {
        |             / CAST(sum(g_n) AS DOUBLE), 6) AS pct_rows_at_risk
        |FROM groups GROUP BY n_suppressed ORDER BY n_suppressed""".stripMargin
 
+  /** t-closeness audit — the final rung of the release-privacy ladder
+    * (k-anonymity bounds class SIZE, l-diversity bounds sensitive-value
+    * COUNT, t-closeness bounds the sensitive-value DISTRIBUTION): per
+    * equivalence class (nation, segment), the total-variation distance
+    * between the class's account-balance-band distribution and the
+    * GLOBAL band distribution. A class can be k-large and l-diverse yet
+    * still leak (e.g. 90% of its members in the top band when the
+    * population has 10% there) — t-closeness is the audit that catches
+    * it.
+    *
+    * TVD instead of the paper's EMD on purpose — the [[graft.ops
+    * .TextAnalysis.sourceTvd]] device: ½·Σ|p−q| cross-multiplies into
+    * EXACT BIGINT (Σ|c·N − C·k| over the global band alphabet, then one
+    * truncating DIV by 2·k·N; no data-dependent float). BIGINT budget:
+    * each term ≤ k·N and the 1e6 ppm scaling holds while k·N ≤ ~9e12 —
+    * at any realistic class size the per-class k caps it far below.
+    *
+    * Scale shape: one groupBy to class×band cells, one tiny global-band
+    * aggregate broadcast-cross-joined against the |classes|-bounded
+    * class list (bands missing from a class still contribute |0·N−C·k|,
+    * so the grid is classes × global bands), two partial-agged
+    * aggregates. No window, no data-sized join.
+    */
+  def tCloseness(customer: DataFrame, tPpm: Long): DataFrame = {
+    val qi = customer.select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+    val cells = qi.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("c"))
+    val cellsC = Caches.tracked(cells.persist())
+    val global = cellsC.groupBy(col("bal_band")).agg(sum(col("c")).as("cg"))
+    val classes = cellsC.groupBy(col("nation"), col("segment")).agg(sum(col("c")).as("k"))
+    val n = broadcast(global.agg(sum(col("cg")).as("n_total")))
+    classes.join(broadcast(global))
+      .join(cellsC, Seq("nation", "segment", "bal_band"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(n)
+      .groupBy(col("nation"), col("segment"), col("k"), col("n_total"))
+      .agg(sum(when(col("c") > 0L, 1L).otherwise(0L)).as("n_bands"),
+        sum(abs(col("c") * col("n_total") - col("cg") * col("k"))).as("s"))
+      .select(col("nation"), col("segment"), col("k"), col("n_bands"),
+        expr("CAST((1000000 * s) DIV (2 * k * n_total) AS BIGINT)").as("t_ppm"),
+        expr(s"CAST((1000000 * s) DIV (2 * k * n_total) AS BIGINT) <= $tPpm").as("t_close"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  def tClosenessSql(tPpm: Long): String =
+    s"""WITH qi AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+       |  FROM customer),
+       |cells AS (
+       |  SELECT nation, segment, bal_band, count(*) AS c FROM qi GROUP BY 1, 2, 3),
+       |global AS (
+       |  SELECT bal_band, CAST(sum(c) AS BIGINT) AS cg FROM cells GROUP BY 1),
+       |classes AS (
+       |  SELECT nation, segment, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY 1, 2),
+       |n AS (SELECT CAST(sum(cg) AS BIGINT) AS n_total FROM global),
+       |j AS (
+       |  SELECT cl.nation, cl.segment, cl.k, n.n_total, g.cg,
+       |         coalesce(ce.c, 0) AS c
+       |  FROM classes cl CROSS JOIN global g CROSS JOIN n
+       |  LEFT JOIN cells ce ON ce.nation = cl.nation AND ce.segment = cl.segment
+       |                    AND ce.bal_band = g.bal_band)
+       |SELECT nation, segment, k,
+       |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bands,
+       |       CAST((1000000 * CAST(sum(abs(c * n_total - cg * k)) AS BIGINT))
+       |            // (2 * k * n_total) AS BIGINT) AS t_ppm,
+       |       CAST((1000000 * CAST(sum(abs(c * n_total - cg * k)) AS BIGINT))
+       |            // (2 * k * n_total) AS BIGINT) <= $tPpm AS t_close
+       |FROM j GROUP BY nation, segment, k, n_total
+       |ORDER BY nation, segment""".stripMargin
+
   /** Right-to-erasure propagation audit: given a deterministic purge set
     * (pk ≡ 17 mod 131 stands in for the uploaded request list), report
     * per table how the purge lands at BOTH layers a CDC pipeline must

@@ -14,6 +14,57 @@ class AuditOpsSpec extends SparkSpec {
   private val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   private val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("t-closeness: class equal to the global mix scores 0; concentrated and split classes hit exact TVD") {
+    // bands: acctbal/1000 → band 0 or 1. Global = 9×b0 + 3×b1 (p = .75/.25).
+    // class C mirrors it exactly → t_ppm 0; A is 50/50 and B all-b0 → both
+    // TVD .25 = 250000 ppm by the cross-multiplied integers (s=24, 2kN=96).
+    val cust = (Seq.fill(2)((1, 500.0)) ++ Seq.fill(2)((1, 1500.0)) ++
+      Seq.fill(4)((2, 500.0)) ++ Seq.fill(3)((3, 500.0)) ++ Seq((3, 1500.0)))
+      .zipWithIndex.map { case ((n, bal), i) => (i.toLong, n, "X", bal) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.ops.Scrub.tCloseness(cust, 200000L).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1, 4L, 2L, 250000L, false),
+      (2, 4L, 1L, 250000L, false),
+      (3, 4L, 2L, 0L, true)), got.toSeq)
+  }
+
+  test("EM match weights: separated populations make the name features discriminative; outputs stay in ppm range") {
+    // Brand#1 holds a 3-clone cluster ("red widget", sizes 10/10/11 —
+    // every in-cluster pair agrees on all three features) plus three
+    // unrelated parts; cross pairs disagree on the name tokens. EM with
+    // no labels must end with m > u on both name features (agreement
+    // evidence concentrates in the match class) and every published
+    // probability inside [0, 1e6].
+    val parts = Seq(
+      (1L, "red widget", "Brand#1", 10), (2L, "red widget", "Brand#1", 10),
+      (3L, "red widget", "Brand#1", 11), (4L, "blue bolt", "Brand#1", 30),
+      (5L, "green gear", "Brand#1", 44), (6L, "grey cog", "Brand#1", 7))
+      .toDF("p_partkey", "p_name", "p_brand", "p_size")
+    val got = graft.ops.EntityResolution.emWeights(parts, 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6))))
+      .toMap
+    assert(got.keySet == Set("name_tok1", "name_tok2", "size_within1"))
+    got.values.foreach { case (m, u, _, nPairs) =>
+      assert(m >= 0L && m <= 1000000L && u >= 0L && u <= 1000000L)
+      assert(nPairs == 15L) // C(6,2) in-block pairs
+    }
+    Seq("name_tok1", "name_tok2").foreach { f =>
+      val (m, u, wAgree, _) = got(f)
+      assert(m > u, s"$f: m=$m u=$u — agreement must be match evidence")
+      assert(wAgree > 1000000L, s"$f: w_agree=$wAgree must exceed 1 (ppm)")
+    }
+  }
+
+  test("EM match weights: deterministic across repartitionings of the input") {
+    val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val a = graft.ops.EntityResolution.emWeights(parts, 4).collect().toSeq
+    val b = graft.ops.EntityResolution.emWeights(parts.repartition(7), 4).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 1000000L))
+  }
+
   test("hybrid verify: accepted implies cosine above threshold; pairs ordered unique") {
     val rows = Dedup.hybridVerify(docs, emb, 0.5).collect()
     rows.foreach { r =>
