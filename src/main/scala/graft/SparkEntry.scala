@@ -1508,6 +1508,10 @@ object SparkEntry {
     // 4 synchronous peel rounds of the 2-core over the support-2 core
     // (fixed rounds, all-integral — oracle unrolls them as CTEs)
     "graph_kcore" -> ((s, dir) => Graph.kCore(t(s, dir, "lineitem"), 2, 2, 4)),
+    // 3-truss: edge peeling by triangle support (keep edges in >= 1
+    // surviving triangle), 3 rounds — the support core is triangle-sparse,
+    // so k=3 is the non-degenerate truss on these fixtures
+    "graph_ktruss" -> ((s, dir) => Graph.kTruss(t(s, dir, "lineitem"), 2, 3, 3)),
 
     // multi-source BFS hop distances from the 3 highest-degree hubs
     // (min-plus frontier relaxation, 4 unrolled integral rounds)
@@ -1540,6 +1544,11 @@ object SparkEntry {
     // ---- Text analysis ----
     "text_language_id" -> ((s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    // within-source percentile gates vs one global cut (flip audit)
+    "text_quality_source_norm" -> ((s, dir) =>
+      TextAnalysis.sourceNormalizedQuality(t(s, dir, "documents"), 0.65)),
+    // exact KS (sup-CDF) drift, first vs second time-half, unit bins
+    "events_ks_drift" -> ((s, dir) => OrderStats.ksDrift(t(s, dir, "events"), 1000, 50000L)),
     "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // per-language tokenizer-efficiency audit (context-budget driver)
     "text_tokenizer_fertility" -> ((s, dir) =>
@@ -2305,6 +2314,7 @@ object SparkEntry {
     "graph_communities" -> Graph.labelPropagationSql(4),
     "graph_triangles" -> Graph.triangleStatsSql(2),
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
+    "graph_ktruss" -> Graph.kTrussSql(2, 3, 3),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
     "graph_closeness" -> Graph.closenessSql(2, 3, 4),
     "graph_link_predict" -> Graph.linkPredictSql(2, 20),
@@ -2316,6 +2326,8 @@ object SparkEntry {
 
     "text_language_id" -> TextAnalysis.languageIdSql,
     "text_quality" -> TextAnalysis.qualityScoreSql,
+    "text_quality_source_norm" -> TextAnalysis.sourceNormalizedQualitySql(0.65),
+    "events_ks_drift" -> OrderStats.ksDriftSql(1000, 50000L),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_tokenizer_fertility" -> TextAnalysis.tokenizerFertilitySql,
     "text_source_tvd" -> TextAnalysis.sourceTvdSql,

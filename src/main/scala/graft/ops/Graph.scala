@@ -445,6 +445,85 @@ object Graph {
        |GROUP BY e.src ORDER BY node""".stripMargin
   }
 
+  /** k-truss of the support core: the edge-grained refinement of
+    * [[kCore]] — `rounds` rounds of SYNCHRONOUS edge peeling (drop every
+    * edge contained in fewer than k−2 triangles of the SURVIVING edge
+    * set, recompute, repeat). The truss is the standard cohesive-subgraph
+    * certificate: every surviving edge sits in ≥ k−2 triangles, so truss
+    * communities are strictly denser than core ones. Fixed rounds, all
+    * integral counts — the oracle unrolls the identical rounds as CTEs
+    * and the result is bit-identical regardless of convergence.
+    *
+    * Output: surviving ordered edges with their end-state triangle
+    * support and the `in_truss` flag (support ≥ k−2 — false only if the
+    * peel hasn't converged within `rounds`). Edges in zero triangles
+    * drop on both engines (inner join to the support frame).
+    *
+    * Scale shape: one round = the ordered-triangle enumeration
+    * ([[triangleStats]]'s join — Σ deg² bounded by the support filter)
+    * + a 3-projection unionAll folded by one partial-agged groupBy +
+    * one |E|-bounded semi join. The shrinking edge frame is pinned per
+    * round (fixed-round, |E|-bounded → localCheckpoint-eligible under
+    * the repo rule).
+    */
+  def kTruss(lineitem: DataFrame, minSupport: Int, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"k must be >= 3 and rounds >= 1: $k, $rounds")
+    def support(eo: DataFrame): DataFrame = {
+      val tri = eo.as("e1")
+        .join(eo.as("e2"), col("e1.d") === col("e2.s"))
+        .join(eo.as("e3"), col("e1.s") === col("e3.s") && col("e2.d") === col("e3.d"))
+        .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
+      tri.select(col("a").as("s"), col("b").as("d"))
+        .unionAll(tri.select(col("b").as("s"), col("c").as("d")))
+        .unionAll(tri.select(col("a").as("s"), col("c").as("d")))
+        .groupBy(col("s"), col("d")).agg(count(lit(1)).as("support"))
+    }
+    var eo = pinnedBy(supportEdges(lineitem, minSupport), "s")
+    for (_ <- 1 to rounds)
+      eo = pinned(eo.join(support(eo), Seq("s", "d"))
+        .filter(col("support") >= k - 2).select(col("s"), col("d")))
+    eo.join(support(eo), Seq("s", "d"))
+      .select(col("s"), col("d"), col("support"),
+        (col("support") >= k - 2).as("in_truss"))
+      .orderBy(col("s"), col("d"))
+  }
+
+  def kTrussSql(minSupport: Int, k: Int, rounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: the triangle join references
+    // its edge CTE three times and the next round references THAT —
+    // inlined, the expansion is exponential in rounds (observed as a
+    // file-handle blow-up re-scanning the base table)
+    def supCte(i: Int, src: String) =
+      s"""t$i AS MATERIALIZED (
+         |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+         |  FROM $src e1 JOIN $src e2 ON e1.d = e2.s
+         |               JOIN $src e3 ON e1.s = e3.s AND e2.d = e3.d),
+         |s$i AS MATERIALIZED (
+         |  SELECT s, d, count(*) AS sup FROM (
+         |    SELECT a AS s, b AS d FROM t$i
+         |    UNION ALL SELECT b, c FROM t$i
+         |    UNION ALL SELECT a, c FROM t$i) u
+         |  GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""${supCte(i, s"e${i - 1}")},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.s, e.d FROM e${i - 1} e
+         |  JOIN s$i u ON u.s = e.s AND u.d = e.d WHERE u.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val fin = rounds + 1
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS s, b.pk AS d
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
+       |$steps,
+       |${supCte(fin, s"e$rounds")}
+       |SELECT e.s, e.d, CAST(u.sup AS BIGINT) AS support,
+       |       u.sup >= ${k - 2} AS in_truss
+       |FROM e$rounds e JOIN s$fin u ON u.s = e.s AND u.d = e.d
+       |ORDER BY e.s, e.d""".stripMargin
+  }
+
   /** Multi-source BFS over the support core: hop distance from the
     * `seeds` highest-degree hubs (degree-desc, smallest-id tie-break —
     * fully deterministic) out to `maxHops`. Each round unions the

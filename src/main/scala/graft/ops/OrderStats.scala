@@ -781,4 +781,86 @@ object OrderStats {
        |                 / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
        |FROM calc ORDER BY lift_pct""".stripMargin
   }
+
+  /** Kolmogorov–Smirnov drift between the first and second time-half of
+    * the event value distribution — the distribution-shift monitor that
+    * complements [[graft.ops.Profiling]]'s PSI: KS is the sup-norm on
+    * CDFs, so it catches a shape change PSI's fixed quantile bins can
+    * blur. Values land in FIXED unit-width bins capped at `maxBin`
+    * (schema-bounded alphabet, NOT data-sized — the discrete KS at bin
+    * granularity, stated as such), the split point is the integral
+    * midpoint of the observed epoch-µs range, and the statistic
+    * cross-multiplies into exact BIGINT: max over bins of
+    * |Fa·Nb − Fb·Na|, then one truncating DIV by Na·Nb (ppm). The
+    * argmax bin (min bin on ties — two-step max-then-min, no composite
+    * arg_max packing) says WHERE the distributions diverge. BIGINT
+    * budget: Fa·Nb ≤ Na·Nb ≤ 9e12 under the ppm scaling — the sourceTvd
+    * bound.
+    *
+    * Scale shape: one pass folds events to ≤ maxBin+1 (bin, side)
+    * partials (map-side combine); the CDF window and max run on the
+    * bin-alphabet frame (bounded unpartitioned window — the layout-ops
+    * convention). No data-sized shuffle beyond the one groupBy.
+    */
+  def ksDrift(events: DataFrame, maxBin: Int, thresholdPpm: Long): DataFrame = {
+    require(maxBin >= 1, s"maxBin must be >= 1: $maxBin")
+    val ev = events.select(expr("unix_micros(ts)").as("us"),
+      least(floor(col("value")), lit(maxBin)).cast("long").as("bin"))
+    val evC = Caches.tracked(ev.persist())
+    val mid = broadcast(evC.agg(
+      expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)").as("mid")))
+    val sides = evC.crossJoin(mid).groupBy(col("bin"))
+      .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = Caches.tracked(sides
+      .withColumn("fa", sum(col("ca")).over(w))
+      .withColumn("fb", sum(col("cb")).over(w))
+      .persist())
+    val tot = broadcast(dd.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("n_bins")))
+    val diffs = dd.crossJoin(tot)
+      .select(col("bin"), col("na"), col("nb"), col("n_bins"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("diff"))
+    val mx = broadcast(diffs.agg(max(col("diff")).as("mx")))
+    diffs.crossJoin(mx).filter(col("diff") === col("mx"))
+      .groupBy(col("na"), col("nb"), col("n_bins"), col("mx"))
+      .agg(min(col("bin")).as("argmax_bin"))
+      .select(col("na").as("n_first_half"), col("nb").as("n_second_half"),
+        col("n_bins"),
+        expr("CAST((1000000 * mx) DIV greatest(na * nb, 1) AS BIGINT)").as("ks_ppm"),
+        col("argmax_bin"),
+        expr(s"CAST((1000000 * mx) DIV greatest(na * nb, 1) AS BIGINT) > $thresholdPpm")
+          .as("drifted"))
+  }
+
+  def ksDriftSql(maxBin: Int, thresholdPpm: Long): String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(ts) AS us,
+       |         least(CAST(floor(value) AS BIGINT), $maxBin) AS bin
+       |  FROM events),
+       |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+       |sides AS (
+       |  SELECT bin,
+       |         CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |         CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM ev CROSS JOIN mid GROUP BY bin),
+       |dd AS (
+       |  SELECT bin,
+       |         CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fa,
+       |         CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fb
+       |  FROM sides),
+       |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+       |               count(*) AS n_bins FROM sides),
+       |diffs AS (
+       |  SELECT bin, na, nb, n_bins, abs(fa * nb - fb * na) AS diff
+       |  FROM dd CROSS JOIN tot),
+       |mx AS (SELECT max(diff) AS mx FROM diffs)
+       |SELECT na AS n_first_half, nb AS n_second_half, n_bins,
+       |       CAST((1000000 * mx) // greatest(na * nb, 1) AS BIGINT) AS ks_ppm,
+       |       min(bin) AS argmax_bin,
+       |       CAST((1000000 * mx) // greatest(na * nb, 1) AS BIGINT) > $thresholdPpm AS drifted
+       |FROM diffs CROSS JOIN mx
+       |WHERE diff = mx
+       |GROUP BY na, nb, n_bins, mx""".stripMargin
 }

@@ -226,6 +226,56 @@ object TextAnalysis {
        |  round(CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Source-relative quality normalization — the gate-design audit a
+    * multi-source corpus needs before thresholding: a single global
+    * quality cut passes wildly different FRACTIONS of each source (one
+    * boilerplate-heavy crawl loses everything, a clean one sails
+    * through), so production filters threshold on the within-source
+    * percentile instead. Per doc: the within-source percentile rank of
+    * its quality score and whether the global gate and the
+    * source-median gate DISAGREE (`flipped` — the rows where gate
+    * design changes the corpus).
+    *
+    * Parity: ranks come from a deterministic total order (quality,
+    * doc_id) — no double arithmetic, only comparisons on the
+    * gate-proven [[qualityScoreWith]] doubles; the percentile is
+    * integral ((rk−1)·1e6 DIV max(n−1, 1)).
+    *
+    * Scale shape: ONE corpus lineage (qualityScoreWith carries `source`
+    * through the scoring projection — no re-join on doc_id), one
+    * shuffle on source for the rank window (per-source sort, the
+    * sessionize shape). No global window, no second scan.
+    */
+  def sourceNormalizedQuality(docs: DataFrame, gate: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val q = qualityScoreWith(docs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("quality"), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+    q.select(col("doc_id"), col("source"), col("quality"),
+        expr("CAST(((rk - 1) * 1000000) DIV greatest(n_src - 1, 1) AS BIGINT)")
+          .as("pct_source_ppm"),
+        (col("quality") >= gate).as("pass_global"))
+      .withColumn("pass_source", col("pct_source_ppm") >= 500000L)
+      .withColumn("flipped", col("pass_global") =!= col("pass_source"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sourceNormalizedQualitySql(gate: Double): String =
+    s"""WITH q AS (${qualityScoreSqlWith(Seq("source")).replace("ORDER BY doc_id", "")}),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |         row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM q)
+       |SELECT doc_id, source, quality,
+       |       CAST(((rk - 1) * 1000000) // greatest(n_src - 1, 1) AS BIGINT) AS pct_source_ppm,
+       |       quality >= $gate AS pass_global,
+       |       CAST(((rk - 1) * 1000000) // greatest(n_src - 1, 1) AS BIGINT) >= 500000 AS pass_source,
+       |       (quality >= $gate) <> (CAST(((rk - 1) * 1000000) // greatest(n_src - 1, 1) AS BIGINT) >= 500000) AS flipped
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Pairwise total-variation distance between per-source unigram
     * distributions — the domain-shift screen a mixture designer reads
     * before setting sampling weights (TVD 0 = same distribution, 1e6 ppm

@@ -76,6 +76,24 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core must be the triangle: $got")
   }
 
+  test("kTruss: 4-truss keeps the K4, sheds pendant edges and lone triangles; 3-truss keeps both") {
+    // one 2-part order per planted edge (minSupport 1): K4 on 1-4, a
+    // pendant edge 4-5, a lone triangle 5-6-7. Every K4 edge sits in 2
+    // triangles (support 2), lone-triangle edges in 1, the pendant in 0.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, a), (i.toLong, b)) }.toDF("l_orderkey", "l_partkey")
+    val k4 = Graph.kTruss(li, 1, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(k4.toSet == Set((1L, 2L, 2L, true), (1L, 3L, 2L, true), (1L, 4L, 2L, true),
+      (2L, 3L, 2L, true), (2L, 4L, 2L, true), (3L, 4L, 2L, true)),
+      s"4-truss must be exactly the K4 with support 2: ${k4.toSeq}")
+    val k3 = Graph.kTruss(li, 1, 3, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k3 == edges.toSet - ((4L, 5L)),
+      s"3-truss keeps every triangle edge, drops only the pendant: $k3")
+  }
+
   test("bfsReach: hop distances fan out from the hub, disconnected nodes absent") {
     // path 1-2-3-4 (each edge in two orders for support 2) plus an
     // isolated support-2 edge 8-9; seed = the single highest-degree node

@@ -14,6 +14,27 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("KS drift: hand-computed sup-CDF distance, argmax bin, identical halves score 0") {
+    def ev(rows: (Long, Double)*) = rows.toSeq.toDF("h", "value")
+      .withColumn("ts", expr("timestamp_micros(h * 3600000000)")).drop("h")
+    // first half (hour 0) bins [0,0,1,1], second half (hour 2) [1,1,1,1]
+    // mid = hour 1 → Fa=(2,4), Fb=(0,4), Na=Nb=4 → max|Fa·Nb−Fb·Na| = 8
+    // at bin 0 → KS = 8/16 = 500000 ppm
+    val drift = OrderStats.ksDrift(
+      ev((0L, 0.5), (0L, 0.7), (0L, 1.2), (0L, 1.9),
+         (2L, 1.1), (2L, 1.3), (2L, 1.5), (2L, 1.8)), 1000, 50000L).collect()(0)
+    assert((drift.getLong(0), drift.getLong(1), drift.getLong(2), drift.getLong(3),
+      drift.getLong(4), drift.getBoolean(5)) == ((4L, 4L, 2L, 500000L, 0L, true)), drift)
+    // same distribution in both halves → KS 0, not drifted
+    val same = OrderStats.ksDrift(
+      ev((0L, 0.5), (0L, 1.5), (2L, 0.6), (2L, 1.6)), 1000, 50000L).collect()(0)
+    assert(same.getLong(3) == 0L && !same.getBoolean(5), same)
+    // values beyond the cap fold into the top bin on both sides
+    val capped = OrderStats.ksDrift(
+      ev((0L, 5000.0), (2L, 9000.0)), 3, 50000L).collect()(0)
+    assert(capped.getLong(2) == 1L && capped.getLong(4) == 3L, capped)
+  }
+
   test("holt backtest: learns a linear trend and beats naive; constant series degenerates") {
     def series(vals: Seq[Double]) =
       vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }

@@ -9,6 +9,30 @@ class TextAndMultimodalSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
 
+  test("source-normalized quality: ranks span [0,1e6] per source, flips where gates disagree") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.sourceNormalizedQuality(fixture, 0.65).collect()
+    val bySrc = got.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val pcts = rows.map(_.getLong(3)).sorted
+      assert(pcts.head == 0L && pcts.last == 1000000L, s"$src rank span: ${pcts.toSeq}")
+      // pass_source is the top half by within-source rank: ranks with
+      // (rk-1)*1e6 DIV (n-1) >= 500000
+      val n = rows.length
+      val expectPass = (0 until n).count(r => r.toLong * 1000000L / math.max(n - 1, 1) >= 500000L)
+      assert(rows.count(_.getBoolean(5)) == expectPass, s"$src pass_source count")
+    }
+    got.foreach { r =>
+      assert(r.getBoolean(6) == (r.getBoolean(4) != r.getBoolean(5)),
+        s"flipped must be the gate disagreement: $r")
+    }
+    // the audit is non-vacuous on the fixture only if SOME source is
+    // skewed against the global gate; tolerate zero flips but require
+    // the quality column to vary (guards a degenerate fixture silently
+    // trivializing the ranks)
+    assert(got.map(_.getDouble(2)).distinct.length > 1)
+  }
+
   test("language id picks the language with most marker hits; und when none") {
     val got = TextAnalysis.languageId(docs(
       1L -> "the cat is in the house and that is fine",
