@@ -640,6 +640,26 @@ object SparkEntry {
     // aggregate emitted by append-mode streaming equals the batch hourly
     // aggregate restricted to watermark-finalized windows
     // (window_end <= max_ts - delay)
+    // daily type-mix TVD vs the uniform design reference, emitted on
+    // watermark close — the streaming drift monitor (exact integer ppm)
+    "events_mix_drift_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
+      import graft.streaming.StreamingAnalytics
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = mintStreamView("mixdrift_stream")
+      val q = StreamingAnalytics.mixDrift(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("ts"), col("event_type")),
+        Seq("click", "error", "purchase", "signup", "view"), 100000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_mixdrift")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("day")
+    }),
+
     "events_hourly_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       val chunks = chunkedEvents(s, dir)
@@ -2020,6 +2040,9 @@ object SparkEntry {
     // time truncated to ms, minus the delay) — the finalization cut in
     // every streaming-window oracle must truncate the same way or a
     // sub-ms-aligned max ts flips a boundary window between engines.
+    "events_mix_drift_stream" -> graft.streaming.StreamingAnalytics.mixDriftSql(
+      Seq("click", "error", "purchase", "signup", "view"), 100000L),
+
     "events_hourly_stream" ->
       """WITH mx AS (SELECT max(ts) AS mx FROM events),
         |w AS (

@@ -49,6 +49,62 @@ object StreamingAnalytics {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("w_start"), col("n_events"), col("sum_value"))
 
+  /** Daily event-type-mix drift vs a UNIFORM design reference, streamed:
+    * the production monitor that pages when a day's traffic mix walks
+    * away from what the pipeline was sized for. One streaming aggregate
+    * per tumbling 1-day window with the per-type counts as FIXED
+    * conditional-sum columns (the alphabet is schema, not data — no
+    * second stateful aggregation, which Structured Streaming would
+    * reject), then a stateless projection folds them into the exact
+    * integer TVD: tvd_ppm = 1e6·Σ|k·cᵢ − n| DIV (2k·n) — the
+    * cross-multiplied sourceTvd device against the uniform 1/k vector.
+    * Append mode: a day emits exactly once, when the watermark passes
+    * its end. Out-of-alphabet events count in n but no cᵢ, so they
+    * read as drift — the monitor property you want.
+    */
+  def mixDrift(events: DataFrame, types: Seq[String], thresholdPpm: Long): DataFrame = {
+    require(types.nonEmpty && types == types.sorted.distinct, s"sorted distinct alphabet: $types")
+    val k = types.length
+    val cs = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c$i") }
+    val sumAbs = types.indices
+      .map(i => abs(col(s"c$i") * lit(k.toLong) - col("n"))).reduce(_ + _)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(cs.head, cs.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("window.start").as("day") +: col("n").as("n_events") +:
+        types.zipWithIndex.map { case (t, i) => col(s"c$i").as(s"n_$t") } :+
+        sumAbs.as("sum_abs"): _*)
+      .withColumn("tvd_ppm",
+        expr(s"CAST((1000000 * sum_abs) DIV (2 * $k * n_events) AS BIGINT)"))
+      .drop("sum_abs")
+      .withColumn("drifted", col("tvd_ppm") > thresholdPpm)
+  }
+
+  /** Oracle SQL for [[mixDrift]]: the batch per-day mix cut at the final
+    * watermark (ms-truncated max event time minus the 2 h delay).
+    */
+  def mixDriftSql(types: Seq[String], thresholdPpm: Long): String = {
+    val k = types.length
+    val cSel = types.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(",\n|         ")
+    val sumAbs = types.map(t => s"abs($k * n_$t - n_events)").mkString(" + ")
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events),
+       |w AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         count(*) AS n_events,
+       |         $cSel
+       |  FROM events GROUP BY 1)
+       |SELECT w.day, w.n_events, ${types.map(t => s"w.n_$t").mkString(", ")},
+       |       CAST((1000000 * ($sumAbs)) // (2 * $k * n_events) AS BIGINT) AS tvd_ppm,
+       |       CAST((1000000 * ($sumAbs)) // (2 * $k * n_events) AS BIGINT) > $thresholdPpm AS drifted
+       |FROM w, mx
+       |WHERE epoch_us(w.day) + 86400000000
+       |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
+       |ORDER BY w.day""".stripMargin
+  }
+
   /** Streaming exact dedup keyed on (fingerprint, ts): drops exact
     * replays of the same event — two occurrences of a fingerprint at
     * DIFFERENT event times both pass. For content dedup use

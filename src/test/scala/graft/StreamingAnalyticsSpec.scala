@@ -44,6 +44,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mix drift: a day emits once on watermark close with the exact hand TVD") {
+    val ms = MemoryStream[(Timestamp, String)](spark, numPartitions = 1)
+    val q = StreamingAnalytics.mixDrift(
+      ms.toDF().toDF("ts", "event_type"), Seq("a", "b", "c", "d", "e"), 100000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mixdrift_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // day 1 (minutes 1440..): counts (2,1,1,0,0), n=4 →
+      // Σ|5c−n| = 6+1+1+4+4 = 16 → tvd = 1e6·16 DIV (2·5·4) = 400000
+      ms.addData((ts(1500), "a"), (ts(1510), "a"), (ts(1520), "b"), (ts(1530), "c"))
+      q.processAllAvailable()
+      assert(spark.table("mixdrift_out").isEmpty, "window must not emit before close")
+      // day 3 event advances the watermark past day 1's end + 2h
+      ms.addData((ts(3 * 1440 + 300), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("mixdrift_out").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getTimestamp(0).getTime == 1440L * 60000L)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)) == ((4L, 2L, 1L, 1L, 0L, 0L)), r)
+      assert(r.getLong(7) == 400000L && r.getBoolean(8), r)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated fingerprints across micro-batches") {
     val ms = MemoryStream[(Timestamp, String, Long)](spark, numPartitions = 1)
     val q = graft.streaming.StreamingAnalytics
