@@ -1569,6 +1569,9 @@ object SparkEntry {
       TextAnalysis.sourceNormalizedQuality(t(s, dir, "documents"), 0.65)),
     // exact KS (sup-CDF) drift, first vs second time-half, unit bins
     "events_ks_drift" -> ((s, dir) => OrderStats.ksDrift(t(s, dir, "events"), 1000, 50000L)),
+    // split-conformal interval radius + held-out coverage, alpha = 10%
+    "events_conformal_coverage" -> ((s, dir) =>
+      TimeSeries.conformalCoverage(t(s, dir, "events"), 100000L)),
     "text_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))),
     // per-language tokenizer-efficiency audit (context-budget driver)
     "text_tokenizer_fertility" -> ((s, dir) =>
@@ -2351,6 +2354,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScoreSql,
     "text_quality_source_norm" -> TextAnalysis.sourceNormalizedQualitySql(0.65),
     "events_ks_drift" -> OrderStats.ksDriftSql(1000, 50000L),
+    "events_conformal_coverage" -> TimeSeries.conformalCoverageSql(100000L),
     "text_token_counts" -> TextAnalysis.tokenCountsSql,
     "text_tokenizer_fertility" -> TextAnalysis.tokenizerFertilitySql,
     "text_source_tvd" -> TextAnalysis.sourceTvdSql,

@@ -832,4 +832,82 @@ object TimeSeries {
        |  CASE WHEN sn = 0 THEN NULL ELSE CAST((1000000 * se) // sn AS BIGINT) END AS mase_e6,
        |  coalesce(se, 0) < coalesce(sn, 0) AS holt_beats_naive
        |FROM agg""".stripMargin
+
+  /** Split-conformal prediction interval for the hourly event count —
+    * the distribution-free uncertainty band a capacity/alerting layer
+    * wraps around ANY point forecaster. Predictor: seasonal naive (the
+    * count 24 hour-buckets earlier — integral, assumption-free); the
+    * conformal radius q is the ⌈(1−α)(n_cal+1)⌉-th smallest absolute
+    * calibration residual (capped at n_cal), and the audit reports the
+    * held-out coverage of ŷ ± q. Everything is exact integer order
+    * statistics — counts, residuals, the ceil as (a·b + 1e6−1) DIV 1e6,
+    * coverage in truncating-DIV ppm — so both engines agree bit-for-bit
+    * with no quantile-interpolation hazard (the round-9 lesson: never
+    * compare against an interpolated cut; here the cut IS an order
+    * statistic).
+    *
+    * Scale shape: one map-side-combined groupBy folds events to the
+    * hour-bucket frame; ranking/split/quantile run on that bounded
+    * series frame (unpartitioned window over |hours| rows — the
+    * layout-ops convention). Chronological split: calibrate on the
+    * first ⅔, audit on the last ⅓.
+    */
+  def conformalCoverage(events: DataFrame, alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm < 1000000L, s"alphaPpm in (0,1e6): $alphaPpm")
+    val hourly = events.groupBy(expr("unix_micros(ts) div 3600000000").as("hb"))
+      .agg(count(lit(1)).as("y"))
+    val h = Caches.tracked(hourly.persist())
+    val r = h.as("t")
+      .join(h.select((col("hb") + 24L).as("hb2"), col("y").as("yhat")), col("hb") === col("hb2"))
+      .select(col("hb"), col("y"), col("yhat"), abs(col("y") - col("yhat")).as("r"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("hb"))).cast("long"))
+    val rc = Caches.tracked(r.persist())
+    val split = broadcast(rc.agg(count(lit(1)).as("n"))
+      .select(expr("CAST((2 * n) DIV 3 AS BIGINT)").as("n_cal"),
+        expr("CAST(n - (2 * n) DIV 3 AS BIGINT)").as("n_test")))
+    val cal = rc.crossJoin(split).filter(col("rn") <= col("n_cal"))
+      .withColumn("rrk", row_number().over(Window.orderBy(col("r"), col("hb"))).cast("long"))
+    val q = broadcast(cal
+      .withColumn("k", expr(
+        s"least(CAST(((n_cal + 1) * ${1000000L - alphaPpm} + 999999) DIV 1000000 AS BIGINT), n_cal)"))
+      .filter(col("rrk") === col("k"))
+      .select(col("k"), col("r").as("q")))
+    rc.crossJoin(split).filter(col("rn") > col("n_cal")).crossJoin(q)
+      .groupBy(col("n_cal"), col("n_test"), col("k"), col("q"))
+      .agg(sum(when(col("r") <= col("q"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("k"), col("q"), col("n_covered"),
+        expr("CAST((1000000 * n_covered) DIV n_test AS BIGINT)").as("coverage_ppm"),
+        expr(s"CAST((1000000 * n_covered) DIV n_test AS BIGINT) >= ${1000000L - alphaPpm}")
+          .as("meets_target"))
+  }
+
+  def conformalCoverageSql(alphaPpm: Long): String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS hb, count(*) AS y
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT t.hb, t.y, p.y AS yhat, abs(t.y - p.y) AS r,
+       |         row_number() OVER (ORDER BY t.hb) AS rn
+       |  FROM hourly t JOIN hourly p ON t.hb = p.hb + 24),
+       |split AS (
+       |  SELECT (2 * count(*)) // 3 AS n_cal,
+       |         count(*) - (2 * count(*)) // 3 AS n_test
+       |  FROM r),
+       |cal AS (
+       |  SELECT r.r, row_number() OVER (ORDER BY r.r, r.hb) AS rrk
+       |  FROM r, split WHERE r.rn <= split.n_cal),
+       |q AS (
+       |  SELECT rrk AS k, r AS q FROM cal, split
+       |  WHERE rrk = least(((n_cal + 1) * ${1000000L - alphaPpm} + 999999) // 1000000, n_cal))
+       |SELECT CAST(split.n_cal AS BIGINT) AS n_cal,
+       |       CAST(split.n_test AS BIGINT) AS n_test,
+       |       CAST(q.k AS BIGINT) AS k, CAST(q.q AS BIGINT) AS q,
+       |       CAST(sum(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |       CAST((1000000 * sum(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END))
+       |            // split.n_test AS BIGINT) AS coverage_ppm,
+       |       CAST((1000000 * sum(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END))
+       |            // split.n_test AS BIGINT) >= ${1000000L - alphaPpm} AS meets_target
+       |FROM r CROSS JOIN split CROSS JOIN q
+       |WHERE r.rn > split.n_cal
+       |GROUP BY split.n_cal, split.n_test, q.k, q.q""".stripMargin
 }

@@ -35,6 +35,22 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(capped.getLong(2) == 1L && capped.getLong(4) == 3L, capped)
   }
 
+  test("conformal coverage: hand series — radius is the exact order statistic, coverage counts the planted spikes") {
+    // 72 hours at 10 events/hour with spikes: hour 30 → 13, hour 60 → 12.
+    // Seasonal-naive rows = hours 24..71 (48): residuals all 0 except
+    // hour 30 (3), hour 54 (|10−13| = 3), hour 60 (2). cal = hours
+    // 24..55 (n_cal 32: 30 zeros + two 3s), k = ceil(.9·33) = 30 →
+    // q = 0. test = hours 56..71: only hour 60 misses → 15/16 covered.
+    val rows = (0 until 72).flatMap { h =>
+      val c = if (h == 30) 13 else if (h == 60) 12 else 10
+      (0 until c).map(j => (h.toLong * 3600000000L + j * 60000000L))
+    }
+    val ev = rows.toDF("us").withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.conformalCoverage(ev, 100000L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6)) == ((32L, 16L, 30L, 0L, 15L, 937500L, true)), r)
+  }
+
   test("holt backtest: learns a linear trend and beats naive; constant series degenerates") {
     def series(vals: Seq[Double]) =
       vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
