@@ -1108,6 +1108,8 @@ object SparkEntry {
       Similarity.mmrRerank(t(s, dir, "embeddings"), 8, 20, 5, 7, 10)),
     // frame-level voice-activity detection through the real WAV codec
     "mm_audio_vad" -> ((s, dir) => Multimodal.audioVad(t(s, dir, "documents"))),
+    // near-rail clipping census through the real WAV codec
+    "mm_audio_clipping" -> ((s, dir) => Multimodal.audioClipping(t(s, dir, "documents"))),
     // DAU/MAU stickiness: trailing-window MAU from windowed-MAX-merged
     // HLL registers (sliding distinct without per-window rescans)
     "events_stickiness_hll" -> ((s, dir) =>
@@ -2200,6 +2202,7 @@ object SparkEntry {
     "orders_order_gaps" -> OrderStats.orderGapsSql,
     "rag_mmr_rerank" -> Similarity.mmrRerankSql(8, 20, 5, 7, 10),
     "mm_audio_vad" -> Multimodal.audioVadSql,
+    "mm_audio_clipping" -> Multimodal.audioClippingSql,
     "events_stickiness_hll" -> Sketches.stickinessHllSql(30),
     "sketch_hll_distinct" -> Sketches.hllDistinctUsersSql,
     "events_ewma" -> TimeSeries.ewmaHourlySql,

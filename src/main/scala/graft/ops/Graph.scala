@@ -478,11 +478,24 @@ object Graph {
         .unionAll(tri.select(col("a").as("s"), col("c").as("d")))
         .groupBy(col("s"), col("d")).agg(count(lit(1)).as("support"))
     }
+    // support(eo) rows are a SUBSET of eo by construction (every counted
+    // triangle is made of eo edges), so the peel needs no join back to
+    // the edge frame — filter the support frame directly. Peeling is
+    // monotone (edges only leave), so an unchanged count is a PROVEN
+    // fixpoint and the remaining rounds are no-ops on both engines (the
+    // oracle's extra unrolled rounds reproduce the same frame) — the
+    // early exit skips their triangle enumerations without changing the
+    // result. Counts ride the already-materialized pinned frames.
     var eo = pinnedBy(supportEdges(lineitem, minSupport), "s")
-    for (_ <- 1 to rounds)
-      eo = pinned(eo.join(support(eo), Seq("s", "d"))
-        .filter(col("support") >= k - 2).select(col("s"), col("d")))
-    eo.join(support(eo), Seq("s", "d"))
+    var prev = -1L
+    var n = eo.count()
+    var r = 0
+    while (r < rounds && n != prev) {
+      eo = pinned(support(eo).filter(col("support") >= k - 2)
+        .select(col("s"), col("d")))
+      prev = n; n = eo.count(); r += 1
+    }
+    support(eo)
       .select(col("s"), col("d"), col("support"),
         (col("support") >= k - 2).as("in_truss"))
       .orderBy(col("s"), col("d"))
@@ -504,11 +517,13 @@ object Graph {
          |    UNION ALL SELECT b, c FROM t$i
          |    UNION ALL SELECT a, c FROM t$i) u
          |  GROUP BY 1, 2)""".stripMargin
+    // s$i rows are a subset of e${i-1} (triangles are made of its
+    // edges), so each peel filters the support frame directly — the
+    // same join-free round as the Spark side
     val steps = (1 to rounds).map { i =>
       s"""${supCte(i, s"e${i - 1}")},
          |e$i AS MATERIALIZED (
-         |  SELECT e.s, e.d FROM e${i - 1} e
-         |  JOIN s$i u ON u.s = e.s AND u.d = e.d WHERE u.sup >= ${k - 2})""".stripMargin
+         |  SELECT s, d FROM s$i WHERE sup >= ${k - 2})""".stripMargin
     }.mkString(",\n")
     val fin = rounds + 1
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -518,10 +533,10 @@ object Graph {
        |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
        |$steps,
        |${supCte(fin, s"e$rounds")}
-       |SELECT e.s, e.d, CAST(u.sup AS BIGINT) AS support,
-       |       u.sup >= ${k - 2} AS in_truss
-       |FROM e$rounds e JOIN s$fin u ON u.s = e.s AND u.d = e.d
-       |ORDER BY e.s, e.d""".stripMargin
+       |SELECT s, d, CAST(sup AS BIGINT) AS support,
+       |       sup >= ${k - 2} AS in_truss
+       |FROM s$fin
+       |ORDER BY s, d""".stripMargin
   }
 
   /** Multi-source BFS over the support core: hop distance from the

@@ -650,6 +650,77 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Near-full-scale threshold for [[audioClipping]]: |s| ≥ 2040 on the
+    * synthetic ±2048 sawtooth stands in for |s| ≥ 32760 on real ±32768
+    * int16 — the "within 8 counts of rail" clipping heuristic.
+    */
+  val ClipThreshold: Int = 2040
+
+  /** Clipping census per clip — the audio-quality gate a speech corpus
+    * runs before training (clipped segments corrupt spectral features):
+    * peak amplitude, samples at/above the near-rail threshold, the
+    * clipped fraction in ppm, and the LONGEST consecutive clipped run
+    * (sustained rail contact is the true clipping signature; isolated
+    * peaks are just loud). Decode through the REAL WAV codec per
+    * partition (the [[audioVad]] contract); every metric is an integer,
+    * so the oracle recomputes them from the synthesis formula with the
+    * gaps-and-islands run device — any codec-path defect breaks the
+    * hash.
+    */
+  def audioClipping(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = audioPayloads(docs).mapPartitions { it =>
+      val dec = new JavaSoundDecoder
+      it.map { p =>
+        val d = dec.decode(p)
+        var peak = 0L
+        var nClip = 0L
+        var run = 0L
+        var best = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          val a = math.abs(d.samples(i).toLong)
+          if (a > peak) peak = a
+          if (a >= ClipThreshold) {
+            nClip += 1; run += 1; if (run > best) best = run
+          } else run = 0
+          i += 1
+        }
+        (p.doc_id, d.samples.length.toLong, peak, nClip, best)
+      }
+    }
+    feats.toDF("doc_id", "n_samples", "peak", "n_clipped", "longest_run")
+      .withColumn("clipped_ppm",
+        expr("CAST((1000000 * n_clipped) DIV n_samples AS BIGINT)"))
+      .orderBy("doc_id")
+  }
+
+  val audioClippingSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, 256 + doc_id % 257 AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, n,
+       |    [abs(((i * 37 + doc_id * 101) % 4096) - 2048) FOR i IN range(0, n)] AS amp
+       |  FROM g),
+       |pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, amp FROM s),
+       |c AS (SELECT doc_id, i FROM pos WHERE amp[i] >= $ClipThreshold),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM c),
+       |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clipped FROM c GROUP BY doc_id),
+       |rmax AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_run FROM runs GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_samples,
+       |       CAST(list_max(s.amp) AS BIGINT) AS peak,
+       |       coalesce(agg.n_clipped, 0) AS n_clipped,
+       |       coalesce(rmax.longest_run, 0) AS longest_run,
+       |       CAST((1000000 * coalesce(agg.n_clipped, 0)) // s.n AS BIGINT) AS clipped_ppm
+       |FROM s LEFT JOIN agg ON agg.doc_id = s.doc_id
+       |       LEFT JOIN rmax ON rmax.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val audioVadSql: String =
     s"""WITH g AS (
        |  SELECT doc_id, 256 + doc_id % 257 AS n FROM documents),

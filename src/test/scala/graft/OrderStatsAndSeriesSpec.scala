@@ -240,6 +240,30 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     }
   }
 
+  test("audio clipping census matches a direct recomputation from the formula") {
+    val docs = Seq((7L, "x", "en", "s", 1L), (100L, "y", "en", "s", 1L),
+      (255L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.audioClipping(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("peak"),
+          r.getAs[Long]("n_clipped"), r.getAs[Long]("longest_run"),
+          r.getAs[Long]("clipped_ppm")))).toMap
+    Seq(7L, 100L, 255L).foreach { id =>
+      val n = (256 + id % 257).toInt
+      val amp = (0 until n).map(i => math.abs((i * 37 + id * 101) % 4096 - 2048).toLong)
+      val clipped = amp.map(_ >= Multimodal.ClipThreshold)
+      val runs = clipped.foldLeft(List(0L)) { (acc, v) =>
+        if (v) (acc.head + 1) :: acc.tail else 0L :: acc
+      }
+      assert(got(id) === ((n.toLong, amp.max, clipped.count(identity).toLong,
+        runs.max, 1000000L * clipped.count(identity) / n)), s"doc $id")
+    }
+    // the census must be non-vacuous: at least one of the three clips
+    // has near-rail samples under the synthesis formula
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("ab test arms partition all users and rates are consistent") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // normalize whichever physical ts type this fixture generation uses
