@@ -1589,6 +1589,9 @@ object SparkEntry {
     // reciprocal-rank fusion (K=60) on integral ranks, final top-10
     "rag_hybrid_rrf" -> ((s, dir) =>
       Retrieval.hybridRrf(t(s, dir, "documents"), t(s, dir, "embeddings"), 20, 10)),
+    // context assembly: prefix of each BM25 top-10 that fits 256 tokens
+    "rag_context_packing" -> ((s, dir) =>
+      Retrieval.contextPacking(t(s, dir, "documents"), 10, 256L)),
     // pseudo-relevance feedback (RM3 shape): top-3 feedback docs donate
     // their 2 strongest non-query terms, second BM25 pass re-ranks
     "rag_query_expansion" -> ((s, dir) =>
@@ -2365,6 +2368,7 @@ object SparkEntry {
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
     "rag_hybrid_rrf" -> Retrieval.hybridRrfSql(20, 10),
+    "rag_context_packing" -> Retrieval.contextPackingSql(10, 256L),
     "rag_query_expansion" -> Retrieval.queryExpansionSql(3, 2, 10),
     "text_token_ids" -> TextAnalysis.tokenIdsSql(16, 12),
     "text_hash_sample" -> TextAnalysis.hashSampleSql(10),

@@ -79,6 +79,54 @@ object Retrieval {
        |WHERE rank <= $kFinal ORDER BY query, rank""".stripMargin
   }
 
+  /** Context-window packing of the BM25 ranking — the assembly step
+    * between retrieval and generation: walk each query's ranked list in
+    * order, accumulate BPE-ish token costs, and mark the PREFIX that
+    * fits the token budget (rank order is relevance order, so prefix
+    * truncation — not skip-and-continue — is the standard contract; a
+    * skipped mid-rank doc would reorder evidence). Per row: the doc's
+    * token cost, the running total, and whether it made the window —
+    * the audit a RAG operator reads to size budgets (how much of the
+    * top-k actually ships?).
+    *
+    * Parity: ranks and token counts are integers; the cumulative sum
+    * runs over the deterministic rank order. Scale shape: the ranked
+    * candidate frame is |Q|·k rows and BROADCASTS into the corpus-side
+    * token projection (one scan, join keyed doc_id); the window is
+    * per-query over ≤ k rows.
+    */
+  def contextPacking(docs: DataFrame, k: Int, budgetTokens: Long): DataFrame = {
+    require(k >= 1 && budgetTokens >= 1, s"k and budget must be >= 1: $k, $budgetTokens")
+    val cand = TextAnalysis.bm25TopK(docs, k)
+      .select(col("query"), col("doc_id"), col("rank"))
+    val toks = docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("doc_tokens"))
+    val w = Window.partitionBy(col("query")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(cand), "doc_id")
+      .withColumn("cum_tokens", sum(col("doc_tokens")).over(w))
+      .withColumn("packed", col("cum_tokens") <= budgetTokens)
+      .select(col("query"), col("rank"), col("doc_id"), col("doc_tokens"),
+        col("cum_tokens"), col("packed"))
+      .orderBy(col("query"), col("rank"))
+  }
+
+  def contextPackingSql(k: Int, budgetTokens: Long): String =
+    s"""WITH cand AS (${TextAnalysis.bm25TopKSql(k)}),
+       |toks AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS doc_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT c.query, c.rank, c.doc_id, t.doc_tokens,
+       |         CAST(sum(t.doc_tokens) OVER (PARTITION BY c.query ORDER BY c.rank
+       |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM cand c JOIN toks t ON t.doc_id = c.doc_id)
+       |SELECT query, rank, doc_id, doc_tokens, cum_tokens,
+       |       cum_tokens <= $budgetTokens AS packed
+       |FROM j ORDER BY query, rank""".stripMargin
+
   /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio shape):
     * pass 1 retrieves each query's `fdbk` top BM25 documents; the
     * `expand` strongest non-query terms of those documents (by summed

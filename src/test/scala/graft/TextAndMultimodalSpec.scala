@@ -33,6 +33,26 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("context packing: per-query prefix property, exact running sums, budget boundary") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.ops.Retrieval.contextPacking(fixture, 10, 256L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      // running sum is exactly the prefix sum of per-doc token costs
+      byRank.foldLeft(0L) { case (acc, (_, _, dt, cum, packed)) =>
+        assert(cum == acc + dt, s"$q: cum must be the prefix sum")
+        assert(packed == (cum <= 256L), s"$q: packed is the budget boundary")
+        cum
+      }
+      // packing is a PREFIX: once a rank overflows, no later rank packs
+      val flags = byRank.map(_._5)
+      assert(!flags.dropWhile(identity).contains(true), s"$q: non-prefix packing")
+    }
+    // non-vacuous on the fixture: the budget both admits and truncates
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
   test("language id picks the language with most marker hits; und when none") {
     val got = TextAnalysis.languageId(docs(
       1L -> "the cat is in the house and that is fine",
