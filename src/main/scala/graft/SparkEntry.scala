@@ -1131,6 +1131,10 @@ object SparkEntry {
       OrderStats.powerAnalysis(t(s, dir, "events"), Seq(5, 10, 20, 50))),
     // two-proportion z-test between user_id-parity experiment arms
     "events_ab_test" -> ((s, dir) => OrderStats.abTestConversion(t(s, dir, "events"))),
+    // rank-sum test per event type (exact doubled-U midrank arithmetic)
+    "events_mann_whitney" -> ((s, dir) => OrderStats.mannWhitney(t(s, dir, "events"))),
+    // exact 10%-trimmed + winsorized means from the cent-value census
+    "events_trimmed_mean" -> ((s, dir) => OrderStats.trimmedMean(t(s, dir, "events"))),
     // full grouping-sets lattice over (segment, priority)
     "q_cube_revenue" -> ((s, dir) =>
       Analytics.cubeRevenue(t(s, dir, "orders"), t(s, dir, "customer"))),
@@ -2214,6 +2218,8 @@ object SparkEntry {
     "events_distribution_pos" -> OrderStats.distributionPositionSql(4L),
     "events_power_analysis" -> OrderStats.powerAnalysisSql(Seq(5, 10, 20, 50)),
     "events_ab_test" -> OrderStats.abTestConversionSql,
+    "events_mann_whitney" -> OrderStats.mannWhitneySql,
+    "events_trimmed_mean" -> OrderStats.trimmedMeanSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
 
     "events_sessionize" -> Analytics.sessionizeSql,

@@ -863,4 +863,160 @@ object OrderStats {
        |FROM diffs CROSS JOIN mx
        |WHERE diff = mx
        |GROUP BY na, nb, n_bins, mx""".stripMargin
+
+  /** Mann–Whitney rank-sum test per event-type segment between the
+    * parity arms (user_id % 2 — the repo's standing experiment
+    * assignment): does arm 0's `value` distribution stochastically
+    * dominate arm 1's? Reports the doubled U statistics (doubling keeps
+    * tie midranks integral: a tie group occupying ranks lo..hi has
+    * 2·midrank = 2·cum_before + group_size + 1, always an integer) and
+    * the common-language effect size P(A>B) + ½P(A=B) in ppm.
+    *
+    * Scale shape: the rank computation never sorts rows — it folds the
+    * events to a (segment, cent-value) CENSUS first (alphabet bounded
+    * by the value domain — range·100 cells — independent of row count),
+    * then one partitioned cumulative window over the census computes
+    * every midrank. Sums run in DECIMAL(38,0) (DuckDB: HUGEINT) so
+    * n_a·n_b stays exact past 2^63 at corpus scale; exports narrow to
+    * BIGINT.
+    *
+    * Parity: centi units via round() BEFORE the Long cast (Spark
+    * truncates, DuckDB rounds — CLAUDE.md); all arithmetic integral;
+    * ppm by truncating DIV on non-negative operands.
+    */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type").as("segment"),
+      (col("user_id") % 2).cast("long").as("arm"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val census = ev.groupBy(col("segment"), col("v"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+    val wBefore = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("cum_before",
+        coalesce(sum(col("ca") + col("cb")).over(wBefore), lit(0L)))
+      // Σ over arm-0 members of 2·midrank, one census row at a time
+      .withColumn("r2a_part",
+        (col("ca") * (lit(2L) * col("cum_before") + col("ca") + col("cb") + lit(1L)))
+          .cast("decimal(38,0)"))
+    val agg = ranked.groupBy(col("segment"))
+      .agg(sum(col("ca")).cast("decimal(38,0)").as("na"),
+        sum(col("cb")).cast("decimal(38,0)").as("nb"),
+        sum(col("r2a_part")).as("r2a"))
+      .withColumn("u2a", col("r2a") - col("na") * (col("na") + lit(1L)))
+      .withColumn("u2b", lit(2L) * col("na") * col("nb") - col("u2a"))
+    agg.select(col("segment"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      col("u2a").cast("long").as("u2_a"), col("u2b").cast("long").as("u2_b"),
+      expr("CAST((1000000 * u2a) DIV (2 * na * nb) AS BIGINT)").as("cles_ppm"),
+      (col("u2a") > col("u2b")).as("a_dominates"))
+      .orderBy("segment")
+  }
+
+  val mannWhitneySql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS segment, user_id % 2 AS arm,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |census AS (
+      |  SELECT segment, v,
+      |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM ev GROUP BY segment, v),
+      |ranked AS (
+      |  SELECT segment, ca, cb,
+      |         coalesce(sum(ca + cb) OVER (PARTITION BY segment ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM census),
+      |agg AS (
+      |  SELECT segment, sum(ca) AS na, sum(cb) AS nb,
+      |         sum(ca * (2 * cum_before + ca + cb + 1)) AS r2a
+      |  FROM ranked GROUP BY segment),
+      |u AS (
+      |  SELECT segment, na, nb, r2a - na * (na + 1) AS u2a,
+      |         2 * na * nb - (r2a - na * (na + 1)) AS u2b
+      |  FROM agg)
+      |SELECT segment, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |       CAST(u2a AS BIGINT) AS u2_a, CAST(u2b AS BIGINT) AS u2_b,
+      |       CAST((1000000 * u2a) // (2 * na * nb) AS BIGINT) AS cles_ppm,
+      |       u2a > u2b AS a_dominates
+      |FROM u ORDER BY segment""".stripMargin
+
+  /** Exact 10%-trimmed and winsorized means of `value` per event type —
+    * the robust-metric pair every experiment readout wants beside the
+    * raw mean (one fat outlier should not move the dashboard).
+    *
+    * k = n DIV 10 rows are dropped from each tail (trimmed) or clamped
+    * to the surviving boundary order statistics v_lo = value at rank
+    * k+1 and v_hi = value at rank n−k (winsorized). Everything is
+    * computed from the same (event_type, cent-value) census as
+    * [[mannWhitney]] — per census row the kept mass is
+    * max(0, min(cum_incl, n−k) − max(cum_before, k)) — so no
+    * interpolated quantile and no per-row sort anywhere; the census
+    * alphabet is value-domain-bounded, not data-bounded.
+    *
+    * Output means are truncating-DIV milli-units (exact integers on
+    * both engines); sums carry DECIMAL(38,0)/HUGEINT internally.
+    */
+  def trimmedMean(events: DataFrame): DataFrame = {
+    val census = events
+      .select(col("event_type").as("segment"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("segment"), col("v")).agg(count(lit(1)).as("c"))
+    val wBefore = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("segment"))
+    val marked = census
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wBefore), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k", expr("CAST(n DIV 10 AS BIGINT)"))
+      .withColumn("kept",
+        greatest(lit(0L),
+          least(col("cum_before") + col("c"), col("n") - col("k")) -
+            greatest(col("cum_before"), col("k"))))
+    marked.groupBy(col("segment"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("kept")).as("n_kept"),
+        sum((col("v") * col("kept")).cast("decimal(38,0)")).as("sum_kept"),
+        sum((col("v") * col("c")).cast("decimal(38,0)")).as("sum_all"),
+        // boundary order statistics: first value whose inclusive rank
+        // clears each cut (min over the qualifying census rows)
+        min(when(col("cum_before") + col("c") > col("k"), col("v"))).as("v_lo"),
+        min(when(col("cum_before") + col("c") >= col("n") - col("k"), col("v"))).as("v_hi"))
+      .select(col("segment"), col("n"), col("k"), col("n_kept"),
+        col("v_lo").as("v_lo_centi"), col("v_hi").as("v_hi_centi"),
+        expr("CAST((10 * sum_all) DIV n AS BIGINT)").as("mean_milli"),
+        expr("CAST((10 * sum_kept) DIV n_kept AS BIGINT)").as("trimmed_mean_milli"),
+        expr("CAST((10 * (sum_kept + k * (v_lo + v_hi))) DIV n AS BIGINT)")
+          .as("winsorized_mean_milli"))
+      .orderBy("segment")
+  }
+
+  val trimmedMeanSql: String =
+    """WITH census AS (
+      |  SELECT event_type AS segment, CAST(round(value * 100) AS BIGINT) AS v,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |marked AS (
+      |  SELECT segment, v, c,
+      |         coalesce(sum(c) OVER (PARTITION BY segment ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |         sum(c) OVER (PARTITION BY segment) AS n
+      |  FROM census),
+      |kc AS (
+      |  SELECT *, n // 10 AS k,
+      |         greatest(0, least(cum_before + c, n - (n // 10))
+      |                     - greatest(cum_before, n // 10)) AS kept
+      |  FROM marked)
+      |SELECT segment, CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+      |       CAST(sum(kept) AS BIGINT) AS n_kept,
+      |       min(CASE WHEN cum_before + c > k THEN v END) AS v_lo_centi,
+      |       min(CASE WHEN cum_before + c >= n - k THEN v END) AS v_hi_centi,
+      |       CAST((10 * sum(v * c)) // max(n) AS BIGINT) AS mean_milli,
+      |       CAST((10 * sum(v * kept)) // sum(kept) AS BIGINT) AS trimmed_mean_milli,
+      |       CAST((10 * (sum(v * kept) + max(k) * (min(CASE WHEN cum_before + c > k THEN v END)
+      |                 + min(CASE WHEN cum_before + c >= n - k THEN v END)))) // max(n) AS BIGINT)
+      |         AS winsorized_mean_milli
+      |FROM kc GROUP BY segment ORDER BY segment""".stripMargin
 }
