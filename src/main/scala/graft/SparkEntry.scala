@@ -760,6 +760,27 @@ object SparkEntry {
       s.table(name).orderBy("event_id")
     }),
 
+    // streaming z-score anomaly gate: constant-size (n, Σx, Σx²) state
+    // per type, exact BigInt cross-multiplied threshold — streamed flags
+    // equal the batch strict-prefix window oracle bit-for-bit
+    "events_zscore_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
+      import graft.streaming.StreamingAnalytics
+      import s.implicits._
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = mintStreamView("zscore_stream")
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[StreamingAnalytics.ZInput]
+      val q = StreamingAnalytics.zscoreGate(in, z = 3L, minN = 500L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_zscorestream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_id")
+    }),
+
     // built-in session_window sessions: engine-managed gap-session state,
     // append emits a session once the watermark passes its end — oracle
     // is the batch gaps-and-islands cut at the final watermark
@@ -1023,6 +1044,10 @@ object SparkEntry {
       Multimodal.videoSceneCuts(t(s, dir, "documents"), 35)),
     // winnowing fingerprints (MOSS): per-window min-hash selection
     "text_winnowing" -> ((s, dir) => TextAnalysis.winnowing(t(s, dir, "documents"), 4)),
+    // exact-ppm Spearman between length and lexical-breadth gates
+    "text_rank_agreement" -> ((s, dir) => TextAnalysis.rankAgreement(t(s, dir, "documents"))),
+    // Wald-Wolfowitz runs census over the deterministic shuffle order
+    "text_shuffle_audit" -> ((s, dir) => TextAnalysis.shuffleAudit(t(s, dir, "documents"))),
     // Holt level+trend smoothing with one-step-ahead fitted values
     "events_holt_daily" -> ((s, dir) => TimeSeries.holtDaily(t(s, dir, "events"))),
     // Rolling-origin one-step backtest: Holt vs naive, exact milli-unit MAE/MASE
@@ -1530,6 +1555,10 @@ object SparkEntry {
     // triangle census + clustering coefficient over the support-filtered
     // co-purchase core (the support threshold bounds enumeration cost)
     "graph_triangles" -> ((s, dir) => Graph.triangleStats(t(s, dir, "lineitem"), 2)),
+    // rich-club φ(k) sweep from census folds (one pass, no per-k scan)
+    "graph_rich_club" -> ((s, dir) => Graph.richClub(t(s, dir, "lineitem"), 2, Seq(2, 4, 8, 16))),
+    // distributed sweep-line: peak simultaneous 5-minute activity intervals
+    "events_peak_concurrency" -> ((s, dir) => Analytics.peakConcurrency(t(s, dir, "events"), 300L)),
 
     // 4 synchronous peel rounds of the 2-core over the support-2 core
     // (fixed rounds, all-integral — oracle unrolls them as CTEs)
@@ -1999,6 +2028,9 @@ object SparkEntry {
     "events_funnel_stream" ->
       graft.streaming.StreamingAnalytics.funnelMatchSql(604800000000L),
 
+    "events_zscore_stream" ->
+      graft.streaming.StreamingAnalytics.zscoreGateSql(3L, 500L),
+
     // All arithmetic in MILLISECONDS: the streaming side sessionizes on
     // Timestamp.getTime, and the watermark/timeout comparison is strict
     "events_sessionize_stream" ->
@@ -2172,6 +2204,8 @@ object SparkEntry {
 
     "mm_video_scene_cuts" -> Multimodal.videoSceneCutsSql(35),
     "text_winnowing" -> TextAnalysis.winnowingSql(4),
+    "text_rank_agreement" -> TextAnalysis.rankAgreementSql,
+    "text_shuffle_audit" -> TextAnalysis.shuffleAuditSql,
     "events_holt_daily" -> TimeSeries.holtDailySql,
     "events_forecast_backtest" -> TimeSeries.holtBacktestSql,
     "events_metric_correlation" -> TimeSeries.typeCorrelationSql,
@@ -2351,6 +2385,8 @@ object SparkEntry {
     "graph_hits" -> Graph.hitsSql(4),
     "graph_communities" -> Graph.labelPropagationSql(4),
     "graph_triangles" -> Graph.triangleStatsSql(2),
+    "graph_rich_club" -> Graph.richClubSql(2, Seq(2, 4, 8, 16)),
+    "events_peak_concurrency" -> Analytics.peakConcurrencySql(300L),
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
     "graph_ktruss" -> Graph.kTrussSql(2, 3, 3),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),

@@ -2205,4 +2205,67 @@ object Analytics {
        |             - CAST(c.sp AS DOUBLE) / 1e4 - CAST(c.sv AS DOUBLE) / 1e4
        |             - CAST(np.r_new AS DOUBLE) + CAST(gp.r_gone AS DOUBLE), 2) + 0.0 AS residual
        |FROM common c, np, gp, tt""".stripMargin
+
+  /** Peak concurrency by distributed sweep-line: every event opens an
+    * end-exclusive activity interval [ts, ts + holdSeconds), and the
+    * answer is the maximum number of simultaneously open intervals plus
+    * the earliest instant attaining it — the "how many sessions at once"
+    * capacity question interval self-joins cannot answer at scale.
+    *
+    * Scale shape: NO global-order window over the data. The ±1 deltas
+    * fold to a (time, phase) census (phase 0 = closes, 1 = opens — ties
+    * process closes first, which IS end-exclusivity), each row lands in
+    * an hour bucket, the running sum is a bucket-partitioned window, and
+    * bucket base offsets come from a cumulative window over the
+    * |buckets|-bounded per-bucket totals — the classic parallel
+    * prefix-sum decomposition. Peak and argmin are exact integers.
+    */
+  def peakConcurrency(events: DataFrame, holdSeconds: Long): DataFrame = {
+    require(holdSeconds >= 1, s"holdSeconds must be >= 1: $holdSeconds")
+    val hold = holdSeconds * 1000000L
+    val us = events.select(expr("unix_micros(ts)").as("t0"))
+    val deltas = us.select(col("t0").as("t"), lit(1L).as("phase"), lit(1L).as("nd"))
+      .unionAll(us.select((col("t0") + lit(hold)).as("t"),
+        lit(0L).as("phase"), lit(-1L).as("nd")))
+    val census = deltas.groupBy(col("t"), col("phase"))
+      .agg(sum(col("nd")).as("nd"))
+      .withColumn("b", expr("CAST(t DIV 3600000000 AS BIGINT)"))
+    val wLocal = Window.partitionBy(col("b")).orderBy(col("t"), col("phase"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = census.withColumn("run_in", sum(col("nd")).over(wLocal))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = census.groupBy(col("b")).agg(sum(col("nd")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .drop("tot")
+    val run = Caches.tracked(local.join(broadcast(offsets), "b")
+      .select(col("t"), (col("off") + col("run_in")).as("run"))
+      .persist())
+    val peak = broadcast(run.agg(max(col("run")).as("peak")))
+    val n = events.agg(count(lit(1)).as("n_intervals"))
+    n.crossJoin(peak)
+      .join(run, col("run") === col("peak"))
+      .groupBy(col("n_intervals"), col("peak"))
+      .agg(min(col("t")).as("peak_at_us"))
+      .select(col("n_intervals"), col("peak"), col("peak_at_us"))
+  }
+
+  def peakConcurrencySql(holdSeconds: Long): String =
+    s"""WITH us AS (SELECT epoch_us(ts) AS t0 FROM events),
+       |deltas AS (
+       |  SELECT t0 AS t, 1 AS phase, 1 AS nd FROM us
+       |  UNION ALL
+       |  SELECT t0 + ${holdSeconds * 1000000L}, 0, -1 FROM us),
+       |census AS (
+       |  SELECT t, phase, CAST(sum(nd) AS BIGINT) AS nd
+       |  FROM deltas GROUP BY t, phase),
+       |run AS (
+       |  SELECT t, CAST(sum(nd) OVER (ORDER BY t, phase
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       |  FROM census),
+       |peak AS (SELECT max(run) AS peak FROM run),
+       |n AS (SELECT count(*) AS n_intervals FROM events)
+       |SELECT n.n_intervals, peak.peak, min(r.t) AS peak_at_us
+       |FROM n CROSS JOIN peak JOIN run r ON r.run = peak.peak
+       |GROUP BY n.n_intervals, peak.peak""".stripMargin
 }

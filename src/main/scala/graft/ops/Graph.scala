@@ -1088,4 +1088,73 @@ object Graph {
       |                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) + 0.0
       |         AS assortativity
       |FROM xy""".stripMargin
+
+  /** Rich-club coefficient sweep over the support-core co-purchase
+    * graph: for each degree cut k, φ(k) = 2·E_k / (N_k·(N_k−1)) where
+    * N_k nodes have degree ≥ k and E_k edges join two such nodes — do
+    * the hubs preferentially wire to each other?
+    *
+    * Scale shape: degrees come from one grouped count; each edge is
+    * tagged with min(deg_s, deg_d) via two broadcast joins of the
+    * |V|-bounded degree frame; both the degree and the edge-min-degree
+    * distributions then fold to CENSUS frames (|distinct degree| rows),
+    * so the k-sweep is a tiny census × cuts join — no per-k pass over
+    * the data, the [[graft.ops.Dedup]] band-sweep fold applied to a
+    * graph statistic. φ in exact ppm by truncating DIV.
+    */
+  def richClub(lineitem: DataFrame, minSupport: Int, cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), s"bad cuts: $cuts")
+    val eo = Caches.tracked(supportEdges(lineitem, minSupport).persist())
+    val deg = symmetrize(eo).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val degB = broadcast(deg)
+    val edgeMin = eo
+      .join(degB.select(col("node").as("s"), col("deg").as("deg_s")), "s")
+      .join(degB.select(col("node").as("d"), col("deg").as("deg_d")), "d")
+      .select(least(col("deg_s"), col("deg_d")).as("md"))
+      .groupBy(col("md")).agg(count(lit(1)).as("ec"))
+    val degCensus = deg.groupBy(col("deg")).agg(count(lit(1)).as("nc"))
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val kdf = cuts.toDF("k")
+    val nk = kdf.join(degCensus, col("deg") >= col("k"))
+      .groupBy(col("k")).agg(sum(col("nc")).as("n_k"))
+    val ek = kdf.join(edgeMin, col("md") >= col("k"))
+      .groupBy(col("k")).agg(sum(col("ec")).as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"),
+        expr("CAST((2000000 * coalesce(e_k, 0)) DIV greatest(n_k * (n_k - 1), 1) AS BIGINT)")
+          .as("phi_ppm"))
+      .orderBy("k")
+  }
+
+  def richClubSql(minSupport: Int, cuts: Seq[Int]): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |eo AS (
+       |  SELECT a.pk AS s, b.pk AS d
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
+       |deg AS (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT s AS node FROM eo UNION ALL SELECT d AS node FROM eo)
+       |  GROUP BY node),
+       |edge_min AS (
+       |  SELECT least(ds.deg, dd.deg) AS md, count(*) AS ec
+       |  FROM eo JOIN deg ds ON ds.node = eo.s JOIN deg dd ON dd.node = eo.d
+       |  GROUP BY 1),
+       |deg_census AS (SELECT deg, count(*) AS nc FROM deg GROUP BY deg),
+       |cuts AS (SELECT unnest([${cuts.mkString(", ")}]) AS k),
+       |nk AS (
+       |  SELECT k, CAST(sum(nc) AS BIGINT) AS n_k
+       |  FROM cuts JOIN deg_census ON deg >= k GROUP BY k),
+       |ek AS (
+       |  SELECT k, CAST(sum(ec) AS BIGINT) AS e_k
+       |  FROM cuts JOIN edge_min ON md >= k GROUP BY k)
+       |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k,
+       |       CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+       |       CAST((2000000 * coalesce(ek.e_k, 0))
+       |            // greatest(nk.n_k * (nk.n_k - 1), 1) AS BIGINT) AS phi_ppm
+       |FROM nk LEFT JOIN ek ON nk.k = ek.k
+       |ORDER BY k""".stripMargin
 }

@@ -1203,4 +1203,134 @@ object TextAnalysis {
        |             / CAST(n_kgrams - ${w - 1} AS DOUBLE), 6) AS density
        |FROM fp GROUP BY doc_id, n_kgrams
        |ORDER BY doc_id""".stripMargin
+
+  /** Spearman rank agreement between two curation signals — document
+    * length (n_chars) and lexical breadth (distinct-token count): do the
+    * two gates rank the corpus the same way, i.e. is the second signal
+    * redundant? ρ is reported in exact ppm.
+    *
+    * Ranks are over the TIE-BROKEN total order (signal, doc_id) — both
+    * engines break ties identically, the ranks are permutations of
+    * 1..n, and the classic ρ = 1 − 6Σd²/(n(n²−1)) is then exact integer
+    * arithmetic (no Pearson-on-midranks sqrt). Spearman's footrule Σ|d|
+    * rides along as the L1 agreement.
+    *
+    * Scale shape: NO global row sort. Each rank = (census cumulative
+    * below my signal value) + (row_number among my ties) — the census
+    * is signal-alphabet-bounded (chars ≤ doc length cap; breadth ≤
+    * vocabulary) and broadcast back, and the tie window is partitioned
+    * by signal value. Σd² carries DECIMAL(38,0)/HUGEINT (n³ passes 2^63
+    * past ~2M rows); exports narrow to BIGINT with ppm by DIV.
+    */
+  def rankAgreement(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankBy(base: DataFrame, sig: String): DataFrame = {
+      val census = base.groupBy(col(sig)).agg(count(lit(1)).as("c"))
+      val wBefore = Window.orderBy(col(sig))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = census.withColumn("cum_before",
+        coalesce(sum(col("c")).over(wBefore), lit(0L))).drop("c")
+      val wTie = Window.partitionBy(col(sig)).orderBy(col("doc_id"))
+      base.join(broadcast(cum), sig)
+        .withColumn(s"r_$sig", col("cum_before") + row_number().over(wTie))
+        .drop("cum_before")
+    }
+    val sigs = docs.select(col("doc_id"), col("n_chars").as("s1"),
+      size(Tokenize.distinctTokens(col("text"))).cast("long").as("s2"))
+    val ranked = rankBy(rankBy(sigs, "s1"), "s2")
+      .withColumn("d", (col("r_s1") - col("r_s2")).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sum_d2"),
+        sum(abs(col("d"))).as("footrule"))
+      .select(col("n"), col("sum_d2").cast("long").as("sum_d2"),
+        col("footrule").cast("long").as("footrule"),
+        expr("CAST(1000000 - (6000000 * sum_d2) DIV (n * (n * n - 1)) AS BIGINT)")
+          .as("rho_ppm"))
+  }
+
+  val rankAgreementSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, n_chars AS s1,
+       |         CAST(len(${Tokenize.distinctTokensSql("text")}) AS BIGINT) AS s2
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY s1, doc_id)
+       |           - row_number() OVER (ORDER BY s2, doc_id) AS d
+       |  FROM sigs)
+       |SELECT count(*) AS n,
+       |       CAST(sum(d * d) AS BIGINT) AS sum_d2,
+       |       CAST(sum(abs(d)) AS BIGINT) AS footrule,
+       |       CAST(1000000 - (6000000 * sum(d * d))
+       |            // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) AS rho_ppm
+       |FROM ranked""".stripMargin
+
+  /** Wald–Wolfowitz runs audit of the training shuffle order: lay the
+    * corpus out in the deterministic hash order every pack/sample
+    * operator here uses (tokenHash of the salted doc_id) and ask whether
+    * same-SOURCE documents clump — fewer runs of consecutive equal
+    * sources than a random interleave predicts means the "shuffle" still
+    * feeds the trainer source-correlated batches.
+    *
+    * Exact rational comparison (no variance/sqrt): with n rows of which
+    * n_i per source, E[runs]·n = n² − Σn_i² + n, so `clumped` compares
+    * runs·n against that product in BIGINT — the cross-multiplication
+    * device.
+    *
+    * Scale shape: NO global-order window over the data. The hash key is
+    * 60-bit non-negative, so `u DIV 2^54` splits the order into 64
+    * contiguous ranges; boundaries are counted inside each range
+    * (partitioned lag) and the 64 range-edge adjacencies come from a
+    * min_by/max_by per range (64-row frame). The oracle mirrors with
+    * one flat lag — same count, single-node formulation.
+    */
+  def shuffleAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = docs.select(col("doc_id"), col("source"),
+      PortableHash.tokenHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
+        .as("u"))
+      .withColumn("bucket", expr(s"CAST(u DIV ${1L << 54} AS BIGINT)"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("u"), col("doc_id"))
+    val inner = ordered
+      .withColumn("prev", lag(col("source"), 1).over(wIn))
+      .agg(sum(when(col("prev").isNotNull && col("prev") =!= col("source"), 1L)
+        .otherwise(0L)).as("inner_changes"))
+    val edges = ordered.groupBy(col("bucket"))
+      .agg(min_by(col("source"), struct(col("u"), col("doc_id"))).as("first_src"),
+        max_by(col("source"), struct(col("u"), col("doc_id"))).as("last_src"))
+    val wB = Window.orderBy(col("bucket"))
+    val edgeChanges = edges
+      .withColumn("prev_last", lag(col("last_src"), 1).over(wB))
+      .agg(sum(when(col("prev_last").isNotNull && col("prev_last") =!= col("first_src"), 1L)
+        .otherwise(0L)).as("edge_changes"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    sizes.crossJoin(broadcast(inner)).crossJoin(broadcast(edgeChanges))
+      .select(col("n"), col("n_sources"),
+        (col("inner_changes") + col("edge_changes") + lit(1L)).as("runs"),
+        ((col("inner_changes") + col("edge_changes") + lit(1L)) * col("n")).as("runs_x_n"),
+        (col("n") * col("n") - col("sum_sq") + col("n")).as("expected_x_n"))
+      .withColumn("clumped", col("runs_x_n") < col("expected_x_n"))
+  }
+
+  val shuffleAuditSql: String = {
+    val u = PortableHash.tokenHashSql("concat('shuffle:', CAST(doc_id AS VARCHAR))")
+    s"""WITH ordered AS (
+       |  SELECT source, $u AS uk, doc_id FROM documents),
+       |lagged AS (
+       |  SELECT source, lag(source) OVER (ORDER BY uk, doc_id) AS prev
+       |  FROM ordered),
+       |changes AS (
+       |  SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> source
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS ch
+       |  FROM lagged),
+       |sizes AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_sources,
+       |         CAST(sum(c * c) AS BIGINT) AS sum_sq
+       |  FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+       |SELECT n, n_sources, ch + 1 AS runs, (ch + 1) * n AS runs_x_n,
+       |       n * n - sum_sq + n AS expected_x_n,
+       |       (ch + 1) * n < n * n - sum_sq + n AS clumped
+       |FROM sizes CROSS JOIN changes""".stripMargin
+  }
 }

@@ -334,6 +334,76 @@ object StreamingAnalytics {
        |  AND us - click_sig_us <= $windowUs
        |ORDER BY event_id""".stripMargin
 
+  final case class ZInput(event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+  final case class ZState(n: Long, s: Long, q: Long)
+  final case class ZOut(event_id: Long, event_type: String, v_centi: Long,
+    n_prior: Long, mean_centi_prior: Long)
+
+  /** Streaming anomaly gate: flag an event whose cent-value sits more
+    * than `z` population standard deviations from the running mean of
+    * all STRICTLY EARLIER events of its type (order: event time, then
+    * event_id — the same total order every batch oracle here uses).
+    * The online-monitor shape: state per key is three integers
+    * (n, Σx, Σx²), constant-size forever, no event buffering.
+    *
+    * Exactness device: |x − s/n| > z·σ with σ² = (n·q − s²)/n² is
+    * cross-multiplied to (n·x − s)² > z²·(n·q − s²) — evaluated in
+    * BigInt (n·x reaches 5.6e9 here; its square passes 2^63), so the
+    * gate is EXACT and the streamed flags equal the batch
+    * prefix-window oracle bit-for-bit. No sqrt, no float, no
+    * interpolated threshold.
+    *
+    * Cross-batch correctness needs in-event-time delivery per type,
+    * which the ts-ordered chunk feed provides (the [[funnelMatch]]
+    * delivery contract); within a batch the group sorts explicitly.
+    */
+  def zscoreGate(events: Dataset[ZInput], z: Long, minN: Long): Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    require(z >= 1 && minN >= 2, s"bad gate params: z=$z minN=$minN")
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZState, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[ZInput], state: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = List.newBuilder[ZOut]
+          var st = state.getOption.getOrElse(ZState(0L, 0L, 0L))
+          for (e <- sorted) {
+            val x = math.round(e.value * 100)
+            if (st.n >= minN) {
+              val dev = BigInt(st.n) * x - BigInt(st.s)
+              val varTerm = BigInt(st.n) * st.q - BigInt(st.s) * st.s
+              if (dev * dev > BigInt(z * z) * varTerm)
+                out += ZOut(e.event_id, typ, x, st.n, st.s / st.n)
+            }
+            st = ZState(st.n + 1, st.s + x, st.q + x * x)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Batch oracle of [[zscoreGate]]: the prefix frame UNBOUNDED..1
+    * PRECEDING is exactly "all strictly earlier events of my type". */
+  def zscoreGateSql(z: Long, minN: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS us,
+       |         CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events),
+       |pre AS (
+       |  SELECT *, count(*) OVER w AS n, sum(x) OVER w AS s, sum(x * x) OVER w AS q
+       |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, event_type, x AS v_centi, CAST(n AS BIGINT) AS n_prior,
+       |       CAST(s // n AS BIGINT) AS mean_centi_prior
+       |FROM pre
+       |WHERE n >= $minN
+       |  AND CAST(n * x - s AS HUGEINT) * CAST(n * x - s AS HUGEINT)
+       |      > ${z * z} * (CAST(n AS HUGEINT) * CAST(q AS HUGEINT)
+       |                    - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+       |ORDER BY event_id""".stripMargin
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

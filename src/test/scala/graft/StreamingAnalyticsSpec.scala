@@ -413,4 +413,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(whole == split, s"whole=$whole split=$split")
     assert(whole.map(_._1) == Seq(2L, 4L, 7L))
   }
+
+  test("streaming z-score gate: exact cross-multiplied flags, state across batches") {
+    import graft.streaming.StreamingAnalytics.{ZInput, ZOut}
+    // type m: 100,100,100,100,100 | 200 (zero-variance prefix → flag) |
+    // 101 (within 2σ) | 500 (flag); type q: too few rows for minN=2
+    val rows = Seq(
+      ZInput(0L, ts(1), "m", 1.00), ZInput(1L, ts(2), "m", 1.00),
+      ZInput(2L, ts(3), "m", 1.00), ZInput(3L, ts(4), "m", 1.00),
+      ZInput(4L, ts(5), "m", 1.00),
+      ZInput(5L, ts(6), "m", 2.00),   // dev²=250000 > 4·0 (σ=0): flag, mean 100
+      ZInput(6L, ts(7), "m", 1.01),   // dev²=8836 ≤ 4·50000: no flag
+      ZInput(7L, ts(8), "m", 5.00),   // dev²=7284601 > 4·59806: flag, mean 114
+      ZInput(8L, ts(1), "q", 9.99))
+    def run(splits: Seq[Seq[ZInput]], name: String): Seq[(Long, Long, Long, Long)] = {
+      val ms = MemoryStream[ZInput](spark, numPartitions = 1)
+      val q = StreamingAnalytics.zscoreGate(ms.toDS(), z = 2L, minN = 2L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        splits.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[ZOut].collect()
+          .map(o => (o.event_id, o.v_centi, o.n_prior, o.mean_centi_prior))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    // split so both flagged events see state built in EARLIER batches
+    val split = run(rows.grouped(5).toSeq, "zscore_split")
+    assert(split == Seq((5L, 200L, 5L, 100L), (7L, 500L, 7L, 114L)),
+      s"flags with prior-state stats: $split")
+    val whole = run(Seq(rows), "zscore_whole")
+    assert(whole == split, s"batch-split invariance: whole=$whole split=$split")
+  }
 }
