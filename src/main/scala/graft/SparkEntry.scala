@@ -1064,6 +1064,8 @@ object SparkEntry {
     "cdc_sequence_gaps" -> ((s, dir) => ops.Metrics.sequenceGaps(changelog(s, dir))),
     // embedding-distribution drift: centroid L2/cosine between halves
     "emb_centroid_drift" -> ((s, dir) => Similarity.centroidDrift(t(s, dir, "embeddings"))),
+    // simplified-silhouette clustering audit, exact fixed-point distances
+    "emb_silhouette" -> ((s, dir) => Similarity.silhouette(t(s, dir, "embeddings"))),
     // SRE error-budget alerting: 1h/6h multi-window burn rates
     "events_slo_burn_rate" -> ((s, dir) =>
       TimeSeries.sloBurnRate(t(s, dir, "events"), 250L, 1200L, 1000L)),
@@ -1559,6 +1561,8 @@ object SparkEntry {
     "graph_rich_club" -> ((s, dir) => Graph.richClub(t(s, dir, "lineitem"), 2, Seq(2, 4, 8, 16))),
     // distributed sweep-line: peak simultaneous 5-minute activity intervals
     "events_peak_concurrency" -> ((s, dir) => Analytics.peakConcurrency(t(s, dir, "events"), 300L)),
+    // exact-ppm Gini + top-decile share of per-part revenue
+    "lineitem_revenue_gini" -> ((s, dir) => Analytics.revenueGini(t(s, dir, "lineitem"))),
 
     // 4 synchronous peel rounds of the 2-core over the support-2 core
     // (fixed rounds, all-integral — oracle unrolls them as CTEs)
@@ -1788,6 +1792,8 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => Multimodal.featurize(t(s, dir, "documents"))),
     // Variance-of-Laplacian blur scoring through the real ImageIO codec
     "mm_sharpness" -> ((s, dir) => Multimodal.sharpness(t(s, dir, "documents"))),
+    // Sobel edge census via the real PNG codec; edge fraction in ppm
+    "mm_edge_density" -> ((s, dir) => Multimodal.edgeDensity(t(s, dir, "documents"), 128)),
     // 8-bucket intensity histogram + modal bucket + division-free Simpson
     // uniformity through the real PNG codec
     "mm_color_histogram" -> ((s, dir) => Multimodal.colorHistogram(t(s, dir, "documents"))),
@@ -2213,6 +2219,7 @@ object SparkEntry {
     "events_cuped_adjustment" -> OrderStats.cupedAdjustmentSql,
     "cdc_sequence_gaps" -> ops.Metrics.sequenceGapsSql(clSql),
     "emb_centroid_drift" -> Similarity.centroidDriftSql,
+    "emb_silhouette" -> Similarity.silhouetteSql,
     "events_slo_burn_rate" -> TimeSeries.sloBurnRateSql(250L, 1200L, 1000L),
     "lineitem_price_volume_mix" -> Analytics.priceVolumeMixSql(1997, 1998),
     "ann_binary_topk" -> Similarity.binaryHammingTopKSql(8, 5),
@@ -2387,6 +2394,7 @@ object SparkEntry {
     "graph_triangles" -> Graph.triangleStatsSql(2),
     "graph_rich_club" -> Graph.richClubSql(2, Seq(2, 4, 8, 16)),
     "events_peak_concurrency" -> Analytics.peakConcurrencySql(300L),
+    "lineitem_revenue_gini" -> Analytics.revenueGiniSql,
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
     "graph_ktruss" -> Graph.kTrussSql(2, 3, 3),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),
@@ -2480,6 +2488,7 @@ object SparkEntry {
 
     "mm_features" -> Multimodal.featurizeSql,
     "mm_sharpness" -> Multimodal.sharpnessSql,
+    "mm_edge_density" -> Multimodal.edgeDensitySql(128),
     "mm_color_histogram" -> Multimodal.colorHistogramSql,
     "mm_letterbox" -> Multimodal.letterboxDetectSql,
     "mm_frame_sample" -> Multimodal.sampleFramesSql(32, 8),

@@ -2206,6 +2206,56 @@ object Analytics {
        |             - CAST(np.r_new AS DOUBLE) + CAST(gp.r_gone AS DOUBLE), 2) + 0.0 AS residual
        |FROM common c, np, gp, tt""".stripMargin
 
+  /** Exact Gini concentration of per-part revenue — the inequality
+    * readout of the catalog (how much of the business the head of the
+    * distribution carries), with the top-decile revenue share as the
+    * companion number. G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over the
+    * ASCENDING revenue order is reported in exact ppm:
+    * gini_ppm = 10⁶·(2Σi·xᵢ − (n+1)Σx) DIV (n·Σx), every term an
+    * integer (revenue in cents via one DECIMAL(18,2) aggregate), sums
+    * carried in DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale note: the ranking window runs over the PART-grained frame —
+    * dimension-bounded (|parts|), not fact-bounded — after the one
+    * grouped aggregate over lineitem; the skyline/pareto precedent.
+    */
+  def revenueGini(lineitem: DataFrame): DataFrame = {
+    val cents = lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("l_partkey"), expr("CAST(rev * 100 AS BIGINT)").as("cents"))
+    val byAsc = Window.orderBy(col("cents"), col("l_partkey"))
+    val r = cents
+      .withColumn("i", row_number().over(byAsc).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    r.agg(max(col("n")).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("i") * col("cents")).cast("decimal(38,0)")).as("sixi"),
+        sum(when(col("i") > col("n") - expr("n DIV 10"), col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as("stop"))
+      .select(col("n").as("n_parts"), col("sx").cast("long").as("total_cents"),
+        expr("CAST((1000000 * (2 * sixi - (n + 1) * sx)) DIV (n * sx) AS BIGINT)")
+          .as("gini_ppm"),
+        expr("CAST((1000000 * stop) DIV sx AS BIGINT)").as("top_decile_share_ppm"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, CAST(rev * 100 AS BIGINT) AS cents FROM rev),
+      |r AS (
+      |  SELECT cents, row_number() OVER (ORDER BY cents, l_partkey) AS i,
+      |         count(*) OVER () AS n
+      |  FROM c),
+      |a AS (
+      |  SELECT max(n) AS n, sum(cents) AS sx, sum(i * cents) AS sixi,
+      |         sum(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END) AS stop
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_parts, CAST(sx AS BIGINT) AS total_cents,
+      |       CAST((1000000 * (2 * sixi - (n + 1) * sx)) // (n * sx) AS BIGINT) AS gini_ppm,
+      |       CAST((1000000 * stop) // sx AS BIGINT) AS top_decile_share_ppm
+      |FROM a""".stripMargin
+
   /** Peak concurrency by distributed sweep-line: every event opens an
     * end-exclusive activity interval [ts, ts + holdSeconds), and the
     * answer is the maximum number of simultaneously open intervals plus

@@ -262,6 +262,93 @@ object Multimodal {
       |        / CAST(count(*) * count(*) AS DOUBLE), 6) AS sharpness
       |FROM lap GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  final case class SobelStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_interior: Long,
+      n_edges: Long,
+      grad_l1_sum: Long)
+
+  /** Sobel edge census — the text-vs-photo / synthetic-content signal a
+    * visual curation gate reads (screenshots and rendered text have a
+    * sharply higher edge fraction than natural photos). Per interior
+    * pixel the 3×3 Sobel responses gx, gy accumulate as the exact L1
+    * gradient mass Σ(|gx|+|gy|), and a pixel is an edge when
+    * |gx|+|gy| ≥ `threshold` (|gx| ≤ 4·255, so everything is small
+    * integer arithmetic). Decode goes through the REAL ImageIO codec;
+    * the oracle recomputes the census from the pixel formula (the PNG
+    * round-trip is bit-lossless), so any stride/boundary/kernel defect
+    * breaks the match.
+    */
+  def sobelStats(payloads: Dataset[MediaPayload], threshold: Int,
+                 newDecoder: () => Decoder = () => new ImageIoDecoder): Dataset[SobelStats] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val dec = newDecoder()
+      it.map { p =>
+        val d = dec.decode(p)
+        val (w, h) = (d.width, d.height)
+        def px(x: Int, y: Int): Long = d.px(y * w + x).toLong
+        var n = 0L; var ne = 0L; var gsum = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (px(x + 1, y - 1) + 2L * px(x + 1, y) + px(x + 1, y + 1)) -
+              (px(x - 1, y - 1) + 2L * px(x - 1, y) + px(x - 1, y + 1))
+            val gy = (px(x - 1, y + 1) + 2L * px(x, y + 1) + px(x + 1, y + 1)) -
+              (px(x - 1, y - 1) + 2L * px(x, y - 1) + px(x + 1, y - 1))
+            val g = math.abs(gx) + math.abs(gy)
+            n += 1; gsum += g
+            if (g >= threshold) ne += 1
+            x += 1
+          }
+          y += 1
+        }
+        SobelStats(p.doc_id, w, h, n, ne, gsum)
+      }
+    }
+  }
+
+  /** Full pipeline: synth image → PNG encode → REAL ImageIO decode →
+    * Sobel census; edge fraction in exact ppm by truncating DIV. */
+  def edgeDensity(docs: DataFrame, threshold: Int): DataFrame =
+    sobelStats(imagePayloads(docs), threshold).toDF()
+      .withColumn("edge_ppm",
+        expr("CAST((1000000 * n_edges) DIV n_interior AS BIGINT)"))
+      .orderBy("doc_id")
+
+  def edgeDensitySql(threshold: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 9 AS h
+       |  FROM documents),
+       |xs AS (SELECT doc_id, w, h, unnest(range(1, w - 1)) AS x FROM g),
+       |pix AS (SELECT doc_id, w, h, x, unnest(range(1, h - 1)) AS y FROM xs),
+       |sob AS (
+       |  SELECT doc_id, w, h,
+       |    abs((((x + 1) * 31 + (y - 1) * 17 + doc_id * 13) % 256
+       |         + 2 * (((x + 1) * 31 + y * 17 + doc_id * 13) % 256)
+       |         + ((x + 1) * 31 + (y + 1) * 17 + doc_id * 13) % 256)
+       |        - (((x - 1) * 31 + (y - 1) * 17 + doc_id * 13) % 256
+       |           + 2 * (((x - 1) * 31 + y * 17 + doc_id * 13) % 256)
+       |           + ((x - 1) * 31 + (y + 1) * 17 + doc_id * 13) % 256))
+       |    + abs((((x - 1) * 31 + (y + 1) * 17 + doc_id * 13) % 256
+       |           + 2 * ((x * 31 + (y + 1) * 17 + doc_id * 13) % 256)
+       |           + ((x + 1) * 31 + (y + 1) * 17 + doc_id * 13) % 256)
+       |          - (((x - 1) * 31 + (y - 1) * 17 + doc_id * 13) % 256
+       |             + 2 * ((x * 31 + (y - 1) * 17 + doc_id * 13) % 256)
+       |             + ((x + 1) * 31 + (y - 1) * 17 + doc_id * 13) % 256)) AS g
+       |  FROM pix)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  count(*) AS n_interior,
+       |  CAST(sum(CASE WHEN g >= $threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+       |  CAST(sum(g) AS BIGINT) AS grad_l1_sum,
+       |  CAST((1000000 * sum(CASE WHEN g >= $threshold THEN 1 ELSE 0 END))
+       |       // count(*) AS BIGINT) AS edge_ppm
+       |FROM sob GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   /** Per-image 8-bucket intensity histogram (bucket = px DIV 32) with
     * the two decisions a visual-curation gate reads off it: the modal
     * bucket (largest count, smallest bucket on ties — a flat/banner

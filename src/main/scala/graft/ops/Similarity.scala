@@ -1835,4 +1835,83 @@ object Similarity {
       |             / nullif(sqrt(CAST(sum(aa) AS DOUBLE)) * sqrt(CAST(sum(bb) AS DOUBLE)), 0.0), 6)
       |         AS centroid_cosine
       |FROM t""".stripMargin
+
+  /** Simplified-silhouette audit of the label clustering (Hruschka et
+    * al.'s centroid variant): per vector, compare the squared distance
+    * to its OWN label centroid against the nearest OTHER label centroid
+    * — per label, how many members are well-separated, and the summed
+    * silhouette mass.
+    *
+    * Exactness chain (no float distance anywhere):
+    *   1. coordinates quantize at 1e3 (the [[jl|emb_jl_distortion]]
+    *      headroom lesson: 1e6 would overflow once the ratio multiplies
+    *      another 1e6);
+    *   2. the centroid mean s/n never materializes — the integer
+    *      D(i,ℓ) = Σ_j (n_ℓ·xq_ij − s_ℓj)² carries distance·n_ℓ², and
+    *      v = (1000·D) DIV n_ℓ² is the shared fixed-point distance both
+    *      engines truncate identically (v ≈ 1000·squared-L2, bounded by
+    *      the value DOMAIN — n cancels — so every product below stays
+    *      under 2^63 at any corpus size);
+    *   3. s_ppm = (v_other − v_own)/max(·) uses the +K·den floor-shift
+    *      (numerator may be negative; Spark DIV truncates toward zero
+    *      where DuckDB // floors — the propensity-strata device).
+    *
+    * Scale shape: the per-label-dim stats frame is (labels × dims) rows
+    * — schema-bounded — broadcast into one streamed pass over the
+    * exploded corpus; no pairwise joins, no |corpus|² term (the classic
+    * silhouette's all-pairs a(i) is exactly what this variant deletes).
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val el = emb.select(col("vec_id"), col("label").cast("long").as("own"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("own"), col("pos").as("j"),
+        expr("CAST(round(col * 1000) AS BIGINT)").as("xq"))
+    val stats = el.groupBy(col("own").as("l2"), col("j"))
+      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n2"))
+    val d = el.join(broadcast(stats), Seq("j"))
+      .groupBy(col("vec_id"), col("own"), col("l2"), col("n2"))
+      .agg(sum((col("n2") * col("xq") - col("s")) *
+        (col("n2") * col("xq") - col("s"))).as("bigD"))
+      .select(col("vec_id"), col("own"), col("l2"),
+        expr("CAST((1000 * bigD) DIV (n2 * n2) AS BIGINT)").as("v"))
+    val pp = d.groupBy(col("vec_id"), col("own"))
+      .agg(min(when(col("l2") === col("own"), col("v"))).as("va"),
+        min(when(col("l2") =!= col("own"), col("v"))).as("vb"))
+      .withColumn("den", greatest(col("va"), col("vb"), lit(1L)))
+      .withColumn("s_ppm",
+        expr("CAST((1000000 * (vb - va) + 2000000 * den) DIV den AS BIGINT) - 2000000"))
+    pp.groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vb") > col("va"), 1L).otherwise(0L)).as("n_well"),
+        sum(col("s_ppm")).as("sum_s_ppm"))
+      .orderBy("label")
+  }
+
+  val silhouetteSql: String =
+    """WITH ed AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS own, CAST(j - 1 AS BIGINT) AS j,
+      |         CAST(round(v[j] * 1000) AS BIGINT) AS xq
+      |  FROM ed, unnest(range(1, len(v) + 1)) AS t(j)),
+      |stats AS (
+      |  SELECT own AS l2, j, CAST(sum(xq) AS BIGINT) AS s, count(*) AS n2
+      |  FROM el GROUP BY own, j),
+      |d AS (
+      |  SELECT vec_id, own, l2,
+      |         CAST((1000 * sum((n2 * xq - s) * (n2 * xq - s))) // (max(n2) * max(n2))
+      |              AS BIGINT) AS v
+      |  FROM el JOIN stats USING (j) GROUP BY vec_id, own, l2),
+      |pp AS (
+      |  SELECT vec_id, own,
+      |         min(CASE WHEN l2 = own THEN v END) AS va,
+      |         min(CASE WHEN l2 <> own THEN v END) AS vb
+      |  FROM d GROUP BY vec_id, own),
+      |sp AS (
+      |  SELECT own, va, vb, greatest(va, vb, 1) AS den FROM pp)
+      |SELECT own AS label, count(*) AS n,
+      |       CAST(sum(CASE WHEN vb > va THEN 1 ELSE 0 END) AS BIGINT) AS n_well,
+      |       CAST(sum(CAST((1000000 * (vb - va) + 2000000 * den) // den AS BIGINT)
+      |                - 2000000) AS BIGINT) AS sum_s_ppm
+      |FROM sp GROUP BY own ORDER BY label""".stripMargin
 }
