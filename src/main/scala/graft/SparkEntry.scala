@@ -760,6 +760,26 @@ object SparkEntry {
       s.table(name).orderBy("event_id")
     }),
 
+    // streaming fixed-window rate limiter: one (window, count) pair per
+    // user, emits every event past the per-hour budget with its rank
+    "events_rate_limit_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
+      import graft.streaming.StreamingAnalytics
+      import s.implicits._
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = mintStreamView("ratelimit_stream")
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[StreamingAnalytics.RateInput]
+      val q = StreamingAnalytics.rateLimit(in, windowUs = 3600000000L, k = 1L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_ratelimitstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_id")
+    }),
+
     // streaming z-score anomaly gate: constant-size (n, Σx, Σx²) state
     // per type, exact BigInt cross-multiplied threshold — streamed flags
     // equal the batch strict-prefix window oracle bit-for-bit
@@ -1563,6 +1583,11 @@ object SparkEntry {
     "events_peak_concurrency" -> ((s, dir) => Analytics.peakConcurrency(t(s, dir, "events"), 300L)),
     // exact-ppm Gini + top-decile share of per-part revenue
     "lineitem_revenue_gini" -> ((s, dir) => Analytics.revenueGini(t(s, dir, "lineitem"))),
+    // exact 4-cycle census via the two-diagonal identity
+    "graph_squares" -> ((s, dir) => Graph.squares(t(s, dir, "lineitem"), 2)),
+    // orders->lineitem fan-out histogram incl. the fanout-0 row
+    "quality_fanout_profile" -> ((s, dir) =>
+      Profiling.fanoutProfile(t(s, dir, "orders"), t(s, dir, "lineitem"))),
 
     // 4 synchronous peel rounds of the 2-core over the support-2 core
     // (fixed rounds, all-integral — oracle unrolls them as CTEs)
@@ -2037,6 +2062,9 @@ object SparkEntry {
     "events_zscore_stream" ->
       graft.streaming.StreamingAnalytics.zscoreGateSql(3L, 500L),
 
+    "events_rate_limit_stream" ->
+      graft.streaming.StreamingAnalytics.rateLimitSql(3600000000L, 1L),
+
     // All arithmetic in MILLISECONDS: the streaming side sessionizes on
     // Timestamp.getTime, and the watermark/timeout comparison is strict
     "events_sessionize_stream" ->
@@ -2395,6 +2423,8 @@ object SparkEntry {
     "graph_rich_club" -> Graph.richClubSql(2, Seq(2, 4, 8, 16)),
     "events_peak_concurrency" -> Analytics.peakConcurrencySql(300L),
     "lineitem_revenue_gini" -> Analytics.revenueGiniSql,
+    "graph_squares" -> Graph.squaresSql(2),
+    "quality_fanout_profile" -> Profiling.fanoutProfileSql,
     "graph_kcore" -> Graph.kCoreSql(2, 2, 4),
     "graph_ktruss" -> Graph.kTrussSql(2, 3, 3),
     "graph_bfs_reach" -> Graph.bfsReachSql(2, 3, 4),

@@ -1089,6 +1089,55 @@ object Graph {
       |         AS assortativity
       |FROM xy""".stripMargin
 
+  /** Exact 4-cycle (square) census over the support core — the motif
+    * one step up from triangles: C4s are the signature of bipartite-ish
+    * co-behavior (two parts sharing two distinct baskets) that triangle
+    * counts miss entirely.
+    *
+    * Identity: every square has exactly two diagonals, so
+    * #C4 = (Σ_{u<v} C(p₂(u,v), 2)) / 2 where p₂ counts length-2 paths
+    * between u and v (C(·,2) pairs DISTINCT middles, so degenerate
+    * "squares" vanish; u–v adjacency is irrelevant — a chorded square
+    * is still a square). The division by 2 is exact by construction —
+    * asserted by parity, not truncated away.
+    *
+    * Scale shape: one wedge enumeration e⋈e on the shared middle —
+    * the same Σ deg² budget the triangle/wedge census pays, bounded by
+    * the support-core filter — then a grouped count and one census
+    * fold. No 4-way join.
+    */
+  def squares(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    val e = Caches.tracked(
+      symmetrize(supportEdges(lineitem, minSupport)).persist())
+    val p2 = e.as("e1").join(e.as("e2"),
+        col("e1.dst") === col("e2.src") &&
+          col("e1.src") < col("e2.dst"))
+      .groupBy(col("e1.src").as("u"), col("e2.dst").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val agg = p2.agg(count(lit(1)).as("n_pairs"),
+      sum(col("c")).as("n_wedge_paths"),
+      sum(expr("CAST((c * (c - 1)) DIV 2 AS BIGINT)")).as("diag_pairs"))
+    val ne = e.agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_edges"))
+    ne.crossJoin(agg)
+      .select(col("n_edges"), col("n_pairs"), col("n_wedge_paths"),
+        expr("CAST(diag_pairs DIV 2 AS BIGINT)").as("n_squares"))
+  }
+
+  def squaresSql(minSupport: Int): String =
+    s"""${coreSqlPrefix(minSupport)},
+       |p2 AS (
+       |  SELECT e1.src AS u, e2.dst AS v, count(*) AS c
+       |  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS n_wedge_paths,
+       |         CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS diag_pairs
+       |  FROM p2),
+       |ne AS (SELECT CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e)
+       |SELECT ne.n_edges, agg.n_pairs, agg.n_wedge_paths,
+       |       CAST(agg.diag_pairs // 2 AS BIGINT) AS n_squares
+       |FROM ne CROSS JOIN agg""".stripMargin
+
   /** Rich-club coefficient sweep over the support-core co-purchase
     * graph: for each degree cut k, φ(k) = 2·E_k / (N_k·(N_k−1)) where
     * N_k nodes have degree ≥ k and E_k edges join two such nodes — do

@@ -446,4 +446,58 @@ object Profiling {
       |       CAST((1000000 * g.n_vecs) // t.n AS BIGINT) AS share_ppm,
       |       c.chi2_ppm
       |FROM g, t, c ORDER BY g.label""".stripMargin
+
+  /** Join-cardinality (fan-out) histogram of the orders→lineitem 1:N
+    * edge — the number every join/skew/memory plan at 100 TB is sized
+    * by: per distinct child count, how many parents, cumulatively. The
+    * explicit fanout-0 row (parents with NO children) is included —
+    * it's the row an inner join silently drops and an audit must see.
+    *
+    * Scale shape: one grouped count over the fact table, then a census
+    * fold (|distinct fanout values| rows — domain-bounded) with one
+    * cumulative window over the census; share in exact ppm.
+    */
+  def fanoutProfile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perParent = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("c"))
+    val census = perParent.groupBy(col("c").as("fanout"))
+      .agg(count(lit(1)).as("n_parents"))
+    val totals = orders.agg(count(lit(1)).as("n_orders"))
+      .crossJoin(perParent.agg(count(lit(1)).as("n_matched")))
+    val zero = totals.select(lit(0L).as("fanout"),
+      (col("n_orders") - col("n_matched")).as("n_parents"))
+    val wCum = Window.orderBy(col("fanout"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero.unionAll(census)
+      .crossJoin(broadcast(totals.select(col("n_orders"))))
+      .withColumn("cum_parents", sum(col("n_parents")).over(wCum))
+      .select(col("fanout"), col("n_parents"), col("cum_parents"),
+        expr("CAST((1000000 * cum_parents) DIV n_orders AS BIGINT)").as("cum_ppm"))
+      .orderBy("fanout")
+  }
+
+  val fanoutProfileSql: String =
+    """WITH per_parent AS (
+      |  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+      |census AS (
+      |  SELECT c AS fanout, count(*) AS n_parents FROM per_parent GROUP BY 1),
+      |totals AS (
+      |  SELECT (SELECT count(*) FROM orders) AS n_orders,
+      |         (SELECT count(*) FROM per_parent) AS n_matched),
+      |rows_all AS (
+      |  SELECT CAST(0 AS BIGINT) AS fanout,
+      |         CAST(n_orders - n_matched AS BIGINT) AS n_parents
+      |  FROM totals
+      |  UNION ALL
+      |  SELECT fanout, n_parents FROM census),
+      |cum AS (
+      |  SELECT fanout, n_parents,
+      |         CAST(sum(n_parents) OVER (ORDER BY fanout
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_parents
+      |  FROM rows_all)
+      |SELECT fanout, n_parents, cum_parents,
+      |       CAST((1000000 * cum_parents) // t.n_orders AS BIGINT) AS cum_ppm
+      |FROM cum, totals t ORDER BY fanout""".stripMargin
 }

@@ -404,6 +404,58 @@ object StreamingAnalytics {
        |                    - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
        |ORDER BY event_id""".stripMargin
 
+  final case class RateInput(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class RateState(window: Long, n: Long)
+  final case class ThrottleOut(event_id: Long, user_id: Long,
+    window_us: Long, n_in_window: Long)
+
+  /** Streaming fixed-window rate limiter: per user, allow the first
+    * `k` events of each tumbling window of `windowUs` event-time
+    * microseconds and EMIT every event past the budget (rank included —
+    * the abuse/bot-throttle gate at ingest, and the dual of
+    * [[streamingDedup]]: dedup suppresses repeats of a KEY, this
+    * suppresses excess within a WINDOW). State per user is one
+    * (window, count) pair — constant size, windows reset in place, no
+    * event buffering and no timeout bookkeeping.
+    *
+    * Deterministic under the in-event-time delivery contract
+    * ([[funnelMatch]]); within a batch the group sorts by (event time,
+    * event_id). Oracle: the per-(user, window) row_number > k rows of
+    * the batch table — exact, no floats anywhere.
+    */
+  def rateLimit(events: Dataset[RateInput], windowUs: Long, k: Long): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    require(windowUs >= 1 && k >= 1, s"bad limiter params: $windowUs, $k")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, ThrottleOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[RateInput], state: GroupState[RateState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          val out = List.newBuilder[ThrottleOut]
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0L))
+          for (e <- sorted) {
+            val w = usOf(e.ts) / windowUs
+            if (w != st.window) st = RateState(w, 0L)
+            st = st.copy(n = st.n + 1)
+            if (st.n > k) out += ThrottleOut(e.event_id, user, w * windowUs, st.n)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  def rateLimitSql(windowUs: Long, k: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |r AS (
+       |  SELECT event_id, user_id, (us // $windowUs) * $windowUs AS window_us,
+       |         row_number() OVER (PARTITION BY user_id, us // $windowUs
+       |                            ORDER BY us, event_id) AS rn
+       |  FROM e)
+       |SELECT event_id, user_id, window_us, CAST(rn AS BIGINT) AS n_in_window
+       |FROM r WHERE rn > $k ORDER BY event_id""".stripMargin
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

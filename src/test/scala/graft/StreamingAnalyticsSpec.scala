@@ -445,4 +445,33 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val whole = run(Seq(rows), "zscore_whole")
     assert(whole == split, s"batch-split invariance: whole=$whole split=$split")
   }
+
+  test("streaming rate limiter: per-window budget, window reset, state across batches") {
+    import graft.streaming.StreamingAnalytics.{RateInput, ThrottleOut}
+    val winUs = 10L * 60000000L // 10-minute windows; ts() is minutes
+    // user 1: 3 events in window 0 (ranks 2,3 throttled with k=2), 1 in
+    // window 1 (reset → allowed), 2 more in window 1 (rank 3 throttled);
+    // user 2: never exceeds
+    val rows = Seq(
+      RateInput(0L, ts(1), 1L), RateInput(1L, ts(2), 1L), RateInput(2L, ts(3), 1L),
+      RateInput(3L, ts(11), 1L), RateInput(4L, ts(12), 1L), RateInput(5L, ts(13), 1L),
+      RateInput(6L, ts(1), 2L), RateInput(7L, ts(12), 2L))
+    def run(splits: Seq[Seq[RateInput]], name: String): Seq[(Long, Long, Long, Long)] = {
+      val ms = MemoryStream[RateInput](spark, numPartitions = 1)
+      val q = StreamingAnalytics.rateLimit(ms.toDS(), winUs, k = 2L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        splits.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[ThrottleOut].collect()
+          .map(o => (o.event_id, o.user_id, o.window_us, o.n_in_window))
+          .sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    // split mid-window so the budget count carries across batches
+    val split = run(rows.grouped(2).toSeq, "ratelimit_split")
+    assert(split == Seq((2L, 1L, 0L, 3L), (5L, 1L, winUs, 3L)),
+      s"throttled = third event of each full window: $split")
+    assert(split == run(Seq(rows), "ratelimit_whole"), "batch-split invariance")
+  }
 }
