@@ -725,4 +725,68 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"no cartesian in the wedge join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** WindowExec nodes with an EMPTY partition spec — the single-task
+    * global sort every scale review hunts for. Census-device operators
+    * are allowed them only over alphabet-/bucket-bounded frames; these
+    * contracts pin the COUNT so a refactor that re-ranks raw rows
+    * globally (the easy wrong version) flips the suite red.
+    */
+  private def countGlobalWindows(df: org.apache.spark.sql.DataFrame): (Int, String) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // unlike the exchange contract, DO descend into cache-build subtrees
+    // (a persist must not hide a global sort) — but count each cached
+    // relation once, however many scans reference it
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case c: InMemoryTableScanExec =>
+        if (seen.add(c.relation.cachedPlan)) walk(c.relation.cachedPlan) else 0
+      case w: WindowExec =>
+        (if (w.partitionSpec.isEmpty) 1 else 0) + w.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    val plan = df.queryExecution.executedPlan
+    (walk(plan), plan.toString)
+  }
+
+  test("rank-sum + trimmed means: every window is segment-partitioned (census device, no global sort)") {
+    for (q <- Seq("events_mann_whitney", "events_trimmed_mean")) {
+      val (n, p) = countGlobalWindows(SparkEntry.queries(q)(spark, dir))
+      assert(n == 0, s"$q must rank via the partitioned census, got $n global windows:\n$p")
+      assert(!p.contains("Join"), s"$q is one lineage, no join:\n$p")
+    }
+  }
+
+  test("peak concurrency: ONE global window, over the bucket-offset frame only") {
+    val df = SparkEntry.queries("events_peak_concurrency")(spark, dir)
+    val (n, p) = countGlobalWindows(df)
+    assert(n == 1, s"only the |buckets|-bounded offset cumsum may be global, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), s"peak/argmin lookups stay broadcast:\n$p")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
+  test("shuffle audit: ONE global window (the 64-row range-edge lag); data lag is bucket-partitioned") {
+    val (n, p) = countGlobalWindows(SparkEntry.queries("text_shuffle_audit")(spark, dir))
+    assert(n == 1, s"only the range-edge stitch may order globally, got $n:\n$p")
+  }
+
+  test("rank agreement: global cumsums only over the signal censuses; censuses broadcast back") {
+    val (n, p) = countGlobalWindows(SparkEntry.queries("text_rank_agreement")(spark, dir))
+    assert(n == 2, s"exactly the two alphabet-bounded census cumsums, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"census frames must broadcast back to the docs, not shuffle-join:\n$p")
+  }
+
+  test("silhouette: label-dim stats broadcast; no global window, no cartesian") {
+    val (n, p) = countGlobalWindows(SparkEntry.queries("emb_silhouette")(spark, dir))
+    assert(n == 0, s"silhouette has no ranking at all, got $n global windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus must stream once against the schema-bounded stats:\n$p")
+  }
 }
