@@ -1180,6 +1180,13 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) => OrderStats.abTestConversion(t(s, dir, "events"))),
     // rank-sum test per event type (exact doubled-U midrank arithmetic)
     "events_mann_whitney" -> ((s, dir) => OrderStats.mannWhitney(t(s, dir, "events"))),
+    // Kruskal-Wallis sufficient statistics: pooled midranks, tie mass
+    "events_rank_anova" -> ((s, dir) => OrderStats.rankAnova(t(s, dir, "events"))),
+    // per-column exact uniqueness + candidate-key verdicts, one pass
+    "quality_key_candidates" -> ((s, dir) => Profiling.keyCandidates(t(s, dir, "orders"))),
+    // bloom FPR calibration sweep: one exploded build, exact fp_ppm per size
+    "sketch_bloom_fpr" -> ((s, dir) =>
+      RuntimeFilters.bloomFprSweep(t(s, dir, "orders"), Seq(65536L, 262144L, 1048576L))),
     // exact 10%-trimmed + winsorized means from the cent-value census
     "events_trimmed_mean" -> ((s, dir) => OrderStats.trimmedMean(t(s, dir, "events"))),
     // full grouping-sets lattice over (segment, priority)
@@ -2288,6 +2295,9 @@ object SparkEntry {
     "events_power_analysis" -> OrderStats.powerAnalysisSql(Seq(5, 10, 20, 50)),
     "events_ab_test" -> OrderStats.abTestConversionSql,
     "events_mann_whitney" -> OrderStats.mannWhitneySql,
+    "events_rank_anova" -> OrderStats.rankAnovaSql,
+    "quality_key_candidates" -> Profiling.keyCandidatesSql,
+    "sketch_bloom_fpr" -> RuntimeFilters.bloomFprSweepSql(Seq(65536L, 262144L, 1048576L)),
     "events_trimmed_mean" -> OrderStats.trimmedMeanSql,
     "q_cube_revenue" -> Analytics.cubeRevenueSql,
 

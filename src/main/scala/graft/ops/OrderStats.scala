@@ -943,6 +943,70 @@ object OrderStats {
       |       u2a > u2b AS a_dominates
       |FROM u ORDER BY segment""".stripMargin
 
+  /** Kruskal–Wallis sufficient statistics — the k-group generalization
+    * of [[mannWhitney]]: pooled midranks of `value` across ALL event
+    * types, per-group doubled rank sums, and the global tie mass
+    * Σ(t³−t). Everything the H statistic (and its tie correction)
+    * needs, delivered as EXACT integers — the engine ships sufficient
+    * statistics, not a libm chi-square p-value (the er_em_weights
+    * convention: no transcendental may decide a gate row).
+    *
+    * Same census device as the 2-group test: one (cent-value) census
+    * bounded by the value domain, one cumulative window over it, and
+    * per-group conditional sums — the k groups cost ONE pass however
+    * many there are.
+    */
+  def rankAnova(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type").as("segment"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    val census = ev.groupBy(col("v"), col("segment"))
+      .agg(count(lit(1)).as("c"))
+    val pooled = census.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val wBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = pooled
+      .withColumn("cum_before", coalesce(sum(col("t")).over(wBefore), lit(0L)))
+    val globals = broadcast(ranked.agg(
+      sum(col("t")).as("n_total"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .cast("long").as("tie_mass")))
+    census.join(broadcast(ranked), Seq("v"))
+      .groupBy(col("segment"))
+      .agg(sum(col("c")).as("n_i"),
+        sum((col("c") * (lit(2L) * col("cum_before") + col("t") + lit(1L)))
+          .cast("decimal(38,0)")).as("r2"))
+      .crossJoin(globals)
+      .select(col("segment"), col("n_i"), col("r2").cast("long").as("r2_i"),
+        expr("CAST((500 * r2) DIV n_i AS BIGINT)").as("mean_rank_milli"),
+        col("n_total"), col("tie_mass"))
+      .orderBy("segment")
+  }
+
+  val rankAnovaSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS segment, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |census AS (
+      |  SELECT v, segment, count(*) AS c FROM ev GROUP BY v, segment),
+      |pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM census GROUP BY v),
+      |ranked AS (
+      |  SELECT v, t,
+      |         coalesce(sum(t) OVER (ORDER BY v
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM pooled),
+      |globals AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n_total,
+      |         CAST(sum(t * t * t - t) AS BIGINT) AS tie_mass
+      |  FROM ranked)
+      |SELECT segment, CAST(sum(c) AS BIGINT) AS n_i,
+      |       CAST(sum(c * (2 * cum_before + t + 1)) AS BIGINT) AS r2_i,
+      |       CAST((500 * sum(c * (2 * cum_before + t + 1))) // sum(c) AS BIGINT)
+      |         AS mean_rank_milli,
+      |       g.n_total, g.tie_mass
+      |FROM census JOIN ranked USING (v) CROSS JOIN globals g
+      |GROUP BY segment, g.n_total, g.tie_mass
+      |ORDER BY segment""".stripMargin
+
   /** Exact 10%-trimmed and winsorized means of `value` per event type —
     * the robust-metric pair every experiment readout wants beside the
     * raw mean (one fat outlier should not move the dashboard).

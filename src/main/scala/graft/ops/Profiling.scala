@@ -447,6 +447,50 @@ object Profiling {
       |       c.chi2_ppm
       |FROM g, t, c ORDER BY g.label""".stripMargin
 
+  /** Candidate-key / uniqueness profile of the orders table: per column,
+    * exact distinct count, uniqueness in ppm, and the is_key verdict —
+    * the schema-discovery pass a CDC pipeline runs before choosing
+    * replication keys (the reference trusts the declared PK; an auditor
+    * verifies it).
+    *
+    * Scale shape: ONE aggregation pass computes every column's exact
+    * count(DISTINCT) together (Spark plans the multi-distinct as a
+    * single Expand of factor |columns| — schema-bounded — with
+    * partial aggregation); the per-column rows are then unpivoted from
+    * the one-row result. No per-column scan.
+    */
+  def keyCandidates(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val agg = orders.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => countDistinct(col(c)).as(s"d_$c")): _*)
+    val stacked = cols.map(c => s"'$c', d_$c").mkString(", ")
+    agg.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stacked) AS (column_name, n_distinct)"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        expr("CAST((1000000 * n_distinct) DIV n_rows AS BIGINT)").as("uniqueness_ppm"),
+        (col("n_distinct") === col("n_rows")).as("is_key"))
+      .orderBy("column_name")
+  }
+
+  val keyCandidatesSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val branches = cols.map { c =>
+      s"SELECT '$c' AS column_name, n_rows, d_$c AS n_distinct FROM agg"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH agg AS (
+       |  SELECT count(*) AS n_rows,
+       |         ${cols.map(c => s"count(DISTINCT $c) AS d_$c").mkString(",\n      |         ")}
+       |  FROM orders),
+       |u AS (
+       |  $branches)
+       |SELECT column_name, n_rows, CAST(n_distinct AS BIGINT) AS n_distinct,
+       |       CAST((1000000 * n_distinct) // n_rows AS BIGINT) AS uniqueness_ppm,
+       |       n_distinct = n_rows AS is_key
+       |FROM u ORDER BY column_name""".stripMargin
+  }
+
   /** Join-cardinality (fan-out) histogram of the orders→lineitem 1:N
     * edge — the number every join/skew/memory plan at 100 TB is sized
     * by: per distinct child count, how many parents, cumulatively. The
