@@ -1136,6 +1136,9 @@ object SparkEntry {
       Similarity.powerIterationTop(t(s, dir, "embeddings"), 64, 4)),
     // binary-segmentation changepoint on the hourly mean series
     "events_changepoint" -> ((s, dir) => TimeSeries.changepointHourly(t(s, dir, "events"))),
+    // sequential CUSUM drift monitor via the prefix-sum/running-min
+    // closed form — one ordered window, no iteration
+    "events_cusum" -> ((s, dir) => TimeSeries.cusumDrift(t(s, dir, "events"), 2500L, 20000L)),
     // brand-level association rules: support / confidence / lift
     "lineitem_association_rules" -> ((s, dir) =>
       Analytics.associationRules(t(s, dir, "lineitem"), t(s, dir, "part"), 3L, 50)),
@@ -1284,6 +1287,11 @@ object SparkEntry {
     // sample-ratio-mismatch audit per entry segment: the pre-metric
     // health check of the experimentation family
     "events_srm_check" -> ((s, dir) => OrderStats.srmCheck(t(s, dir, "events"))),
+    // Benjamini–Hochberg FDR across the per-segment conversion tests
+    // (embedded χ² critical table, division-free compares)
+    "events_fdr_gate" -> ((s, dir) => OrderStats.fdrGate(t(s, dir, "events"))),
+    // exact Gini split-gain screen over per-user features vs conversion
+    "events_split_gain" -> ((s, dir) => OrderStats.splitGain(t(s, dir, "events"))),
     // stratified matching estimator: per pre-activity stratum arm
     // comparison + matched-weight ATT (the observational companion to
     // CUPED/DiD)
@@ -1432,6 +1440,11 @@ object SparkEntry {
     // JL ±1 projection audit: distance-preservation in exact fixed-point
     "emb_jl_distortion" -> ((s, dir) =>
       ops.Similarity.jlDistortion(t(s, dir, "embeddings"), 16, 32)),
+    // exact-integer Adjusted Rand Index of the semantic clusters vs the
+    // generative labels (external-validity audit; kNN-artifact rider)
+    "emb_cluster_ari" -> ((s, dir) =>
+      ops.Similarity.clusterAriAudit(
+        s.read.parquet(knnArtifact(s, dir)), t(s, dir, "embeddings"), 0.45)),
     // SemDeDup: CC over above-threshold kNN edges (artifact rider +
     // the shared star-contraction build)
     "dedup_semantic_clusters" -> ((s, dir) =>
@@ -1651,6 +1664,11 @@ object SparkEntry {
     "text_source_tvd" -> ((s, dir) => TextAnalysis.sourceTvd(t(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
     "text_tfidf_top_terms" -> ((s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"))),
+    // per-token Fano-factor burstiness (content-vs-function words)
+    "text_burstiness" -> ((s, dir) => TextAnalysis.burstiness(t(s, dir, "documents"))),
+    // per-source vocabulary growth at doc-count checkpoints (Heaps audit)
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), Seq(5, 10, 25, 50, 100, 250))),
     // Okapi BM25 ranked retrieval, broadcast query workload, per-query top-k
     "text_bm25_topk" -> ((s, dir) => TextAnalysis.bm25TopK(t(s, dir, "documents"), 5)),
 
@@ -2278,6 +2296,7 @@ object SparkEntry {
     "dedup_hybrid_verify" -> Dedup.hybridVerifySql(0.95),
     "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),
     "events_changepoint" -> TimeSeries.changepointHourlySql,
+    "events_cusum" -> TimeSeries.cusumDriftSql(2500L, 20000L),
     "lineitem_association_rules" -> Analytics.associationRulesSql(3L, 50),
     "events_mad_outliers" -> TimeSeries.madOutliersSql,
     "events_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
@@ -2339,6 +2358,8 @@ object SparkEntry {
     "events_rolling_avg" -> Analytics.rollingRevenueSql,
     "events_trailing_window" -> Analytics.trailingWindowSql(3600L * 1000000L),
     "events_srm_check" -> OrderStats.srmCheckSql,
+    "events_fdr_gate" -> OrderStats.fdrGateSql,
+    "events_split_gain" -> OrderStats.splitGainSql,
     "events_propensity_strata" -> OrderStats.propensityStrataSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,
     "events_new_users" -> Analytics.newUsersSql,
@@ -2418,6 +2439,7 @@ object SparkEntry {
     "emb_knn_agreement" -> Similarity.knnLabelAgreementSql(10),
     "emb_knn_outliers" -> Similarity.knnOutliersSql(10, 25),
     "emb_jl_distortion" -> Similarity.jlDistortionSql(16, 32),
+    "emb_cluster_ari" -> Similarity.clusterAriAuditSql(10, 0.45),
     "dedup_semantic_clusters" -> Similarity.semanticClustersSql(10, 0.45),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,
@@ -2456,6 +2478,8 @@ object SparkEntry {
     "text_source_tvd" -> TextAnalysis.sourceTvdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
+    "text_burstiness" -> TextAnalysis.burstinessSql,
+    "text_vocab_growth" -> TextAnalysis.vocabGrowthSql(Seq(5, 10, 25, 50, 100, 250)),
     "text_bm25_topk" -> TextAnalysis.bm25TopKSql(5),
     "rag_hybrid_rrf" -> Retrieval.hybridRrfSql(20, 10),
     "rag_context_packing" -> Retrieval.contextPackingSql(10, 256L),

@@ -1083,4 +1083,300 @@ object OrderStats {
       |                 + min(CASE WHEN cum_before + c >= n - k THEN v END)))) // max(n) AS BIGINT)
       |         AS winsorized_mean_milli
       |FROM kc GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** Acklam's rational approximation of the inverse standard-normal CDF
+    * (relative error < 1.2e-9) — DRIVER-SIDE ONLY, used to precompute
+    * the χ² critical-value table below; both engines receive the same
+    * rounded literals, so parity never depends on this approximation.
+    */
+  private def probit(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val plow = 0.02425
+    require(p > 0.0 && p < 1.0, s"probit domain: $p")
+    if (p < plow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - plow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** Largest segment count the embedded BH critical table covers; the
+    * fixture alphabet is 5, the headroom absorbs alphabet drift (an m
+    * beyond the table yields NULL crit rows — loud, not silently wrong). */
+  val FdrMMax = 12
+
+  /** χ²₁ critical values for the Benjamini–Hochberg schedule at
+    * α = 0.05, in ppm: crit(m, k) = probit(1 − α·k/(2m))² for rank k of
+    * m hypotheses, flattened (m−1)·FdrMMax + k, 1-indexed. Precomputed
+    * in Scala (the embed-the-constant device — no engine libm) and
+    * shared verbatim by the plan and the oracle. crit(1, 1) reproduces
+    * the independently embedded 3841459 of [[srmCheck]].
+    */
+  val fdrCritPpm: IndexedSeq[Long] =
+    (1 to FdrMMax).flatMap { m =>
+      (1 to FdrMMax).map { k =>
+        if (k > m) 0L
+        else {
+          val z = probit(1.0 - 0.05 * k / (2.0 * m))
+          math.round(z * z * 1e6)
+        }
+      }
+    }
+
+  /** Benjamini–Hochberg FDR gate over the per-entry-segment conversion
+    * tests — the multiple-testing correction an experiment platform
+    * applies when one experiment reads MANY segment metrics: testing 5
+    * segments at α=0.05 each inflates the false-positive rate to ~23%;
+    * BH caps the expected FALSE DISCOVERY fraction at α instead.
+    *
+    * Per segment (the user's first event_type): two-proportion χ² of
+    * user-level purchase conversion between the parity arms, kept
+    * division-free as the exact identity
+    * χ² = (ca·nb − cb·na)²·N / (na·nb·C·(N−C)) with every product in
+    * DECIMAL(38,0) (HUGEINT in the oracle — they exceed BIGINT at real
+    * user counts). Segments rank by the truncated-ppm statistic
+    * (identical truncation both engines ⇒ identical order), each rank k
+    * compares cross-multiplied against the embedded crit(m, k), and BH
+    * rejects ranks 1..k_max where k_max is the deepest passing rank.
+    *
+    * Scale shape: one user-level aggregate (window + groupBy — the
+    * [[srmCheck]] shape), then everything runs on the alphabet-bounded
+    * segment frame (whole-frame windows over ≤ |alphabet| rows).
+    */
+  def fdrGate(events: DataFrame): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val users = events
+      .withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("segment"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val seg = users.groupBy(col("segment")).agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val st = seg
+      .withColumn("dlt", expr("conv_a * n_b - conv_b * n_a"))
+      .withColumn("num", expr("CAST(dlt AS DECIMAL(38,0)) * dlt * (n_a + n_b)"))
+      .withColumn("den", expr(
+        "CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)"))
+      .withColumn("chi2_ppm", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE CAST((1000000 * num) DIV den AS BIGINT) END"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy()
+      .orderBy(col("chi2_ppm").desc_nulls_last, col("segment"))
+    val critArr = array(fdrCritPpm.map(lit): _*)
+    st
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("crit_ppm",
+        when(col("m") <= FdrMMax,
+          element_at(critArr, ((col("m") - 1) * FdrMMax + col("rank")).cast("int"))))
+      .withColumn("pass", col("den") > 0 &&
+        expr("CAST(1000000 AS DECIMAL(38,0)) * num >= CAST(crit_ppm AS DECIMAL(38,0)) * den"))
+      .withColumn("k_max",
+        coalesce(max(when(col("pass"), col("rank"))).over(wAll), lit(0L)))
+      .select(col("segment"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("chi2_ppm"), col("m"), col("rank"), col("crit_ppm"),
+        (col("rank") <= col("k_max")).as("reject_bh"))
+      .orderBy("segment")
+  }
+
+  /** Oracle mirror of [[fdrGate]]: same window/groupBy user frame, the
+    * χ² identity in HUGEINT, the SAME flattened crit literals indexed
+    * (m−1)·FdrMMax + rank, the same deepest-passing-rank fold. */
+  def fdrGateSql: String = {
+    val critList = fdrCritPpm.mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN rn = 1 THEN event_type END) AS segment,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |         user_id % 2 AS arm
+       |  FROM raw GROUP BY user_id),
+       |seg AS (
+       |  SELECT segment,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM pu GROUP BY segment),
+       |st AS (
+       |  SELECT *,
+       |         CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+       |           * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) AS num,
+       |         CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+       |           * (n_a + n_b - conv_a - conv_b) AS den
+       |  FROM seg),
+       |st2 AS (
+       |  SELECT *, CASE WHEN den = 0 THEN NULL
+       |                 ELSE CAST((1000000 * num) // den AS BIGINT) END AS chi2_ppm
+       |  FROM st),
+       |rk AS (
+       |  SELECT *, CAST(count(*) OVER () AS BIGINT) AS m,
+       |         CAST(row_number() OVER (ORDER BY chi2_ppm DESC NULLS LAST, segment)
+       |              AS BIGINT) AS rank
+       |  FROM st2),
+       |cr AS (
+       |  SELECT *, CASE WHEN m <= $FdrMMax
+       |                 THEN CAST([$critList][CAST((m - 1) * $FdrMMax + rank AS INTEGER)]
+       |                           AS BIGINT) END AS crit_ppm
+       |  FROM rk),
+       |ps AS (
+       |  SELECT *, den > 0 AND 1000000 * num >= CAST(crit_ppm AS HUGEINT) * den AS pass
+       |  FROM cr),
+       |km AS (
+       |  SELECT *, coalesce(max(CASE WHEN pass THEN rank END) OVER (), 0) AS k_max
+       |  FROM ps)
+       |SELECT segment, n_a, conv_a, n_b, conv_b, chi2_ppm, m, rank, crit_ppm,
+       |       rank <= k_max AS reject_bh
+       |FROM km ORDER BY segment""".stripMargin
+  }
+
+  /** Exact Gini split-gain screen over per-user features — the feature
+    * audit a label-balance / curation pipeline runs before training a
+    * quality classifier: which cheap per-user signal (entry event type,
+    * type breadth, activity band, first-seen hour quadrant) most purifies
+    * the conversion label.
+    *
+    * The metric is DEFINED in truncating integer arithmetic so both
+    * engines agree bit-for-bit: parent impurity ppm =
+    * ⌊10⁶·(n² − pos² − neg²) / n²⌋ and each child bucket contributes
+    * ⌊10⁶·(n_v² − pos_v² − neg_v²) / (n·n_v)⌋ (the weighted-impurity
+    * term with its division truncated PER TERM — documented metric, not
+    * an approximation of something else); gain = parent − Σ terms, which
+    * truncation can push a hair negative for a useless feature. Products
+    * ride DECIMAL(38,0)/HUGEINT so the shape survives real user counts.
+    *
+    * Scale shape: ONE user-level aggregate, a 4-way explode of the
+    * per-user feature tuple (rows ×4, no joins), one contingency
+    * groupBy bounded by Σ|feature alphabets|, and a broadcast of the
+    * one-row parent stats.
+    *
+    * Fixture note: the activity cuts (40/60/80 events) bracket the
+    * generation's ~67 events/user mean; drift degrades gain toward 0
+    * (a no-signal reading), never breaks parity.
+    */
+  def splitGain(events: DataFrame): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val users = events
+      .withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("entry"),
+        max(when(col("rn") === 1,
+          expr("((unix_micros(ts) div 3600000000) % 24) div 6"))).as("hrq"),
+        countDistinct(col("event_type")).as("breadth"),
+        count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+    val feats = users.select(col("pos"), explode(array(
+      struct(lit("entry_type").as("feature"),
+        concat(lit("et_"), col("entry")).as("bucket")),
+      struct(lit("type_breadth").as("feature"),
+        concat(lit("bd_"), col("breadth")).as("bucket")),
+      struct(lit("activity").as("feature"),
+        when(col("n_ev") <= 40, "act_le40").when(col("n_ev") <= 60, "act_le60")
+          .when(col("n_ev") <= 80, "act_le80").otherwise("act_hi").as("bucket")),
+      struct(lit("first_hour").as("feature"),
+        concat(lit("hr_"), col("hrq")).as("bucket")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"), col("pos"))
+    val parent = users.agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+      .select(col("n"), col("pos"),
+        expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n
+               |                 - CAST(pos AS DECIMAL(38,0)) * pos
+               |                 - CAST(n - pos AS DECIMAL(38,0)) * (n - pos)))
+               |     DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+          .as("parent_gini_ppm"))
+    val cont = feats.groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("pos_v"))
+    cont.crossJoin(broadcast(parent))
+      .withColumn("term_ppm", expr(
+        """CAST((1000000 * (CAST(n_v AS DECIMAL(38,0)) * n_v
+          |                 - CAST(pos_v AS DECIMAL(38,0)) * pos_v
+          |                 - CAST(n_v - pos_v AS DECIMAL(38,0)) * (n_v - pos_v)))
+          |     DIV (CAST(n AS DECIMAL(38,0)) * n_v) AS BIGINT)""".stripMargin))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("parent_gini_ppm")).as("parent_gini_ppm"),
+        sum(col("term_ppm")).as("child_gini_ppm"))
+      .select(col("feature"), col("n_buckets"), col("parent_gini_ppm"),
+        col("child_gini_ppm"),
+        (col("parent_gini_ppm") - col("child_gini_ppm")).as("gain_ppm"))
+      .orderBy(col("gain_ppm").desc, col("feature"))
+  }
+
+  /** Oracle mirror of [[splitGain]]: the per-user frame, the 4-way
+    * UNION ALL feature unpivot, and the same truncating-per-term
+    * impurity arithmetic in HUGEINT. */
+  val splitGainSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_type, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN rn = 1 THEN event_type END) AS entry,
+      |         max(CASE WHEN rn = 1 THEN ((epoch_us(ts) // 3600000000) % 24) // 6 END) AS hrq,
+      |         CAST(count(DISTINCT event_type) AS BIGINT) AS breadth,
+      |         count(*) AS n_ev,
+      |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM raw GROUP BY user_id),
+      |fb AS (
+      |  SELECT 'entry_type' AS feature, 'et_' || entry AS bucket, pos FROM pu
+      |  UNION ALL
+      |  SELECT 'type_breadth', 'bd_' || CAST(breadth AS VARCHAR), pos FROM pu
+      |  UNION ALL
+      |  SELECT 'activity',
+      |         CASE WHEN n_ev <= 40 THEN 'act_le40' WHEN n_ev <= 60 THEN 'act_le60'
+      |              WHEN n_ev <= 80 THEN 'act_le80' ELSE 'act_hi' END, pos FROM pu
+      |  UNION ALL
+      |  SELECT 'first_hour', 'hr_' || CAST(hrq AS VARCHAR), pos FROM pu),
+      |par AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos FROM pu),
+      |cont AS (
+      |  SELECT feature, bucket, CAST(count(*) AS BIGINT) AS n_v,
+      |         CAST(sum(pos) AS BIGINT) AS pos_v
+      |  FROM fb GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT feature,
+      |         CAST((1000000 * (CAST(n_v AS HUGEINT) * n_v
+      |                          - CAST(pos_v AS HUGEINT) * pos_v
+      |                          - CAST(n_v - pos_v AS HUGEINT) * (n_v - pos_v)))
+      |              // (CAST(p.n AS HUGEINT) * n_v) AS BIGINT) AS term_ppm
+      |  FROM cont, par p),
+      |pg AS (
+      |  SELECT CAST((1000000 * (CAST(n AS HUGEINT) * n
+      |                          - CAST(pos AS HUGEINT) * pos
+      |                          - CAST(n - pos AS HUGEINT) * (n - pos)))
+      |              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS parent_gini_ppm
+      |  FROM par)
+      |SELECT f.feature, f.n_buckets, pg.parent_gini_ppm, f.child_gini_ppm,
+      |       pg.parent_gini_ppm - f.child_gini_ppm AS gain_ppm
+      |FROM (SELECT feature, CAST(count(*) AS BIGINT) AS n_buckets,
+      |             CAST(sum(term_ppm) AS BIGINT) AS child_gini_ppm
+      |      FROM terms GROUP BY feature) f, pg
+      |ORDER BY gain_ppm DESC, feature""".stripMargin
 }

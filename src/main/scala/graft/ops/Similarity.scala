@@ -1725,6 +1725,100 @@ object Similarity {
        |FROM comp c JOIN sizes s ON c.cluster = s.cluster
        |ORDER BY vec_id""".stripMargin
 
+  /** Adjusted Rand Index between a clustering assignment and the
+    * fixture's generative `label` column, in EXACT integer arithmetic —
+    * the external-validity audit a curation pipeline runs before
+    * trusting semantic clusters for dedup or stratified splits.
+    *
+    * Every statistic is a pair count: Sij = Σ C(n_ij,2) over the
+    * (cluster, label) contingency cells, Sa/Sb the per-side analogues,
+    * and ARI = (C2n·Sij − Sa·Sb) / (C2n·(Sa+Sb)/2 − Sa·Sb) — a ratio of
+    * integers once both sides are doubled. The products exceed BIGINT
+    * at corpus scale, so Spark carries them in DECIMAL(38,0) and the
+    * oracle in HUGEINT (the HITS normalization device); the output is
+    * truncating-ppm via the +K·den floor-shift identity (ARI can be
+    * negative). den ≥ 0 always (max ≥ expected for Sa,Sb ∈ [0, C2n]).
+    *
+    * Scale shape: one groupBy over the |corpus|-row assignment frame,
+    * then folds over the (clusters × labels)-bounded contingency —
+    * no pairwise work anywhere; unclustered vectors complete to
+    * singletons via the same LEFT JOIN + coalesce as the dedup riders.
+    */
+  def clusterAriFrom(clusters: DataFrame, emb: DataFrame): DataFrame = {
+    val assign = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(clusters.select(col("vec_id"), col("cluster")), Seq("vec_id"), "left")
+      .select(coalesce(col("cluster"), col("vec_id")).as("cl"), col("label"))
+    val cont = assign.groupBy(col("cl"), col("label")).agg(count(lit(1)).as("nij"))
+    val joint = cont.agg(sum(col("nij")).as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("sij"))
+    val rowsS = cont.groupBy(col("cl")).agg(sum(col("nij")).as("na"))
+      .agg(count(lit(1)).as("n_clusters"), sum(expr("na * (na - 1) div 2")).as("sa"))
+    val colsS = cont.groupBy(col("label")).agg(sum(col("nij")).as("nb"))
+      .agg(count(lit(1)).as("n_labels"), sum(expr("nb * (nb - 1) div 2")).as("sb"))
+    joint.crossJoin(broadcast(rowsS)).crossJoin(broadcast(colsS))
+      .withColumn("c2n", expr("n * (n - 1) div 2"))
+      .withColumn("num2", expr(
+        "CAST(2 AS DECIMAL(38,0)) * c2n * sij - CAST(2 AS DECIMAL(38,0)) * sa * sb"))
+      .withColumn("den2", expr(
+        "CAST(c2n AS DECIMAL(38,0)) * (sa + sb) - CAST(2 AS DECIMAL(38,0)) * sa * sb"))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("sij").as("pairs_joint"), col("sa").as("pairs_clusters"),
+        col("sb").as("pairs_labels"),
+        expr("""CASE WHEN den2 = 0 THEN NULL
+               |     ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * num2
+               |                + CAST(10000000 AS DECIMAL(38,0)) * den2) DIV den2
+               |               AS BIGINT) - 10000000 END""".stripMargin)
+          .as("ari_ppm"))
+  }
+
+  /** Production path: semantic clusters from the persisted kNN artifact
+    * ([[semanticClustersFrom]]) scored against the generative labels. */
+  def clusterAriAudit(knn: DataFrame, emb: DataFrame, threshold: Double): DataFrame =
+    clusterAriFrom(semanticClustersFrom(knn, threshold), emb)
+
+  /** Oracle mirror of [[clusterAriAudit]]: the kNN graph + recursive CC
+    * chain recomputed from scratch (artifact ≡ from-scratch, as for all
+    * riders), then the same contingency folds with HUGEINT products and
+    * the identical floor-shift ppm. */
+  def clusterAriAuditSql(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${knnCtes(k)},
+       |sp AS (
+       |  SELECT DISTINCT least(anchor_id, neighbor_id) AS doc_a,
+       |         greatest(anchor_id, neighbor_id) AS doc_b
+       |  FROM knn WHERE cosine >= $threshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+       |          UNION ALL SELECT doc_b, doc_a FROM sp),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+       |assign AS (
+       |  SELECT coalesce(c.cluster, e.vec_id) AS cl, CAST(e.label AS BIGINT) AS label
+       |  FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+       |cont AS (SELECT cl, label, count(*) AS nij FROM assign GROUP BY 1, 2),
+       |joint AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |                 CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij FROM cont),
+       |ra AS (SELECT cl, CAST(sum(nij) AS BIGINT) AS na FROM cont GROUP BY cl),
+       |rs AS (SELECT count(*) AS n_clusters,
+       |              CAST(sum(na * (na - 1) // 2) AS BIGINT) AS sa FROM ra),
+       |cb AS (SELECT label, CAST(sum(nij) AS BIGINT) AS nb FROM cont GROUP BY label),
+       |cs AS (SELECT count(*) AS n_labels,
+       |              CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS sb FROM cb),
+       |x AS (SELECT n, CAST(n AS HUGEINT) * (n - 1) // 2 AS c2n,
+       |             sij, n_clusters, sa, n_labels, sb
+       |      FROM joint, rs, cs),
+       |f AS (SELECT *,
+       |             2 * c2n * CAST(sij AS HUGEINT) - 2 * CAST(sa AS HUGEINT) * sb AS num2,
+       |             c2n * (CAST(sa AS HUGEINT) + sb) - 2 * CAST(sa AS HUGEINT) * sb AS den2
+       |      FROM x)
+       |SELECT n, n_clusters, n_labels,
+       |       sij AS pairs_joint, sa AS pairs_clusters, sb AS pairs_labels,
+       |       CASE WHEN den2 = 0 THEN NULL
+       |            ELSE CAST((1000000 * num2 + 10000000 * den2) // den2 AS BIGINT)
+       |                 - 10000000 END AS ari_ppm
+       |FROM f""".stripMargin
+
   /** The fixed ±1 JL sign matrix, precomputed in Scala and embedded as
     * the SAME literals in the Spark plan and the oracle SQL (the
     * log-constant device): sign(j,i) from the Knuth multiplicative hash

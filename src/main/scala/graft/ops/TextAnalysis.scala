@@ -1333,4 +1333,148 @@ object TextAnalysis {
        |       (ch + 1) * n < n * n - sum_sq + n AS clumped
        |FROM sizes CROSS JOIN changes""".stripMargin
   }
+
+  /** Per-token burstiness (Fano factor — variance-to-mean ratio of the
+    * per-document count, zeros included): the classic content-vs-function
+    * word discriminator. A Poisson-scattered token reads ≈ 1e6 ppm;
+    * topical words clump (appear many times in few docs) and read far
+    * above it — the signal a keyword extractor or stopword-list builder
+    * keys on, orthogonal to plain frequency (tf-idf) and rank shape
+    * (zipf).
+    *
+    * Exact integer form: with per-doc counts c over n docs,
+    * Fano = Var/mean = (n·Σc² − (Σc)²) / (n·Σc) — documents NOT
+    * containing the token contribute 0 to both sums, so one (token, doc)
+    * aggregation over the exploded corpus is the complete sufficient
+    * statistic; ppm via truncating DIV, identical both engines.
+    *
+    * Scale shape: explode → two partial-agged groupBys; output is
+    * vocabulary-bounded. mean_milli = 1000·Σc/n rides the same fold.
+    */
+  def burstiness(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Tokenize.tokens(col("text"))).as("tok"))
+    val perDoc = toks.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("df"), col("sc").as("total_count"),
+        expr("CAST((1000000 * (n * sc2 - sc * sc)) DIV (n * sc) AS BIGINT)")
+          .as("fano_ppm"),
+        expr("CAST((1000 * sc) DIV n AS BIGINT)").as("mean_milli"))
+      .orderBy(col("fano_ppm").desc, col("tok"))
+  }
+
+  val burstinessSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Tokenize.tokensSql("text")}) AS tok
+       |  FROM documents),
+       |per_doc AS (SELECT tok, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |st AS (
+       |  SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS sc,
+       |         CAST(sum(c * c) AS BIGINT) AS sc2
+       |  FROM per_doc GROUP BY tok)
+       |SELECT tok, df, sc AS total_count,
+       |       CAST((1000000 * (n * sc2 - sc * sc)) // (n * sc) AS BIGINT) AS fano_ppm,
+       |       CAST((1000 * sc) // n AS BIGINT) AS mean_milli
+       |FROM st, nd ORDER BY fano_ppm DESC, tok""".stripMargin
+
+  /** Per-source vocabulary growth curve — distinct 3-token shingles and
+    * total shingle mass after the first k docs of each source, at fixed
+    * doc-count checkpoints (Heaps'-law audit without the log-log fit):
+    * the saturation read a mixture designer uses to judge when MORE data
+    * from a source stops adding diversity, and the per-source analogue
+    * of [[ngramNovelty]]'s global curve. 3-shingles, not unigrams — the
+    * fixture vocabulary is 31 words, unigram sets saturate instantly
+    * (build notes).
+    *
+    * Exact by construction: "first k docs" is the (source, doc_id)
+    * rank order, a shingle counts at checkpoint k iff its FIRST
+    * occurrence rank ≤ k (min-rank per distinct shingle), mass is the
+    * per-rank occurrence fold — every number an integer count.
+    * ttr_ppm = 10⁶·distinct/mass is the type-token ratio at k.
+    *
+    * Scale shape: one rank window per source, explode, then BOTH
+    * checkpoint folds run over PRE-AGGREGATED frames (per-(source,
+    * shingle) first ranks — vocabulary-bounded; per-(source, rank)
+    * masses — doc-bounded) crossed with the constant checkpoint list,
+    * never over the raw token stream.
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
+      s"checkpoints must be ascending: $checkpoints")
+    val ranked = docs.select(col("source"), col("doc_id"), col("text"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+    val sh = ranked.select(col("source"), col("rk"),
+      explode(Tokenize.shingles3(Tokenize.tokens(col("text")))).as("sh"))
+    val ck = explode(array(checkpoints.map(k => lit(k.toLong)): _*)).as("checkpoint")
+    val firsts = sh.groupBy(col("source"), col("sh")).agg(min(col("rk")).as("fr"))
+    val vocab = firsts.select(col("source"), col("fr"), ck)
+      .groupBy(col("source"), col("checkpoint"))
+      .agg(sum(when(col("fr") <= col("checkpoint"), 1L).otherwise(0L))
+        .as("distinct_shingles"))
+    val mass = sh.groupBy(col("source"), col("rk")).agg(count(lit(1)).as("occ"))
+      .select(col("source"), col("rk"), col("occ"), ck)
+      .groupBy(col("source"), col("checkpoint"))
+      .agg(sum(when(col("rk") <= col("checkpoint"), col("occ")).otherwise(0L))
+        .as("shingle_mass"))
+    // doc counts fold over the |docs|-bounded rank frame, NOT the
+    // shingle frame (a <3-token doc has no shingle rows but is a doc)
+    val nd = ranked.select(col("source"), col("rk"), ck)
+      .groupBy(col("source"), col("checkpoint"))
+      .agg(sum(when(col("rk") <= col("checkpoint"), 1L).otherwise(0L)).as("n_docs"))
+    vocab.join(mass, Seq("source", "checkpoint"))
+      .join(nd, Seq("source", "checkpoint"))
+      .select(col("source"), col("checkpoint"), col("n_docs"),
+        col("distinct_shingles"), col("shingle_mass"),
+        expr("""CASE WHEN shingle_mass = 0 THEN NULL
+               |     ELSE CAST((1000000 * distinct_shingles) DIV shingle_mass
+               |               AS BIGINT) END""".stripMargin).as("ttr_ppm"))
+      .orderBy("source", "checkpoint")
+  }
+
+  def vocabGrowthSql(checkpoints: Seq[Int]): String = {
+    val ckList = checkpoints.mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, text,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |              AS BIGINT) AS rk
+       |  FROM documents),
+       |tk AS (SELECT source, rk, ${Tokenize.tokensSql("text")} AS toks FROM ranked),
+       |sh AS (
+       |  SELECT source, rk, unnest(${Tokenize.shingles3Sql("toks")}) AS sh
+       |  FROM tk),
+       |cks AS (SELECT CAST(unnest([$ckList]) AS BIGINT) AS checkpoint),
+       |firsts AS (SELECT source, sh, min(rk) AS fr FROM sh GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT f.source, c.checkpoint,
+       |         CAST(sum(CASE WHEN f.fr <= c.checkpoint THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS distinct_shingles
+       |  FROM firsts f CROSS JOIN cks c GROUP BY 1, 2),
+       |mass0 AS (SELECT source, rk, count(*) AS occ FROM sh GROUP BY 1, 2),
+       |mass AS (
+       |  SELECT m.source, c.checkpoint,
+       |         CAST(sum(CASE WHEN m.rk <= c.checkpoint THEN m.occ ELSE 0 END)
+       |              AS BIGINT) AS shingle_mass
+       |  FROM mass0 m CROSS JOIN cks c GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT r.source, c.checkpoint,
+       |         CAST(sum(CASE WHEN r.rk <= c.checkpoint THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_docs
+       |  FROM ranked r CROSS JOIN cks c GROUP BY 1, 2)
+       |SELECT v.source, v.checkpoint, d.n_docs, v.distinct_shingles, m.shingle_mass,
+       |       CASE WHEN m.shingle_mass = 0 THEN NULL
+       |            ELSE CAST((1000000 * v.distinct_shingles) // m.shingle_mass
+       |                      AS BIGINT) END AS ttr_ppm
+       |FROM vocab v JOIN mass m ON m.source = v.source
+       |                        AND m.checkpoint = v.checkpoint
+       |              JOIN nd d ON d.source = v.source
+       |                       AND d.checkpoint = v.checkpoint
+       |ORDER BY v.source, v.checkpoint""".stripMargin
+  }
 }

@@ -314,6 +314,96 @@ object TimeSeries {
       |              - cost) / 1e6, 4) AS variance_reduction
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** One-sided CUSUM drift detector over per-event values — the
+    * SEQUENTIAL companion to [[changepointHourly]] (which finds the one
+    * best retrospective split; CUSUM is what a monitor runs forward,
+    * alarming as soon as the recent mean exceeds reference + slack).
+    *
+    * Split: events up to the stream's mid timestamp are the REFERENCE
+    * (n_ref, Σx as exact centi-BIGINTs); the post half is scored in
+    * arrival order (ts, event_id). The classic recurrence
+    * S_n = max(0, S_{n−1} + (x_n − μ_ref − slack)) is order-sequential,
+    * but it has the exact closed form S_n = P_n − min(0, min_{k≤n} P_k)
+    * over prefix sums P of the increments — so the whole detector is
+    * ONE ordered window (prefix sum + running min), no iteration, no
+    * state. Increments are scaled by n_ref to stay integral:
+    * D_i = n_ref·x_i − Σx_ref − slack·n_ref, and the alarm test
+    * S_n > h·n_ref is the same cross-multiplied comparison both engines
+    * evaluate in BIGINT.
+    *
+    * Scale shape: one broadcast of the per-type reference row, one
+    * shuffle on event_type for the ordered window (the per-series
+    * sessionize shape — series count is the parallelism unit), one
+    * final fold. Constants: slack 2500 centi (≈ half the value std) and
+    * h 20000 centi give an informative alarm mix on both fixture
+    * generations (calibrated, not load-bearing).
+    */
+  def cusumDrift(events: DataFrame, slackCenti: Long, thresholdCenti: Long): DataFrame = {
+    val e = events.select(col("event_type"), expr("unix_micros(ts)").as("us"),
+      col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val withMid = e.crossJoin(broadcast(mid))
+    val ref = withMid.filter(col("us") <= col("mid"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("xc")).as("s_ref"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val wCur = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = withMid.filter(col("us") > col("mid"))
+      .join(broadcast(ref), "event_type")
+      .withColumn("d",
+        col("n_ref") * col("xc") - col("s_ref") - lit(slackCenti) * col("n_ref"))
+      .withColumn("pfx", sum(col("d")).over(wCur))
+      .withColumn("cusum", col("pfx") - least(min(col("pfx")).over(wCur), lit(0L)))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_post"),
+        max(col("n_ref")).as("n_ref"),
+        sum(when(col("cusum") > lit(thresholdCenti) * col("n_ref"), 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("cusum") > lit(thresholdCenti) * col("n_ref"), col("us")))
+          .as("first_us"),
+        expr("max(cusum div n_ref)").as("max_cusum_centi"))
+      .select(col("event_type"), col("n_post"), col("n_ref"), col("n_alarms"),
+        timestamp_micros(col("first_us")).as("first_alarm_ts"),
+        col("max_cusum_centi"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle mirror of [[cusumDrift]]: the same centi quantization,
+    * n_ref-scaled increments, prefix-sum/running-min closed form and
+    * cross-multiplied alarm test. */
+  def cusumDriftSql(slackCenti: Long, thresholdCenti: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(ts) AS us, event_id,
+       |         CAST(round(value * 100) AS BIGINT) AS xc
+       |  FROM events),
+       |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+       |ref AS (
+       |  SELECT event_type, count(*) AS n_ref, CAST(sum(xc) AS BIGINT) AS s_ref
+       |  FROM e, m WHERE us <= mid GROUP BY event_type),
+       |post AS (
+       |  SELECT e.event_type, e.us, e.event_id, r.n_ref,
+       |         r.n_ref * e.xc - r.s_ref - $slackCenti * r.n_ref AS d
+       |  FROM e, m JOIN ref r ON r.event_type = e.event_type
+       |  WHERE e.us > m.mid),
+       |p AS (
+       |  SELECT *, sum(d) OVER w AS pfx
+       |  FROM post
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (
+       |  SELECT *, pfx - least(min(pfx) OVER w, 0) AS cusum
+       |  FROM p
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, count(*) AS n_post,
+       |       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       |       CAST(sum(CASE WHEN cusum > $thresholdCenti * n_ref THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_alarms,
+       |       make_timestamp(min(CASE WHEN cusum > $thresholdCenti * n_ref
+       |                               THEN us END)) AS first_alarm_ts,
+       |       CAST(max(cusum // n_ref) AS BIGINT) AS max_cusum_centi
+       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Classical seasonal decomposition of the daily revenue series:
     * trend = centered 7-day moving average (full windows only),
     * seasonal = per-weekday mean of the detrended series, residual =

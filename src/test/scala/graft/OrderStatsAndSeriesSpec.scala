@@ -364,4 +364,79 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(g2(1L) == (2L, -1.0), s"missing hour must enter as a true zero: $g2")
     graft.ops.Caches.releaseCaches()
   }
+
+  test("FDR gate: crit table reproduces the srm constant and rejects only the imbalanced segment") {
+    // crit(m=1, k=1) is χ²₁ at α=.05 — must match srmCheck's
+    // independently embedded 3841459 (cross-check of the probit path)
+    assert(OrderStats.fdrCritPpm(0) == 3841459L, OrderStats.fdrCritPpm(0))
+    // the BH schedule relaxes with rank: crit(m, k) strictly decreases in k
+    val m5 = (1 to 5).map(k => OrderStats.fdrCritPpm((5 - 1) * OrderStats.FdrMMax + k - 1))
+    assert(m5 == m5.sorted.reverse && m5.distinct.size == 5, m5)
+    // 100 users: segA (users 0..49) converts only on arm 0 — χ² = 50
+    // exactly; segB (users 50..99) converts 5/5 per arm — χ² = 0
+    val rows =
+      (0 until 100).map { u =>
+        (u.toLong * 1000000L, u.toLong, if (u < 50) "segA" else "segB", u.toLong)
+      } ++
+      (0 until 50 by 2).map { u =>          // segA arm-0 conversions
+        ((1000L + u) * 1000000L, u.toLong, "purchase", 1000L + u)
+      } ++
+      (50 until 60).map { u =>              // segB balanced conversions
+        ((1000L + u) * 1000000L, u.toLong, "purchase", 1000L + u)
+      }
+    val ev = rows.toDF("us", "user_id", "event_type", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.fdrGate(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("segA")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((25L, 25L, 25L, 0L)), a)
+    assert(a.getLong(5) == 50000000L && a.getLong(7) == 1L && a.getBoolean(9), a)
+    val b = got("segB")
+    assert(b.getLong(5) == 0L && !b.getBoolean(9), b)
+    assert(a.getLong(6) == 2L, "m counts both segments")
+  }
+
+  test("CUSUM: the prefix-min closed form matches the hand-run recurrence, alarms where S/n_ref clears h") {
+    // ref half: 4 events of value 10 → n_ref=4, s_ref=4000 centi.
+    // post half (slack 10.00): D = 4·xc − 8000 → −4000, −4000, +32000,
+    // −4000; P = −4000, −8000, 24000, 20000; S = P − min(P≤, 0) =
+    // 0, 0, 32000, 28000 → S/n_ref = 0, 0, 8000, 7000 centi.
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 100.0, 10.0)
+    val ev = vals.zipWithIndex.map { case (v, i) => (i.toLong * 1000000L, i.toLong, "t", v) }
+      .toDF("us", "event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.cusumDrift(ev, 1000L, 5000L).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 4L, 2L)), r)
+    assert(r.getTimestamp(4).getTime == 6000L, s"first alarm at the spike event: $r")
+    assert(r.getLong(5) == 8000L, r)
+    // no-drift series: S stays at 0, no alarms, null first-alarm ts
+    val flat = (0 until 8).map(i => (i.toLong * 1000000L, i.toLong, "t", 10.0))
+      .toDF("us", "event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val f = TimeSeries.cusumDrift(flat, 1000L, 5000L).collect()(0)
+    assert(f.getLong(3) == 0L && f.isNullAt(4) && f.getLong(5) == 0L, f)
+  }
+
+  test("split gain: a perfectly separating feature gains the full parent impurity, a constant one gains zero") {
+    // 40 users: 0..19 enter as 'buyer' and convert; 20..39 as 'lurker',
+    // never convert. entry_type and type_breadth separate perfectly;
+    // activity and first_hour collapse to one bucket each.
+    val rows =
+      (0 until 40).map { u =>
+        (u.toLong * 1000000L, u.toLong, if (u < 20) "buyer" else "lurker", u.toLong)
+      } ++
+      (0 until 20).map { u =>
+        ((1000L + u) * 1000000L, u.toLong, "purchase", 1000L + u)
+      }
+    val ev = rows.toDF("us", "user_id", "event_type", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.splitGain(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // parent: n=40, pos=20 → 1e6·(1600−400−400)/1600 = 500000 ppm
+    assert(got("entry_type") == ((2L, 500000L, 500000L)), got)
+    assert(got("type_breadth") == ((2L, 500000L, 500000L)), got)
+    assert(got("activity") == ((1L, 500000L, 0L)), got)
+    assert(got("first_hour") == ((1L, 500000L, 0L)), got)
+  }
 }

@@ -235,4 +235,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 2L)) == Some(1000000L))
     assert(got((0L, 2L)) == None, "identical vectors have no distortion ratio")
   }
+
+  test("cluster ARI: identical partitions score exactly 1e6, singletons 0, hand case 8/14") {
+    def emb(rows: (Long, Int)*) = rows.toSeq.toDF("vec_id", "label")
+    def cls(rows: (Long, Long)*) = rows.toSeq.toDF("vec_id", "cluster")
+    // identical partition (cluster ids offset — only the grouping matters)
+    val same = Similarity.clusterAriFrom(
+      cls((0L, 100L), (1L, 100L), (2L, 101L), (3L, 101L), (4L, 102L), (5L, 102L)),
+      emb((0L, 0), (1L, 0), (2L, 1), (3L, 1), (4L, 2), (5L, 2))).collect()(0)
+    assert(same.getLong(6) == 1000000L, same)
+    // empty cluster frame → every vector completes to a singleton → ARI 0
+    val single = Similarity.clusterAriFrom(
+      cls(), emb((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 1)))
+      .collect()(0)
+    assert(single.getLong(6) == 0L, single)
+    assert(single.getLong(1) == 6L && single.getLong(3) == 0L, single)
+    // hand contingency: clusters {0,1},{2,3}; labels {0,1},{2},{3}:
+    // sij=1, sa=2, sb=1, C2n=6 → num2 = 2·6·1 − 2·2·1 = 8,
+    // den2 = 6·3 − 4 = 14 → floor(8e6/14) = 571428
+    val hand = Similarity.clusterAriFrom(
+      cls((0L, 10L), (1L, 10L), (2L, 20L), (3L, 20L)),
+      emb((0L, 0), (1L, 0), (2L, 1), (3L, 2))).collect()(0)
+    assert((hand.getLong(0), hand.getLong(1), hand.getLong(2), hand.getLong(3),
+      hand.getLong(4), hand.getLong(5), hand.getLong(6)) ==
+      ((4L, 2L, 3L, 1L, 2L, 1L, 571428L)), hand)
+  }
 }

@@ -347,4 +347,28 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(got.left_border == 0L && got.right_border == 0L)
     assert(got.n_content == 11L && got.content_sum == 2200L)
   }
+
+  test("burstiness: a clumped token reads far above 1e6, a constant one reads 0") {
+    // 'a' appears 4× in one doc of four (clumped); 'b' once per doc
+    val d = docs(0L -> "a a a a b", 1L -> "b", 2L -> "b", 3L -> "b")
+    val got = TextAnalysis.burstiness(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // 'a': n=4, sc=4, sc2=16 → (4·16 − 16)·1e6 / (4·4) = 3e6
+    assert(got("a") == ((1L, 4L, 3000000L, 1000L)), got)
+    // 'b': sc=4, sc2=4 → Fano 0 (deterministic is sub-Poisson)
+    assert(got("b") == ((4L, 4L, 0L, 1000L)), got)
+  }
+
+  test("vocab growth: first-occurrence ranks drive the checkpoint counts exactly") {
+    val d = Seq((0L, "x y z", "s"), (1L, "x y z w", "s"), (2L, "x y z", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabGrowth(d, Seq(1, 2, 3)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // doc0: {x y z}; doc1 adds {y z w}; doc2 adds nothing
+    assert(got(1L) == ((1L, 1L, 1L, 1000000L)), got)
+    assert(got(2L) == ((2L, 2L, 3L, 666666L)), got)
+    assert(got(3L) == ((3L, 2L, 4L, 500000L)), got)
+  }
 }
