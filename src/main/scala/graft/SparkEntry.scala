@@ -1290,6 +1290,8 @@ object SparkEntry {
     // Benjamini–Hochberg FDR across the per-segment conversion tests
     // (embedded χ² critical table, division-free compares)
     "events_fdr_gate" -> ((s, dir) => OrderStats.fdrGate(t(s, dir, "events"))),
+    // hash-deterministic Poisson bootstrap CI of per-type value means
+    "events_bootstrap_ci" -> ((s, dir) => OrderStats.bootstrapCi(t(s, dir, "events"))),
     // exact Gini split-gain screen over per-user features vs conversion
     "events_split_gain" -> ((s, dir) => OrderStats.splitGain(t(s, dir, "events"))),
     // stratified matching estimator: per pre-activity stratum arm
@@ -1597,6 +1599,8 @@ object SparkEntry {
     // triangle census + clustering coefficient over the support-filtered
     // co-purchase core (the support threshold bounds enumeration cost)
     "graph_triangles" -> ((s, dir) => Graph.triangleStats(t(s, dir, "lineitem"), 2)),
+    // local clustering-coefficient deciles (transitivity concentration)
+    "graph_local_clustering" -> ((s, dir) => Graph.localClustering(t(s, dir, "lineitem"), 2)),
     // rich-club φ(k) sweep from census folds (one pass, no per-k scan)
     "graph_rich_club" -> ((s, dir) => Graph.richClub(t(s, dir, "lineitem"), 2, Seq(2, 4, 8, 16))),
     // distributed sweep-line: peak simultaneous 5-minute activity intervals
@@ -2359,6 +2363,7 @@ object SparkEntry {
     "events_trailing_window" -> Analytics.trailingWindowSql(3600L * 1000000L),
     "events_srm_check" -> OrderStats.srmCheckSql,
     "events_fdr_gate" -> OrderStats.fdrGateSql,
+    "events_bootstrap_ci" -> OrderStats.bootstrapCiSql,
     "events_split_gain" -> OrderStats.splitGainSql,
     "events_propensity_strata" -> OrderStats.propensityStrataSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,
@@ -2452,6 +2457,7 @@ object SparkEntry {
     "graph_hits" -> Graph.hitsSql(4),
     "graph_communities" -> Graph.labelPropagationSql(4),
     "graph_triangles" -> Graph.triangleStatsSql(2),
+    "graph_local_clustering" -> Graph.localClusteringSql(2),
     "graph_rich_club" -> Graph.richClubSql(2, Seq(2, 4, 8, 16)),
     "events_peak_concurrency" -> Analytics.peakConcurrencySql(300L),
     "lineitem_revenue_gini" -> Analytics.revenueGiniSql,

@@ -414,6 +414,77 @@ object Graph {
     * the CC/PageRank shuffle pattern; the alive frame is O(|V|) and only
     * shrinks.
     */
+  /** Local clustering-coefficient histogram over the support core — the
+    * per-node companion to [[triangleStats]]' single global number: how
+    * CONCENTRATED transitivity is (a high global coefficient can come
+    * from a few dense pockets or from uniform local closure; the
+    * distribution tells them apart, and the low buckets are the
+    * bridge/broker candidates [[graph_weak_ties]] targets).
+    *
+    * Exact arithmetic: per node, c_v = 2·T_v / (d_v·(d_v−1)) in
+    * truncating ppm (BIGINT throughout); nodes of degree < 2 land in
+    * the explicit `-1` bucket rather than vanishing. Buckets are ppm
+    * deciles, the 1e6 endpoint folded into bucket 9.
+    *
+    * Scale shape: the SAME ordered-edge triangle enumeration as
+    * [[triangleStats]] (Σ deg² of the support core bounds it), one
+    * 3-way explode of the triangle frame, two partial-agged groupBys,
+    * and an 11-row output — nothing per-pair ever leaves an executor.
+    */
+  def localClustering(lineitem: DataFrame, minSupport: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val e = Caches.tracked(supportEdges(lineitem, minSupport).persist())
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.d") === col("e2.s"))
+      .join(e.as("e3"), col("e1.s") === col("e3.s") && col("e2.d") === col("e3.d"))
+      .select(col("e1.s").as("a"), col("e1.d").as("b"), col("e2.d").as("c"))
+    val tcount = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val deg = symmetrize(e).groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    deg.join(tcount, Seq("v"), "left")
+      .withColumn("t", coalesce(col("t"), lit(0L)))
+      .withColumn("c_ppm", when(col("deg") >= 2,
+        expr("CAST((1000000 * 2 * t) DIV (deg * (deg - 1)) AS BIGINT)")))
+      .withColumn("bucket", when(col("c_ppm").isNull, lit(-1L))
+        .otherwise(least(expr("c_ppm DIV 100000"), lit(9L))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("c_ppm"), lit(0L))).as("sum_c_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle mirror of [[localClustering]]: same core, same enumeration,
+    * same truncating ppm and decile fold. */
+  def localClusteringSql(minSupport: Int): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT a.pk AS s, b.pk AS d
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= $minSupport),
+       |tri AS (
+       |  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+       |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+       |            JOIN e e3 ON e1.s = e3.s AND e2.d = e3.d),
+       |tc AS (
+       |  SELECT v, count(*) AS t FROM (
+       |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |  GROUP BY v),
+       |deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT s AS v FROM e UNION ALL SELECT d AS v FROM e)
+       |  GROUP BY v),
+       |nodes AS (
+       |  SELECT d.v, d.deg, coalesce(t.t, 0) AS t,
+       |         CASE WHEN d.deg >= 2
+       |              THEN CAST((1000000 * 2 * coalesce(t.t, 0))
+       |                        // (d.deg * (d.deg - 1)) AS BIGINT) END AS c_ppm
+       |  FROM deg d LEFT JOIN tc t ON t.v = d.v)
+       |SELECT CAST(CASE WHEN c_ppm IS NULL THEN -1
+       |            ELSE least(c_ppm // 100000, 9) END AS BIGINT) AS bucket,
+       |       count(*) AS n_nodes,
+       |       CAST(sum(coalesce(c_ppm, 0)) AS BIGINT) AS sum_c_ppm
+       |FROM nodes GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def kCore(lineitem: DataFrame, minSupport: Int, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1: $k, $rounds")
     // src-pinned core cache + broadcast |V|-bounded alive sets: each

@@ -1256,6 +1256,121 @@ object OrderStats {
        |FROM km ORDER BY segment""".stripMargin
   }
 
+  /** Number of bootstrap replicates for [[bootstrapCi]]. */
+  val BootReps = 64
+
+  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash space:
+    * t_k = ⌊CDF(k)·2⁶⁰⌋ for k = 0..4 (weights cap at 5; P(w > 5) ≈ 6e−4).
+    * Driver-precomputed from e⁻¹·Σ1/j! and embedded as the SAME BIGINT
+    * literals in the plan and the oracle — the embed-the-constant device.
+    */
+  val bootPoissonThresholds: IndexedSeq[Long] = {
+    val e = math.exp(-1.0)
+    IndexedSeq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0)
+      .map(s => (s * e * (1L << 60).toDouble).toLong)
+  }
+
+  /** Hash-deterministic Poisson bootstrap CI of the per-type value mean —
+    * the resampling device that actually works on a cluster: classic
+    * bootstrap resampling needs n draws WITH replacement per replicate
+    * (a shuffle per replicate, and nondeterministic); the Poisson
+    * approximation gives every row an independent Poisson(1) weight per
+    * replicate, exact in one pass, and making the weight a FUNCTION OF
+    * THE ROW KEY (PortableHash of "bs<b>:<event_id>") makes the whole
+    * resample deterministic, partition-invariant, and oracle-checkable —
+    * no engine RNG anywhere.
+    *
+    * Per replicate b: w = Poisson⁻¹(u_b) with u_b the 60-bit row hash
+    * against the embedded [[bootPoissonThresholds]]; the replicate mean
+    * is the truncating milli ratio Σw·x / Σw (the DEFINED statistic both
+    * engines compute bit-identically), and the 95% band is the 2nd/63rd
+    * order statistic of the 64 replicate means — exact ranks, no
+    * interpolated quantile (the build-notes hazard).
+    *
+    * Scale shape: ONE scan; the ×[[BootReps]] explode feeds a partial
+    * aggregation into types×64 groups, so the shuffle carries group
+    * partials, never the exploded rows; the rank window runs on the
+    * 64-row-per-type replicate frame. w > 0 filters ~37% of exploded
+    * rows before they exist (filter inside the lambda array).
+    */
+  def bootstrapCi(events: DataFrame): DataFrame = {
+    val Seq(t0, t1, t2, t3, t4) = bootPoissonThresholds.toSeq
+    val base = events.select(col("event_type"), col("event_id"),
+      expr("CAST(round(value * 1000) AS BIGINT)").as("xm"))
+    def wOf(u: Column): Column =
+      when(u < t0, 0L).when(u < t1, 1L).when(u < t2, 2L)
+        .when(u < t3, 3L).when(u < t4, 4L).otherwise(5L)
+    val wArr = filter(
+      transform(sequence(lit(0), lit(BootReps - 1)), b =>
+        struct(b.cast("long").as("b"),
+          wOf(graft.functions.PortableHash.tokenHash(
+            concat_ws("", lit("bs"), b.cast("string"), lit(":"),
+              col("event_id").cast("string")))).as("w"))),
+      s => s.getField("w") > 0L)
+    val reps = base
+      .select(col("event_type"), col("xm"), explode(wArr).as("r"))
+      .groupBy(col("event_type"), col("r.b").as("b"))
+      .agg(sum(col("r.w")).as("sw"), sum(col("r.w") * col("xm")).as("swx"))
+      .withColumn("rep_mean_milli", expr("CAST(swx DIV sw AS BIGINT)"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("rep_mean_milli"), col("b"))
+    val bands = reps.withColumn("rn", row_number().over(wRank))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_replicates"),
+        max(when(col("rn") === 2, col("rep_mean_milli"))).as("boot_lo_milli"),
+        max(when(col("rn") === BootReps - 1, col("rep_mean_milli"))).as("boot_hi_milli"))
+    val exact = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(xm) DIV count(1) AS BIGINT)").as("mean_milli"))
+    exact.join(bands, "event_type")
+      .select(col("event_type"), col("n"), col("mean_milli"),
+        col("n_replicates"), col("boot_lo_milli"), col("boot_hi_milli"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle mirror of [[bootstrapCi]]: the ×64 replicate grid as a cross
+    * join, the same hash→Poisson thresholds, truncating replicate means
+    * and exact 2nd/63rd rank picks. */
+  def bootstrapCiSql: String = {
+    val Seq(t0, t1, t2, t3, t4) = bootPoissonThresholds.toSeq
+    val u = graft.functions.PortableHash.tokenHashSql(
+      "'bs' || CAST(b.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS xm
+       |  FROM events),
+       |hashes AS (
+       |  SELECT base.event_type, base.xm, CAST(b.b AS BIGINT) AS b, $u AS u
+       |  FROM base, (SELECT unnest(range(0, $BootReps)) AS b) b),
+       |grid AS (
+       |  SELECT event_type, xm, b,
+       |         CASE WHEN u < $t0 THEN 0 WHEN u < $t1 THEN 1
+       |              WHEN u < $t2 THEN 2 WHEN u < $t3 THEN 3
+       |              WHEN u < $t4 THEN 4 ELSE 5 END AS w
+       |  FROM hashes),
+       |reps AS (
+       |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+       |         CAST(sum(w * xm) AS BIGINT) AS swx
+       |  FROM grid WHERE w > 0 GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT event_type, CAST(swx // sw AS BIGINT) AS m,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY swx // sw, b) AS rn
+       |  FROM reps),
+       |bands AS (
+       |  SELECT event_type, count(*) AS n_replicates,
+       |         max(CASE WHEN rn = 2 THEN m END) AS boot_lo_milli,
+       |         max(CASE WHEN rn = ${BootReps - 1} THEN m END) AS boot_hi_milli
+       |  FROM rk GROUP BY event_type),
+       |exact AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(CAST(sum(xm) AS BIGINT) // count(*) AS BIGINT) AS mean_milli
+       |  FROM base GROUP BY event_type)
+       |SELECT e.event_type, e.n, e.mean_milli,
+       |       b.n_replicates, b.boot_lo_milli, b.boot_hi_milli
+       |FROM exact e JOIN bands b USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   /** Exact Gini split-gain screen over per-user features — the feature
     * audit a label-balance / curation pipeline runs before training a
     * quality classifier: which cheap per-user signal (entry event type,

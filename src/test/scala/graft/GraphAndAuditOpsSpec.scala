@@ -306,4 +306,17 @@ class GraphAndAuditOpsSpec extends SparkSpec {
     }
     ops.Caches.releaseCaches()
   }
+
+  test("local clustering: hand graph — triangle node 1/3, closed pair 1.0, pendant undefined") {
+    // basket 1 = {1,2,3} (a triangle), basket 2 = {1,4} (pendant 4):
+    // deg 1=3, 2=2, 3=2, 4=1; T=1 for nodes 1..3 →
+    // c(1) = 2/(3·2) = 333333 ppm (bucket 3), c(2) = c(3) = 1e6
+    // (bucket 9), node 4 deg<2 → bucket −1
+    val li = liDf(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 4L)
+    val got = Graph.localClustering(li, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(-1L -> ((1L, 0L)), 3L -> ((1L, 333333L)),
+      9L -> ((2L, 2000000L))), got)
+    ops.Caches.releaseCaches()
+  }
 }

@@ -418,6 +418,24 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(f.getLong(3) == 0L && f.isNullAt(4) && f.getLong(5) == 0L, f)
   }
 
+  test("bootstrap CI: thresholds are the Poisson CDF, constant data collapses the band, partition-invariant") {
+    val t = OrderStats.bootPoissonThresholds
+    assert(t == t.sorted && t.distinct.size == 5, t)
+    // t0/2^60 = e^−1, t4/2^60 = CDF(4) ≈ 0.99634
+    assert(math.abs(t(0).toDouble / (1L << 60).toDouble - math.exp(-1.0)) < 1e-12)
+    assert(math.abs(t(4).toDouble / (1L << 60).toDouble - 0.9963401531726563) < 1e-12)
+    // constant values: every replicate mean is exactly the value
+    val ev = (0 until 200).map(i => (i.toLong, i.toLong, "t", 42.0))
+      .toDF("us", "event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = OrderStats.bootstrapCi(ev).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((200L, 42000L, 64L, 42000L, 42000L)), r)
+    // hash-deterministic: identical output under any partitioning
+    val r7 = OrderStats.bootstrapCi(ev.repartition(7)).collect()(0)
+    assert(r.toSeq == r7.toSeq, s"partition-dependent bootstrap: $r vs $r7")
+  }
+
   test("split gain: a perfectly separating feature gains the full parent impurity, a constant one gains zero") {
     // 40 users: 0..19 enter as 'buyer' and convert; 20..39 as 'lurker',
     // never convert. entry_type and type_breadth separate perfectly;
