@@ -1259,15 +1259,27 @@ object OrderStats {
   /** Number of bootstrap replicates for [[bootstrapCi]]. */
   val BootReps = 64
 
-  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash space:
-    * t_k = ⌊CDF(k)·2⁶⁰⌋ for k = 0..4 (weights cap at 5; P(w > 5) ≈ 6e−4).
-    * Driver-precomputed from e⁻¹·Σ1/j! and embedded as the SAME BIGINT
-    * literals in the plan and the oracle — the embed-the-constant device.
+  /** Poisson(1) inverse-CDF thresholds on the Mersenne hash space
+    * [[graft.functions.PortableHash.P]]: t_k = ⌊CDF(k)·P⌋ for k = 0..4
+    * (weights cap at 5; P(w > 5) ≈ 6e−4). Driver-precomputed from
+    * e⁻¹·Σ1/j! and embedded as the SAME BIGINT literals in the plan and
+    * the oracle — the embed-the-constant device.
     */
   val bootPoissonThresholds: IndexedSeq[Long] = {
     val e = math.exp(-1.0)
     IndexedSeq(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0)
-      .map(s => (s * e * (1L << 60).toDouble).toLong)
+      .map(s => (s * e * graft.functions.PortableHash.P.toDouble).toLong)
+  }
+
+  /** Per-replicate permutation coefficients (a_b·h + c_b mod P) — a
+    * pairwise-independent family over the ONE md5 row hash, so the
+    * expensive digest runs once per row instead of once per
+    * (row, replicate) (measured 1.7 s → ~0.7 s at sf0.1). Disjoint
+    * coefficient series from the minhash/bloom families.
+    */
+  val bootPerms: IndexedSeq[(Long, Long)] = {
+    val P = graft.functions.PortableHash.P
+    (1 to BootReps).map(i => ((123456791L * i + 3L) % P, (987654323L * i + 11L) % P))
   }
 
   /** Hash-deterministic Poisson bootstrap CI of the per-type value mean —
@@ -1280,12 +1292,13 @@ object OrderStats {
     * resample deterministic, partition-invariant, and oracle-checkable —
     * no engine RNG anywhere.
     *
-    * Per replicate b: w = Poisson⁻¹(u_b) with u_b the 60-bit row hash
-    * against the embedded [[bootPoissonThresholds]]; the replicate mean
-    * is the truncating milli ratio Σw·x / Σw (the DEFINED statistic both
-    * engines compute bit-identically), and the 95% band is the 2nd/63rd
-    * order statistic of the 64 replicate means — exact ranks, no
-    * interpolated quantile (the build-notes hazard).
+    * Per replicate b: u_b = (a_b·h + c_b) mod P permutes the ONE md5 row
+    * hash ([[bootPerms]] — one digest per row, not per (row, replicate)),
+    * w = Poisson⁻¹(u_b) against the embedded [[bootPoissonThresholds]];
+    * the replicate mean is the truncating milli ratio Σw·x / Σw (the
+    * DEFINED statistic both engines compute bit-identically), and the
+    * 95% band is the 2nd/63rd order statistic of the 64 replicate
+    * means — exact ranks, no interpolated quantile (build-notes hazard).
     *
     * Scale shape: ONE scan; the ×[[BootReps]] explode feeds a partial
     * aggregation into types×64 groups, so the shuffle carries group
@@ -1295,17 +1308,29 @@ object OrderStats {
     */
   def bootstrapCi(events: DataFrame): DataFrame = {
     val Seq(t0, t1, t2, t3, t4) = bootPoissonThresholds.toSeq
-    val base = events.select(col("event_type"), col("event_id"),
-      expr("CAST(round(value * 1000) AS BIGINT)").as("xm"))
+    // EXPLICIT width before the ×64 hash fan-out: the one-file scan is
+    // one partition, and the md5 work is ×BootReps the input size — the
+    // same pin-the-parallelism rule as the kNN BNLJ (round-11 notes).
+    // Without it this ran single-task (17.8 s vs 1.4 s at sf0.1).
+    val width = events.sparkSession.sparkContext.defaultParallelism
+    val hp = graft.functions.PortableHash
+    // h is PROJECTED before the lambda (HOF lambdas re-evaluate unbound
+    // child expressions per element — build notes); inside the lambda
+    // only the cheap permutation runs per replicate
+    val base = events.select(col("event_type"),
+      expr("CAST(round(value * 1000) AS BIGINT)").as("xm"),
+      (hp.tokenHash(concat(lit("bs:"), col("event_id").cast("string"))) % hp.P).as("h"))
+      .repartition(width)
     def wOf(u: Column): Column =
       when(u < t0, 0L).when(u < t1, 1L).when(u < t2, 2L)
         .when(u < t3, 3L).when(u < t4, 4L).otherwise(5L)
+    val aArr = array(bootPerms.map(p => lit(p._1)): _*)
+    val cArr = array(bootPerms.map(p => lit(p._2)): _*)
     val wArr = filter(
       transform(sequence(lit(0), lit(BootReps - 1)), b =>
         struct(b.cast("long").as("b"),
-          wOf(graft.functions.PortableHash.tokenHash(
-            concat_ws("", lit("bs"), b.cast("string"), lit(":"),
-              col("event_id").cast("string")))).as("w"))),
+          wOf((element_at(aArr, b + 1) * col("h") + element_at(cArr, b + 1)) % hp.P)
+            .as("w"))),
       s => s.getField("w") > 0L)
     val reps = base
       .select(col("event_type"), col("xm"), explode(wArr).as("r"))
@@ -1333,13 +1358,19 @@ object OrderStats {
     * and exact 2nd/63rd rank picks. */
   def bootstrapCiSql: String = {
     val Seq(t0, t1, t2, t3, t4) = bootPoissonThresholds.toSeq
-    val u = graft.functions.PortableHash.tokenHashSql(
-      "'bs' || CAST(b.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+    val P = graft.functions.PortableHash.P
+    val h = graft.functions.PortableHash.tokenHashSql(
+      "'bs:' || CAST(event_id AS VARCHAR)")
+    val aList = bootPerms.map(_._1).mkString(", ")
+    val cList = bootPerms.map(_._2).mkString(", ")
     s"""WITH base AS (
-       |  SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS xm
+       |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS xm,
+       |         $h % $P AS h
        |  FROM events),
        |hashes AS (
-       |  SELECT base.event_type, base.xm, CAST(b.b AS BIGINT) AS b, $u AS u
+       |  SELECT base.event_type, base.xm, CAST(b.b AS BIGINT) AS b,
+       |         ([$aList][CAST(b.b + 1 AS INTEGER)] * base.h
+       |          + [$cList][CAST(b.b + 1 AS INTEGER)]) % $P AS u
        |  FROM base, (SELECT unnest(range(0, $BootReps)) AS b) b),
        |grid AS (
        |  SELECT event_type, xm, b,

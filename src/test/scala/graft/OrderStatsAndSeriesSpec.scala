@@ -421,9 +421,10 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
   test("bootstrap CI: thresholds are the Poisson CDF, constant data collapses the band, partition-invariant") {
     val t = OrderStats.bootPoissonThresholds
     assert(t == t.sorted && t.distinct.size == 5, t)
-    // t0/2^60 = e^−1, t4/2^60 = CDF(4) ≈ 0.99634
-    assert(math.abs(t(0).toDouble / (1L << 60).toDouble - math.exp(-1.0)) < 1e-12)
-    assert(math.abs(t(4).toDouble / (1L << 60).toDouble - 0.9963401531726563) < 1e-12)
+    // t0/P = e^−1, t4/P = CDF(4) ≈ 0.99634
+    val hs = graft.functions.PortableHash.P.toDouble
+    assert(math.abs(t(0).toDouble / hs - math.exp(-1.0)) < 1e-9)
+    assert(math.abs(t(4).toDouble / hs - 0.9963401531726563) < 1e-9)
     // constant values: every replicate mean is exactly the value
     val ev = (0 until 200).map(i => (i.toLong, i.toLong, "t", 42.0))
       .toDF("us", "event_id", "event_type", "value")
