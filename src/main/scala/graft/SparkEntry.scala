@@ -1545,6 +1545,13 @@ object SparkEntry {
     // exact equi-depth deciles with ntile semantics via two-pass
     // selection — no per-type single-reducer sort (the ntile window
     // formulation survives in the spec as the equality witness)
+    // cumulative-gains / lift table of activity as a conversion score
+    "events_gains_curve" -> ((s, dir) => Analytics.gainsCurve(t(s, dir, "events"))),
+    // matched-sample Laspeyres/Paasche monthly price indices
+    "lineitem_price_index" -> ((s, dir) => Analytics.priceIndex(t(s, dir, "lineitem"))),
+    // ER blocking-design audit: recall + candidate volume per scheme
+    "er_blocking_recall" -> ((s, dir) =>
+      EntityResolution.blockingRecall(t(s, dir, "part"))),
     "events_value_deciles" -> ((s, dir) =>
       ExactQuantiles.deciles(t(s, dir, "events"), "event_type", "value")),
     // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
@@ -2330,6 +2337,7 @@ object SparkEntry {
     "events_markov_stationary" -> Analytics.markovStationarySql(6),
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
     "er_fuzzy_resolve" -> EntityResolution.resolveSql(1),
+    "er_blocking_recall" -> EntityResolution.blockingRecallSql,
     "events_topk_users" -> Analytics.topPurchasersSql(10),
     "events_json_extract" -> Analytics.jsonExtractSql,
     "q6_forecast_revenue" -> Analytics.forecastRevenueSql,
@@ -2433,6 +2441,8 @@ object SparkEntry {
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "events_value_deciles" -> Analytics.valueDecilesSql,
+    "events_gains_curve" -> Analytics.gainsCurveSql,
+    "lineitem_price_index" -> Analytics.priceIndexSql,
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),

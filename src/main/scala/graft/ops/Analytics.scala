@@ -1640,6 +1640,152 @@ object Analytics {
       |       count(*) AS n, min(value) AS lo, max(value) AS hi
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cumulative-gains table of activity as a conversion score — the
+    * model-free labeling-QA read: rank users by event count (the
+    * cheapest "propensity score"), cut into exact deciles, and report
+    * what share of all converters the top k deciles capture plus the
+    * per-decile lift over base rate. A gains curve hugging the diagonal
+    * says the cheap score carries no signal and the labeling pipeline
+    * needs real features; a steep head says top-decile targeting works.
+    *
+    * Exact arithmetic: score and label are integers; deciles are
+    * ntile(10) over the deterministic (score DESC, user_id) total order;
+    * gains/lift are truncating ratios with products in DECIMAL(38,0)
+    * (HUGEINT in the oracle) so the shape survives billion-user counts.
+    *
+    * Scale shape: one user-level aggregate, then the ranking window
+    * sorts the PRE-AGGREGATED |users| frame (the supplier_pareto shape —
+    * the global sort is the gains curve's inherent cost), and the
+    * cumulative window runs over 10 rows.
+    */
+  def gainsCurve(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+    val byScore = Window.orderBy(col("score").desc, col("user_id"))
+    val deciles = users.withColumn("decile", ntile(10).over(byScore).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"),
+        min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    deciles
+      .withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        col("score_lo"), col("score_hi"), col("cum_pos"),
+        expr("""CASE WHEN tot_pos = 0 THEN NULL
+               |     ELSE CAST((1000000 * cum_pos) DIV tot_pos AS BIGINT) END"""
+          .stripMargin).as("gains_ppm"),
+        expr("""CASE WHEN cum_users = 0 OR tot_pos = 0 THEN NULL
+               |     ELSE CAST((CAST(1000 AS DECIMAL(38,0)) * cum_pos * tot_users)
+               |               DIV (CAST(cum_users AS DECIMAL(38,0)) * tot_pos)
+               |               AS BIGINT) END""".stripMargin).as("lift_milli"))
+      .orderBy("decile")
+  }
+
+  val gainsCurveSql: String =
+    """WITH users AS (
+      |  SELECT user_id, count(*) AS score,
+      |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS pos
+      |  FROM events GROUP BY user_id),
+      |dec AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT) AS decile,
+      |         score, pos
+      |  FROM users),
+      |g AS (
+      |  SELECT decile, count(*) AS n_users, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |         min(score) AS score_lo, max(score) AS score_hi
+      |  FROM dec GROUP BY decile),
+      |c AS (
+      |  SELECT *,
+      |         CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+      |         CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+      |         CAST(sum(n_users) OVER () AS BIGINT) AS tot_users,
+      |         CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      |  FROM g
+      |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT decile, n_users, n_pos, score_lo, score_hi, cum_pos,
+      |       CASE WHEN tot_pos = 0 THEN NULL
+      |            ELSE CAST((1000000 * cum_pos) // tot_pos AS BIGINT) END AS gains_ppm,
+      |       CASE WHEN cum_users = 0 OR tot_pos = 0 THEN NULL
+      |            ELSE CAST((1000 * CAST(cum_pos AS HUGEINT) * tot_users)
+      |                      // (CAST(cum_users AS HUGEINT) * tot_pos) AS BIGINT) END
+      |         AS lift_milli
+      |FROM c ORDER BY decile""".stripMargin
+
+  /** Matched-sample Laspeyres / Paasche price indices over the shipment
+    * months — the price-vs-volume decomposition an assortment or
+    * inflation monitor runs: for each month m vs the base (first)
+    * month, Laspeyres reprices the BASE quantity basket at month-m unit
+    * prices, Paasche the month-m basket at both prices; only parts
+    * traded in BOTH months enter (the matched sample — the standard
+    * index-number practice, and the count is reported).
+    *
+    * Exact arithmetic: per (month, part) the unit price is the DEFINED
+    * truncating centi ratio Σextended_centi DIV Σqty (both integer
+    * sums); index ratios cross-multiply in DECIMAL(38,0)/HUGEINT ppm.
+    * No engine division on doubles anywhere.
+    *
+    * Scale shape: one partial-agged (month, part) aggregate off the
+    * scan, the base-month slice broadcast back against it, and the
+    * index folds are month-bounded. Nothing per-lineitem survives the
+    * first aggregate.
+    */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val mp = lineitem.select(
+      date_trunc("MONTH", col("l_shipdate")).as("mon"),
+      col("l_partkey").as("pk"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
+      col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("mon"), col("pk"))
+      .agg(sum(col("ext_c")).as("sext"), sum(col("qty")).as("sqty"))
+      .withColumn("pc", expr("CAST(sext DIV sqty AS BIGINT)"))
+    val baseMon = mp.agg(min(col("mon")).as("mon0"))
+    val base = mp.join(broadcast(baseMon), col("mon") === col("mon0"))
+      .select(col("pk"), col("pc").as("pc0"), col("sqty").as("q0"))
+    mp.join(broadcast(base), "pk")
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_matched_parts"),
+        sum(expr("CAST(pc AS DECIMAL(38,0)) * q0")).as("l_num"),
+        sum(expr("CAST(pc0 AS DECIMAL(38,0)) * q0")).as("l_den"),
+        sum(expr("CAST(pc AS DECIMAL(38,0)) * sqty")).as("p_num"),
+        sum(expr("CAST(pc0 AS DECIMAL(38,0)) * sqty")).as("p_den"))
+      .select(col("mon").as("month"), col("n_matched_parts"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * l_num) DIV l_den AS BIGINT)")
+          .as("laspeyres_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * p_num) DIV p_den AS BIGINT)")
+          .as("paasche_ppm"))
+      .orderBy("month")
+  }
+
+  val priceIndexSql: String =
+    """WITH mp AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon, l_partkey AS pk,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sext,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqty
+      |  FROM lineitem GROUP BY 1, 2),
+      |pc AS (SELECT mon, pk, sext // sqty AS pc, sqty FROM mp),
+      |b AS (SELECT min(mon) AS mon0 FROM pc),
+      |base AS (
+      |  SELECT pk, pc AS pc0, sqty AS q0 FROM pc, b WHERE mon = mon0),
+      |idx AS (
+      |  SELECT m.mon, count(*) AS n_matched_parts,
+      |         sum(CAST(m.pc AS HUGEINT) * base.q0) AS l_num,
+      |         sum(CAST(base.pc0 AS HUGEINT) * base.q0) AS l_den,
+      |         sum(CAST(m.pc AS HUGEINT) * m.sqty) AS p_num,
+      |         sum(CAST(base.pc0 AS HUGEINT) * m.sqty) AS p_den
+      |  FROM pc m JOIN base USING (pk)
+      |  GROUP BY m.mon)
+      |SELECT mon AS month, n_matched_parts,
+      |       CAST((1000000 * l_num) // l_den AS BIGINT) AS laspeyres_ppm,
+      |       CAST((1000000 * p_num) // p_den AS BIGINT) AS paasche_ppm
+      |FROM idx ORDER BY month""".stripMargin
+
   /** Weekday seasonality profile: event volume and value by day-of-week.
     * The dow index is pure epoch-day arithmetic ((day + 3) mod 7, 0 =
     * Monday — epoch day 0 was a Thursday) because the engines' dayofweek

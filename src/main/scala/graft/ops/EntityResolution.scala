@@ -107,6 +107,135 @@ object EntityResolution {
        |FROM ranked WHERE rk = 1
        |ORDER BY dirty_id""".stripMargin
 
+  /** Blocking-design audit for the [[resolve]] workload — recall and
+    * candidate volume of each blocking scheme WITHOUT materializing a
+    * single candidate pair: ground truth is free (each dirty record's
+    * true entity is its own source row), so per-scheme recall is a
+    * row-local key comparison, and candidate volume is the exact
+    * Σ_key |dirty_key|·|registry_key| product of two grouped counts —
+    * the same count-product device as the KMV join-cardinality exact
+    * path. This is the table an ER engineer reads before choosing a
+    * blocking key: brand alone never loses a match but pays ~|block|²
+    * pairing; prefix/suffix segments cut volume ~100× and the UNION
+    * row shows the segment-union argument (recall back to 100%, volume
+    * still far below brand-only) with inclusion–exclusion on the
+    * (blk, pre, suf) triple for the overlap.
+    *
+    * Scale shape: two grouped counts per scheme joined on the block
+    * key (key-cardinality-bounded frames), one row-local covered fold —
+    * nothing pairwise anywhere; output is 4 rows.
+    */
+  def blockingRecall(part: DataFrame): DataFrame = {
+    val registry = part.select(col("p_partkey").as("entity_id"),
+      lower(col("p_name")).as("name"), col("p_brand").as("blk"))
+    val reg = registry
+      .withColumn("pre", substring(col("name"), 1, 2))
+      .withColumn("suf", expr("substr(name, length(name) - 1, 2)"))
+    val dirty = registry
+      .withColumn("del_pos", (col("entity_id") % length(col("name"))) + 1)
+      .withColumn("dname", expr(dirtyExpr))
+      .withColumn("tpre", substring(col("name"), 1, 2))
+      .withColumn("tsuf", expr("substr(name, length(name) - 1, 2)"))
+      .withColumn("dpre", substring(col("dname"), 1, 2))
+      .withColumn("dsuf", expr("substr(dname, length(dname) - 1, 2)"))
+      .withColumn("cov_pre", (col("dpre") === col("tpre")).cast("long"))
+      .withColumn("cov_suf", (col("dsuf") === col("tsuf")).cast("long"))
+    val covs = dirty.agg(count(lit(1)).as("n"),
+      sum(col("cov_pre")).as("c_pre"), sum(col("cov_suf")).as("c_suf"),
+      sum(greatest(col("cov_pre"), col("cov_suf"))).as("c_union"))
+    def volume(dKeys: Seq[String], rKeys: Seq[String], as: String): DataFrame = {
+      val d = dirty.groupBy(dKeys.map(col): _*).agg(count(lit(1)).as("cd"))
+      val r = reg.groupBy(rKeys.map(col): _*).agg(count(lit(1)).as("cr"))
+      val cond = dKeys.zip(rKeys).map { case (a, b) => d(a) === r(b) }.reduce(_ && _)
+      d.join(r, cond).agg(coalesce(sum(col("cd") * col("cr")), lit(0L)).as(as))
+    }
+    val vb = volume(Seq("blk"), Seq("blk"), "v_brand")
+    val vp = volume(Seq("blk", "dpre"), Seq("blk", "pre"), "v_pre")
+    val vs = volume(Seq("blk", "dsuf"), Seq("blk", "suf"), "v_suf")
+    val v2 = volume(Seq("blk", "dpre", "dsuf"), Seq("blk", "pre", "suf"), "v_both")
+    val one = covs.crossJoin(vb).crossJoin(vp).crossJoin(vs).crossJoin(v2)
+      .withColumn("v_union", col("v_pre") + col("v_suf") - col("v_both"))
+    one.select(col("n"), explode(array(
+        struct(lit("brand").as("scheme"), col("n").as("covered"),
+          col("v_brand").as("pairs")),
+        struct(lit("brand_prefix").as("scheme"), col("c_pre").as("covered"),
+          col("v_pre").as("pairs")),
+        struct(lit("brand_suffix").as("scheme"), col("c_suf").as("covered"),
+          col("v_suf").as("pairs")),
+        struct(lit("prefix_suffix_union").as("scheme"), col("c_union").as("covered"),
+          col("v_union").as("pairs")))).as("s"))
+      .select(col("s.scheme").as("scheme"), col("n").as("n_records"),
+        col("s.covered").as("n_covered"),
+        expr("CAST((1000000 * s.covered) DIV n AS BIGINT)").as("recall_ppm"),
+        col("s.pairs").as("candidate_pairs"),
+        expr("CAST((1000 * s.pairs) DIV n AS BIGINT)").as("pairs_per_record_milli"))
+      .orderBy("scheme")
+  }
+
+  val blockingRecallSql: String =
+    s"""WITH registry AS (
+       |  SELECT p_partkey AS entity_id, lower(p_name) AS name, p_brand AS blk
+       |  FROM part),
+       |reg AS (
+       |  SELECT *, substr(name, 1, 2) AS pre,
+       |         substr(name, length(name) - 1, 2) AS suf
+       |  FROM registry),
+       |dirty AS (
+       |  SELECT entity_id, blk, name,
+       |         concat(substr(name, 1, CAST(del_pos - 1 AS INTEGER)),
+       |                substr(name, CAST(del_pos + 1 AS INTEGER), length(name))) AS dname
+       |  FROM (SELECT entity_id, name, blk,
+       |               (entity_id % length(name)) + 1 AS del_pos FROM registry)),
+       |dk AS (
+       |  SELECT *, substr(name, 1, 2) AS tpre,
+       |         substr(name, length(name) - 1, 2) AS tsuf,
+       |         substr(dname, 1, 2) AS dpre,
+       |         substr(dname, length(dname) - 1, 2) AS dsuf
+       |  FROM dirty),
+       |covs AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN dpre = tpre THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+       |         CAST(sum(CASE WHEN dsuf = tsuf THEN 1 ELSE 0 END) AS BIGINT) AS c_suf,
+       |         CAST(sum(CASE WHEN dpre = tpre OR dsuf = tsuf THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS c_union
+       |  FROM dk),
+       |vb AS (
+       |  SELECT CAST(coalesce(sum(d.cd * r.cr), 0) AS BIGINT) AS v_brand
+       |  FROM (SELECT blk, count(*) AS cd FROM dk GROUP BY blk) d
+       |  JOIN (SELECT blk, count(*) AS cr FROM reg GROUP BY blk) r ON d.blk = r.blk),
+       |vp AS (
+       |  SELECT CAST(coalesce(sum(d.cd * r.cr), 0) AS BIGINT) AS v_pre
+       |  FROM (SELECT blk, dpre, count(*) AS cd FROM dk GROUP BY 1, 2) d
+       |  JOIN (SELECT blk, pre, count(*) AS cr FROM reg GROUP BY 1, 2) r
+       |    ON d.blk = r.blk AND d.dpre = r.pre),
+       |vs AS (
+       |  SELECT CAST(coalesce(sum(d.cd * r.cr), 0) AS BIGINT) AS v_suf
+       |  FROM (SELECT blk, dsuf, count(*) AS cd FROM dk GROUP BY 1, 2) d
+       |  JOIN (SELECT blk, suf, count(*) AS cr FROM reg GROUP BY 1, 2) r
+       |    ON d.blk = r.blk AND d.dsuf = r.suf),
+       |v2 AS (
+       |  SELECT CAST(coalesce(sum(d.cd * r.cr), 0) AS BIGINT) AS v_both
+       |  FROM (SELECT blk, dpre, dsuf, count(*) AS cd FROM dk GROUP BY 1, 2, 3) d
+       |  JOIN (SELECT blk, pre, suf, count(*) AS cr FROM reg GROUP BY 1, 2, 3) r
+       |    ON d.blk = r.blk AND d.dpre = r.pre AND d.dsuf = r.suf),
+       |one AS (
+       |  SELECT covs.*, vb.v_brand, vp.v_pre, vs.v_suf, v2.v_both,
+       |         vp.v_pre + vs.v_suf - v2.v_both AS v_union
+       |  FROM covs, vb, vp, vs, v2),
+       |rows_out AS (
+       |  SELECT 'brand' AS scheme, n, CAST(n AS BIGINT) AS covered, v_brand AS pairs FROM one
+       |  UNION ALL
+       |  SELECT 'brand_prefix', n, c_pre, v_pre FROM one
+       |  UNION ALL
+       |  SELECT 'brand_suffix', n, c_suf, v_suf FROM one
+       |  UNION ALL
+       |  SELECT 'prefix_suffix_union', n, c_union, v_union FROM one)
+       |SELECT scheme, n AS n_records, covered AS n_covered,
+       |       CAST((1000000 * covered) // n AS BIGINT) AS recall_ppm,
+       |       pairs AS candidate_pairs,
+       |       CAST((1000 * pairs) // n AS BIGINT) AS pairs_per_record_milli
+       |FROM rows_out ORDER BY scheme""".stripMargin
+
   /** Near-duplicate invoice detection — numeric/temporal blocked ER,
     * the fraud-screen sibling of the name-based [[resolve]]: two orders
     * of the SAME customer whose totals differ by ≤ priceTol and whose

@@ -117,4 +117,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     val mass = got.map(_._3).sum
     assert(mass <= 1000000L && mass >= 1000000L - 6 * 2, s"mass=$mass")
   }
+
+  test("gains curve: top deciles capture the planted converters, lift is exact") {
+    import spark.implicits._
+    // user u emits u events (score = u); users 16..20 convert → deciles
+    // of 2 users each: decile 1 = {20,19}, decile 3 = {16,15}
+    val rows = (1 to 20).flatMap { u =>
+      (0 until u).map(i => ((u * 100 + i).toLong, u.toLong,
+        if (u >= 16 && i == 0) "purchase" else "view"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type")
+    val got = Analytics.gainsCurve(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toMap
+    // decile 1: 2 users, 2 pos, cum 2 → gains 400000, lift (2/2)/(5/20) = 4
+    assert(got(1L) == ((2L, 2L, 2L, 400000L, 4000L)), got)
+    assert(got(3L) == ((2L, 1L, 5L, 1000000L, 3333L)), got)
+    assert(got(10L)._3 == 5L && got(10L)._4 == 1000000L && got(10L)._5 == 1000L, got)
+  }
+
+  test("price index: hand basket — Laspeyres flat, Paasche reflects the shifted mix") {
+    import spark.implicits._
+    // month0: p1 $100×10, p2 $200×5; month1: p1 $110×8, p2 $180×6 and a
+    // part traded only in month1 (excluded from the matched sample)
+    def ts(m: Int) = s"2024-0${m + 1}-15 00:00:00"
+    val li = Seq(
+      (1L, 1000.0, 10.0, ts(0)), (2L, 1000.0, 5.0, ts(0)),
+      (1L, 880.0, 8.0, ts(1)), (2L, 1080.0, 6.0, ts(1)),
+      (3L, 500.0, 1.0, ts(1)))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "sd")
+      .withColumn("l_shipdate",
+        org.apache.spark.sql.functions.expr("CAST(sd AS TIMESTAMP)")).drop("sd")
+    val got = Analytics.priceIndex(li).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // L(m1) = (11000·10+18000·5)/(10000·10+20000·5) = 1.0;
+    // P(m1) = (11000·8+18000·6)/(10000·8+20000·6) = 0.98
+    assert(got.toSeq == Seq((2L, 1000000L, 1000000L), (2L, 1000000L, 980000L)), got.toSeq)
+  }
+
+  test("blocking recall: deletions break exactly one segment each, union recovers both") {
+    import spark.implicits._
+    // e1 "abcd": del_pos 2 → "acd" (prefix broken, suffix intact);
+    // e2 "wxyz": del_pos 3 → "wxz" (prefix intact, suffix broken)
+    val part = Seq((1L, "abcd", "b"), (2L, "wxyz", "b"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val got = graft.ops.EntityResolution.blockingRecall(part).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("brand") == ((2L, 1000000L, 4L)), got)
+    assert(got("brand_prefix") == ((1L, 500000L, 1L)), got)
+    assert(got("brand_suffix") == ((1L, 500000L, 1L)), got)
+    assert(got("prefix_suffix_union") == ((2L, 1000000L, 2L)), got)
+  }
 }
