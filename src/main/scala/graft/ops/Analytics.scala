@@ -1737,7 +1737,10 @@ object Analytics {
     * first aggregate.
     */
   def priceIndex(lineitem: DataFrame): DataFrame = {
-    val mp = lineitem.select(
+    // persisted: the (month, part) frame feeds THREE consumers (base-month
+    // probe, base slice, index join) — without the pin each would re-run
+    // the full lineitem scan+aggregate at corpus scale
+    val mp = Caches.tracked(lineitem.select(
       date_trunc("MONTH", col("l_shipdate")).as("mon"),
       col("l_partkey").as("pk"),
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
@@ -1745,6 +1748,7 @@ object Analytics {
       .groupBy(col("mon"), col("pk"))
       .agg(sum(col("ext_c")).as("sext"), sum(col("qty")).as("sqty"))
       .withColumn("pc", expr("CAST(sext DIV sqty AS BIGINT)"))
+      .persist())
     val baseMon = mp.agg(min(col("mon")).as("mon0"))
     val base = mp.join(broadcast(baseMon), col("mon") === col("mon0"))
       .select(col("pk"), col("pc").as("pc0"), col("sqty").as("q0"))

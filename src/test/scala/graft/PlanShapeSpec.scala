@@ -789,4 +789,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"corpus must stream once against the schema-bounded stats:\n$p")
   }
+
+  test("bootstrap CI: pinned fan-out width, explode feeds PARTIAL aggregation") {
+    val p = plan("events_bootstrap_ci")
+    // the ×64 fan-out must not inherit the one-file scan's width
+    assert(p.contains("RoundRobinPartitioning"),
+      s"explicit repartition before the replicate fan-out lost:\n$p")
+    // exploded (row, replicate) rows combine map-side: the shuffle after
+    // the explode carries (type, b) partials, never the exploded stream
+    assert(p.contains("partial_sum"),
+      s"replicate sums must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"only broadcast joins of scalar frames expected:\n$p")
+  }
+
+  test("gains curve: ranking window sorts the PRE-AGGREGATED user frame, one scan") {
+    val p = plan("events_gains_curve")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 1, s"gains curve reads events exactly once, got $scans:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"user aggregate must shuffle by user_id before the ntile sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-user score must partial-aggregate map-side:\n$p")
+  }
+
+  test("price index: (month, part) frame cached once for its three consumers, base broadcast") {
+    // tree traversal, not string counting: the plan STRING prints the
+    // cache-build FileScan inside every InMemoryRelation (round-10 trap)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): (Int, Int) = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case _: FileSourceScanExec    => (1, 0)
+      case _: InMemoryTableScanExec => (0, 1)
+      case other =>
+        other.children.map(walk).foldLeft((0, 0)) {
+          case ((f, m), (f2, m2)) => (f + f2, m + m2) }
+    }
+    val df = SparkEntry.queries("lineitem_price_index")(spark, dir)
+    val (fileScans, memScans) = walk(df.queryExecution.executedPlan)
+    val p = df.queryExecution.executedPlan.toString
+    assert(memScans >= 2,
+      s"base probe and index join must read the CACHED (month, part) frame:\n$p")
+    assert(fileScans == 0,
+      s"no direct lineitem scan outside the cache build, got $fileScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the month-bounded base basket must broadcast:\n$p")
+    graft.ops.Caches.releaseCaches()
+  }
+
+  test("blocking recall: volumes from grouped-count joins — raw registry never pair-joins") {
+    val p = plan("er_blocking_recall")
+    // every join input is a grouped count (or a scalar): a raw dirty ×
+    // registry pairing would appear as a join BELOW any aggregate
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(!p.contains("levenshtein"),
+      s"the audit never verifies pairs — counts only:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-key block counts must partial-aggregate:\n$p")
+  }
 }
