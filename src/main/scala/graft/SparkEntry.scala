@@ -953,6 +953,25 @@ object SparkEntry {
       s.table(name).orderBy("hour", "event_type")
     }),
 
+    // fixed-bound histogram quantiles inside watermarked streaming
+    // state: P50/P95/P99 per finalized hour from nBins counter cells
+    "events_quantile_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
+      import graft.ops.Sketches
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = mintStreamView("quantile_stream")
+      val q = Sketches.streamingQuantileSketch(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+          .select(col("ts"), col("event_type"), col("value")), 50, 500.0)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_qstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("hour", "event_type")
+    }),
+
     // streaming sliding windows: append-mode 1h/30min windows over the
     // chunked replay equal the batch assignment on finalized windows
     "events_sliding_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
@@ -1547,6 +1566,12 @@ object SparkEntry {
     // formulation survives in the spec as the equality witness)
     // cumulative-gains / lift table of activity as a conversion score
     "events_gains_curve" -> ((s, dir) => Analytics.gainsCurve(t(s, dir, "events"))),
+    // empirical-Bayes shrinkage of per-brand return rates
+    "lineitem_return_shrinkage" -> ((s, dir) =>
+      Analytics.returnShrinkage(t(s, dir, "lineitem"), t(s, dir, "part"), 200L)),
+    // anneal-phase selection: top-quality doc cut with exact token share
+    "text_anneal_selection" -> ((s, dir) =>
+      TextAnalysis.annealSelection(t(s, dir, "documents"), 20)),
     // matched-sample Laspeyres/Paasche monthly price indices
     "lineitem_price_index" -> ((s, dir) => Analytics.priceIndex(t(s, dir, "lineitem"))),
     // ER blocking-design audit: recall + candidate volume per scheme
@@ -2215,6 +2240,7 @@ object SparkEntry {
     "quality_expectations" -> Profiling.expectationsSql,
 
     "events_distinct_stream" -> Sketches.streamingApproxDistinctSql(64),
+    "events_quantile_stream" -> Sketches.streamingQuantileSketchSql(50, 500.0),
 
     "quality_benford" -> Profiling.benfordAuditSql,
     "quality_label_balance" -> Profiling.labelBalanceSql,
@@ -2443,6 +2469,8 @@ object SparkEntry {
     "events_value_deciles" -> Analytics.valueDecilesSql,
     "events_gains_curve" -> Analytics.gainsCurveSql,
     "lineitem_price_index" -> Analytics.priceIndexSql,
+    "lineitem_return_shrinkage" -> Analytics.returnShrinkageSql(200L),
+    "text_anneal_selection" -> TextAnalysis.annealSelectionSql(20),
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),

@@ -1790,6 +1790,56 @@ object Analytics {
       |       CAST((1000000 * p_num) // p_den AS BIGINT) AS paasche_ppm
       |FROM idx ORDER BY month""".stripMargin
 
+  /** Empirical-Bayes shrinkage of per-brand return rates — the
+    * small-sample correction every rate dashboard needs: a brand with
+    * 3 returns in 10 lineitems should NOT outrank one with 290 in
+    * 1000. Beta-binomial posterior mean with the prior centered on the
+    * global rate and a fixed strength of `priorN` pseudo-lineitems:
+    * shrunk = (r·10⁶ + priorN·α_ppm)/(n + priorN), with α_ppm the
+    * truncated global rate — fixed prior strength instead of
+    * method-of-moments keeps every number a DEFINED integer ratio (a
+    * moments fit would put engine doubles in the gate).
+    *
+    * Scale shape: lineitem partial-aggregates per brand after a
+    * broadcast part join; the global row folds FROM the brand
+    * aggregates (no second scan); output is brand-bounded.
+    */
+  def returnShrinkage(lineitem: DataFrame, part: DataFrame, priorN: Long): DataFrame = {
+    val byBrand = lineitem.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returns"))
+    val g = byBrand.agg(sum(col("n")).as("gn"), sum(col("returns")).as("gr"))
+      .select(expr("CAST((1000000 * gr) DIV gn AS BIGINT)").as("alpha_ppm"))
+    byBrand.crossJoin(broadcast(g))
+      .select(col("brand"), col("n"), col("returns"), col("alpha_ppm"),
+        expr("CAST((1000000 * returns) DIV n AS BIGINT)").as("raw_ppm"),
+        expr(s"CAST((1000000 * returns + $priorN * alpha_ppm) DIV (n + $priorN) AS BIGINT)")
+          .as("shrunk_ppm"))
+      .withColumn("shift_ppm", col("shrunk_ppm") - col("raw_ppm"))
+      .orderBy("brand")
+  }
+
+  def returnShrinkageSql(priorN: Long): String =
+    s"""WITH b AS (
+       |  SELECT p_brand AS brand, count(*) AS n,
+       |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS returns
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand),
+       |g AS (
+       |  SELECT CAST((1000000 * sum(returns)) // sum(n) AS BIGINT) AS alpha_ppm
+       |  FROM b)
+       |SELECT brand, n, returns, g.alpha_ppm,
+       |       CAST((1000000 * returns) // n AS BIGINT) AS raw_ppm,
+       |       CAST((1000000 * returns + $priorN * g.alpha_ppm) // (n + $priorN)
+       |            AS BIGINT) AS shrunk_ppm,
+       |       CAST((1000000 * returns + $priorN * g.alpha_ppm) // (n + $priorN)
+       |            AS BIGINT)
+       |       - CAST((1000000 * returns) // n AS BIGINT) AS shift_ppm
+       |FROM b, g ORDER BY brand""".stripMargin
+
   /** Weekday seasonality profile: event volume and value by day-of-week.
     * The dow index is pure epoch-day arithmetic ((day + 3) mod 7, 0 =
     * Monday — epoch day 0 was a Thursday) because the engines' dayofweek

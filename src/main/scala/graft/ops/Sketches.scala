@@ -413,6 +413,109 @@ object Sketches {
        |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
        |ORDER BY hour, event_type""".stripMargin
 
+  /** Histogram-sketch quantiles INSIDE a watermarked streaming
+    * aggregation — [[valueQuantileSketch]]'s deployment shape: per
+    * finalized hourly window and event type, P50/P95/P99 estimated from
+    * `nBins` FIXED-bound bin counters held as streaming state. The batch
+    * sketch takes a bounds pass first; a stream cannot (two chained
+    * aggregations are unsupported in append mode), so bounds are part of
+    * the DESIGN: bins span [0, vMax] and overflow clamps into the top
+    * bin — a documented saturation, visible in the top-bin mass, exactly
+    * how a production histogram metric (e.g. a latency histogram) works.
+    *
+    * State per open (window, type) group: nBins LongSum cells + a count
+    * — the same bounded-state story as the KMV sketch. Estimates are
+    * computed STATELESSLY after the aggregate (array walk over the bin
+    * columns; in append mode nothing downstream may re-aggregate), with
+    * the [[histogramQuantiles]] rank/interpolation arithmetic in the
+    * same expression order, so the batch oracle rebuild is bit-identical.
+    */
+  def streamingQuantileSketch(events: DataFrame, nBins: Int, vMax: Double): DataFrame = {
+    val width = vMax / nBins
+    val binCol = least(greatest(floor(col("value") / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val binSums = (0 until nBins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), binSums: _*)
+      // arr BOUND through a projection: HOF lambdas re-evaluate unbound
+      // child expressions per element (build notes)
+      .withColumn("arr", array((0 until nBins).map(i => col(s"b$i")): _*))
+    def est(p: Double): Column = {
+      val target = greatest(ceil(lit(p) * col("n")), lit(1L))
+      def cum(i: Column): Column =
+        aggregate(slice(col("arr"), lit(1), i), lit(0L), (acc, x) => acc + x)
+      val firstBin = element_at(
+        filter(sequence(lit(1), lit(nBins)), i => cum(i) >= target), 1)
+      val prev = cum(firstBin - 1)
+      val c = element_at(col("arr"), firstBin)
+      round(lit(width) * ((firstBin - 1).cast("double") +
+        (target - prev).cast("double") / c.cast("double")), 4)
+    }
+    agg.select(col("window.start").as("hour"), col("event_type"), col("n"),
+      est(0.5).as("p50_est"), est(0.95).as("p95_est"), est(0.99).as("p99_est"),
+      element_at(col("arr"), nBins).as("top_bin_mass"))
+  }
+
+  /** Oracle for [[streamingQuantileSketch]]: batch rebuild of the fixed
+    * histogram per hourly window, same estimator expression order (and
+    * the same width literal via a string→double cast, never a bare
+    * decimal literal — build notes), restricted to watermark-finalized
+    * windows with the ms-truncated cut. */
+  def streamingQuantileSketchSql(nBins: Int, vMax: Double): String = {
+    val width = vMax / nBins
+    val w = s"CAST('$width' AS DOUBLE)"
+    def pick(p: Double, tag: String): String =
+      s"""${tag}sel AS (
+         |  SELECT hour, event_type, n, bin, cum - c AS pv, c AS cb,
+         |         row_number() OVER (PARTITION BY hour, event_type ORDER BY bin) AS rn
+         |  FROM cum
+         |  WHERE cum >= greatest(CAST(ceil($p * n) AS BIGINT), 1)),
+         |$tag AS (
+         |  SELECT hour, event_type, n,
+         |         round($w * (CAST(bin AS DOUBLE)
+         |               + CAST(greatest(CAST(ceil($p * n) AS BIGINT), 1) - pv AS DOUBLE)
+         |                 / CAST(cb AS DOUBLE)), 4) AS ${tag}_est
+         |  FROM ${tag}sel WHERE rn = 1)""".stripMargin
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events),
+       |b AS (
+       |  SELECT date_trunc('hour', ts) AS hour, event_type,
+       |         CAST(least(greatest(floor(value / $w), 0.0),
+       |                    CAST('${(nBins - 1).toDouble}' AS DOUBLE)) AS BIGINT) AS bin
+       |  FROM events),
+       |binned AS (
+       |  SELECT hour, event_type, bin, count(*) AS c
+       |  FROM b GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT hour, event_type, CAST(sum(c) AS BIGINT) AS n
+       |  FROM binned GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT bn.hour, bn.event_type, bn.bin, bn.c, t.n,
+       |         sum(bn.c) OVER (PARTITION BY bn.hour, bn.event_type
+       |                         ORDER BY bn.bin) AS cum
+       |  FROM binned bn JOIN tot t ON t.hour = bn.hour
+       |                           AND t.event_type = bn.event_type),
+       |${pick(0.5, "p50")},
+       |${pick(0.95, "p95")},
+       |${pick(0.99, "p99")},
+       |tb AS (
+       |  SELECT hour, event_type, CAST(sum(CASE WHEN bin = ${nBins - 1} THEN c
+       |                                         ELSE 0 END) AS BIGINT) AS top_bin_mass
+       |  FROM binned GROUP BY 1, 2)
+       |SELECT p50.hour, p50.event_type, p50.n,
+       |       p50.p50_est, p95.p95_est, p99.p99_est, tb.top_bin_mass
+       |FROM p50
+       |JOIN p95 ON p95.hour = p50.hour AND p95.event_type = p50.event_type
+       |JOIN p99 ON p99.hour = p50.hour AND p99.event_type = p50.event_type
+       |JOIN tb ON tb.hour = p50.hour AND tb.event_type = p50.event_type, mx
+       |WHERE epoch_us(p50.hour) + 3600000000
+       |      <= (epoch_us(mx.mx) // 1000) * 1000 - 7200000000
+       |ORDER BY p50.hour, p50.event_type""".stripMargin
+  }
+
   /** KMV join-cardinality estimate — the planner question "how many rows
     * will `orders ⋈ σ(customer)` produce?" answered from two k-bounded
     * sketches instead of a scan of either side.

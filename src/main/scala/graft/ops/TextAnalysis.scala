@@ -1334,6 +1334,69 @@ object TextAnalysis {
        |FROM sizes CROSS JOIN changes""".stripMargin
   }
 
+  /** Anneal-phase selection audit — the "finish training on the best
+    * data" cut (the Llama/MiniCPM-style anneal): per source, the top
+    * `topPct`% of docs by quality survive, and the audit reports the
+    * TOKEN share that selection actually keeps. The number that matters
+    * is the doc%→token% gap: quality correlates with length, so a 20%
+    * doc cut routinely keeps 30%+ of tokens — budget by tokens, not
+    * docs, or the anneal runs long.
+    *
+    * Exact by construction: ranks come from the deterministic
+    * (quality DESC, doc_id) total order over the gate-proven 4-dp
+    * quality score; k = ⌊n·topPct/100⌋ docs per source; token sums and
+    * the share ppm are integers. `boundary_quality` exposes the cut
+    * score (NULL when the source is too small for a single pick —
+    * loud, not silently wrong).
+    *
+    * Scale shape: ONE corpus lineage ([[qualityScoreWith]] carries
+    * source + token counts through the scoring projection — no re-join
+    * on doc_id, the build-notes rule), one per-source rank window, one
+    * grouped fold.
+    */
+  def annealSelection(docs: DataFrame, topPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topPct > 0 && topPct < 100, s"topPct in (0, 100): $topPct")
+    val bySrc = Window.partitionBy(col("source"))
+    qualityScoreWith(docs, Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"))
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .withColumn("k", expr(s"(n_src * $topPct) DIV 100"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"), max(col("k")).as("k_selected"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("rk") <= col("k"), col("n_tokens")).otherwise(0L))
+          .as("tokens_selected"),
+        max(when(col("rk") === col("k"), col("quality"))).as("boundary_quality"))
+      .select(col("source"), col("n_docs"), col("k_selected"),
+        col("tokens_total"), col("tokens_selected"),
+        expr("CAST((1000000 * tokens_selected) DIV tokens_total AS BIGINT)")
+          .as("token_share_ppm"),
+        col("boundary_quality"))
+      .orderBy("source")
+  }
+
+  def annealSelectionSql(topPct: Int): String =
+    s"""WITH q AS (${qualityScoreSqlWith(Seq("source")).replace("ORDER BY doc_id", "")}),
+       |r AS (
+       |  SELECT doc_id, source, quality, n_tokens,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY quality DESC, doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM q),
+       |k AS (SELECT *, (n_src * $topPct) // 100 AS k FROM r)
+       |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+       |       CAST(max(k) AS BIGINT) AS k_selected,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(sum(CASE WHEN rk <= k THEN n_tokens ELSE 0 END) AS BIGINT)
+       |         AS tokens_selected,
+       |       CAST((1000000 * sum(CASE WHEN rk <= k THEN n_tokens ELSE 0 END))
+       |            // sum(n_tokens) AS BIGINT) AS token_share_ppm,
+       |       max(CASE WHEN rk = k THEN quality END) AS boundary_quality
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-token burstiness (Fano factor — variance-to-mean ratio of the
     * per-document count, zeros included): the classic content-vs-function
     * word discriminator. A Poisson-scattered token reads ≈ 1e6 ppm;

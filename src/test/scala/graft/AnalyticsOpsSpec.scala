@@ -155,6 +155,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1000000L, 1000000L), (2L, 1000000L, 980000L)), got.toSeq)
   }
 
+  test("return shrinkage: small samples pull hard toward the prior, large ones barely move") {
+    import spark.implicits._
+    // brand A: 5/10 returns; brand B: 100/1000 → alpha = 105e6 // 1010
+    val li = ((1 to 10).map(i => (1L, if (i <= 5) "R" else "N")) ++
+      (1 to 1000).map(i => (2L, if (i <= 100) "R" else "N")))
+      .toDF("l_partkey", "l_returnflag")
+    val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+    val got = Analytics.returnShrinkage(li, part, 200L).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // alpha_ppm = 103960; A: (5e6 + 200·103960) // 210 = 122819;
+    // B: (100e6 + 20792000) // 1200 = 100660
+    assert(got("A") == ((500000L, 122819L, -377181L)), got)
+    assert(got("B") == ((100000L, 100660L, 660L)), got)
+  }
+
+  test("anneal selection: k is the exact 20% floor, token share sums the top-k docs") {
+    import spark.implicits._
+    // 10 docs, one source; quality varies with length/stopwords
+    val texts = (1 to 10).map(i => (s"the data value " * i).trim)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s0") }
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextAnalysis.annealSelection(docs, 20).collect()(0)
+    assert((got.getLong(1), got.getLong(2)) == ((10L, 2L)), got)
+    // independent reference: top-2 docs by (quality desc, doc_id)
+    val q = graft.ops.TextAnalysis.qualityScoreWith(docs, Seq("source"))
+      .select("doc_id", "quality", "n_tokens").collect()
+      .map(r => (r.getDouble(1), r.getLong(0), r.getLong(2)))
+      .sortBy { case (qual, id, _) => (-qual, id) }
+    val expectSel = q.take(2).map(_._3).sum
+    val expectTotal = q.map(_._3).sum
+    assert(got.getLong(3) == expectTotal && got.getLong(4) == expectSel, got)
+    assert(got.getLong(5) == 1000000L * expectSel / expectTotal, got)
+    assert(got.getDouble(6) == q(1)._1, s"boundary = 2nd-ranked quality: $got")
+  }
+
   test("blocking recall: deletions break exactly one segment each, union recovers both") {
     import spark.implicits._
     // e1 "abcd": del_pos 2 → "acd" (prefix broken, suffix intact);

@@ -47,4 +47,38 @@ class QuantileSketchSpec extends SparkSpec {
         s"$c sketch ${sk.getAs[Double](c)} vs exact ${ex.getDouble(i)}")
     }
   }
+
+  test("streaming quantile sketch: hand histogram through real micro-batches, overflow clamps to the top bin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    def ts(minutes: Long) = new Timestamp(minutes * 60000L)
+    val ms = MemoryStream[(Timestamp, String, Double)](spark, numPartitions = 1)
+    val q = Sketches.streamingQuantileSketch(
+        ms.toDF().toDF("ts", "event_type", "value"), 50, 500.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qsk_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // hour 0, type t: values 5,15,...,95 — one per 10-wide bin 0..9;
+      // type x: 9999 clamps into bin 49
+      ms.addData((0 until 10).map(i => (ts(i * 5 + 1), "t", i * 10 + 5.0)): _*)
+      ms.addData((ts(40), "x", 9999.0))
+      q.processAllAvailable()
+      ms.addData((ts(200), "t", 1.0)) // watermark past hour 0 + 2h
+      q.processAllAvailable()
+      val rows = spark.table("qsk_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getString(1) -> r).toMap
+      val t = rows("t")
+      // target(0.5) = 5 → bin 4, prev 4, c 1 → 10·(4 + 1/1) = 50.0;
+      // p95/p99: target 10 → bin 9 → 100.0; nothing clamped
+      assert(t.getLong(2) == 10L, t)
+      assert((t.getDouble(3), t.getDouble(4), t.getDouble(5)) == ((50.0, 100.0, 100.0)), t)
+      assert(t.getLong(6) == 0L, t)
+      val x = rows("x")
+      assert(x.getLong(2) == 1L && x.getDouble(3) == 500.0 && x.getLong(6) == 1L,
+        s"overflow must clamp into the top bin: $x")
+    } finally { q.stop(); graft.ops.Caches.releaseStreamingState(spark) }
+  }
 }
