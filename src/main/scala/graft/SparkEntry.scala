@@ -1158,6 +1158,9 @@ object SparkEntry {
     // sequential CUSUM drift monitor via the prefix-sum/running-min
     // closed form — one ordered window, no iteration
     "events_cusum" -> ((s, dir) => TimeSeries.cusumDrift(t(s, dir, "events"), 2500L, 20000L)),
+    // seasonal-strength rider on the decomposition lineage
+    "events_seasonal_strength" -> ((s, dir) =>
+      TimeSeries.seasonalStrength(t(s, dir, "events"))),
     // brand-level association rules: support / confidence / lift
     "lineitem_association_rules" -> ((s, dir) =>
       Analytics.associationRules(t(s, dir, "lineitem"), t(s, dir, "part"), 3L, 50)),
@@ -1466,6 +1469,10 @@ object SparkEntry {
     "emb_cluster_ari" -> ((s, dir) =>
       ops.Similarity.clusterAriAudit(
         s.read.parquet(knnArtifact(s, dir)), t(s, dir, "embeddings"), 0.45)),
+    // cosine->label-precision calibration curve (threshold selection)
+    "emb_cosine_precision_curve" -> ((s, dir) =>
+      ops.Similarity.cosinePrecisionCurve(
+        s.read.parquet(knnArtifact(s, dir)), t(s, dir, "embeddings"))),
     // SemDeDup: CC over above-threshold kNN edges (artifact rider +
     // the shared star-contraction build)
     "dedup_semantic_clusters" -> ((s, dir) =>
@@ -1517,6 +1524,12 @@ object SparkEntry {
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // cluster-size profile (rider on the cluster artifact; singleton row
+    // closes the accounting to the corpus size)
+    "dedup_cluster_profile" -> ((s, dir) =>
+      Dedup.clusterProfileFrom(
+        Dedup.nearDupCorpus(t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        s.read.parquet(clusterArtifact(s, dir)))),
     // Same groups via alternating large-star/small-star contraction — the
     // O(log n)-round scale path for high-diameter components (same oracle)
     "dedup_clusters_star" -> ((s, dir) =>
@@ -2334,6 +2347,7 @@ object SparkEntry {
     "emb_power_iteration" -> Similarity.powerIterationTopSql(64, 4),
     "events_changepoint" -> TimeSeries.changepointHourlySql,
     "events_cusum" -> TimeSeries.cusumDriftSql(2500L, 20000L),
+    "events_seasonal_strength" -> TimeSeries.seasonalStrengthSql,
     "lineitem_association_rules" -> Analytics.associationRulesSql(3L, 50),
     "events_mad_outliers" -> TimeSeries.madOutliersSql,
     "events_seasonal_decompose" -> TimeSeries.seasonalDecomposeSql,
@@ -2483,6 +2497,8 @@ object SparkEntry {
     "emb_knn_outliers" -> Similarity.knnOutliersSql(10, 25),
     "emb_jl_distortion" -> Similarity.jlDistortionSql(16, 32),
     "emb_cluster_ari" -> Similarity.clusterAriAuditSql(10, 0.45),
+    "emb_cosine_precision_curve" -> Similarity.cosinePrecisionCurveSql(10),
+    "dedup_cluster_profile" -> Dedup.clusterProfileSql(0.5),
     "dedup_semantic_clusters" -> Similarity.semanticClustersSql(10, 0.45),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,

@@ -842,6 +842,74 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
        |FROM alld ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size profile — the FIRST audit anyone runs on a fresh
+    * near-dup clustering: how much of the corpus sits in families of
+    * which size. Size-2 mass is the expected planted-pair signal; a fat
+    * `size_11_up` row is the mega-cluster alarm (boilerplate or a
+    * hashing bug chaining unrelated docs), and the singleton row closes
+    * the accounting to exactly the corpus size.
+    *
+    * Rider on the persisted cluster frame (the artifact device —
+    * [[clustersFor]] overload for the library path); singletons are
+    * computed by difference against the corpus count, so the profile
+    * never needs the unclustered docs joined in. All integers; shares
+    * are truncating ppm of the corpus.
+    */
+  def clusterProfileFrom(corpus: DataFrame, clustersIn: DataFrame): DataFrame = {
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val clustered = clustersIn
+      .withColumn("bucket",
+        when(col("cluster_size") === 2, "size_2")
+          .when(col("cluster_size") <= 5, "size_3_5")
+          .when(col("cluster_size") <= 10, "size_6_10")
+          .otherwise("size_11_up"))
+      .groupBy(col("bucket"))
+      .agg(count_distinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val singles = clustered.agg(coalesce(sum(col("n_docs")), lit(0L)).as("nc"))
+      .crossJoin(nCorpus)
+      .select(lit("size_1").as("bucket"),
+        (col("n_corpus") - col("nc")).as("n_clusters"),
+        (col("n_corpus") - col("nc")).as("n_docs"))
+    clustered.unionByName(singles)
+      .crossJoin(broadcast(nCorpus))
+      .select(col("bucket"), col("n_clusters"), col("n_docs"),
+        expr("CAST((1000000 * n_docs) DIV n_corpus AS BIGINT)").as("doc_share_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** Library path: profile over the from-scratch cluster build. */
+  def clusterProfile(docs: DataFrame, threshold: Double): DataFrame = {
+    val corpus = nearDupCorpus(docs)
+    clusterProfileFrom(corpus, clustersFor(corpus, threshold))
+  }
+
+  def clusterProfileSql(threshold: Double): String =
+    s"""WITH cl AS (${nearDupClustersSql(threshold)}),
+       |nc AS (SELECT count(*) AS n_corpus
+       |       FROM ($nearDupCorpusSql)),
+       |clustered AS (
+       |  SELECT CASE WHEN cluster_size = 2 THEN 'size_2'
+       |              WHEN cluster_size <= 5 THEN 'size_3_5'
+       |              WHEN cluster_size <= 10 THEN 'size_6_10'
+       |              ELSE 'size_11_up' END AS bucket,
+       |         count(DISTINCT cluster) AS n_clusters,
+       |         count(*) AS n_docs
+       |  FROM cl GROUP BY 1),
+       |singles AS (
+       |  SELECT 'size_1' AS bucket,
+       |         nc.n_corpus - coalesce((SELECT sum(n_docs) FROM clustered), 0) AS n_clusters,
+       |         nc.n_corpus - coalesce((SELECT sum(n_docs) FROM clustered), 0) AS n_docs
+       |  FROM nc),
+       |allb AS (
+       |  SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters,
+       |         CAST(n_docs AS BIGINT) AS n_docs FROM clustered
+       |  UNION ALL
+       |  SELECT bucket, CAST(n_clusters AS BIGINT), CAST(n_docs AS BIGINT) FROM singles)
+       |SELECT a.bucket, a.n_clusters, a.n_docs,
+       |       CAST((1000000 * a.n_docs) // nc.n_corpus AS BIGINT) AS doc_share_ppm
+       |FROM allb a, nc ORDER BY a.bucket""".stripMargin
+
   /** Dedup-discounted per-source token accounting — the number a mixture
     * designer actually weighs sources by: raw token mass vs the mass that
     * SURVIVES keep-one near-dup dedup. Survivor = the cluster's min

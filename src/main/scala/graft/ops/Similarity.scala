@@ -1776,6 +1776,64 @@ object Similarity {
   def clusterAriAudit(knn: DataFrame, emb: DataFrame, threshold: Double): DataFrame =
     clusterAriFrom(semanticClustersFrom(knn, threshold), emb)
 
+  /** Cosine→precision calibration curve over the kNN graph — the
+    * threshold-selection table behind every SemDeDup / ANN-dedup cut:
+    * per 0.05-wide cosine band, what fraction of (unordered, distinct)
+    * neighbor pairs share a generative label. The band where precision
+    * collapses IS the dedup threshold; picking 0.45 by folklore is what
+    * this curve replaces.
+    *
+    * Exact: bands are ⌊20·cosine⌋ on the 6-dp-rounded gate-proven
+    * cosine (floor on doubles is identical both engines), counts and
+    * the precision ppm are integers. Pairs dedupe to unordered via
+    * least/greatest + DISTINCT, so a mutual kNN edge counts once.
+    *
+    * Scale shape: kNN-artifact rider (|corpus|·k rows, never all
+    * pairs); labels broadcast in; output is band-bounded (≤ 40 rows).
+    */
+  def cosinePrecisionCurve(knn: DataFrame, emb: DataFrame): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val pairs = knn.select(
+        least(col("anchor_id"), col("neighbor_id")).as("a"),
+        greatest(col("anchor_id"), col("neighbor_id")).as("b"),
+        col("cosine")).distinct()
+    pairs
+      .join(broadcast(labels.withColumnRenamed("vec_id", "a")
+        .withColumnRenamed("lbl", "la")), "a")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "b")
+        .withColumnRenamed("lbl", "lb")), "b")
+      .withColumn("band", floor(col("cosine") * lit(20.0)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same_label"))
+      .select(col("band"),
+        round(col("band").cast("double") / lit(20.0), 2).as("band_lo"),
+        col("n_pairs"), col("n_same_label"),
+        expr("CAST((1000000 * n_same_label) DIV n_pairs AS BIGINT)")
+          .as("precision_ppm"))
+      .orderBy("band")
+  }
+
+  /** Oracle mirror of [[cosinePrecisionCurve]]: kNN chain from scratch
+    * (rider rule), same unordered-pair dedupe, banding and ppm. */
+  def cosinePrecisionCurveSql(k: Int): String =
+    s"""WITH ${knnCtes(k)},
+       |pairs AS (
+       |  SELECT DISTINCT least(anchor_id, neighbor_id) AS a,
+       |         greatest(anchor_id, neighbor_id) AS b, cosine
+       |  FROM knn),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |j AS (
+       |  SELECT CAST(floor(p.cosine * 20.0) AS BIGINT) AS band,
+       |         CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END AS same_l
+       |  FROM pairs p JOIN lab la ON la.vec_id = p.a
+       |               JOIN lab lb ON lb.vec_id = p.b)
+       |SELECT band, round(CAST(band AS DOUBLE) / 20.0, 2) AS band_lo,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(same_l) AS BIGINT) AS n_same_label,
+       |       CAST((1000000 * sum(same_l)) // count(*) AS BIGINT) AS precision_ppm
+       |FROM j GROUP BY band ORDER BY band""".stripMargin
+
   /** Oracle mirror of [[clusterAriAudit]]: the kNN graph + recursive CC
     * chain recomputed from scratch (artifact ≡ from-scratch, as for all
     * riders), then the same contingency folds with HUGEINT products and

@@ -416,13 +416,16 @@ object TimeSeries {
     * Scale shape: everything after the first partial-agg is
     * O(days) — the 30-row daily frame, two windows, one 7-row groupBy.
     */
-  def seasonalDecompose(events: DataFrame): DataFrame = {
+  /** Shared prefix of [[seasonalDecompose]] and [[seasonalStrength]]:
+    * daily revenue, centered 7-day MA trend (full windows only), the
+    * micro-quantized detrended series and the weekday key. */
+  private[ops] def detrendedDaily(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("v_dec"))
       .withColumn("v", col("v_dec").cast("double"))
     val wMa = Window.orderBy(col("d")).rowsBetween(-3, 3)
-    val trended = daily
+    daily
       .withColumn("t_sum", sum(col("v_dec")).over(wMa))
       .withColumn("t_n", count(lit(1)).over(wMa))
       .filter(col("t_n") === 7)
@@ -430,6 +433,10 @@ object TimeSeries {
       .withColumn("detr", col("v") - col("trend"))
       .withColumn("dq", round(col("detr") * lit(1e6), 0).cast("long"))
       .withColumn("wd", col("d") % 7)
+  }
+
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val trended = detrendedDaily(events)
     val t = Caches.tracked(trended.persist())
     val seasonal = t.groupBy(col("wd"))
       .agg((sum(col("dq")).cast("double") / count(lit(1)).cast("double") / lit(1e6))
@@ -471,6 +478,83 @@ object TimeSeries {
       |       round(t.detr - s.seasonal, 6) + 0.0 AS residual
       |FROM tr t JOIN seas s USING (wd)
       |ORDER BY day""".stripMargin
+
+  /** Seasonal-strength rider on the [[seasonalDecompose]] lineage — the
+    * one number that says whether the weekly component is worth
+    * modeling: strength = 1 − SS(residual)/SS(detrended) on the
+    * micro-quantized detrended series (already ≈ zero-mean by MA
+    * construction, so raw sums of squares are the DEFINED statistic —
+    * no rational means in the gate).
+    *
+    * Exactness: weekday means become integers via the +K floor-shift
+    * (dq can be negative; DIV truncates where // floors), residual
+    * = dq − seasonal_q stays integral, and the squared sums ride
+    * DECIMAL(38,0)/HUGEINT (dq² overflows BIGINT at corpus revenue
+    * scale). Export truncates to milli² BIGINTs (the wide-decimal dump
+    * rule); the ppm ratio computes on the full sums first.
+    *
+    * Scale shape: the |days|-bounded detrended frame, one weekday
+    * fold broadcast back, one scalar fold.
+    */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val t = detrendedDaily(events)
+    val K = 1000000000000L // shift: |Σdq per weekday| << K·count
+    val seas = t.groupBy(col("wd"))
+      .agg(expr(s"CAST((sum(dq) + $K * count(1)) DIV count(1) AS BIGINT) - $K")
+        .as("sq"))
+    t.join(broadcast(seas), "wd")
+      .withColumn("rq", col("dq") - col("sq"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(dq AS DECIMAL(38,0)) * dq")).as("ssd"),
+        sum(expr("CAST(rq AS DECIMAL(38,0)) * rq")).as("ssr"))
+      .select(col("n_days"),
+        expr("CAST(ssd DIV 1000000 AS BIGINT)").as("ss_detrended_milli2"),
+        expr("CAST(ssr DIV 1000000 AS BIGINT)").as("ss_residual_milli2"),
+        // floor-shift: ssr can exceed ssd by a rounding hair (integer
+        // weekday means near-minimize SS, they don't minimize it), and a
+        // negative numerator splits DIV (trunc) from // (floor)
+        expr("""CASE WHEN ssd = 0 THEN NULL
+               |     ELSE CAST((1000000 * (ssd - ssr) + 10000000 * ssd) DIV ssd
+               |               AS BIGINT) - 10000000 END"""
+          .stripMargin).as("strength_ppm"))
+  }
+
+  val seasonalStrengthSql: String = {
+    val K = 1000000000000L
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d,
+       |         sum(CAST(value AS DECIMAL(18,2))) AS v_dec
+       |  FROM events GROUP BY 1),
+       |ma AS (
+       |  SELECT d, CAST(v_dec AS DOUBLE) AS v,
+       |         sum(v_dec) OVER w AS t_sum,
+       |         count(*) OVER w AS t_n
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |tr AS (
+       |  SELECT d,
+       |         CAST(round((v - CAST(t_sum AS DOUBLE) / 7.0) * 1e6, 0) AS BIGINT) AS dq,
+       |         d % 7 AS wd
+       |  FROM ma WHERE t_n = 7),
+       |seas AS (
+       |  SELECT wd, CAST((sum(dq) + $K * count(*)) // count(*) AS BIGINT) - $K AS sq
+       |  FROM tr GROUP BY wd),
+       |r AS (
+       |  SELECT t.dq, t.dq - s.sq AS rq
+       |  FROM tr t JOIN seas s USING (wd)),
+       |f AS (
+       |  SELECT count(*) AS n_days,
+       |         sum(CAST(dq AS HUGEINT) * dq) AS ssd,
+       |         sum(CAST(rq AS HUGEINT) * rq) AS ssr
+       |  FROM r)
+       |SELECT n_days,
+       |       CAST(ssd // 1000000 AS BIGINT) AS ss_detrended_milli2,
+       |       CAST(ssr // 1000000 AS BIGINT) AS ss_residual_milli2,
+       |       CASE WHEN ssd = 0 THEN NULL
+       |            ELSE CAST((1000000 * (ssd - ssr) + 10000000 * ssd) // ssd
+       |                      AS BIGINT) - 10000000 END AS strength_ppm
+       |FROM f""".stripMargin
+  }
 
   val gapFillHourlySql: String =
     """WITH hourly AS (

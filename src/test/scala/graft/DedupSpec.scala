@@ -514,4 +514,19 @@ class DedupSpec extends SparkSpec {
     // idempotent on a healthy index
     assert(Dedup.recoverLshIndex(idx).isEmpty)
   }
+
+  test("cluster profile: buckets partition the clustered mass, singleton row closes to the corpus") {
+    import spark.implicits._
+    val corpus = (1 to 10).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 100L, 2L), (2L, 100L, 2L),
+      (3L, 200L, 3L), (4L, 200L, 3L), (5L, 200L, 3L))
+      .toDF("doc_id", "cluster", "cluster_size")
+    val got = Dedup.clusterProfileFrom(corpus, clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "size_1" -> ((5L, 5L, 500000L)),
+      "size_2" -> ((1L, 2L, 200000L)),
+      "size_3_5" -> ((1L, 3L, 300000L))), got)
+  }
 }

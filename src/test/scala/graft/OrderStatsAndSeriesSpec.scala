@@ -418,6 +418,21 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     assert(f.getLong(3) == 0L && f.isNullAt(4) && f.getLong(5) == 0L, f)
   }
 
+  test("seasonal strength: a pure weekly pattern scores exactly 1e6, residual SS zero") {
+    // one event per day, value = (d % 7 + 1)·10: any 7-day MA window is
+    // constant → detrended = exact weekly pattern → residual 0
+    val ev = (0 until 21).map { d =>
+      (d.toLong * 86400000000L + 1000L, d.toLong, "t", (d % 7 + 1) * 10.0)
+    }.toDF("us", "event_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val r = TimeSeries.seasonalStrength(ev).collect()(0)
+    assert(r.getLong(0) == 15L, s"days 3..17 carry full MA windows: $r")
+    assert(r.getLong(2) == 0L, s"residual SS must vanish: $r")
+    assert(r.getLong(3) == 1000000L, r)
+    assert(r.getLong(1) > 0L, r)
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("bootstrap CI: thresholds are the Poisson CDF, constant data collapses the band, partition-invariant") {
     val t = OrderStats.bootPoissonThresholds
     assert(t == t.sorted && t.distinct.size == 5, t)

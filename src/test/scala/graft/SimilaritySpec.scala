@@ -260,4 +260,19 @@ class SimilaritySpec extends SparkSpec {
       hand.getLong(4), hand.getLong(5), hand.getLong(6)) ==
       ((4L, 2L, 3L, 1L, 2L, 1L, 571428L)), hand)
   }
+
+  test("cosine precision curve: mutual edges count once, bands floor correctly incl. negatives") {
+    val knn = Seq(
+      (1L, 2L, 0.97, 1L), (2L, 1L, 0.97, 1L),   // mutual pair, same label
+      (1L, 3L, 0.52, 2L),                        // cross-label
+      (3L, 4L, -0.08, 2L))                       // negative band
+      .toDF("anchor_id", "neighbor_id", "cosine", "rank")
+    val emb = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)).toDF("vec_id", "label")
+    val got = Similarity.cosinePrecisionCurve(knn, emb).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(19L) == ((0.95, 1L, 1L, 1000000L)), s"mutual edge deduped: $got")
+    assert(got(10L) == ((0.5, 1L, 0L, 0L)), got)
+    assert(got(-2L) == ((-0.1, 1L, 0L, 0L)), s"floor(-1.6) = -2: $got")
+  }
 }
