@@ -1314,6 +1314,14 @@ object SparkEntry {
     "events_fdr_gate" -> ((s, dir) => OrderStats.fdrGate(t(s, dir, "events"))),
     // hash-deterministic Poisson bootstrap CI of per-type value means
     "events_bootstrap_ci" -> ((s, dir) => OrderStats.bootstrapCi(t(s, dir, "events"))),
+    // per-day event-study panel around the midpoint intervention
+    "events_event_study" -> ((s, dir) => OrderStats.eventStudy(t(s, dir, "events"))),
+    // sharp RD at the activity threshold + the placebo cut
+    "events_regression_discontinuity" -> ((s, dir) =>
+      OrderStats.regressionDiscontinuity(t(s, dir, "events"), 67L, 10L, 150.0)),
+    // group-sequential probe: 5 looks against the Pocock boundary
+    "events_sequential_probe" -> ((s, dir) =>
+      OrderStats.sequentialProbe(t(s, dir, "events"))),
     // exact Gini split-gain screen over per-user features vs conversion
     "events_split_gain" -> ((s, dir) => OrderStats.splitGain(t(s, dir, "events"))),
     // stratified matching estimator: per pre-activity stratum arm
@@ -2412,6 +2420,9 @@ object SparkEntry {
     "events_srm_check" -> OrderStats.srmCheckSql,
     "events_fdr_gate" -> OrderStats.fdrGateSql,
     "events_bootstrap_ci" -> OrderStats.bootstrapCiSql,
+    "events_event_study" -> OrderStats.eventStudySql,
+    "events_regression_discontinuity" -> OrderStats.regressionDiscontinuitySql(67L, 10L, 150.0),
+    "events_sequential_probe" -> OrderStats.sequentialProbeSql,
     "events_split_gain" -> OrderStats.splitGainSql,
     "events_propensity_strata" -> OrderStats.propensityStrataSql,
     "events_anomaly" -> Analytics.zscoreOutliersSql,

@@ -1402,6 +1402,220 @@ object OrderStats {
        |ORDER BY e.event_type""".stripMargin
   }
 
+  /** Event-study panel around the stream midpoint — the plot behind
+    * every DiD readout ([[graft.ops]]'s `events_impact_did` gives ONE
+    * effect number; the event study shows the per-day path, which is
+    * where parallel-trends violations and anticipation effects are
+    * actually seen). Per day: the treat−control activity difference,
+    * and the effect relative to the PRE-period mean difference
+    * (baseline-adjusted, so a level gap between arms reads as zero
+    * effect pre-intervention).
+    *
+    * Exact: daily counts are integers; the baseline mean is milli
+    * fixed-point via the +K floor-shift (pre-period diffs can be
+    * negative — DIV/`//` divergence); effects are plain integer
+    * subtractions. Scale shape: one (day, arm) partial-agged fold off
+    * the scan, the scalar baseline broadcast back, |days| output rows.
+    */
+  def eventStudy(events: DataFrame): DataFrame = {
+    val K = 1000000000L
+    val daily = events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("user_id") % 2 === 0).as("treat"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_ctrl"))
+      .withColumn("diff", col("n_treat") - col("n_ctrl"))
+    val mid = daily.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val base = daily.crossJoin(broadcast(mid)).filter(col("day") <= col("mid"))
+      .agg(count(lit(1)).as("n_pre"), sum(col("diff")).as("s_pre"))
+      .select(expr(s"CAST((1000 * s_pre + $K * n_pre) DIV n_pre AS BIGINT) - $K")
+        .as("baseline_milli"))
+    daily.crossJoin(broadcast(mid)).crossJoin(broadcast(base))
+      .select(timestamp_micros(col("day") * lit(86400000000L)).as("day"),
+        col("n_treat"), col("n_ctrl"), col("diff"),
+        (col("day") > col("mid")).as("is_post"),
+        (lit(1000L) * col("diff") - col("baseline_milli")).as("effect_milli"))
+      .orderBy("day")
+  }
+
+  val eventStudySql: String = {
+    val K = 1000000000L
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ctrl
+       |  FROM events GROUP BY 1),
+       |d2 AS (SELECT *, n_treat - n_ctrl AS diff FROM daily),
+       |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d2),
+       |base AS (
+       |  SELECT CAST((1000 * sum(diff) + $K * count(*)) // count(*) AS BIGINT) - $K
+       |           AS baseline_milli
+       |  FROM d2, m WHERE day <= mid)
+       |SELECT make_timestamp(d2.day * 86400000000) AS day,
+       |       d2.n_treat, d2.n_ctrl, d2.diff,
+       |       d2.day > m.mid AS is_post,
+       |       1000 * d2.diff - base.baseline_milli AS effect_milli
+       |FROM d2, m, base ORDER BY day""".stripMargin
+  }
+
+  /** Sharp regression-discontinuity probe — the quasi-experimental
+    * design when assignment is a THRESHOLD on a running variable: users
+    * just left/right of the cut are comparable, so a conversion-rate
+    * jump at the cut is the local treatment effect. Running variable:
+    * the user's total event count; bands of width `bw` each side. The
+    * second row is the PLACEBO at cut−bw — a credible design shows a
+    * jump at the real cut and none at the placebo.
+    *
+    * Exact: band membership is integer comparison, rates are truncating
+    * ppm, the jump is a difference of the two truncated ppms (the
+    * DEFINED statistic — both engines truncate identically).
+    * Scale shape: one user-level aggregate, two alphabet-bounded rows.
+    */
+  def regressionDiscontinuity(events: DataFrame, cut: Long, bw: Long,
+                              minValue: Double): DataFrame = {
+    // outcome: HIGH-VALUE purchase (plain purchase saturates at ~100%
+    // on the fixture — a rate of 1.0 in every band carries no signal)
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        max(when(col("event_type") === "purchase" && col("value") >= minValue,
+          1L).otherwise(0L)).as("conv"))
+    def row(label: String, c: Long) = users
+      .agg(sum(when(col("x") >= c - bw && col("x") < c, 1L).otherwise(0L)).as("n_left"),
+        sum(when(col("x") >= c - bw && col("x") < c, col("conv")).otherwise(0L)).as("conv_left"),
+        sum(when(col("x") >= c && col("x") < c + bw, 1L).otherwise(0L)).as("n_right"),
+        sum(when(col("x") >= c && col("x") < c + bw, col("conv")).otherwise(0L)).as("conv_right"))
+      .select(lit(label).as("probe"), lit(c).as("cut"),
+        col("n_left"), col("conv_left"), col("n_right"), col("conv_right"),
+        expr("CASE WHEN n_left = 0 THEN NULL ELSE CAST((1000000 * conv_left) DIV n_left AS BIGINT) END").as("rate_left_ppm"),
+        expr("CASE WHEN n_right = 0 THEN NULL ELSE CAST((1000000 * conv_right) DIV n_right AS BIGINT) END").as("rate_right_ppm"))
+      .withColumn("jump_ppm", col("rate_right_ppm") - col("rate_left_ppm"))
+    row("cut", cut).unionByName(row("placebo", cut - bw)).orderBy("probe")
+  }
+
+  def regressionDiscontinuitySql(cut: Long, bw: Long, minValue: Double): String = {
+    def row(label: String, c: Long) =
+      s"""SELECT '$label' AS probe, CAST($c AS BIGINT) AS cut,
+         |  CAST(sum(CASE WHEN x >= ${c - bw} AND x < $c THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+         |  CAST(sum(CASE WHEN x >= ${c - bw} AND x < $c THEN conv ELSE 0 END) AS BIGINT) AS conv_left,
+         |  CAST(sum(CASE WHEN x >= $c AND x < ${c + bw} THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+         |  CAST(sum(CASE WHEN x >= $c AND x < ${c + bw} THEN conv ELSE 0 END) AS BIGINT) AS conv_right
+         |FROM u""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS x,
+       |         max(CASE WHEN event_type = 'purchase' AND value >= $minValue
+       |                  THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id),
+       |rows_x AS (
+       |  ${row("cut", cut)}
+       |  UNION ALL
+       |  ${row("placebo", cut - bw)}),
+       |r2 AS (
+       |  SELECT *,
+       |    CASE WHEN n_left = 0 THEN NULL
+       |         ELSE CAST((1000000 * conv_left) // n_left AS BIGINT) END AS rate_left_ppm,
+       |    CASE WHEN n_right = 0 THEN NULL
+       |         ELSE CAST((1000000 * conv_right) // n_right AS BIGINT) END AS rate_right_ppm
+       |  FROM rows_x)
+       |SELECT probe, cut, n_left, conv_left, n_right, conv_right,
+       |       rate_left_ppm, rate_right_ppm,
+       |       rate_right_ppm - rate_left_ppm AS jump_ppm
+       |FROM r2 ORDER BY probe""".stripMargin
+  }
+
+  /** Pocock two-sided boundary at α = 0.05 for [[sequentialProbe]]'s 5
+    * looks, in z² ppm (2.413² · 10⁶ — the published group-sequential
+    * table constant, embedded verbatim in both engines). */
+  val PocockZ2PpmK5 = 5822569L
+
+  /** Group-sequential A/B probe — the peeking-correction device an
+    * experiment platform runs when results are read DAILY instead of
+    * once: five equally-spaced looks over the stream, each testing the
+    * cumulative two-proportion χ² against the Pocock boundary (constant
+    * across looks; naive repeated 1.96 testing at 5 looks inflates
+    * false positives to ~14%). A user enters at their first event and
+    * counts as converted once a purchase is logged at or before the
+    * look — the point-in-time state the platform would actually have.
+    *
+    * Exact: per-look counts are integer comparisons on per-user
+    * (first_us, first_purchase_us); the χ² compare is the
+    * [[fdrGate]] cross-multiplied identity in DECIMAL(38,0)/HUGEINT;
+    * `first_crossed_look` folds over the 5-row frame.
+    */
+  def sequentialProbe(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"),
+        min(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          expr("unix_micros(ts)"))).as("purch_us"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val span = events.agg(expr("min(unix_micros(ts))").as("lo"),
+      expr("max(unix_micros(ts))").as("hi"))
+    val looks = span.select(explode(sequence(lit(1L), lit(5L))).as("look"),
+        col("lo"), col("hi"))
+      .select(col("look"),
+        expr("lo + ((hi - lo) * look) div 5").as("look_us"))
+    val st = users.crossJoin(broadcast(looks))
+      .filter(col("first_us") <= col("look_us"))
+      .groupBy(col("look"), col("look_us"))
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L && col("purch_us") <= col("look_us"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L && col("purch_us") <= col("look_us"), 1L).otherwise(0L)).as("conv_b"))
+      .withColumn("dlt", expr("conv_a * n_b - conv_b * n_a"))
+      .withColumn("num", expr("CAST(dlt AS DECIMAL(38,0)) * dlt * (n_a + n_b)"))
+      .withColumn("den", expr(
+        "CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)"))
+      .withColumn("chi2_ppm", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE CAST((1000000 * num) DIV den AS BIGINT) END"))
+      .withColumn("crossed", col("den") > 0 &&
+        expr(s"CAST(1000000 AS DECIMAL(38,0)) * num > CAST($PocockZ2PpmK5 AS DECIMAL(38,0)) * den"))
+    val wAll = Window.partitionBy()
+    st.withColumn("first_crossed_look",
+        min(when(col("crossed"), col("look"))).over(wAll))
+      .select(col("look"), timestamp_micros(col("look_us")).as("look_ts"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("chi2_ppm"), col("crossed"), col("first_crossed_look"))
+      .orderBy("look")
+  }
+
+  val sequentialProbeSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+       |         min(CASE WHEN event_type = 'purchase' AND value >= 150.0
+       |                  THEN epoch_us(ts) END) AS purch_us,
+       |         user_id % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |sp AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+       |looks AS (
+       |  SELECT CAST(k AS BIGINT) AS look,
+       |         lo + ((hi - lo) * CAST(k AS BIGINT)) // 5 AS look_us
+       |  FROM sp, (SELECT unnest(range(1, 6)) AS k) t),
+       |st AS (
+       |  SELECT l.look, l.look_us,
+       |    CAST(sum(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN u.arm = 0 AND u.purch_us <= l.look_us THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN u.arm = 1 AND u.purch_us <= l.look_us THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM u JOIN looks l ON u.first_us <= l.look_us
+       |  GROUP BY 1, 2),
+       |x AS (
+       |  SELECT *,
+       |    CAST(conv_a * n_b - conv_b * n_a AS HUGEINT)
+       |      * (conv_a * n_b - conv_b * n_a) * (n_a + n_b) AS num,
+       |    CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+       |      * (n_a + n_b - conv_a - conv_b) AS den
+       |  FROM st),
+       |x2 AS (
+       |  SELECT *,
+       |    CASE WHEN den = 0 THEN NULL
+       |         ELSE CAST((1000000 * num) // den AS BIGINT) END AS chi2_ppm,
+       |    den > 0 AND 1000000 * num > $PocockZ2PpmK5 * den AS crossed
+       |  FROM x)
+       |SELECT look, make_timestamp(look_us) AS look_ts,
+       |       n_a, conv_a, n_b, conv_b, chi2_ppm, crossed,
+       |       min(CASE WHEN crossed THEN look END) OVER () AS first_crossed_look
+       |FROM x2 ORDER BY look""".stripMargin
+
   /** Exact Gini split-gain screen over per-user features — the feature
     * audit a label-balance / curation pipeline runs before training a
     * quality classifier: which cheap per-user signal (entry event type,

@@ -433,6 +433,67 @@ class OrderStatsAndSeriesSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches()
   }
 
+  test("event study: pre-period diffs zero out against the baseline, post shows the planted lift") {
+    // days 0-2: 3 treat + 1 ctrl (diff 2); days 3-5: 6 treat + 1 ctrl
+    // (diff 5). mid = day 2 → baseline 2000 milli → post effect 3000
+    val rows = (0 until 6).flatMap { d =>
+      val treat = if (d <= 2) 3 else 6
+      (0 until treat).map(i => (d.toLong * 86400000000L + i, 0L, "view")) :+
+        ((d.toLong * 86400000000L + 500L, 1L, "view"))
+    }
+    val ev = rows.zipWithIndex
+      .map { case ((us, u, et), i) => (us, u, et, i.toLong) }
+      .toDF("us", "user_id", "event_type", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.eventStudy(ev).collect()
+      .map(r => r.getTimestamp(0).getTime / 86400000L ->
+        (r.getLong(3), r.getBoolean(4), r.getLong(5))).toMap
+    assert(got(0L) == ((2L, false, 0L)) && got(2L) == ((2L, false, 0L)), got)
+    assert(got(3L) == ((5L, true, 3000L)) && got(5L) == ((5L, true, 3000L)), got)
+  }
+
+  test("regression discontinuity: planted jump at the cut, flat placebo") {
+    // user u emits u 'view' events (+1 purchase for u in {5,6}): running
+    // var x = u (or u+1 with the purchase); cut 5, bw 2, minValue 150
+    val rows = (1 to 8).flatMap { u =>
+      val views = (0 until (if (u == 5 || u == 6) u - 1 else u))
+        .map(i => (u.toLong * 1000000L + i, u.toLong, "view", 0.0))
+      val purch = if (u == 5 || u == 6)
+        Seq((u.toLong * 1000000L + 999L, u.toLong, "purchase", 200.0)) else Seq()
+      views ++ purch
+    }
+    val ev = rows.zipWithIndex
+      .map { case ((us, u, et, v), i) => (us, u, et, v, i.toLong) }
+      .toDF("us", "user_id", "event_type", "value", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.regressionDiscontinuity(ev, 5L, 2L, 150.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4), r.getLong(8))).toMap
+    // cut: left = users {3,4} (0 conv), right = {5,6} (2 conv) → jump 1e6
+    assert(got("cut") == ((2L, 2L, 1000000L)), got)
+    assert(got("placebo") == ((2L, 2L, 0L)), got)
+  }
+
+  test("sequential probe: an overwhelming planted effect crosses Pocock at the first look") {
+    val rows = (0 until 40).flatMap { u =>
+      Seq((u.toLong, u.toLong, "view", 0.0)) ++
+        (if (u % 2 == 0) Seq((100L + u, u.toLong, "purchase", 200.0)) else Seq())
+    } :+ ((1000000L, 0L, "view", 0.0))
+    val ev = rows.zipWithIndex
+      .map { case ((us, u, et, v), i) => (us, u, et, v, i.toLong) }
+      .toDF("us", "user_id", "event_type", "value", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = OrderStats.sequentialProbe(ev).collect()
+    // all 40 users and all 20 arm-0 conversions precede look 1:
+    // chi2 = n = 40 → 4e7 ppm > the 5.82e6 boundary at every look
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((20L, 20L, 20L, 0L)), r)
+      assert(r.getLong(6) == 40000000L && r.getBoolean(7), r)
+      assert(r.getLong(8) == 1L, s"first crossed look must be 1: $r")
+    }
+    assert(got.length == 5)
+  }
+
   test("bootstrap CI: thresholds are the Poisson CDF, constant data collapses the band, partition-invariant") {
     val t = OrderStats.bootPoissonThresholds
     assert(t == t.sorted && t.distinct.size == 5, t)
