@@ -1585,6 +1585,9 @@ object SparkEntry {
     // exact equi-depth deciles with ntile semantics via two-pass
     // selection — no per-type single-reducer sort (the ntile window
     // formulation survives in the spec as the equality witness)
+    // exact Shapley-value attribution over pre-purchase touchsets
+    "events_shapley_attribution" -> ((s, dir) =>
+      Analytics.shapleyAttribution(t(s, dir, "events"))),
     // cumulative-gains / lift table of activity as a conversion score
     "events_gains_curve" -> ((s, dir) => Analytics.gainsCurve(t(s, dir, "events"))),
     // empirical-Bayes shrinkage of per-brand return rates
@@ -2492,6 +2495,7 @@ object SparkEntry {
     "q_pivot_revenue" -> Analytics.pivotRevenueSql,
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "events_value_deciles" -> Analytics.valueDecilesSql,
+    "events_shapley_attribution" -> Analytics.shapleyAttributionSql,
     "events_gains_curve" -> Analytics.gainsCurveSql,
     "lineitem_price_index" -> Analytics.priceIndexSql,
     "lineitem_return_shrinkage" -> Analytics.returnShrinkageSql(200L),

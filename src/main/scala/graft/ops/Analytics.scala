@@ -1640,6 +1640,128 @@ object Analytics {
       |       count(*) AS n, min(value) AS lo, max(value) AS hi
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Channel alphabet for [[shapleyAttribution]]: bit per non-purchase
+    * event type, alphabetical. Schema-bounded (k = 4 ⇒ 16 coalitions,
+    * 32 Shapley terms) — the whole game fits in literal tables. */
+  val ShapleyChannels: Seq[(String, Int)] =
+    Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+
+  /** (channel_bit, coalition_without_channel, |S|!·(k−1−|S|)!) rows —
+    * Shapley weights scaled by k! = 24 so every term is an integer. */
+  val shapleyTerms: Seq[(Int, Int, Long)] = {
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    for {
+      (_, b) <- ShapleyChannels
+      s <- 0 to 15 if (s & b) == 0
+    } yield (b, s, fact(Integer.bitCount(s)) * fact(3 - Integer.bitCount(s)))
+  }
+
+  /** EXACT Shapley-value attribution over pre-conversion touchsets — the
+    * cooperative-game answer to "which channel deserves the purchase"
+    * that last-touch ([[SparkEntry]]'s `events_attribution`) caricatures.
+    * Characteristic function: v(S) = converting users whose PRE-purchase
+    * touchset ⊆ S (touches after the first purchase don't claim credit;
+    * non-converters contribute nothing to any marginal). With k = 4
+    * channels the game is schema-bounded: 16 coalitions, 32 marginal
+    * terms, and scaling by k! = 24 makes every Shapley value an exact
+    * integer — φ24 satisfies the efficiency axiom Σφ24 = 24·(v(full) −
+    * v(∅)) identically. Purchase-FIRST users (no pre-purchase rows)
+    * drop out entirely: they would add the same constant to every
+    * coalition's v, which cancels in every marginal — zero credit, by
+    * the game's own algebra, not by a filter choice.
+    *
+    * Scale shape: ONE window + user aggregate reduce the corpus to a
+    * ≤16-row mask census; everything after — the subset-sum v(S), the
+    * marginal fold — is literal-table joins on alphabet-bounded frames.
+    * The subset test is pure integer bit algebra ((m & (15−S)) = 0),
+    * identical in both engines.
+    */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val bitCase = ShapleyChannels.map { case (n, b) =>
+      s"CASE WHEN event_type = '$n' THEN $b ELSE 0 END" }
+      .mkString("greatest(", ", ", ")")
+    val masks = events
+      .withColumn("fp", min(when(col("event_type") === "purchase",
+        expr("unix_micros(ts)"))).over(wUser))
+      .filter(col("fp").isNull || expr("unix_micros(ts)") < col("fp"))
+      .groupBy(col("user_id"))
+      .agg(expr(s"bit_or($bitCase)").as("mask"),
+        max(col("fp").isNotNull.cast("long")).as("conv"))
+    val cont = masks.filter(col("conv") === 1L)
+      .groupBy(col("mask")).agg(count(lit(1)).as("nconv"))
+    val coalitions = coalitionFrame(events)
+    val vS = coalitions.as("s")
+      .join(cont.as("m"), expr("(m.mask & (15 - s.S)) = 0"), "left")
+      .groupBy(col("s.S").as("S"))
+      .agg(coalesce(sum(col("nconv")), lit(0L)).as("v"))
+    val terms = events.sparkSession.createDataFrame(shapleyTerms)
+      .toDF("b", "S0", "w")
+    val phi = terms
+      .join(vS.select(col("S").as("S1"), col("v").as("v1")),
+        expr("S1 = (S0 | b)"))
+      .join(vS.select(col("S").as("S0j"), col("v").as("v0")),
+        col("S0j") === col("S0"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi24"))
+    val names = ShapleyChannels.map { case (n, b) => (n, b) }
+    val nameDf = events.sparkSession.createDataFrame(names).toDF("channel", "b")
+    val tot = phi.agg(sum(col("phi24")).as("tot"))
+    phi.join(broadcast(nameDf), "b").crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi24"), col("tot").as("phi24_total"),
+        expr("""CASE WHEN tot = 0 THEN NULL
+               |     ELSE CAST((1000000 * phi24) DIV tot AS BIGINT) END"""
+          .stripMargin).as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  /** All 16 coalitions as a frame (driver literal — schema-bounded). */
+  private def coalitionFrame(events: DataFrame): DataFrame =
+    events.sparkSession.createDataFrame((0 to 15).map(Tuple1(_))).toDF("S")
+
+  def shapleyAttributionSql: String = {
+    val termRows = shapleyTerms
+      .map { case (b, s, w) => s"($b, $s, $w)" }.mkString(", ")
+    val nameRows = ShapleyChannels
+      .map { case (n, b) => s"('$n', $b)" }.mkString(", ")
+    val bitCase = ShapleyChannels.map { case (n, b) =>
+      s"CASE WHEN event_type = '$n' THEN $b ELSE 0 END" }
+      .mkString("greatest(", ", ", ")")
+    s"""WITH fp AS (
+       |  SELECT user_id, min(CASE WHEN event_type = 'purchase'
+       |                           THEN epoch_us(ts) END) AS fp
+       |  FROM events GROUP BY user_id),
+       |pre AS (
+       |  SELECT e.user_id, e.event_type, f.fp
+       |  FROM events e JOIN fp f ON f.user_id = e.user_id
+       |  WHERE f.fp IS NULL OR epoch_us(e.ts) < f.fp),
+       |masks AS (
+       |  SELECT user_id, bit_or($bitCase) AS mask,
+       |         max(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS conv
+       |  FROM pre GROUP BY user_id),
+       |cont AS (
+       |  SELECT mask, count(*) AS nconv FROM masks WHERE conv = 1 GROUP BY mask),
+       |coal AS (SELECT unnest(range(0, 16)) AS S),
+       |vs AS (
+       |  SELECT c.S, CAST(coalesce(sum(m.nconv), 0) AS BIGINT) AS v
+       |  FROM coal c LEFT JOIN cont m ON (m.mask & (15 - c.S)) = 0
+       |  GROUP BY c.S),
+       |terms(b, S0, w) AS (VALUES $termRows),
+       |phi AS (
+       |  SELECT t.b, CAST(sum(t.w * (v1.v - v0.v)) AS BIGINT) AS phi24
+       |  FROM terms t
+       |  JOIN vs v1 ON v1.S = (t.S0 | t.b)
+       |  JOIN vs v0 ON v0.S = t.S0
+       |  GROUP BY t.b),
+       |names(channel, b) AS (VALUES $nameRows),
+       |tot AS (SELECT CAST(sum(phi24) AS BIGINT) AS tot FROM phi)
+       |SELECT n.channel, p.phi24, tot.tot AS phi24_total,
+       |       CASE WHEN tot.tot = 0 THEN NULL
+       |            ELSE CAST((1000000 * p.phi24) // tot.tot AS BIGINT) END AS share_ppm
+       |FROM phi p JOIN names n ON n.b = p.b, tot
+       |ORDER BY n.channel""".stripMargin
+  }
+
   /** Cumulative-gains table of activity as a conversion score — the
     * model-free labeling-QA read: rank users by event count (the
     * cheapest "propensity score"), cut into exact deciles, and report

@@ -118,6 +118,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(mass <= 1000000L && mass >= 1000000L - 6 * 2, s"mass=$mass")
   }
 
+  test("shapley attribution: hand game — solo channel 3/4, assist 1/4, untouched 0; efficiency holds") {
+    import spark.implicits._
+    // u1: click → purchase (solo click conversion); u2: click, view →
+    // purchase (view only ever converts alongside click); u3: view, no
+    // purchase. φ·24: click 36, view 12, error/signup 0; total 48 = 24·v(full)
+    val ev = Seq(
+      (0L, 1L, "click"), (1L, 1L, "purchase"),
+      (0L, 2L, "click"), (1L, 2L, "view"), (2L, 2L, "purchase"),
+      (0L, 3L, "view"))
+      .zipWithIndex.map { case ((us, u, et), i) => (us, u, et, i.toLong) }
+      .toDF("us", "user_id", "event_type", "event_id")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)")).drop("us")
+    val got = Analytics.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got("click") == ((36L, 48L, 750000L)), got)
+    assert(got("view") == ((12L, 48L, 250000L)), got)
+    assert(got("error") == ((0L, 48L, 0L)) && got("signup") == ((0L, 48L, 0L)), got)
+  }
+
   test("gains curve: top deciles capture the planted converters, lift is exact") {
     import spark.implicits._
     // user u emits u events (score = u); users 16..20 convert → deciles
