@@ -1588,6 +1588,10 @@ object SparkEntry {
     // exact Shapley-value attribution over pre-purchase touchsets
     "events_shapley_attribution" -> ((s, dir) =>
       Analytics.shapleyAttribution(t(s, dir, "events"))),
+    // Markov removal-effect attribution: exact integer Cramer solve of
+    // the absorbing journey chain (driver BigInt = oracle HUGEINT)
+    "events_markov_attribution" -> ((s, dir) =>
+      Analytics.markovAttribution(t(s, dir, "events"))),
     // cumulative-gains / lift table of activity as a conversion score
     "events_gains_curve" -> ((s, dir) => Analytics.gainsCurve(t(s, dir, "events"))),
     // empirical-Bayes shrinkage of per-brand return rates
@@ -2496,6 +2500,7 @@ object SparkEntry {
     "events_weekday_profile" -> Analytics.weekdayProfileSql,
     "events_value_deciles" -> Analytics.valueDecilesSql,
     "events_shapley_attribution" -> Analytics.shapleyAttributionSql,
+    "events_markov_attribution" -> Analytics.markovAttributionSql,
     "events_gains_curve" -> Analytics.gainsCurveSql,
     "lineitem_price_index" -> Analytics.priceIndexSql,
     "lineitem_return_shrinkage" -> Analytics.returnShrinkageSql(200L),

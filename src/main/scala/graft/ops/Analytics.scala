@@ -1762,6 +1762,232 @@ object Analytics {
        |ORDER BY n.channel""".stripMargin
   }
 
+  /** Journey-transition extraction shared by [[markovAttribution]] and
+    * its oracle: per user, the PRE-first-purchase channel sequence in
+    * (ts, event_id) order becomes START→c₁, cᵢ→cᵢ₊₁, c_m→terminal
+    * edges (terminal = CONV when the user purchased, else NULL);
+    * purchase-first users contribute the bare START→CONV edge. */
+  private[ops] def journeyTransitions(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    val wOrd = wUser.orderBy(col("ts"), col("event_id"))
+    val base = events
+      .withColumn("fp", min(when(col("event_type") === "purchase",
+        expr("unix_micros(ts)"))).over(wUser))
+    val pre = base
+      .filter(col("event_type") =!= "purchase" &&
+        (col("fp").isNull || expr("unix_micros(ts)") < col("fp")))
+      .withColumn("term", when(col("fp").isNotNull, "CONV").otherwise("NULL"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nxt", lead(col("event_type"), 1).over(wOrd))
+    val chain = pre.select(col("event_type").as("src"),
+      coalesce(col("nxt"), col("term")).as("dst"))
+    val starts = pre.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val bare = base.groupBy(col("user_id"))
+      .agg(max(col("fp").isNotNull.cast("long")).as("conv"),
+        sum(when(col("event_type") =!= "purchase" &&
+          (col("fp").isNull || expr("unix_micros(ts)") < col("fp")), 1L)
+          .otherwise(0L)).as("n_pre"))
+      .filter(col("conv") === 1L && col("n_pre") === 0L)
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    chain.unionAll(starts).unionAll(bare)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+  }
+
+  /** States of the absorbing journey chain, transient first; indices
+    * into the Cramer systems below. */
+  private val MarkovStates = Seq("START", "click", "error", "signup", "view")
+
+  /** Signed permutation expansion of det(M) for a BigInt matrix. */
+  private def detBig(m: Seq[Seq[BigInt]]): BigInt = {
+    val n = m.length
+    def perms(xs: List[Int]): Seq[(List[Int], Int)] = xs match {
+      case Nil => Seq((Nil, 1))
+      case _ => for {
+        (x, i) <- xs.zipWithIndex
+        (rest, s) <- perms(xs.patch(i, Nil, 1))
+      } yield (x :: rest, if (i % 2 == 0) s else -s)
+    }
+    perms((0 until n).toList).map { case (p, s) =>
+      BigInt(s) * p.zipWithIndex.map { case (cIdx, r) => m(r)(cIdx) }.product
+    }.sum
+  }
+
+  /** Markov removal-effect attribution — the data-driven companion to
+    * [[shapleyAttribution]]: model journeys as an absorbing first-order
+    * chain (START + 4 channel states, CONV/NULL absorbing) and credit
+    * each channel by how much the START→CONV absorption probability
+    * drops when transitions INTO that channel are redirected to NULL
+    * (the standard removal effect). Because the redirect leaves every
+    * remaining row's counts and denominator untouched, each variant
+    * system is a PRINCIPAL MINOR of the full one.
+    *
+    * EXACT, no iteration: row-scaling by n_s makes (n_s·I − C) an
+    * integer M-matrix, so absorption solves by Cramer's rule — integer
+    * determinants the driver evaluates in BigInt (the alphabet-bounded
+    * transition census is the only collect) and the oracle evaluates as
+    * the SAME generated permutation expansion in HUGEINT: 120 terms for
+    * the full 5×5, 24 per 4×4 variant, bit-identical by construction.
+    * det > 0 whenever every state reaches absorption (guarded: a
+    * degenerate matrix yields NULL rows, loudly).
+    *
+    * Scale shape: one windowed pass extracts transitions, the census is
+    * ≤ |alphabet|² rows, everything after is driver/literal arithmetic
+    * — the iteration-altitude rule with the iteration itself eliminated.
+    */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val counts = journeyTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def c(i: Int, j: String): BigInt =
+      BigInt(counts.getOrElse((MarkovStates(i), j), 0L))
+    val n = MarkovStates.indices.map(i =>
+      MarkovStates.map(c(i, _)).sum + c(i, "CONV") + c(i, "NULL"))
+    def a(i: Int, j: Int): BigInt =
+      (if (i == j) n(i) else BigInt(0)) - c(i, MarkovStates(j))
+    def b(i: Int): BigInt = c(i, "CONV")
+    def solveStart(idx: Seq[Int]): Option[BigInt] = {
+      val den = detBig(idx.map(i => idx.map(j => a(i, j))))
+      if (den <= 0) None
+      else {
+        // replace the START column (position 0 of idx) by b
+        val num = detBig(idx.map(i => idx.indices.map(p =>
+          if (p == 0) b(i) else a(i, idx(p)))))
+        Some(BigInt(1000000) * num / den)
+      }
+    }
+    val pFull = solveStart(MarkovStates.indices)
+    val rows = (1 until MarkovStates.size).map { k =>
+      val pRm = solveStart(MarkovStates.indices.filterNot(_ == k))
+      val re = for (f <- pFull; r <- pRm) yield (f - r).max(BigInt(0))
+      (MarkovStates(k), pFull, pRm, re)
+    }
+    val reSum = rows.flatMap(_._4).sum
+    val out = rows.map { case (ch, f, r, re) =>
+      (ch, f.map(_.toLong), r.map(_.toLong), re.map(_.toLong),
+        re.filter(_ => reSum > 0).map(x => (BigInt(1000000) * x / reSum).toLong))
+    }
+    val s = events.sparkSession
+    import s.implicits._
+    out.toDF("channel", "p_full_ppm", "p_removed_ppm",
+        "removal_effect_ppm", "share_ppm")
+      .orderBy("channel")
+  }
+
+  /** Oracle mirror of [[markovAttribution]]: the same transition CTE,
+    * matrix entries as conditional sums, and the SAME permutation-
+    * expansion determinants generated over HUGEINT entries. */
+  def markovAttributionSql: String = {
+    // signed permutations of a k-element index list, generated once here
+    def perms(xs: List[Int]): Seq[(List[Int], Int)] = xs match {
+      case Nil => Seq((Nil, 1))
+      case _ => for {
+        (x, i) <- xs.zipWithIndex
+        (rest, s) <- perms(xs.patch(i, Nil, 1))
+      } yield (x :: rest, if (i % 2 == 0) s else -s)
+    }
+    def detSql(idx: Seq[Int], numerator: Boolean): String =
+      perms(idx.indices.toList).map { case (p, s) =>
+        val prod = p.zipWithIndex.map { case (cPos, rPos) =>
+          val i = idx(rPos)
+          if (numerator && cPos == 0) s"b_$i" else s"a_${i}_${idx(cPos)}"
+        }.mkString(" * ")
+        (if (s > 0) "+ " else "- ") + prod
+      }.mkString(" ")
+    val st = MarkovStates
+    val cSums = (for {
+      i <- st.indices; j <- st ++ Seq("CONV", "NULL")
+    } yield
+      s"CAST(sum(CASE WHEN src = '${st(i)}' AND dst = '$j' THEN c ELSE 0 END) AS HUGEINT) AS c_${i}_$j"
+      ).mkString(",\n    ")
+    val nDefs = st.indices.map(i =>
+      s"(${(st.indices.map(j => s"c_${i}_$j") ++ Seq(s"c_${i}_CONV", s"c_${i}_NULL")).mkString(" + ")}) AS n_$i")
+      .mkString(",\n    ")
+    val aDefs = (for { i <- st.indices; j <- st.indices } yield
+      if (i == j) s"n_$i - c_${i}_$j AS a_${i}_$j"
+      else s"0 - c_${i}_$j AS a_${i}_$j").mkString(",\n    ")
+    val bDefs = st.indices.map(i => s"c_${i}_CONV AS b_$i").mkString(", ")
+    // rename c_i_<state> to positional c_i_j for the a-stage
+    val cPos = (for { i <- st.indices; j <- st.indices } yield
+      s"c_${i}_${st(j)} AS c_${i}_$j").mkString(",\n    ")
+    val full = st.indices
+    val variants = (1 until st.size).map(k => k -> full.filterNot(_ == k))
+    val detCols =
+      (s"(${detSql(full, numerator = false)}) AS den_full" +:
+        s"(${detSql(full, numerator = true)}) AS num_full" +:
+        variants.flatMap { case (k, idx) => Seq(
+          s"(${detSql(idx, numerator = false)}) AS den_$k",
+          s"(${detSql(idx, numerator = true)}) AS num_$k") })
+        .mkString(",\n    ")
+    val reDefs = variants.map { case (k, _) =>
+      s"""CASE WHEN den_full > 0 AND den_$k > 0
+         | THEN greatest(CAST(0 AS HUGEINT),
+         |   (1000000 * num_full) // den_full - (1000000 * num_$k) // den_$k)
+         | END AS re_$k""".stripMargin.replace("\n", " ")
+    }.mkString(",\n    ")
+    val chRows = variants.map { case (k, _) =>
+      s"""SELECT '${st(k)}' AS channel,
+         | CASE WHEN den_full > 0 THEN CAST((1000000 * num_full) // den_full AS BIGINT) END AS p_full_ppm,
+         | CASE WHEN den_$k > 0 THEN CAST((1000000 * num_$k) // den_$k AS BIGINT) END AS p_removed_ppm,
+         | CAST(re_$k AS BIGINT) AS removal_effect_ppm,
+         | CASE WHEN re_sum > 0 THEN CAST((1000000 * re_$k) // re_sum AS BIGINT) END AS share_ppm
+         |FROM f""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH fp AS (
+       |  SELECT user_id, min(CASE WHEN event_type = 'purchase'
+       |                           THEN epoch_us(ts) END) AS fp
+       |  FROM events GROUP BY user_id),
+       |pre AS (
+       |  SELECT e.user_id, e.event_type, e.ts, e.event_id,
+       |         CASE WHEN f.fp IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS term,
+       |         row_number() OVER w AS rn,
+       |         lead(e.event_type, 1) OVER w AS nxt
+       |  FROM events e JOIN fp f ON f.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (f.fp IS NULL OR epoch_us(e.ts) < f.fp)
+       |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+       |edges AS (
+       |  SELECT event_type AS src, coalesce(nxt, term) AS dst FROM pre
+       |  UNION ALL
+       |  SELECT 'START', event_type FROM pre WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'START', 'CONV'
+       |  FROM fp f LEFT JOIN (SELECT DISTINCT user_id FROM pre) p
+       |    ON p.user_id = f.user_id
+       |  WHERE f.fp IS NOT NULL AND p.user_id IS NULL),
+       |tr AS (SELECT src, dst, count(*) AS c FROM edges GROUP BY 1, 2),
+       |m AS (
+       |  SELECT
+       |    $cSums
+       |  FROM tr),
+       |m2 AS (
+       |  SELECT *,
+       |    $cPos
+       |  FROM m),
+       |m3 AS (
+       |  SELECT *,
+       |    $nDefs
+       |  FROM m2),
+       |av AS (
+       |  SELECT
+       |    $aDefs,
+       |    $bDefs
+       |  FROM m3),
+       |dets AS (
+       |  SELECT
+       |    $detCols
+       |  FROM av),
+       |f0 AS (
+       |  SELECT *,
+       |    $reDefs
+       |  FROM dets),
+       |f AS (
+       |  SELECT *, (coalesce(re_1, 0) + coalesce(re_2, 0)
+       |             + coalesce(re_3, 0) + coalesce(re_4, 0)) AS re_sum FROM f0)
+       |SELECT * FROM (
+       |  $chRows)
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Cumulative-gains table of activity as a conversion score — the
     * model-free labeling-QA read: rank users by event count (the
     * cheapest "propensity score"), cut into exact deciles, and report

@@ -139,6 +139,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("error") == ((0L, 48L, 0L)) && got("signup") == ((0L, 48L, 0L)), got)
   }
 
+  test("markov attribution: hand chain solves exactly; absent state degrades to NULL, loudly") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, String)*) = rows.toSeq.zipWithIndex
+      .map { case ((us, u, et), i) => (us, u, et, i.toLong) }
+      .toDF("us", "user_id", "event_type", "event_id")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)")).drop("us")
+    // u1: click → CONV; u2: view → NULL; u3: error → signup → CONV
+    // p(START) = 2/3; removing click/error/signup each kills one
+    // converting path (p → 1/3), removing view changes nothing
+    val got = Analytics.markovAttribution(ev(
+      (0L, 1L, "click"), (1L, 1L, "purchase"),
+      (0L, 2L, "view"),
+      (0L, 3L, "error"), (1L, 3L, "signup"), (2L, 3L, "purchase"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got("click") == ((666666L, 333333L, 333333L, 333333L)), got)
+    assert(got("error") == ((666666L, 333333L, 333333L, 333333L)), got)
+    assert(got("signup") == ((666666L, 333333L, 333333L, 333333L)), got)
+    assert(got("view") == ((666666L, 666666L, 0L, 0L)), got)
+    // a never-seen channel state makes the full system singular: the
+    // guard yields NULL rows instead of a silent wrong solve
+    val degen = Analytics.markovAttribution(ev(
+      (0L, 1L, "click"), (1L, 1L, "purchase"))).collect()
+    assert(degen.forall(r => r.isNullAt(1) && r.isNullAt(3)), degen.toSeq)
+  }
+
   test("gains curve: top deciles capture the planted converters, lift is exact") {
     import spark.implicits._
     // user u emits u events (score = u); users 16..20 convert → deciles
