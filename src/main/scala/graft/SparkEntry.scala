@@ -719,6 +719,26 @@ object SparkEntry {
     // every session but each user's last) or when the event-time timeout
     // fires (deterministic given the final watermark) — so the streamed
     // output equals the batch sessionization minus still-open sessions
+    // absence detection: signups with NO purchase inside 30 min alert
+    // once the watermark closes the negative (event-time timers)
+    "events_absence_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
+      import graft.streaming.StreamingAnalytics
+      import s.implicits._
+      val chunks = chunkedEvents(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      val name = mintStreamView("absence_stream")
+      val in = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(chunks)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[StreamingAnalytics.AbsenceInput]
+      val q = StreamingAnalytics.absenceAlerts(in, 1800000L)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"${scratchDir("graft_absstream")}/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "signup_us")
+    }),
+
     "events_sessionize_stream" -> ((s, dir) => withBatchShuffleWidth(s) {
       import graft.streaming.StreamingAnalytics
       import s.implicits._
@@ -1594,6 +1614,8 @@ object SparkEntry {
       Analytics.markovAttribution(t(s, dir, "events"))),
     // cumulative-gains / lift table of activity as a conversion score
     "events_gains_curve" -> ((s, dir) => Analytics.gainsCurve(t(s, dir, "events"))),
+    // Qini uplift curve (treat vs control per cumulative decile)
+    "events_qini_curve" -> ((s, dir) => Analytics.qiniCurve(t(s, dir, "events"), 150.0)),
     // empirical-Bayes shrinkage of per-brand return rates
     "lineitem_return_shrinkage" -> ((s, dir) =>
       Analytics.returnShrinkage(t(s, dir, "lineitem"), t(s, dir, "part"), 200L)),
@@ -2502,6 +2524,9 @@ object SparkEntry {
     "events_shapley_attribution" -> Analytics.shapleyAttributionSql,
     "events_markov_attribution" -> Analytics.markovAttributionSql,
     "events_gains_curve" -> Analytics.gainsCurveSql,
+    "events_qini_curve" -> Analytics.qiniCurveSql(150.0),
+    "events_absence_stream" ->
+      graft.streaming.StreamingAnalytics.absenceAlertsSql(1800000L),
     "lineitem_price_index" -> Analytics.priceIndexSql,
     "lineitem_return_shrinkage" -> Analytics.returnShrinkageSql(200L),
     "text_anneal_selection" -> TextAnalysis.annealSelectionSql(20),

@@ -2066,6 +2066,79 @@ object Analytics {
       |         AS lift_milli
       |FROM c ORDER BY decile""".stripMargin
 
+  /** Qini curve — [[gainsCurve]]'s UPLIFT sibling: rank ALL users by the
+    * activity score, and per cumulative decile compare the treated
+    * arm's high-value conversions against the control arm's, scaled to
+    * the treated exposure: g(k) = convᵗ(k) − convᶜ(k)·nᵗ(k)/nᶜ(k). A
+    * fair parity split reads ≈ 0 at every depth (the honest null — the
+    * curve exists to catch targeting rules that only LOOK predictive);
+    * a real uplift model bows above zero.
+    *
+    * Exact: integers throughout; the control-scaling term truncates per
+    * decile (the DEFINED statistic), and the outcome is the HIGH-VALUE
+    * purchase (plain conversion saturates on the fixture — build notes).
+    */
+  def qiniCurve(events: DataFrame, minValue: Double): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("event_type") === "purchase" && col("value") >= minValue,
+          1L).otherwise(0L)).as("conv"))
+      .withColumn("treat", col("user_id") % 2 === 0)
+    val byScore = Window.orderBy(col("score").desc, col("user_id"))
+    val dec = users.withColumn("decile", ntile(10).over(byScore).cast("long"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat"), col("conv")).otherwise(0L)).as("conv_t"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treat"), col("conv")).otherwise(0L)).as("conv_c"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_n_t", sum(col("n_t")).over(wCum))
+      .withColumn("cum_conv_t", sum(col("conv_t")).over(wCum))
+      .withColumn("cum_n_c", sum(col("n_c")).over(wCum))
+      .withColumn("cum_conv_c", sum(col("conv_c")).over(wCum))
+      .select(col("decile"), col("cum_n_t"), col("cum_conv_t"),
+        col("cum_n_c"), col("cum_conv_c"),
+        expr("""CASE WHEN cum_n_c = 0 THEN NULL
+               |     ELSE 1000 * cum_conv_t
+               |          - (1000 * cum_conv_c * cum_n_t) DIV cum_n_c END"""
+          .stripMargin).as("qini_milli"))
+      .orderBy("decile")
+  }
+
+  def qiniCurveSql(minValue: Double): String =
+    s"""WITH users AS (
+       |  SELECT user_id, count(*) AS score,
+       |         CAST(max(CASE WHEN event_type = 'purchase' AND value >= $minValue
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+       |         user_id % 2 = 0 AS treat
+       |  FROM events GROUP BY user_id),
+       |dec AS (
+       |  SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT) AS decile,
+       |         treat, conv
+       |  FROM users),
+       |g AS (
+       |  SELECT decile,
+       |         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |         CAST(sum(CASE WHEN treat THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+       |         CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+       |         CAST(sum(CASE WHEN treat THEN 0 ELSE conv END) AS BIGINT) AS conv_c
+       |  FROM dec GROUP BY decile),
+       |c AS (
+       |  SELECT decile,
+       |         CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+       |         CAST(sum(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+       |         CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+       |         CAST(sum(conv_c) OVER w AS BIGINT) AS cum_conv_c
+       |  FROM g
+       |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT decile, cum_n_t, cum_conv_t, cum_n_c, cum_conv_c,
+       |       CASE WHEN cum_n_c = 0 THEN NULL
+       |            ELSE 1000 * cum_conv_t
+       |                 - (1000 * cum_conv_c * cum_n_t) // cum_n_c END AS qini_milli
+       |FROM c ORDER BY decile""".stripMargin
+
   /** Matched-sample Laspeyres / Paasche price indices over the shipment
     * months — the price-vs-volume decomposition an assortment or
     * inflation monitor runs: for each month m vs the base (first)

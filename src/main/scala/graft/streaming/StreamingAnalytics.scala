@@ -456,6 +456,89 @@ object StreamingAnalytics {
        |SELECT event_id, user_id, window_us, CAST(rn AS BIGINT) AS n_in_window
        |FROM r WHERE rn > $k ORDER BY event_id""".stripMargin
 
+  final case class AbsenceInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class AbsenceState(pending: List[Long])
+  final case class AbsenceOut(user_id: Long, signup_us: Long, deadline_us: Long)
+
+  /** ABSENCE detection — alert when an expected follow-up does NOT
+    * arrive: every signup that is not followed by a purchase within
+    * `withinMs` emits an alert once the event-time watermark passes its
+    * deadline. The semantically inverted sibling of the CEP funnel
+    * (which matches occurrence): the state machine must prove a
+    * NEGATIVE, which only the watermark can close.
+    *
+    * State per user: the PENDING signup timestamps (bounded by signups
+    * inside one `withinMs` horizon — old entries either clear on a
+    * purchase or expire at the timeout), with the event-time timeout
+    * armed at the earliest pending deadline. A purchase clears exactly
+    * the pendings it satisfies (signup_ts ∈ [p_ts − within, p_ts]);
+    * batch rows process in event-time order so an in-batch
+    * signup→purchase pair resolves without ever arming a timer.
+    */
+  def absenceAlerts(events: Dataset[AbsenceInput], withinMs: Long): Dataset[AbsenceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsenceState, AbsenceOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[AbsenceInput], state: GroupState[AbsenceState]) =>
+          def rearmOrClear(pending: List[Long]): Unit =
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(AbsenceState(pending))
+              state.setTimeoutTimestamp(pending.min + withinMs)
+            }
+          if (state.hasTimedOut) {
+            // emit every pending STRICTLY past the watermark (Spark
+            // fires a timer only once wm exceeds it — matching strict
+            // compare keeps the == boundary consistent with the oracle
+            // cut); keep the rest armed
+            val wm = state.getCurrentWatermarkMs()
+            val (expired, live) = state.get.pending.partition(_ + withinMs < wm)
+            rearmOrClear(live)
+            expired.sorted.iterator.map(s =>
+              AbsenceOut(user, s * 1000L, (s + withinMs) * 1000L))
+          } else {
+            var pending = state.getOption.map(_.pending).getOrElse(Nil)
+            for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              e.event_type match {
+                case "signup" => pending = t :: pending
+                case "purchase" =>
+                  pending = pending.filterNot(s => s <= t && t <= s + withinMs)
+                case _ => ()
+              }
+            }
+            rearmOrClear(pending)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Oracle for [[absenceAlerts]]: signups with no purchase inside
+    * [s, s+within], finalized (deadline past the ms-truncated
+    * watermark cut). */
+  def absenceAlertsSql(withinMs: Long): String =
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events),
+       |s AS (
+       |  SELECT user_id, epoch_us(ts) AS s_us FROM events
+       |  WHERE event_type = 'signup'),
+       |p AS (
+       |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT s.user_id, (s.s_us // 1000) * 1000 AS signup_us,
+       |       (s.s_us // 1000) * 1000 + ${withinMs * 1000L} AS deadline_us
+       |FROM s, mx
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM p
+       |  WHERE p.user_id = s.user_id
+       |    AND (p.p_us // 1000) >= (s.s_us // 1000)
+       |    AND (p.p_us // 1000) <= (s.s_us // 1000) + $withinMs)
+       |  AND (s.s_us // 1000) * 1000 + ${withinMs * 1000L}
+       |      < ((epoch_us(mx.mx) // 1000) - 7200000) * 1000
+       |ORDER BY user_id, signup_us""".stripMargin
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

@@ -184,6 +184,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got(10L)._3 == 5L && got(10L)._4 == 1000000L && got(10L)._5 == 1000L, got)
   }
 
+  test("qini curve: planted treated-only uplift accumulates, universal conversion reads exactly zero") {
+    import spark.implicits._
+    def evFrom(conv: Long => Boolean) = (1 to 20).flatMap { u =>
+      val views = (0 until (if (conv(u.toLong)) u - 1 else u))
+        .map(i => (u.toLong * 1000000L + i, u.toLong, "view", 0.0))
+      val purch = if (conv(u.toLong))
+        Seq((u.toLong * 1000000L + 999L, u.toLong, "purchase", 200.0)) else Seq()
+      views ++ purch
+    }.zipWithIndex.map { case ((us, u, et, v), i) => (us, u, et, v, i.toLong) }
+      .toDF("us", "user_id", "event_type", "value", "event_id")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)")).drop("us")
+    // only TREATED (even) high scorers convert → qini climbs 1000/decile
+    // for three deciles then holds
+    val up = Analytics.qiniCurve(evFrom(u => u % 2 == 0 && u >= 16), 150.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(up(1L) == 1000L && up(2L) == 2000L && up(3L) == 3000L, up)
+    assert(up(10L) == 3000L, up)
+    // everyone converts → uplift exactly zero at every depth
+    val nul = Analytics.qiniCurve(evFrom(_ => true), 150.0)
+      .collect().map(_.getLong(5))
+    assert(nul.forall(_ == 0L), nul.toSeq)
+  }
+
   test("price index: hand basket — Laspeyres flat, Paasche reflects the shifted mix") {
     import spark.implicits._
     // month0: p1 $100×10, p2 $200×5; month1: p1 $110×8, p2 $180×6 and a

@@ -474,4 +474,40 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"throttled = third event of each full window: $split")
     assert(split == run(Seq(rows), "ratelimit_whole"), "batch-split invariance")
   }
+
+  test("absence alerts: unanswered signups fire at the watermark, satisfied ones never arm") {
+    import spark.implicits._
+    import StreamingAnalytics.AbsenceInput
+    // +1 day base: an event AT the initial epoch-0 watermark drops as
+    // late (build notes)
+    def ts(minutes: Long) = new Timestamp((1440 + minutes) * 60000L)
+    val base = 1440L * 60000000L
+    val ms = MemoryStream[AbsenceInput](spark, numPartitions = 1)
+    val q = StreamingAnalytics.absenceAlerts(ms.toDS(), 1800000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("abs_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(
+        AbsenceInput(1L, ts(0), "signup"),                      // never answered
+        AbsenceInput(2L, ts(0), "signup"),
+        AbsenceInput(2L, ts(10), "purchase"),                   // satisfied in-batch
+        AbsenceInput(3L, ts(0), "signup"))
+      q.processAllAvailable()
+      ms.addData(AbsenceInput(3L, ts(40), "purchase"))          // too late: outside 30 min
+      q.processAllAvailable()
+      assert(spark.table("abs_out").isEmpty, "nothing fires before the watermark")
+      // wm → 180 − 120 = 60 min > every 30-min deadline; the wm computed
+      // from this batch applies to the NEXT one, where the timers fire
+      ms.addData(AbsenceInput(9L, ts(180), "view"))
+      q.processAllAvailable()
+      ms.addData(AbsenceInput(9L, ts(181), "view"))
+      q.processAllAvailable()
+      val got = spark.table("abs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq == Seq((1L, base, base + 1800000000L),
+        (3L, base, base + 1800000000L)),
+        s"u1 and u3 alert, u2 resolved in-batch: ${got.toSeq}")
+    } finally { q.stop(); graft.ops.Caches.releaseStreamingState(spark) }
+  }
 }
