@@ -25,7 +25,7 @@ object SparkEntry {
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       d.schema(c).dataType match {

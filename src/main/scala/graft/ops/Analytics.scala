@@ -1671,10 +1671,11 @@ object Analytics {
     * the game's own algebra, not by a filter choice.
     *
     * Scale shape: ONE window + user aggregate reduce the corpus to a
-    * ≤16-row mask census; everything after — the subset-sum v(S), the
-    * marginal fold — is literal-table joins on alphabet-bounded frames.
-    * The subset test is pure integer bit algebra ((m & (15−S)) = 0),
-    * identical in both engines.
+    * ≤16-row mask census — the only collect; the subset-sum v(S) and
+    * the marginal fold run on the DRIVER in plain Long arithmetic
+    * (iteration-altitude rule; plan-contract-pinned to one events
+    * scan). The subset test is pure integer bit algebra
+    * ((m & (15−S)) = 0), identical in the oracle's SQL rendering.
     */
   def shapleyAttribution(events: DataFrame): DataFrame = {
     val wUser = Window.partitionBy(col("user_id"))
@@ -1688,36 +1689,27 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(expr(s"bit_or($bitCase)").as("mask"),
         max(col("fp").isNotNull.cast("long")).as("conv"))
-    val cont = masks.filter(col("conv") === 1L)
+    // the ≤16-row mask census is the ONLY collect; the game itself is
+    // schema-bounded and runs on the driver (the iteration-altitude
+    // rule — a DataFrame formulation re-derived the corpus lineage once
+    // per vS consumer, four full scans for a 16-row frame)
+    val census = masks.filter(col("conv") === 1L)
       .groupBy(col("mask")).agg(count(lit(1)).as("nconv"))
-    val coalitions = coalitionFrame(events)
-    val vS = coalitions.as("s")
-      .join(cont.as("m"), expr("(m.mask & (15 - s.S)) = 0"), "left")
-      .groupBy(col("s.S").as("S"))
-      .agg(coalesce(sum(col("nconv")), lit(0L)).as("v"))
-    val terms = events.sparkSession.createDataFrame(shapleyTerms)
-      .toDF("b", "S0", "w")
-    val phi = terms
-      .join(vS.select(col("S").as("S1"), col("v").as("v1")),
-        expr("S1 = (S0 | b)"))
-      .join(vS.select(col("S").as("S0j"), col("v").as("v0")),
-        col("S0j") === col("S0"))
-      .groupBy(col("b"))
-      .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi24"))
-    val names = ShapleyChannels.map { case (n, b) => (n, b) }
-    val nameDf = events.sparkSession.createDataFrame(names).toDF("channel", "b")
-    val tot = phi.agg(sum(col("phi24")).as("tot"))
-    phi.join(broadcast(nameDf), "b").crossJoin(broadcast(tot))
-      .select(col("channel"), col("phi24"), col("tot").as("phi24_total"),
-        expr("""CASE WHEN tot = 0 THEN NULL
-               |     ELSE CAST((1000000 * phi24) DIV tot AS BIGINT) END"""
-          .stripMargin).as("share_ppm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def v(s: Int): Long =
+      census.collect { case (m, n) if (m & (15 - s)) == 0 => n }.sum
+    val phi24 = ShapleyChannels.map { case (name, b) =>
+      name -> shapleyTerms.collect { case (`b`, s0, w) =>
+        w * (v(s0 | b) - v(s0)) }.sum
+    }
+    val tot = phi24.map(_._2).sum
+    val s = events.sparkSession
+    import s.implicits._
+    phi24.map { case (name, p) =>
+      (name, p, tot, if (tot == 0) None else Some(1000000L * p / tot))
+    }.toDF("channel", "phi24", "phi24_total", "share_ppm")
       .orderBy("channel")
   }
-
-  /** All 16 coalitions as a frame (driver literal — schema-bounded). */
-  private def coalitionFrame(events: DataFrame): DataFrame =
-    events.sparkSession.createDataFrame((0 to 15).map(Tuple1(_))).toDF("S")
 
   def shapleyAttributionSql: String = {
     val termRows = shapleyTerms
@@ -1767,7 +1759,7 @@ object Analytics {
     * (ts, event_id) order becomes START→c₁, cᵢ→cᵢ₊₁, c_m→terminal
     * edges (terminal = CONV when the user purchased, else NULL);
     * purchase-first users contribute the bare START→CONV edge. */
-  private[ops] def journeyTransitions(events: DataFrame): DataFrame = {
+  private[graft] def journeyTransitions(events: DataFrame): DataFrame = {
     val wUser = Window.partitionBy(col("user_id"))
     val wOrd = wUser.orderBy(col("ts"), col("event_id"))
     val base = events
@@ -1779,10 +1771,16 @@ object Analytics {
       .withColumn("term", when(col("fp").isNotNull, "CONV").otherwise("NULL"))
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("nxt", lead(col("event_type"), 1).over(wOrd))
-    val chain = pre.select(col("event_type").as("src"),
+    // chain + START edges from ONE pass over pre (a row emits its chain
+    // edge, and the rn=1 row additionally emits the START edge) — the
+    // two-consumer formulation scanned events twice
+    val chainEdge = struct(col("event_type").as("src"),
       coalesce(col("nxt"), col("term")).as("dst"))
-    val starts = pre.filter(col("rn") === 1)
-      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val startEdge = struct(lit("START").as("src"), col("event_type").as("dst"))
+    val chain = pre.select(explode(
+        when(col("rn") === 1, array(chainEdge, startEdge))
+          .otherwise(array(chainEdge))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val bare = base.groupBy(col("user_id"))
       .agg(max(col("fp").isNotNull.cast("long")).as("conv"),
         sum(when(col("event_type") =!= "purchase" &&
@@ -1790,7 +1788,7 @@ object Analytics {
           .otherwise(0L)).as("n_pre"))
       .filter(col("conv") === 1L && col("n_pre") === 0L)
       .select(lit("START").as("src"), lit("CONV").as("dst"))
-    chain.unionAll(starts).unionAll(bare)
+    chain.unionAll(bare)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
   }
 

@@ -840,6 +840,31 @@ class PlanShapeSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches()
   }
 
+  test("attribution games: the corpus reduces in one (shapley) / two (markov) scans; the games run on literals") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def fileScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.initialPlan)
+      case _: FileSourceScanExec    => 1
+      case other                    => other.children.map(fileScans).sum
+    }
+    // shapley collects the ≤16-row mask census during construction (one
+    // scan) and plays the game on the driver: the RESULT plan must be a
+    // pure literal frame — a DataFrame re-formulation of the game
+    // re-derived the corpus lineage once per v(S) consumer (4 scans)
+    val sh = SparkEntry.queries("events_shapley_attribution")(spark, dir)
+    assert(fileScans(sh.queryExecution.executedPlan) == 0,
+      s"the Shapley game must run on the driver census, not re-scan:\n${
+        sh.queryExecution.executedPlan}")
+    // markov: the transition census (chain edges fused with START edges
+    // in one explode) + the bare-conversion user fold = two scans; the
+    // Cramer solve itself touches no data at all
+    val tr = graft.ops.Analytics.journeyTransitions(
+      SparkEntry.t(spark, dir, "events"))
+    assert(fileScans(tr.queryExecution.executedPlan) <= 2,
+      s"journey census must not re-scan per edge kind:\n${tr.queryExecution.executedPlan}")
+  }
+
   test("blocking recall: volumes from grouped-count joins — raw registry never pair-joins") {
     val p = plan("er_blocking_recall")
     // every join input is a grouped count (or a scalar): a raw dirty ×
