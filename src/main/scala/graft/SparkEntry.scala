@@ -1552,6 +1552,10 @@ object SparkEntry {
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
+    // shingle-size design sweep (the third LSH knob beside banding and
+    // threshold calibration)
+    "dedup_shingle_sweep" -> ((s, dir) =>
+      Dedup.shingleSweep(t(s, dir, "documents"), Seq(2, 3, 5))),
     // cluster-size profile (rider on the cluster artifact; singleton row
     // closes the accounting to the corpus size)
     "dedup_cluster_profile" -> ((s, dir) =>
@@ -2544,6 +2548,7 @@ object SparkEntry {
     "emb_cluster_ari" -> Similarity.clusterAriAuditSql(10, 0.45),
     "emb_cosine_precision_curve" -> Similarity.cosinePrecisionCurveSql(10),
     "dedup_cluster_profile" -> Dedup.clusterProfileSql(0.5),
+    "dedup_shingle_sweep" -> Dedup.shingleSweepSql(Seq(2, 3, 5)),
     "dedup_semantic_clusters" -> Similarity.semanticClustersSql(10, 0.45),
     "emb_kmeans_refine" -> Similarity.kmeansRefineSql(32),
     "emb_whitening" -> Similarity.whitenSql,

@@ -842,6 +842,163 @@ object Dedup {
        |            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
        |FROM alld ORDER BY doc_id""".stripMargin
 
+  /** Generic k-token shingles (k ≥ 2) via the zip_with-over-slices fold
+    * — the [[graft.functions.Tokenize.shingles3]] device generalized;
+    * same O(1)-tokenizer-evaluations guarantee, same descending-
+    * `sequence` guard. */
+  private def shinglesK(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val len = n - (k - 1)
+    when(n >= k,
+      (2 to k).foldLeft(slice(toks, lit(1), len))((acc, i) =>
+        zip_with(acc, slice(toks, lit(i), len), (a, b) => concat_ws(" ", a, b))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shinglesKSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+       | THEN [${(0 until k).map(j => s"$toks[i + $j]").mkString(" || ' ' || ")}
+       |       FOR i IN range(1, len($toks) - ${k - 2})]
+       | ELSE [] END""".stripMargin.replace("\n", " ")
+
+  /** Shingle-SIZE design sweep — the third knob of the LSH design space
+    * after banding ([[lshBandSweep]]) and threshold calibration: with
+    * the SAME 16-perm signatures and 4×4 banding, how do candidate
+    * volume and verification precision move as the feature n-gram grows
+    * from bigrams to 5-grams? Small k → dense feature space → spurious
+    * bucket collisions (volume up, precision down); large k →
+    * brittleness to small edits (the planted near-dups' appended-token
+    * tail costs proportionally more shingles). k = 3 is the repo-wide
+    * choice (build notes); this sweep is the evidence.
+    *
+    * Scale shape: ONE corpus scan and ONE tokenize emit every variant
+    * (the band-sweep fold — a per-k union would re-scan per k); the
+    * (k, doc) feature frame persists once and feeds signatures,
+    * banding, the bucket self-join keyed (k, band, bh), and the exact
+    * verify (cross-multiplied integer Jaccard at t = 0.5:
+    * 3·|∩| ≥ |a| + |b|). Everything after the scan is bounded by
+    * candidates, never corpus².
+    */
+  def shingleSweep(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"shingle sizes >= 2: $ks")
+    val corpus = nearDupCorpus(docs)
+    val toks = corpus.select(col("doc_id"), Tokenize.tokens(col("text")).as("tok"))
+    val variants = Caches.tracked(toks
+      .select(col("doc_id"), explode(array(ks.map(k =>
+        struct(lit(k.toLong).as("k"),
+          array_distinct(shinglesK(col("tok"), k)).as("sh"))): _*)).as("v"))
+      .select(col("v.k").as("k"), col("doc_id"), col("v.sh").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("th", transform(col("sh"),
+        s => graft.functions.PortableHash.tokenHash(s)))
+      .persist())
+    val sigCols = graft.functions.PortableHash.minhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        array_min(transform(col("th"),
+          h => graft.functions.PortableHash.minhashPerm(h, a, b))).as(s"s$i")
+    }
+    val sig = variants.select(col("k") +: col("doc_id") +: sigCols: _*)
+    val bandArr = array((0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(j =>
+        col(s"s${rowsPerBand * b + j}").cast("string"))
+      md5(concat_ws(",", slice: _*))
+    }: _*)
+    val bands = sig.select(col("k"), col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.k").as("k"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = variants.select(col("k"), col("doc_id"), col("sh"))
+    val verified = cand
+      .join(sets.select(col("k"), col("doc_id").as("doc_a"), col("sh").as("sha")),
+        Seq("k", "doc_a"))
+      .join(sets.select(col("k"), col("doc_id").as("doc_b"), col("sh").as("shb")),
+        Seq("k", "doc_b"))
+      .select(col("k"),
+        (lit(3L) * size(array_intersect(col("sha"), col("shb"))) >=
+          size(col("sha")) + size(col("shb"))).cast("long").as("ok"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("ok")).as("n_verified"))
+    val stats = variants.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("sh")).cast("long")).as("tot_sh"))
+    stats.join(verified, Seq("k"), "left")
+      .select(col("k"), col("n_docs"),
+        expr("CAST((1000 * tot_sh) DIV n_docs AS BIGINT)").as("avg_shingles_milli"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        expr("""CASE WHEN n_candidates IS NULL OR n_candidates = 0 THEN NULL
+               |     ELSE CAST((1000000 * n_verified) DIV n_candidates AS BIGINT)
+               |END""".stripMargin).as("precision_ppm"))
+      .orderBy("k")
+  }
+
+  /** Oracle mirror of [[shingleSweep]]: per-k UNION ALL shingle CTEs
+    * (oracle side may re-scan — only the Spark plan carries the
+    * one-scan contract), same perms/banding/cross-multiplied verify. */
+  def shingleSweepSql(ks: Seq[Int]): String = {
+    val P = graft.functions.PortableHash.P
+    val vRows = ks.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, doc_id,
+         |       list_distinct(${shinglesKSql("tok", k)}) AS sh FROM tok"""
+        .stripMargin).mkString("\n  UNION ALL\n  ")
+    val sigMins = graft.functions.PortableHash.minhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(th, x -> ($a * (x % $P) + $b) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until nBands).map { b =>
+      val slice = (0 until rowsPerBand).map(j =>
+        s"CAST(s${rowsPerBand * b + j} AS VARCHAR)").mkString(", ")
+      s"SELECT k, doc_id, $b AS band, md5(concat_ws(',', $slice)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tok
+       |  FROM corpus),
+       |v0 AS (
+       |  $vRows),
+       |v AS (SELECT * FROM v0 WHERE len(sh) > 0),
+       |h AS (
+       |  SELECT k, doc_id, sh,
+       |         list_transform(sh, s ->
+       |           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS th
+       |  FROM v),
+       |sig AS (
+       |  SELECT k, doc_id,
+       |    $sigMins
+       |  FROM h),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.k, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.bh = b.bh
+       |   AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.k, count(*) AS n_candidates,
+       |         CAST(sum(CASE WHEN 3 * len(list_intersect(x.sh, y.sh))
+       |                            >= len(x.sh) + len(y.sh)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+       |  FROM cand c JOIN v x ON x.k = c.k AND x.doc_id = c.doc_a
+       |              JOIN v y ON y.k = c.k AND y.doc_id = c.doc_b
+       |  GROUP BY c.k),
+       |st AS (
+       |  SELECT k, count(*) AS n_docs, CAST(sum(len(sh)) AS BIGINT) AS tot_sh
+       |  FROM v GROUP BY k)
+       |SELECT st.k, st.n_docs,
+       |       CAST((1000 * st.tot_sh) // st.n_docs AS BIGINT) AS avg_shingles_milli,
+       |       coalesce(ver.n_candidates, 0) AS n_candidates,
+       |       coalesce(ver.n_verified, 0) AS n_verified,
+       |       CASE WHEN ver.n_candidates IS NULL OR ver.n_candidates = 0 THEN NULL
+       |            ELSE CAST((1000000 * ver.n_verified) // ver.n_candidates AS BIGINT)
+       |       END AS precision_ppm
+       |FROM st LEFT JOIN ver ON ver.k = st.k
+       |ORDER BY st.k""".stripMargin
+  }
+
   /** Cluster-size profile — the FIRST audit anyone runs on a fresh
     * near-dup clustering: how much of the corpus sits in families of
     * which size. Size-2 mass is the expected planted-pair signal; a fat

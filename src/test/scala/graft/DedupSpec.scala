@@ -515,6 +515,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.recoverLshIndex(idx).isEmpty)
   }
 
+  test("shingle sweep: planted pairs verify at every k, shingle mass shrinks as k grows") {
+    import spark.implicits._
+    // two disjoint-vocab 40-token docs; nearDupCorpus plants one
+    // near-dup each (3 appended tokens → J ≈ 0.93 at every k, so the
+    // 4×4 banding recovers both pairs under the frozen hash constants).
+    // Per k: orig 41−k shingles, dup 44−k → avg_milli = 42500 − 1000k
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"t$i").mkString(" ")),
+      (2L, (0 until 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.shingleSweep(docs, Seq(2, 3, 5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(2L) == ((4L, 40500L, 2L, 2L, 1000000L)), got)
+    assert(got(3L) == ((4L, 39500L, 2L, 2L, 1000000L)), got)
+    assert(got(5L) == ((4L, 37500L, 2L, 2L, 1000000L)), got)
+    graft.ops.Caches.releaseCaches()
+  }
+
   test("cluster profile: buckets partition the clustered mass, singleton row closes to the corpus") {
     import spark.implicits._
     val corpus = (1 to 10).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
