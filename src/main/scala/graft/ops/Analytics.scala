@@ -1836,6 +1836,15 @@ object Analytics {
   def markovAttribution(events: DataFrame): DataFrame = {
     val counts = journeyTransitions(events).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // alphabet-drift guard: a transition touching an unknown state would
+    // silently vanish from the row sums and skew every probability —
+    // fail loudly instead (the fixture-regeneration lesson)
+    val known = (MarkovStates ++ Seq("CONV", "NULL")).toSet
+    val unknown = counts.keys.flatMap { case (s, d) => Seq(s, d) }
+      .filterNot(known).toSet
+    require(unknown.isEmpty,
+      s"journey states outside the modeled alphabet: ${unknown.mkString(", ")} — " +
+        "extend MarkovStates (and the oracle's conditional sums) before trusting removal effects")
     def c(i: Int, j: String): BigInt =
       BigInt(counts.getOrElse((MarkovStates(i), j), 0L))
     val n = MarkovStates.indices.map(i =>

@@ -164,6 +164,13 @@ class AnalyticsOpsSpec extends SparkSpec {
     val degen = Analytics.markovAttribution(ev(
       (0L, 1L, "click"), (1L, 1L, "purchase"))).collect()
     assert(degen.forall(r => r.isNullAt(1) && r.isNullAt(3)), degen.toSeq)
+    // an event type OUTSIDE the modeled alphabet must fail loudly, not
+    // silently vanish from the row sums
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.markovAttribution(ev(
+        (0L, 1L, "mystery_type"), (1L, 1L, "purchase")))
+    }
+    assert(ex.getMessage.contains("mystery_type"), ex.getMessage)
   }
 
   test("gains curve: top deciles capture the planted converters, lift is exact") {
