@@ -1316,11 +1316,14 @@ object OrderStats {
     val hp = graft.functions.PortableHash
     // h is PROJECTED before the lambda (HOF lambdas re-evaluate unbound
     // child expressions per element — build notes); inside the lambda
-    // only the cheap permutation runs per replicate
-    val base = events.select(col("event_type"),
+    // only the cheap permutation runs per replicate. Persisted: the
+    // replicate fan-out AND the exact-mean fold both read it — unpinned,
+    // each re-ran the scan+hash lineage
+    val base = Caches.tracked(events.select(col("event_type"),
       expr("CAST(round(value * 1000) AS BIGINT)").as("xm"),
       (hp.tokenHash(concat(lit("bs:"), col("event_id").cast("string"))) % hp.P).as("h"))
       .repartition(width)
+      .persist())
     def wOf(u: Column): Column =
       when(u < t0, 0L).when(u < t1, 1L).when(u < t2, 2L)
         .when(u < t3, 3L).when(u < t4, 4L).otherwise(5L)
