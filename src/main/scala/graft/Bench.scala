@@ -7,10 +7,12 @@ import java.util.concurrent.atomic.AtomicInteger
   * summary. Two outputs, because the driver keeps only a ~2000-char
   * tail of sbt stdout (BENCH_r07–r09 all carried `"parsed": null`):
   *
-  *  - the FULL stamped JSON (per-query best-of-2 seconds, both raw runs,
-  *    loadavg, per-table fixture row counts — the round-6 fixture-drift
-  *    lesson institutionalized) is written to `bench_full.json` in the
-  *    working directory and `/tmp/bench_last.json`;
+  *  - the FULL stamped JSON (per-query min-of-stable seconds — 2 runs,
+  *    extended to ≤4 until the fastest pair agrees within 30% — all raw
+  *    runs, loadavg at start/end and per-query, per-table fixture row
+  *    counts — the round-6 fixture-drift lesson institutionalized) is
+  *    written to `bench_full.json` in the working directory and
+  *    `/tmp/bench_last.json`;
   *  - stdout's LAST line is a COMPACT version of the same JSON whose
   *    `queries` map is trimmed to the slowest entries that fit a
   *    1900-byte budget (`queries_omitted` counts the rest, `full`
@@ -24,9 +26,28 @@ import java.util.concurrent.atomic.AtomicInteger
   * opt OUT with `SPARK_GRAFT_JOBLOG=0`).
   */
 object Bench {
+  /** 1-minute loadavg, sampled now (0.0 if /proc is unreadable). */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split(" ")(0).toDouble
+    catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Measurement-integrity guard (round-11 lesson: the driver's board ran
+    // at loadavg 5.66 with run-pair spreads up to 2.3x, making every
+    // cross-round per-query comparison worthless). The CLAUDE.md rule
+    // "never bench concurrently" enforced in code: refuse silently never,
+    // warn loudly always.
+    val startLoad = load1()
+    if (startLoad > 2.0) {
+      val banner =
+        s"!!! BENCH CONTAMINATED: starting loadavg $startLoad > 2.0 — another " +
+        "workload shares these cores; per-query numbers from this run are " +
+        "NOT comparable across rounds. Re-run on an idle machine. !!!"
+      System.err.println(banner); println(banner)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +77,7 @@ object Bench {
     }
     ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // drop persists leaked by warmup queries
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of 2 runs: steady-state per query, so first-run codegen/JIT and
+      // min of stable runs: steady-state per query, so first-run codegen/JIT and
       // GC debt inherited from earlier queries doesn't land on whichever
       // query happens to run late in the loop (round-1 artifact: tfidf
       // "37.5s" of which ~30s was inherited pause, 1.8s steady-state).
@@ -70,7 +91,8 @@ object Bench {
           .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
           .foreach(_.invoke(bus))
       } catch { case _: Throwable => () }
-      val measured = (1 to 2).map { _ =>
+      def runOnce(): (Double, Int, Double) = {
+        val l = load1()
         drainListenerBus(); jobCount.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -79,14 +101,25 @@ object Bench {
         val j = jobCount.get()
         ops.Caches.releaseCaches(); ops.Caches.releaseStreamingState(spark); spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
         System.gc() // pay GC debt HERE, not inside the next query's timing
-        (t, j)
+        (t, j, l)
       }
-      val runs = measured.map(_._1)
+      // min of 2 runs normally; when the pair disagrees by >30% the min is
+      // not trustworthy (round-11 board: pairs spread up to 2.3x under
+      // load) — keep re-running (cap 4) until the two FASTEST runs agree
+      // within 30%, and report the min of those. All raws are kept.
+      val measured = scala.collection.mutable.ArrayBuffer(runOnce(), runOnce())
+      def fastestPairStable(): Boolean = {
+        val ts = measured.map(_._1).sorted
+        ts(1) <= ts(0) * 1.3
+      }
+      while (!fastestPairStable() && measured.size < 4) measured += runOnce()
+      val runs = measured.map(_._1).toSeq
       // the headline `jobs` stamp must describe the SAME run as the
       // reported min time, or the pair is incoherent (it was run-2's
       // count next to min-of-both timing through round 10)
-      val jobs = measured.minBy(_._1)._2
-      (name, runs.min, runs, jobs, measured.map(_._2))
+      val best = measured.minBy(_._1)
+      (name, best._1, runs, best._2, measured.map(_._2).toSeq,
+        best._3, !fastestPairStable())
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Headline throughput vs the reference's 10^4-10^5 events/s design
@@ -119,20 +152,29 @@ object Bench {
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // `loadavg` = end-of-run (legacy stamp), `loadavg_start` = before the
+    // warmup pass, `load` = 1-min loadavg sampled before the MIN run of
+    // each query, `unstable` = queries whose fastest pair never converged
+    // within 30% even after 4 runs (treat their numbers as suspect).
+    val unstable = results.filter(_._7).map(_._1)
     val stamps =
       s""""apply_events_per_sec":$eps,"sf":"$sfDir","loadavg":"$loadavg",""" +
+      s""""loadavg_start":${fmt(startLoad)},""" +
+      s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""fixture_rows":${fixtureRows.map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")}"""
-    val runsJson = results.map { case (k, _, rs, _, _) =>
+    val runsJson = results.map { case (k, _, rs, _, _, _, _) =>
       "\"" + k + "\":[" + rs.map(fmt).mkString(",") + "]" }.mkString("{", ",", "}")
+    val loadJson = results.map { case (k, _, _, _, _, l, _) =>
+      "\"" + k + "\":" + fmt(l) }.mkString("{", ",", "}")
     val jobsJson = if (jobLog) {
-      results.map { case (k, _, _, j, _) =>
+      results.map { case (k, _, _, j, _, _, _) =>
         "\"" + k + "\":" + j }.mkString(""","jobs":{""", ",", "}") +
-      results.map { case (k, _, _, _, js) =>
+      results.map { case (k, _, _, _, js, _, _) =>
         "\"" + k + "\":[" + js.mkString(",") + "]" }.mkString(""","jobs_runs":{""", ",", "}")
     } else ""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},""" +
-      s"""$stamps,"runs":$runsJson$jobsJson}"""
+      s"""$stamps,"runs":$runsJson,"load":$loadJson$jobsJson}"""
     Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json"), "bench_full.json")
       .foreach { p =>
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
@@ -150,7 +192,7 @@ object Bench {
       s""""full":"bench_full.json","queries_omitted":000,"queries":{}}"""
     var used = fixed.length
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    bySlow.foreach { case (k, v, _, _, _) =>
+    bySlow.foreach { case (k, v, _, _, _, _, _) =>
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
