@@ -2008,17 +2008,17 @@ object Analytics {
     * gains/lift are truncating ratios with products in DECIMAL(38,0)
     * (HUGEINT in the oracle) so the shape survives billion-user counts.
     *
-    * Scale shape: one user-level aggregate, then the ranking window
-    * sorts the PRE-AGGREGATED |users| frame (the supplier_pareto shape —
-    * the global sort is the gains curve's inherent cost), and the
-    * cumulative window runs over 10 rows.
+    * Scale shape: one user-level aggregate, then deciles via the
+    * [[Ranks]] two-pass device (range split + within-partition ordinal
+    * + broadcast offsets — no single-task ranking window over the
+    * |users| frame); the cumulative window runs over 10 decile rows.
     */
   def gainsCurve(events: DataFrame): DataFrame = {
     val users = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
-    val byScore = Window.orderBy(col("score").desc, col("user_id"))
-    val deciles = users.withColumn("decile", ntile(10).over(byScore).cast("long"))
+    val deciles = Ranks.overGlobalOrder(users,
+        Seq(col("score").desc, col("user_id").asc), ntileCol = Some((10, "decile")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"),
         min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
@@ -2091,8 +2091,8 @@ object Analytics {
         max(when(col("event_type") === "purchase" && col("value") >= minValue,
           1L).otherwise(0L)).as("conv"))
       .withColumn("treat", col("user_id") % 2 === 0)
-    val byScore = Window.orderBy(col("score").desc, col("user_id"))
-    val dec = users.withColumn("decile", ntile(10).over(byScore).cast("long"))
+    val dec = Ranks.overGlobalOrder(users,
+        Seq(col("score").desc, col("user_id").asc), ntileCol = Some((10, "decile")))
       .groupBy(col("decile"))
       .agg(sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
         sum(when(col("treat"), col("conv")).otherwise(0L)).as("conv_t"),
@@ -2299,20 +2299,19 @@ object Analytics {
   /** Pareto concentration: suppliers ranked by revenue with cumulative
     * share — the 80/20 audit that decides whether a mitigation (or a
     * sales strategy) targets heads or tails. Revenue partial-aggregates
-    * per supplier first, so the ranking window sorts |suppliers| rows,
-    * never lineitems; cumulative sums stay in DECIMAL until the edge.
+    * per supplier first; rank, running revenue and the grand total all
+    * come from ONE [[Ranks]] device pass over the supplier frame (no
+    * single-task ranking window, no second revenue scan); cumulative
+    * sums stay in DECIMAL until the edge.
     */
   def supplierPareto(lineitem: DataFrame, supplier: DataFrame, topN: Int): DataFrame = {
     val rev = lineitem.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
-    val byRev = Window.orderBy(col("rev").desc, col("s_suppkey"))
-    val all = Window.partitionBy()
-    rev
-      .withColumn("rank", row_number().over(byRev))
-      .withColumn("cum_share",
-        round(sum(col("rev")).over(byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / sum(col("rev")).over(all).cast("double"), 6))
+    Ranks.overGlobalOrder(rev, Seq(col("rev").desc, col("s_suppkey").asc),
+        rankCol = Some("rank"), cumSums = Seq("cum" -> col("rev")),
+        totals = Seq("tot" -> col("rev")))
+      .withColumn("cum_share", round(col("cum").cast("double") / col("tot").cast("double"), 6))
       .filter(col("rank") <= topN)
       .select(col("rank").cast("long").as("rank"), col("s_suppkey"), col("s_name"),
         col("rev").cast("double").as("revenue"), col("cum_share"))
@@ -2661,9 +2660,9 @@ object Analytics {
     * comparison; everything until the output shares is exact.
     *
     * Scale shape: one partial-agg to (part, week) quantities, one to
-    * per-part stats; the cumulative-share window is the supplier-Pareto
-    * shape (global window over the PART-level frame — |parts| ≪ rows;
-    * the declared trade the Pareto query documents).
+    * per-part stats; cumulative revenue share + grand total come from
+    * one [[Ranks]] device pass over the part frame (the supplier-Pareto
+    * shape — range-partitioned, no single-task window).
     */
   def abcXyz(lineitem: DataFrame): DataFrame = {
     val weekly = lineitem
@@ -2677,11 +2676,12 @@ object Analytics {
         sum(col("qc") * col("qc")).as("sqq"))
     val rev = lineitem.groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r_dec"))
-    val wOrd = Window.orderBy(col("r_dec").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val classed = rev
-      .withColumn("cum", sum(col("r_dec")).over(wOrd))
-      .crossJoin(broadcast(rev.agg(sum(col("r_dec")).as("tot"))))
+    // cumulative revenue + grand total in ONE device pass — the global
+    // cumsum comes back range-partitioned (no single-task window) and
+    // the total is a literal, so the old self-crossJoin scan is gone
+    val classed = Ranks.overGlobalOrder(rev,
+        Seq(col("r_dec").desc, col("l_partkey").asc),
+        cumSums = Seq("cum" -> col("r_dec")), totals = Seq("tot" -> col("r_dec")))
       // cum/tot <= 0.5  ⇔  cum*2 <= tot  (DECIMAL-exact cross-multiply)
       .withColumn("abc",
         when(col("cum") * 2 <= col("tot"), "A")
@@ -2843,18 +2843,18 @@ object Analytics {
     * integer (revenue in cents via one DECIMAL(18,2) aggregate), sums
     * carried in DECIMAL(38,0)/HUGEINT.
     *
-    * Scale note: the ranking window runs over the PART-grained frame —
-    * dimension-bounded (|parts|), not fact-bounded — after the one
-    * grouped aggregate over lineitem; the skyline/pareto precedent.
+    * Scale note: ranks over the PART-grained frame come from the
+    * [[Ranks]] device (range split + offsets, no single-task window)
+    * after the one grouped aggregate over lineitem; the total row count
+    * rides the device's offsets collect as a literal.
     */
   def revenueGini(lineitem: DataFrame): DataFrame = {
     val cents = lineitem.groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
       .select(col("l_partkey"), expr("CAST(rev * 100 AS BIGINT)").as("cents"))
-    val byAsc = Window.orderBy(col("cents"), col("l_partkey"))
-    val r = cents
-      .withColumn("i", row_number().over(byAsc).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val r = Ranks.overGlobalOrder(cents,
+      Seq(col("cents").asc, col("l_partkey").asc),
+      rankCol = Some("i"), countCol = Some("n"))
     r.agg(max(col("n")).as("n"),
         sum(col("cents").cast("decimal(38,0)")).as("sx"),
         sum((col("i") * col("cents")).cast("decimal(38,0)")).as("sixi"),

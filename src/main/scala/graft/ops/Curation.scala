@@ -115,6 +115,9 @@ object Curation {
     val binned = sig
       .groupBy(least(floor(col("quality") * nBins), lit((nBins - 1).toLong)).as("bin"))
       .agg(count(lit(1)).as("c"))
+    // partitionless windows are fine HERE: both run over the nBins-
+    // bounded histogram census, never the corpus (the PlanShapeSpec
+    // bounded-census allowance)
     val cum = binned
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))))
       .withColumn("n", sum(col("c")).over())

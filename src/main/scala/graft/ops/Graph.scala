@@ -630,9 +630,10 @@ object Graph {
     // the only per-round exchange is the min-relaxation's groupBy
     val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // top-N seeds via sort+limit: Spark plans TakeOrderedAndProject
+    // (per-partition partial top-N, no single-task ranking window)
     val seedDf = deg
-      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
-      .filter(col("rn") <= seeds).select(col("node"))
+      .orderBy(col("deg").desc, col("node")).limit(seeds).select(col("node"))
     var dist = pinned(seedDf.withColumn("hops", lit(0L)))
     for (_ <- 1 to maxHops) dist = pinned(minPlusRound(e, dist, Seq("node")))
     dist.orderBy("node")
@@ -676,9 +677,10 @@ object Graph {
     require(seeds >= 1 && maxHops >= 1, s"seeds and maxHops must be >= 1: $seeds, $maxHops")
     val e = pinnedBy(symmetrize(supportEdges(lineitem, minSupport)), "src")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // top-N seeds via sort+limit: Spark plans TakeOrderedAndProject
+    // (per-partition partial top-N, no single-task ranking window)
     val seedDf = deg
-      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
-      .filter(col("rn") <= seeds).select(col("node"))
+      .orderBy(col("deg").desc, col("node")).limit(seeds).select(col("node"))
     var dist = pinned(seedDf.select(col("node"), col("node").as("seed"), lit(0L).as("hops")))
     for (_ <- 1 to maxHops)
       dist = pinned(minPlusRound(e, dist, Seq("node", "seed")))
@@ -852,9 +854,9 @@ object Graph {
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .join(broadcast(eo), col("x.dst") === col("s") && col("y.dst") === col("d"), "left_semi")
       .groupBy(col("x.src").as("node")).agg(count(lit(1)).as("tri"))
+    // top-N hubs via sort+limit (TakeOrderedAndProject, no global window)
     val hubs = deg
-      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("node"))))
-      .filter(col("rn") <= topN).select(col("node"), col("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(topN).select(col("node"), col("deg"))
     hubs.join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("n_closed"),
@@ -913,9 +915,9 @@ object Graph {
     // |V|-bounded and broadcast EVERY step — pin it once so each step's
     // broadcast build reads a checkpoint instead of re-aggregating adj
     val deg = pinned(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // top-N seeds via sort+limit (TakeOrderedAndProject, no global window)
     val seedDf = deg
-      .withColumn("rn", row_number().over(Window.orderBy(col("deg").desc, col("src"))))
-      .filter(col("rn") <= seeds).select(col("src").as("node"))
+      .orderBy(col("deg").desc, col("src")).limit(seeds).select(col("src").as("node"))
     var frontier = pinned(seedDf
       .select(col("node"), explode(sequence(lit(0), lit(walksPerSeed - 1))).as("wj"))
       .select((col("node") * lit(1000L) + col("wj")).as("walk_id"),

@@ -25,21 +25,26 @@ object OrderStats {
     * PRECEDING gives "strictly smaller size" directly.
     *
     * Scale shape: the classic O(n·n) skyline self-join is replaced by
-    * one sort + two window minima — a single exchange on nothing (global
-    * RANGE window over size): at corpus scale you'd pre-aggregate to
-    * one (size, min_price) row per size first, which this plan's first
-    * window effectively is, so the global window runs over |distinct
-    * sizes| not |parts|. Ties on both dimensions survive together
-    * (neither dominates the other — dominance needs one strict edge).
+    * one grouped (size, min_price) census — |distinct sizes|, value-
+    * domain-bounded — a cumulative-min window over THAT census only,
+    * and a broadcast join back to the part scan. Ties on both
+    * dimensions survive together (neither dominates the other —
+    * dominance needs one strict edge).
     */
   def skylineParts(part: DataFrame): DataFrame = {
+    // pre-aggregate to one (size, min_price) row per size FIRST: the
+    // global window then actually runs over the |distinct sizes| census
+    // (the old plan only did so "effectively" — every part row still
+    // moved through the single window task), and the census broadcasts
+    // back to the part scan
+    val perSize = part.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("min_same"))
     val wSmaller = Window.orderBy(col("p_size"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wSame = Window.partitionBy(col("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sizes = perSize.withColumn("min_smaller", min(col("min_same")).over(wSmaller))
     part
       .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
-      .withColumn("min_same", min(col("p_retailprice")).over(wSame))
-      .withColumn("min_smaller", min(col("p_retailprice")).over(wSmaller))
+      .join(broadcast(sizes), Seq("p_size"))
       .filter(col("p_retailprice") === col("min_same") &&
         (col("min_smaller").isNull || col("p_retailprice") < col("min_smaller")))
       .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
@@ -962,10 +967,12 @@ object OrderStats {
     val census = ev.groupBy(col("v"), col("segment"))
       .agg(count(lit(1)).as("c"))
     val pooled = census.groupBy(col("v")).agg(sum(col("c")).as("t"))
-    val wBefore = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = pooled
-      .withColumn("cum_before", coalesce(sum(col("t")).over(wBefore), lit(0L)))
+    // exclusive running count = inclusive device cumsum minus self —
+    // range-partitioned, no single-task window over the value census
+    val ranked = Ranks.overGlobalOrder(pooled, Seq(col("v").asc),
+        cumSums = Seq("cum_incl" -> col("t")))
+      .withColumn("cum_before", col("cum_incl") - col("t"))
+      .drop("cum_incl")
     val globals = broadcast(ranked.agg(
       sum(col("t")).as("n_total"),
       sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))

@@ -511,11 +511,9 @@ object Profiling {
       .crossJoin(perParent.agg(count(lit(1)).as("n_matched")))
     val zero = totals.select(lit(0L).as("fanout"),
       (col("n_orders") - col("n_matched")).as("n_parents"))
-    val wCum = Window.orderBy(col("fanout"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    zero.unionAll(census)
+    Ranks.overGlobalOrder(zero.unionAll(census), Seq(col("fanout").asc),
+        cumSums = Seq("cum_parents" -> col("n_parents")))
       .crossJoin(broadcast(totals.select(col("n_orders"))))
-      .withColumn("cum_parents", sum(col("n_parents")).over(wCum))
       .select(col("fanout"), col("n_parents"), col("cum_parents"),
         expr("CAST((1000000 * cum_parents) DIV n_orders AS BIGINT)").as("cum_ppm"))
       .orderBy("fanout")

@@ -1669,6 +1669,9 @@ object Similarity {
       .select(col("anchor_id"), col("cosine").as("kth_cosine"))
       .orderBy(col("kth_cosine").asc, col("anchor_id"))
       .limit(topN)
+    // partitionless window is fine HERE: it ranks the ≤topN survivors
+    // of the LIMIT above, never the corpus (PlanShapeSpec pins the
+    // device convention for data-grained frames)
     val w = Window.orderBy(col("kth_cosine").asc, col("anchor_id"))
     top.withColumn("isolation_rank", row_number().over(w).cast("long"))
       .orderBy(col("isolation_rank"))

@@ -444,16 +444,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
   }
 
-  test("pareto: revenue partial-aggregates per supplier BEFORE the ranking window") {
+  test("pareto: revenue partial-aggregates per supplier; rank/cum/total ride the Ranks device") {
     val p = plan("supplier_pareto")
-    val lines = p.linesIterator.toVector
-    val firstWindow = lines.indexWhere(_.contains("Window"))
-    val lastAgg = lines.lastIndexWhere(_.contains("partial_sum"))
-    // executed plans print top-down: the per-supplier aggregate must sit
-    // BELOW (after, in print order) the global ranking window — i.e. the
-    // window consumes aggregated suppliers, never raw lineitems
-    assert(firstWindow >= 0 && lastAgg > firstWindow,
-      s"ranking window must consume per-supplier partials:\n$p")
+    // rank + cumulative revenue + grand total are offset literals over
+    // the device frame — the plan must carry NO window at all, and the
+    // per-supplier aggregate must partial-aggregate map-side (it prints
+    // inside the device's cached subtree)
+    assert(!p.contains("windowspecdefinition"),
+      s"pareto must not rank through a window:\n$p")
+    assert(p.contains("partial_sum"), s"per-supplier partials missing:\n$p")
+    assert(p.contains("_grank_rnw") || p.contains("InMemoryTableScan"),
+      s"rank must come from the device frame:\n$p")
   }
 
   test("join view: carry-forward windows and lag ride ONE (jk) sort order") {
@@ -514,10 +515,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"ladder must not union/join per-level aggregates:\n$p")
   }
 
-  test("skyline: two windows, no join (the O(n log n) frontier shape)") {
+  test("skyline: size-census window, census broadcast back (no pairwise join, no part-grained window)") {
     val p = plan("part_skyline")
-    assert(!p.contains("Join"), s"skyline must not pairwise-join:\n$p")
-    assert(p.linesIterator.count(_.contains("Window")) >= 1, s"window minima missing:\n$p")
+    // the cumulative min runs over the |distinct p_size| census; the
+    // census then broadcasts back to the part scan — a SortMergeJoin or
+    // cartesian here would mean the census pre-aggregation was lost
+    assert(p.contains("BroadcastHashJoin"), s"size census must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"skyline must not pairwise-join parts:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, s"census window minima missing:\n$p")
+    assert(p.contains("partial_min"), s"per-size census must partial-aggregate:\n$p")
   }
 
   test("EWMA: banded self-join stays on the bounded hourly frame") {
@@ -803,15 +810,29 @@ class PlanShapeSpec extends SparkSpec {
       s"only broadcast joins of scalar frames expected:\n$p")
   }
 
-  test("gains curve: ranking window sorts the PRE-AGGREGATED user frame, one scan") {
-    val p = plan("events_gains_curve")
-    val scans = p.linesIterator.count(l =>
-      l.contains("FileScan parquet") || l.contains("Scan parquet"))
-    assert(scans == 1, s"gains curve reads events exactly once, got $scans:\n$p")
-    assert(p.contains("Exchange hashpartitioning(user_id"),
-      s"user aggregate must shuffle by user_id before the ntile sort:\n$p")
+  test("gains curve: deciles from the device over the PRE-AGGREGATED user frame, one scan") {
+    // tree traversal (the price-index convention): the user frame is
+    // aggregated once, cached inside the Ranks device, and every events
+    // read goes through that ONE cache — the outer plan reads no file
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): (Int, Int) = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case _: FileSourceScanExec    => (1, 0)
+      case _: InMemoryTableScanExec => (0, 1)
+      case other =>
+        other.children.map(walk).foldLeft((0, 0)) {
+          case ((f, m), (f2, m2)) => (f + f2, m + m2) }
+    }
+    val df = SparkEntry.queries("events_gains_curve")(spark, dir)
+    val (files, mem) = walk(df.queryExecution.executedPlan)
+    assert(files == 0 && mem == 1,
+      s"gains curve must read the ONE cached device frame, got $files file scans / $mem cache scans:\n${df.queryExecution.executedPlan}")
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("partial_count"),
       s"per-user score must partial-aggregate map-side:\n$p")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
   }
 
   test("price index: (month, part) frame cached once for its three consumers, base broadcast") {
@@ -874,5 +895,37 @@ class PlanShapeSpec extends SparkSpec {
       s"the audit never verifies pairs — counts only:\n$p")
     assert(p.contains("partial_count"),
       s"per-key block counts must partial-aggregate:\n$p")
+  }
+
+  test("global ranking retired: data-grained frames rank via the Ranks device, not a single-task window") {
+    // every partitionless WindowExec left in these plans runs over a
+    // bounded census (deciles, size domain, a post-LIMIT top-N) — the
+    // EXACT counts are pinned so a refactor that re-ranks a
+    // users-/parts-/suppliers-grained frame globally (the easy wrong
+    // version: Window.orderBy with no partition) flips this red.
+    val expected = Seq(
+      "events_gains_curve" -> 2,       // decile cumsum + decile totals (10 rows)
+      "events_qini_curve" -> 1,        // decile cumsum (10 rows)
+      "supplier_pareto" -> 0,          // rank + cum + total all from the device
+      "lineitem_abc_xyz" -> 0,         // cum + total from the device
+      "lineitem_revenue_gini" -> 0,    // rank + count from the device
+      "events_rank_anova" -> 0,        // value-census cumsum from the device
+      "quality_fanout_profile" -> 0,   // fanout-census cumsum from the device
+      "part_skyline" -> 1,             // |distinct p_size| census (domain ~50)
+      "text_quality_gate_sketch" -> 2) // nBins-bounded histogram census (cumsum + total)
+    for ((q, n) <- expected) {
+      val (got, p) = countGlobalWindows(SparkEntry.queries(q)(spark, dir))
+      assert(got == n, s"$q: expected $n bounded global windows, got $got:\n$p")
+      graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+    }
+  }
+
+  test("graph seed/hub selection: sort+limit (TakeOrderedAndProject), zero global windows") {
+    for (q <- Seq("graph_bfs_reach", "graph_closeness", "graph_ego_density")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val (got, p) = countGlobalWindows(df)
+      assert(got == 0, s"$q: seed selection must be top-N, got $got global windows:\n$p")
+      graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+    }
   }
 }
