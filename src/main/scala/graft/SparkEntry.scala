@@ -238,8 +238,11 @@ object SparkEntry {
       val root = scratchDir("graft_replay")
       val out = s"$root/chunks"
       new java.io.File(out).mkdirs()
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-      val ev = t(s, dir, "events").withColumn("rn", row_number().over(w)).persist()
+      // global replay order via the Ranks device (no single-task window
+      // over the events table — fixture prep gets the same scale shape
+      // as production ranking)
+      val ev = ops.Ranks.overGlobalOrder(t(s, dir, "events"),
+        Seq(col("ts").asc, col("event_id").asc), rankCol = Some("rn")).persist()
       val n = ev.count()
       val per = (n + 3) / 4
       (0 until 4).foreach { i =>
@@ -1548,6 +1551,12 @@ object SparkEntry {
     // from-documents rebuild
     "dedup_index_maintenance" -> ((s, dir) =>
       Dedup.indexContentAudit(s, compactedNoveltyIndex(s, dir))),
+    // Incremental cluster-map maintenance: prefix build + two delta-only
+    // batch merges; the oracle is the full from-scratch rebuild, so the
+    // gate proves incremental == rebuild (see Dedup.maintainClusterMap)
+    "dedup_cluster_maintenance" -> ((s, dir) =>
+      Dedup.clusterMaintenanceRun(s,
+        t(s, dir, "documents").select(col("doc_id"), col("text")), 0.5)),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -2509,6 +2518,7 @@ object SparkEntry {
     "dedup_index_probe" -> Dedup.incrementalLshSql(0.5),
     "dedup_stream_novelty" -> Dedup.streamingNoveltySql(0.5),
     "dedup_index_maintenance" -> Dedup.indexContentAuditSql,
+    "dedup_cluster_maintenance" -> Dedup.nearDupClustersSql(0.5),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

@@ -103,8 +103,21 @@ object Caches {
     */
   def withBatchShuffleWidth[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // AQE off for the batch body too: at micro-batch scale every AQE
+    // shuffle-stage materialization is its own Spark job plus a
+    // re-planning gap, and a 4-batch novelty stream measured ~16
+    // jobs/batch mostly in those gaps (ProfileQ). Nothing AQE decides
+    // here matters — joins are explicit broadcast(), fan-out widths are
+    // pinned repartition(n, col) — so the batch pays fixed single-job
+    // plans instead. Restored after the body: interactive-scale queries
+    // keep AQE's skew/coalesce wins.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(4, spark.sparkContext.defaultParallelism / 4))
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }

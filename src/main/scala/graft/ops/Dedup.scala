@@ -1714,10 +1714,20 @@ object Dedup {
         // explode behind minhashSignatures would run single-threaded
         // without this spread (the StreamingApply prepartition recipe)
         val docs = batch.repartition(s.sparkContext.defaultParallelism).persist()
+        // EAGER localCheckpoint, not persist: the band frame feeds FOUR
+        // consumers per batch (hit-bucket collect, probe join build,
+        // novelty output, index append), and persist does not cut the
+        // LOGICAL plan — each consumer re-analyzed the whole
+        // minhash/shingle lineage (the round-9 planning-gap lesson;
+        // measured here as ~17 jobs/batch of mostly plan time). The
+        // frame is batch-bounded and fixed-shape, the localCheckpoint
+        // eligibility rule; a lost executor fails the batch and
+        // foreachBatch replays it (at-least-once), which the ingest
+        // frontier below absorbs.
         val bandsB = lshBandRows(minhashSignatures(docs))
           .withColumn("bucket",
             pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
-          .persist()
+          .localCheckpoint()
         val eq = (0 until 16).map(i =>
           when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
         // heal any swap a previous run's crash left half-done BEFORE
@@ -1807,7 +1817,7 @@ object Dedup {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        bandsB.unpersist(); docs.unpersist()
+        docs.unpersist() // bandsB's checkpoint blocks are GC-reclaimed (ContextCleaner)
         // maintenance rider: bound the index's per-bucket file count so
         // continuous appends can't turn directory listing into the probe
         // bottleneck (runs between batches — no reader is mid-scan)
@@ -1966,6 +1976,279 @@ object Dedup {
        |SELECT doc_a, doc_b, containment FROM scored
        |WHERE containment >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------ persisted cluster-map maintenance
+
+  /** Bucket count of the persisted cluster-map layout — CLUSTER-keyed,
+    * so every row of a cluster lives in ONE bucket directory and both
+    * the merge rewrite and the size recount stay bucket-local.
+    * Fixture-sized like [[indexBuckets]]; thousands at corpus scale. */
+  private[graft] val mapBuckets = 16
+
+  private def mapBucketCol(c: Column): Column =
+    pmod(c, lit(mapBuckets.toLong)).cast("int")
+
+  /** Materialize a (doc_id, cluster, cluster_size) frame as the
+    * persisted cluster map, bucket-partitioned by cluster id — the disk
+    * layout [[maintainClusterMap]] maintains incrementally. */
+  def writeClusterMap(clusters: DataFrame, path: String): Unit = {
+    clusters.select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .withColumn("cbucket", mapBucketCol(col("cluster")))
+      .repartition(mapBuckets, col("cbucket"))
+      .write.mode("overwrite").partitionBy("cbucket").parquet(path)
+  }
+
+  /** The map, or an empty typed frame when nothing has clustered yet
+    * (a prefix with zero qualifying pairs writes only _SUCCESS, which
+    * parquet schema inference rejects). */
+  private def readClusterMap(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    try spark.read.parquet(path)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("cbucket"))
+    catch {
+      case _: Throwable =>
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster"),
+          col("id").as("cluster_size"), col("id").cast("int").as("cbucket"))
+    }
+
+  /** Heal a cluster map left by a merge interrupted mid-swap — the
+    * [[recoverLshIndex]] ladder over `cbucket=` dirs and the `.merge`
+    * temp tree. An aside copy with a missing live dir is pre-merge data
+    * (restore it; the unadvanced `_cluster_frontier` makes the replayed
+    * batch re-merge); an aside next to a live dir means the swap
+    * committed (drop the aside); a stale temp tree is a dead rewrite.
+    * Returns the bucket ids restored. No-crash cost: two existence
+    * checks.
+    */
+  def recoverClusterMap(path: String): Seq[Int] = {
+    val aside = new java.io.File(s"$path.merge.aside")
+    val restored = scala.collection.mutable.ListBuffer[Int]()
+    if (aside.exists()) {
+      Option(aside.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("cbucket=")).foreach { d =>
+          val live = new java.io.File(s"$path/${d.getName}")
+          if (!live.exists()) {
+            java.nio.file.Files.move(d.toPath, live.toPath)
+            restored += d.getName.stripPrefix("cbucket=").toInt
+          }
+        }
+      rmTree(aside)
+    }
+    rmTree(new java.io.File(s"$path.merge"))
+    restored.toSeq.sorted
+  }
+
+  /** Merge ONE ingest batch into the persisted cluster map — the
+    * incremental-maintenance path for [[writeClusterMap]]'s artifact,
+    * closing for clusters the recompute gap [[streamingNovelty]] closed
+    * for signatures: instead of re-running LSH + connected components
+    * over the full corpus per refresh, the batch's new LSH edges
+    * CONTRACT through the stored (doc → cluster) assignment and a
+    * delta-sized CC merges only the touched components. Old–old edges
+    * never change when docs are only added (LSH banding is a pairwise
+    * property), so components of (stored map + delta edges) equal the
+    * from-scratch components, and the merged label — min over old reps
+    * and newly clustered ids — equals the from-scratch min because
+    * stored labels are already component minima.
+    *
+    * Per batch (all delta-bounded except the two stated streams):
+    *  1. batch band signatures, localCheckpoint-cut (batch-sized);
+    *  2. earlier-candidate probe — the [[streamingNovelty]] device:
+    *     index rows bucket-pruned to the batch's band hashes union the
+    *     batch's own rows, ONE broadcast of the batch, `x.doc_id <
+    *     y.doc_id` keeps "earlier", `distinct` folds replay overlap;
+    *  3. append the batch's bands to the index, guarded by the index
+    *     `_ingest_frontier` (a replay never double-appends) and the
+    *     doc-id ingestion-order contract (fails loudly out of order);
+    *  4. contract endpoints through the stored map — ONE streamed map
+    *     pass against the broadcast endpoint set resolves stored
+    *     clusters, two delta×delta broadcast joins apply them — then
+    *     [[connectedComponents]] on the contracted delta graph only;
+    *  5. rewrite ONLY the touched clusters' bucket dirs: relabel merged
+    *     clusters, insert newly clustered docs (old singletons and
+    *     batch docs), recount sizes bucket-locally (cluster-keyed
+    *     bucketing keeps each cluster whole inside one bucket), swap
+    *     per bucket through the aside device;
+    *  6. advance `_cluster_frontier` (tmp + ATOMIC_MOVE) LAST.
+    *
+    * Crash/replay: a batch id at or below the frontier is absorbed
+    * (returns false, zero work). A crash at any earlier point replays
+    * cleanly — an already-appended batch folds in the probe's distinct,
+    * already-merged endpoints contract to self-loops that drop out, and
+    * a half-swapped map re-merges to the same fixpoint (labels are
+    * minima; merging {merged label, missed rep} re-yields the min).
+    * `dedup_cluster_maintenance`'s oracle is the full rebuild, so the
+    * correctness gate proves incremental ≡ from-scratch.
+    */
+  def maintainClusterMap(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, mapPath: String, batch: DataFrame,
+                         threshold: Double, batchId: Long): Boolean = {
+    recoverClusterMap(mapPath)
+    recoverLshIndex(indexPath)
+    val frontier = java.nio.file.Paths.get(s"$mapPath/_cluster_frontier")
+    val last =
+      if (java.nio.file.Files.exists(frontier))
+        java.nio.file.Files.readString(frontier).trim.toLong
+      else -1L
+    if (batchId <= last) return false
+
+    val bands = lshBandRows(minhashSignatures(batch.select(col("doc_id"), col("text"))))
+      .withColumn("bucket",
+        pmod(PortableHash.tokenHash(col("bh")), lit(indexBuckets)).cast("int"))
+      .localCheckpoint()
+    val nPerms = nBands * rowsPerBand
+    val probeCols = col("doc_id") +: col("band") +: col("bh") +: col("bucket") +:
+      (0 until nPerms).map(i => col(s"s$i"))
+    val earlier =
+      if (new java.io.File(indexPath).exists()) {
+        val hit = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
+        spark.read.parquet(indexPath)
+          .filter(col("bucket").isin(hit.map(Integer.valueOf): _*))
+          .select(probeCols: _*)
+          .unionByName(bands.select(probeCols: _*))
+      } else bands.select(probeCols: _*)
+    val eq = (0 until nPerms).map(i =>
+      when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0): Column).reduce(_ + _)
+    val pairs = earlier.as("x")
+      .join(broadcast(bands.as("y")),
+        col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .filter(eq / lit(nPerms.toDouble) >= threshold)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    val idxFrontier = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier")
+    val (recBatch, recMax) =
+      if (java.nio.file.Files.exists(idxFrontier)) {
+        val parts = java.nio.file.Files.readString(idxFrontier).trim.split(",")
+        (parts(0).toLong, parts(1).toLong)
+      } else (-1L, Long.MinValue)
+    if (batchId > recBatch) {
+      val stats = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (!stats.isNullAt(0)) {
+        require(stats.getLong(0) > recMax,
+          s"ingestion-order contract broken: batch $batchId min doc_id " +
+            s"${stats.getLong(0)} <= already-indexed max $recMax — cluster " +
+            "maintenance assumes doc-id-ordered ingestion; re-ingest " +
+            "out-of-order data through a full rebuild instead")
+        bands.repartition(indexBuckets, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(indexPath)
+        val tmpF = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier.tmp")
+        java.nio.file.Files.writeString(tmpF,
+          s"$batchId,${math.max(recMax, stats.getLong(1))}")
+        java.nio.file.Files.move(tmpF, idxFrontier,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val mc = readClusterMap(spark, mapPath).select(col("doc_id").as("mid"), col("cluster"))
+    // ONE streamed pass over the map resolves every endpoint's stored
+    // cluster (inner BHJ with the delta-bounded endpoint set broadcast;
+    // a right-outer with the preserved side broadcast is unsupported and
+    // would silently fall back to a full-map shuffle join). Unresolved
+    // endpoints represent themselves in the two tiny left joins after.
+    val endpoints = pairs.select(col("a").as("d"))
+      .unionAll(pairs.select(col("b").as("d"))).distinct()
+    val reps = mc.join(broadcast(endpoints), col("mid") === col("d"))
+      .select(col("mid"), col("cluster")).localCheckpoint()
+    val contracted = pairs
+      .join(broadcast(reps.as("fa")), col("a") === col("fa.mid"), "left")
+      .select(coalesce(col("fa.cluster"), col("a")).as("ra"), col("b"))
+      .join(broadcast(reps.as("fb")), col("b") === col("fb.mid"), "left")
+      .select(col("ra"), coalesce(col("fb.cluster"), col("b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("doc_a"),
+        greatest(col("ra"), col("rb")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val relabels: Array[(Long, Long)] =
+      if (contracted.isEmpty) Array.empty
+      else connectedComponents(contracted)
+        .select(col("doc_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+
+    if (relabels.nonEmpty) {
+      val nodes = relabels.map(_._1)
+      val touched = relabels.flatMap { case (n, l) =>
+        Seq((n % mapBuckets).toInt, (l % mapBuckets).toInt) }.distinct.sorted.toSeq
+      val relabelDf = broadcast(
+        spark.createDataFrame(relabels.toSeq).toDF("node", "nlabel"))
+      val oldRows = readClusterMap(spark, mapPath)
+        .filter(col("cbucket").isin(touched.map(Integer.valueOf): _*))
+      val relabeled = oldRows.join(relabelDf, col("cluster") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("nlabel"), col("cluster")).as("cluster"))
+      // nodes already present as cluster labels get RELABELED rows; the
+      // rest (old singletons, batch docs) are INSERTED. The probe is
+      // node-bounded: a node in the map is by construction its own
+      // cluster's label, and that label's rows live in a touched bucket.
+      val present = oldRows
+        .filter(col("cluster").isin(nodes.map(java.lang.Long.valueOf): _*))
+        .select(col("cluster")).distinct().collect().map(_.getLong(0)).toSet
+      val inserts = relabels.toSeq.collect {
+        case (n, l) if !present.contains(n) => (n, l) }
+      val content =
+        if (inserts.isEmpty) relabeled
+        else relabeled.unionByName(
+          spark.createDataFrame(inserts).toDF("doc_id", "cluster"))
+      val sizes = content.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      val out = content.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+        .withColumn("cbucket", mapBucketCol(col("cluster")))
+      val tmp = s"$mapPath.merge"
+      out.repartition(math.max(1, touched.size), col("cbucket"))
+        .write.mode("overwrite").partitionBy("cbucket").parquet(tmp)
+      touched.foreach { b =>
+        val dst = java.nio.file.Paths.get(s"$mapPath/cbucket=$b")
+        val asideB = java.nio.file.Paths.get(s"$tmp.aside/cbucket=$b")
+        java.nio.file.Files.createDirectories(asideB.getParent)
+        if (java.nio.file.Files.exists(dst)) java.nio.file.Files.move(dst, asideB)
+        val src = java.nio.file.Paths.get(s"$tmp/cbucket=$b")
+        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+      }
+      rmTree(new java.io.File(s"$tmp.aside"))
+      rmTree(new java.io.File(tmp))
+    }
+    val tmpCf = java.nio.file.Paths.get(s"$mapPath/_cluster_frontier.tmp")
+    java.nio.file.Files.writeString(tmpCf, s"$batchId")
+    java.nio.file.Files.move(tmpCf, frontier,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
+  /** End-to-end incremental-maintenance exercise over the standard
+    * near-dup corpus: LSH index + cluster map are built from scratch on
+    * the doc-id PREFIX (the original documents), then the shifted
+    * near-dup copies arrive as two ordered ingest batches merged
+    * delta-only through [[maintainClusterMap]]. Returns the final
+    * persisted map; the oracle is the FROM-SCRATCH rebuild over the
+    * full corpus, so the correctness gate proves incremental ≡ rebuild
+    * (the artifact riders' proof shape). Scratch-rooted per call, so
+    * repeated bench runs each measure the full maintenance path rather
+    * than a frontier-absorbed no-op.
+    */
+  def clusterMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, threshold: Double): DataFrame = {
+    val root = graft.Scratch.dir("graft-cluster-maint")
+    val idx = s"$root/index"
+    val map = s"$root/map"
+    val corpus = nearDupCorpus(docs.select(col("doc_id"), col("text")))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut0 = 1000000L
+    val cut1 = 1000000L + (mx + 1) / 2
+    writeLshIndex(corpus.filter(col("doc_id") < cut0), idx)
+    writeClusterMap(
+      nearDupClustersStars(corpus.filter(col("doc_id") < cut0), threshold), map)
+    maintainClusterMap(spark, idx, map,
+      corpus.filter(col("doc_id") >= cut0 && col("doc_id") < cut1), threshold, 0L)
+    maintainClusterMap(spark, idx, map,
+      corpus.filter(col("doc_id") >= cut1), threshold, 1L)
+    spark.read.parquet(map)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   // ----------------------------------------------- benchmark contamination
 

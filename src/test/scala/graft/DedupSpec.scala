@@ -548,4 +548,57 @@ class DedupSpec extends SparkSpec {
       "size_2" -> ((1L, 2L, 200000L)),
       "size_3_5" -> ((1L, 3L, 300000L))), got)
   }
+
+  test("cluster maintenance: incremental == rebuild; replay absorbed; interrupted swap heals") {
+    import org.apache.spark.sql.functions.col
+    // hand corpus: 8 originals (4 near-dup pairs via the zz-qq suffix
+    // once nearDupCorpus doubles them) — prefix = originals, delta = copies
+    val docs = corpus((0L until 8L).map(i =>
+      i -> Seq.tabulate(60)(j => s"t${(i * 7 + j) % 37} w$j").mkString(" ")): _*)
+    val full = Dedup.nearDupCorpus(docs)
+    val root = graft.Scratch.dir("cm-spec")
+    val idx = s"$root/index"; val map = s"$root/map"
+    Dedup.writeLshIndex(full.filter(col("doc_id") < 1000000L), idx)
+    Dedup.writeClusterMap(
+      Dedup.nearDupClustersStars(full.filter(col("doc_id") < 1000000L), 0.5), map)
+    def snap(): Set[(Long, Long, Long)] = spark.read.parquet(map)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = full.filter(col("doc_id") >= 1000000L)
+    assert(Dedup.maintainClusterMap(spark, idx, map, batch, 0.5, 0L),
+      "first merge must do work")
+    val merged = snap()
+    assert(merged.nonEmpty, "the copies must cluster with their originals")
+
+    // incremental == from-scratch rebuild (the oracle relation, pinned
+    // here on the hand corpus too)
+    val rebuild = Dedup.nearDupClustersStars(full, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("cluster_size"))).toSet
+    assert(merged == rebuild, s"incremental diverged: ${merged.diff(rebuild)} | ${rebuild.diff(merged)}")
+
+    // replay of the stamped batch id: absorbed, map untouched
+    assert(!Dedup.maintainClusterMap(spark, idx, map, batch, 0.5, 0L),
+      "replayed batch id must be absorbed by the cluster frontier")
+    assert(snap() == merged, "an absorbed replay must not change the map")
+
+    // out-of-order NEW batch fails loudly (the ingestion-order contract)
+    intercept[IllegalArgumentException] {
+      Dedup.maintainClusterMap(spark, idx, map, batch, 0.5, 1L)
+    }
+
+    // crash between move-aside and move-in: live bucket missing, aside
+    // present -> recover restores the pre-merge copy for THAT bucket
+    val bucketDir = new java.io.File(map).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("cbucket=")).head
+    val bId = bucketDir.getName.stripPrefix("cbucket=").toInt
+    val aside = java.nio.file.Paths.get(s"$map.merge.aside/${bucketDir.getName}")
+    java.nio.file.Files.createDirectories(aside.getParent)
+    java.nio.file.Files.move(bucketDir.toPath, aside)
+    assert(Dedup.recoverClusterMap(map) == Seq(bId), "recovery must restore the aside bucket")
+    assert(snap() == merged, "healed map must equal the committed state")
+    assert(Dedup.recoverClusterMap(map).isEmpty, "a healed map recovers nothing")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
 }

@@ -920,6 +920,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ktruss: final support pass is ROUND-INDEPENDENT (checkpoint cut), equi-join only") {
+    // each peel round localCheckpoints the shrinking edge frame (the
+    // fixed-round eligibility rule): the returned plan must read the
+    // LAST round's checkpoint leaf, so its exchange count is identical
+    // whether the peel ran 1 round or 3 — a lost cut would re-derive
+    // every earlier round's triangle lineage and the count would grow
+    val li = SparkEntry.t(spark, dir, "lineitem")
+    val (n3, p3) = countHashExchanges(graft.ops.Graph.kTruss(li, 2, 3, 3))
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+    val (n1, p1) = countHashExchanges(graft.ops.Graph.kTruss(li, 2, 3, 1))
+    assert(p3.contains("Scan ExistingRDD"),
+      s"round frame must be checkpoint-pinned:\n$p3")
+    assert(!p3.contains("CartesianProduct"), s"triangle enumeration must stay equi-join:\n$p3")
+    assert(n3 == n1,
+      s"final support pass must not depend on round count: rounds=3 -> $n3 exchanges, rounds=1 -> $n1:\n$p3\n--- rounds=1:\n$p1")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("graph seed/hub selection: sort+limit (TakeOrderedAndProject), zero global windows") {
     for (q <- Seq("graph_bfs_reach", "graph_closeness", "graph_ego_density")) {
       val df = SparkEntry.queries(q)(spark, dir)
