@@ -2063,7 +2063,8 @@ object Dedup {
     *  4. contract endpoints through the stored map — ONE streamed map
     *     pass against the broadcast endpoint set resolves stored
     *     clusters, two delta×delta broadcast joins apply them — then
-    *     [[connectedComponents]] on the contracted delta graph only;
+    *     union-find on the contracted delta graph, on the DRIVER (the
+    *     edge set is delta-bounded and collected below regardless);
     *  5. rewrite ONLY the touched clusters' bucket dirs: relabel merged
     *     clusters, insert newly clustered docs (old singletons and
     *     batch docs), recount sizes bucket-locally (cluster-keyed
@@ -2091,6 +2092,10 @@ object Dedup {
         java.nio.file.Files.readString(frontier).trim.toLong
       else -1L
     if (batchId <= last) return false
+    // a maintenance batch is micro-batch-sized: the batch-width device
+    // (scoped shuffle width + AQE off) applies exactly as in
+    // streamingNovelty's foreachBatch body
+    Caches.withBatchShuffleWidth(spark) {
 
     val bands = lshBandRows(minhashSignatures(batch.select(col("doc_id"), col("text"))))
       .withColumn("bucket",
@@ -2162,12 +2167,31 @@ object Dedup {
       .select(least(col("ra"), col("rb")).as("doc_a"),
         greatest(col("ra"), col("rb")).as("doc_b"))
       .distinct()
-      .localCheckpoint()
+    // CC on the CONTRACTED graph runs on the DRIVER (iteration-altitude
+    // rule): the edge set is delta-bounded and its node->label output is
+    // collected below regardless, while a distributed CC pays seconds of
+    // durable-checkpoint machinery per invocation for a graph of dozens
+    // of nodes. Union-by-min (hi -> lo) makes every root the component
+    // MINIMUM, which is exactly the stored label semantics. A deployment
+    // whose deltas outgrow the driver swaps in [[connectedComponents]].
+    val edgesArr = contracted.collect().map(r => (r.getLong(0), r.getLong(1)))
     val relabels: Array[(Long, Long)] =
-      if (contracted.isEmpty) Array.empty
-      else connectedComponents(contracted)
-        .select(col("doc_id"), col("cluster")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      if (edgesArr.isEmpty) Array.empty
+      else {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edgesArr.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        edgesArr.flatMap { case (a, b) => Seq(a, b) }.distinct.map(n => n -> find(n))
+      }
 
     if (relabels.nonEmpty) {
       val nodes = relabels.map(_._1)
@@ -2215,34 +2239,70 @@ object Dedup {
     java.nio.file.Files.move(tmpCf, frontier,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     true
   }
 
-  /** End-to-end incremental-maintenance exercise over the standard
-    * near-dup corpus: LSH index + cluster map are built from scratch on
-    * the doc-id PREFIX (the original documents), then the shifted
-    * near-dup copies arrive as two ordered ingest batches merged
-    * delta-only through [[maintainClusterMap]]. Returns the final
-    * persisted map; the oracle is the FROM-SCRATCH rebuild over the
-    * full corpus, so the correctness gate proves incremental ≡ rebuild
-    * (the artifact riders' proof shape). Scratch-rooted per call, so
-    * repeated bench runs each measure the full maintenance path rather
-    * than a frontier-absorbed no-op.
+  /** Build the maintenance exercise's PREFIX state — LSH index +
+    * cluster map over the original documents (doc_id < the copy shift)
+    * — as an on-disk artifact under `root`. One from-scratch CC, the
+    * cost [[clusterMaintenanceRun]] deliberately does NOT re-measure
+    * (the artifact convention: build cost belongs to
+    * `dedup_clusters_star`, the maintenance query measures the
+    * incremental path).
     */
-  def clusterMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
-                            docs: DataFrame, threshold: Double): DataFrame = {
-    val root = graft.Scratch.dir("graft-cluster-maint")
+  def buildClusterMaintPrefix(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, threshold: Double,
+                              root: String): (String, String) = {
     val idx = s"$root/index"
     val map = s"$root/map"
     val corpus = nearDupCorpus(docs.select(col("doc_id"), col("text")))
-    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val cut0 = 1000000L
-    val cut1 = 1000000L + (mx + 1) / 2
-    writeLshIndex(corpus.filter(col("doc_id") < cut0), idx)
+    writeLshIndex(corpus.filter(col("doc_id") < 1000000L), idx)
     writeClusterMap(
-      nearDupClustersStars(corpus.filter(col("doc_id") < cut0), threshold), map)
+      nearDupClustersStars(corpus.filter(col("doc_id") < 1000000L), threshold), map)
+    (idx, map)
+  }
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s0).forEach { p =>
+      val t = d0.resolve(s0.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
+
+  /** End-to-end incremental-maintenance exercise over the standard
+    * near-dup corpus: the PREFIX artifacts (from
+    * [[buildClusterMaintPrefix]], process-cached by the caller) are
+    * copied to a fresh scratch root — maintenance MUTATES them — and
+    * the shifted near-dup copies arrive as two ordered ingest batches
+    * merged delta-only through [[maintainClusterMap]]. Returns the
+    * final persisted map; the oracle is the FROM-SCRATCH rebuild over
+    * the full corpus, so the correctness gate proves incremental ≡
+    * rebuild (the artifact riders' proof shape). What the bench
+    * measures is therefore copy + two incremental merges — the
+    * maintenance path, not the prefix build.
+    */
+  def clusterMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, threshold: Double,
+                            prefixIdx: String, prefixMap: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-cluster-maint")
+    val idx = s"$root/index"
+    val map = s"$root/map"
+    copyTree(prefixIdx, idx)
+    copyTree(prefixMap, map)
+    val corpus = nearDupCorpus(docs.select(col("doc_id"), col("text")))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = 1000000L + (mx + 1) / 2
     maintainClusterMap(spark, idx, map,
-      corpus.filter(col("doc_id") >= cut0 && col("doc_id") < cut1), threshold, 0L)
+      corpus.filter(col("doc_id") >= 1000000L && col("doc_id") < cut1), threshold, 0L)
     maintainClusterMap(spark, idx, map,
       corpus.filter(col("doc_id") >= cut1), threshold, 1L)
     spark.read.parquet(map)
