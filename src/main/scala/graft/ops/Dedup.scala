@@ -2104,8 +2104,14 @@ object Dedup {
     val nPerms = nBands * rowsPerBand
     val probeCols = col("doc_id") +: col("band") +: col("bh") +: col("bucket") +:
       (0 until nPerms).map(i => col(s"s$i"))
+    // "index exists" must mean "has at least one bucket dir": an empty
+    // prefix writes only _SUCCESS, and parquet schema inference rejects
+    // a row-less directory
+    val indexHasData = Option(new java.io.File(indexPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(d => d.isDirectory && d.getName.startsWith("bucket="))
     val earlier =
-      if (new java.io.File(indexPath).exists()) {
+      if (indexHasData) {
         val hit = bands.select(col("bucket")).distinct().collect().map(_.getInt(0))
         spark.read.parquet(indexPath)
           .filter(col("bucket").isin(hit.map(Integer.valueOf): _*))
