@@ -243,6 +243,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")), 0.5,
         scratchDir("graft_cm_prefix")))
 
+  /** Prefix state for the kNN-maintenance exercise ([[maintPrefix]]'s
+    * ANN-family twin): vector table + from-scratch kNN artifact, built
+    * once per process per sfDir and copied per invocation. */
+  private val knnMaintPrefixCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def knnMaintPrefix(s: SparkSession, dir: String): (String, String) =
+    knnMaintPrefixCache.getOrElseUpdate(dir,
+      ops.Similarity.buildKnnMaintPrefix(s,
+        s.read.parquet(s"$dir/embeddings.parquet"), 10,
+        scratchDir("graft_knn_prefix")))
+
   private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def replayedChunks(s: SparkSession, dir: String): String =
     replayCache.getOrElseUpdate(dir, {
@@ -1573,6 +1583,14 @@ object SparkEntry {
       Dedup.clusterMaintenanceRun(s,
         t(s, dir, "documents").select(col("doc_id"), col("text")), 0.5, idx, map)
     }),
+    // Incremental kNN-graph maintenance: the ANN-family twin of the
+    // cluster-map merge (same artifact/frontier/aside-swap devices);
+    // oracle = the from-scratch kNN rebuild
+    "emb_knn_maintenance" -> ((s, dir) => {
+      val (vec, map) = knnMaintPrefix(s, dir)
+      ops.Similarity.knnMaintenanceRun(s,
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, vec, map)
+    }),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -2535,6 +2553,7 @@ object SparkEntry {
     "dedup_stream_novelty" -> Dedup.streamingNoveltySql(0.5),
     "dedup_index_maintenance" -> Dedup.indexContentAuditSql,
     "dedup_cluster_maintenance" -> Dedup.nearDupClustersSql(0.5),
+    "emb_knn_maintenance" -> ops.Similarity.knnGraphSql(10),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

@@ -2020,23 +2020,7 @@ object Dedup {
     * Returns the bucket ids restored. No-crash cost: two existence
     * checks.
     */
-  def recoverClusterMap(path: String): Seq[Int] = {
-    val aside = new java.io.File(s"$path.merge.aside")
-    val restored = scala.collection.mutable.ListBuffer[Int]()
-    if (aside.exists()) {
-      Option(aside.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(d => d.isDirectory && d.getName.startsWith("cbucket=")).foreach { d =>
-          val live = new java.io.File(s"$path/${d.getName}")
-          if (!live.exists()) {
-            java.nio.file.Files.move(d.toPath, live.toPath)
-            restored += d.getName.stripPrefix("cbucket=").toInt
-          }
-        }
-      rmTree(aside)
-    }
-    rmTree(new java.io.File(s"$path.merge"))
-    restored.toSeq.sorted
-  }
+  def recoverClusterMap(path: String): Seq[Int] = BucketSwap.recover(path, "cbucket")
 
   /** Merge ONE ingest batch into the persisted cluster map — the
     * incremental-maintenance path for [[writeClusterMap]]'s artifact,
@@ -2086,11 +2070,7 @@ object Dedup {
                          threshold: Double, batchId: Long): Boolean = {
     recoverClusterMap(mapPath)
     recoverLshIndex(indexPath)
-    val frontier = java.nio.file.Paths.get(s"$mapPath/_cluster_frontier")
-    val last =
-      if (java.nio.file.Files.exists(frontier))
-        java.nio.file.Files.readString(frontier).trim.toLong
-      else -1L
+    val (last, _) = BucketSwap.readFrontier(mapPath, "_cluster_frontier")
     if (batchId <= last) return false
     // a maintenance batch is micro-batch-sized: the batch-width device
     // (scoped shuffle width + AQE off) applies exactly as in
@@ -2129,12 +2109,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    val idxFrontier = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier")
-    val (recBatch, recMax) =
-      if (java.nio.file.Files.exists(idxFrontier)) {
-        val parts = java.nio.file.Files.readString(idxFrontier).trim.split(",")
-        (parts(0).toLong, parts(1).toLong)
-      } else (-1L, Long.MinValue)
+    val (recBatch, recMax) = BucketSwap.readFrontier(indexPath, "_ingest_frontier")
     if (batchId > recBatch) {
       val stats = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
       if (!stats.isNullAt(0)) {
@@ -2145,12 +2120,8 @@ object Dedup {
             "out-of-order data through a full rebuild instead")
         bands.repartition(indexBuckets, col("bucket"))
           .write.mode("append").partitionBy("bucket").parquet(indexPath)
-        val tmpF = java.nio.file.Paths.get(s"$indexPath/_ingest_frontier.tmp")
-        java.nio.file.Files.writeString(tmpF,
-          s"$batchId,${math.max(recMax, stats.getLong(1))}")
-        java.nio.file.Files.move(tmpF, idxFrontier,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        BucketSwap.writeFrontier(indexPath, "_ingest_frontier", batchId,
+          math.max(recMax, stats.getLong(1)))
       }
     }
 
@@ -2226,25 +2197,11 @@ object Dedup {
       val out = content.join(sizes, "cluster")
         .select(col("doc_id"), col("cluster"), col("cluster_size"))
         .withColumn("cbucket", mapBucketCol(col("cluster")))
-      val tmp = s"$mapPath.merge"
       out.repartition(math.max(1, touched.size), col("cbucket"))
-        .write.mode("overwrite").partitionBy("cbucket").parquet(tmp)
-      touched.foreach { b =>
-        val dst = java.nio.file.Paths.get(s"$mapPath/cbucket=$b")
-        val asideB = java.nio.file.Paths.get(s"$tmp.aside/cbucket=$b")
-        java.nio.file.Files.createDirectories(asideB.getParent)
-        if (java.nio.file.Files.exists(dst)) java.nio.file.Files.move(dst, asideB)
-        val src = java.nio.file.Paths.get(s"$tmp/cbucket=$b")
-        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
-      }
-      rmTree(new java.io.File(s"$tmp.aside"))
-      rmTree(new java.io.File(tmp))
+        .write.mode("overwrite").partitionBy("cbucket").parquet(s"$mapPath.merge")
+      BucketSwap.swap(mapPath, "cbucket", touched)
     }
-    val tmpCf = java.nio.file.Paths.get(s"$mapPath/_cluster_frontier.tmp")
-    java.nio.file.Files.writeString(tmpCf, s"$batchId")
-    java.nio.file.Files.move(tmpCf, frontier,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    BucketSwap.writeFrontier(mapPath, "_cluster_frontier", batchId, 0L)
     }
     true
   }
@@ -2269,20 +2226,7 @@ object Dedup {
     (idx, map)
   }
 
-  private def copyTree(src: String, dst: String): Unit = {
-    val s0 = java.nio.file.Paths.get(src)
-    val d0 = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s0).forEach { p =>
-      val t = d0.resolve(s0.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
-    }
-  }
+  private def copyTree(src: String, dst: String): Unit = BucketSwap.copyTree(src, dst)
 
   /** End-to-end incremental-maintenance exercise over the standard
     * near-dup corpus: the PREFIX artifacts (from

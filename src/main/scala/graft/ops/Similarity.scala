@@ -1581,6 +1581,181 @@ object Similarity {
        |SELECT anchor_id, neighbor_id, cosine, rank
        |FROM knn ORDER BY anchor_id, rank""".stripMargin
 
+  // ---------------------------------------- persisted kNN-graph maintenance
+
+  /** Bucket count of the persisted kNN-graph layout — ANCHOR-keyed, so
+    * a maintenance merge rewrites only the bucket dirs of anchors whose
+    * top-k actually changed. Fixture-sized like the dedup artifacts;
+    * thousands at corpus scale. */
+  private[graft] val knnBuckets = 16
+  private def aBucketCol(c: Column): Column = pmod(c, lit(knnBuckets.toLong)).cast("int")
+
+  /** Materialize a kNN graph as the anchor-bucketed persisted artifact
+    * [[maintainKnnGraph]] maintains incrementally. */
+  def writeKnnMap(knn: DataFrame, path: String): Unit = {
+    knn.select(col("anchor_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .withColumn("abucket", aBucketCol(col("anchor_id")))
+      .repartition(knnBuckets, col("abucket"))
+      .write.mode("overwrite").partitionBy("abucket").parquet(path)
+  }
+
+  /** Merge ONE batch of new vectors into the persisted kNN graph — the
+    * incremental-maintenance path for the kNN artifact, the ANN-family
+    * twin of [[graft.ops.Dedup.maintainClusterMap]]: instead of
+    * re-scoring |corpus|² per refresh, the batch scores against the
+    * stored vector table ONCE (broadcast batch, one streamed pass —
+    * |B|·|C|, the inherent delta cost), and only anchors whose top-k
+    * can change are re-ranked and rewritten.
+    *
+    * Why merged ≡ from-scratch: for an old anchor, the new top-k over
+    * the full corpus is the top-k of (stored top-k ∪ candidates from
+    * the batch) — a vector outside the stored top-k can only be
+    * displaced further down by additions, and every new vector IS a
+    * candidate. Candidates that cannot enter (cosine below the stored
+    * k-th, or tied with a larger neighbor id) are filtered before the
+    * re-rank, so the rewrite touches only improved anchors' buckets;
+    * anchors with fewer than k stored rows admit every candidate (null
+    * k-th). New anchors rank their complete candidate set (all stored
+    * vectors + the batch itself — the vector table is read AFTER the
+    * guarded append, so the one scored pass covers intra-batch pairs
+    * too). Re-ranking an untouched anchor in a touched bucket
+    * reproduces its rows bit-identically (the ordering is total), so
+    * bucket-level rewrite needs no per-anchor bookkeeping.
+    *
+    * Crash/replay mirrors the cluster map: `_knn_frontier` (advanced
+    * LAST) absorbs replayed batch ids; the vector append is guarded by
+    * the vector table's own `_ingest_frontier` plus the vec-id
+    * ingestion-order contract (fails loudly out of order); a crash
+    * between append and graph commit replays cleanly — the scored pass
+    * recomputes the same candidates, `distinct` folds rows already
+    * merged, and [[BucketSwap.recover]] heals a half-swap. Returns true
+    * when merged, false when absorbed. Oracle of
+    * `emb_knn_maintenance` = the from-scratch rebuild, so the gate
+    * proves incremental ≡ rebuild.
+    */
+  def maintainKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                       vecPath: String, knnPath: String, batch: DataFrame,
+                       k: Int, batchId: Long): Boolean = {
+    BucketSwap.recover(knnPath, "abucket")
+    val (last, _) = BucketSwap.readFrontier(knnPath, "_knn_frontier")
+    if (batchId <= last) return false
+    Caches.withBatchShuffleWidth(spark) {
+
+    // guarded vector-table append FIRST: the scored pass then reads one
+    // consistent table covering old + batch (intra-batch pairs included)
+    val (vb, vMax) = BucketSwap.readFrontier(vecPath, "_ingest_frontier")
+    if (batchId > vb) {
+      val stats = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      if (!stats.isNullAt(0)) {
+        require(stats.getLong(0) > vMax,
+          s"ingestion-order contract broken: batch $batchId min vec_id " +
+            s"${stats.getLong(0)} <= already-ingested max $vMax — kNN " +
+            "maintenance assumes vec-id-ordered ingestion; re-ingest " +
+            "out-of-order data through a full rebuild instead")
+        batch.select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("append").parquet(vecPath)
+        BucketSwap.writeFrontier(vecPath, "_ingest_frontier", batchId,
+          math.max(vMax, stats.getLong(1)))
+      }
+    }
+
+    val bNew = prepared(batch).localCheckpoint()
+    val stored = prepared(spark.read.parquet(vecPath))
+    // ONE streamed pass over the vector table scores every (stored, new)
+    // pair; cosine is symmetric, so both directed candidates come from
+    // the same row. distinct folds replay/orientation duplicates
+    // (batch×batch pairs appear once per orientation per side).
+    val paired = stored.as("s")
+      .join(broadcast(bNew.select(col("vec_id").as("bid"),
+          col("v").as("bv"), col("nrm").as("bn"))),
+        col("s.vec_id") =!= col("bid"))
+      .select(col("s.vec_id").as("sid"), col("bid"),
+        (cosine(col("s.v"), col("s.nrm"), col("bv"), col("bn")) + lit(0.0)).as("cosine"))
+    val cand = paired
+      .select(col("sid").as("anchor_id"), col("bid").as("neighbor_id"), col("cosine"))
+      .unionAll(paired
+        .select(col("bid").as("anchor_id"), col("sid").as("neighbor_id"), col("cosine")))
+      .distinct()
+
+    // admit only candidates that can enter their anchor's top-k: above
+    // the stored k-th, or tied with a smaller neighbor id; a missing
+    // k-th row (new anchor, or an anchor with < k stored rows) admits
+    // everything
+    val kth = spark.read.parquet(knnPath).filter(col("rank") === lit(k.toLong))
+      .select(col("anchor_id"), col("cosine").as("kth_cos"), col("neighbor_id").as("kth_nb"))
+    val entering = cand.join(kth, Seq("anchor_id"), "left")
+      .filter(col("kth_cos").isNull || col("cosine") > col("kth_cos") ||
+        (col("cosine") === col("kth_cos") && col("neighbor_id") < col("kth_nb")))
+      .select(col("anchor_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint()
+
+    // touched buckets: improved/new anchors' dirs only (≤ knnBuckets ids
+    // collected — never anchor ids, which are corpus-grained)
+    val touched = entering.select(aBucketCol(col("anchor_id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val bucketRows = spark.read.parquet(knnPath)
+        .filter(col("abucket").isin(touched.map(Integer.valueOf): _*))
+        .select(col("anchor_id"), col("neighbor_id"), col("cosine"))
+      val wA = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val content = bucketRows.unionByName(entering).distinct()
+        .withColumn("rank", row_number().over(wA).cast("long"))
+        .filter(col("rank") <= k)
+        .withColumn("abucket", aBucketCol(col("anchor_id")))
+      content.repartition(math.max(1, touched.size), col("abucket"))
+        .write.mode("overwrite").partitionBy("abucket").parquet(s"$knnPath.merge")
+      BucketSwap.swap(knnPath, "abucket", touched)
+    }
+    BucketSwap.writeFrontier(knnPath, "_knn_frontier", batchId, 0L)
+    }
+    true
+  }
+
+  /** End-to-end incremental kNN maintenance exercise: the prefix vector
+    * table + kNN artifact (process-cached by the caller, built by
+    * [[knnGraph]]) are copied to fresh scratch, then the remaining
+    * vectors arrive as two ordered ingest batches merged through
+    * [[maintainKnnGraph]]. Returns the final persisted graph; the
+    * oracle is the from-scratch rebuild over the full table.
+    */
+  def knnMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
+                        emb: DataFrame, k: Int,
+                        prefixVec: String, prefixKnn: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-knn-maint")
+    val vec = s"$root/vectors"
+    val map = s"$root/knn"
+    BucketSwap.copyTree(prefixVec, vec)
+    BucketSwap.copyTree(prefixKnn, map)
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut0 = (mx + 1) * 3 / 5
+    val cut1 = (mx + 1) * 4 / 5
+    maintainKnnGraph(spark, vec, map,
+      emb.filter(col("vec_id") >= cut0 && col("vec_id") < cut1), k, 0L)
+    maintainKnnGraph(spark, vec, map,
+      emb.filter(col("vec_id") >= cut1), k, 1L)
+    spark.read.parquet(map)
+      .select(col("anchor_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** Prefix state for [[knnMaintenanceRun]]: vector table (with its
+    * ingest frontier) + from-scratch kNN artifact over vec_id < 3/5 of
+    * the id space. */
+  def buildKnnMaintPrefix(spark: org.apache.spark.sql.SparkSession,
+                          emb: DataFrame, k: Int, root: String): (String, String) = {
+    val vec = s"$root/vectors"
+    val map = s"$root/knn"
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut0 = (mx + 1) * 3 / 5
+    val prefix = emb.filter(col("vec_id") < cut0)
+    prefix.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(vec)
+    BucketSwap.writeFrontier(vec, "_ingest_frontier", -1L, cut0 - 1)
+    writeKnnMap(knnGraph(prefix, k), map)
+    (vec, map)
+  }
+
   /** Hubness census — the k-occurrence distribution of the kNN graph:
     * how many anchors' top-k lists each vector appears in. High-dim
     * embedding spaces concentrate: a few "hub" vectors appear in

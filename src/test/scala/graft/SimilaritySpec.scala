@@ -275,4 +275,56 @@ class SimilaritySpec extends SparkSpec {
     assert(got(10L) == ((0.5, 1L, 0L, 0L)), got)
     assert(got(-2L) == ((-0.1, 1L, 0L, 0L)), s"floor(-1.6) = -2: $got")
   }
+
+  test("knn maintenance: incremental == rebuild; replay absorbed; interrupted swap heals; order guard") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Similarity, BucketSwap}
+    import spark.implicits._
+    // 24 deterministic 4-d vectors spread over the unit sphere-ish —
+    // enough that each anchor's top-5 actually changes as batches land
+    val vecs = (0L until 24L).map { i =>
+      (i, Array(
+        math.cos(i * 0.7).toFloat, math.sin(i * 1.3).toFloat,
+        math.cos(i * 2.1 + 1).toFloat, math.sin(i * 0.4 + 2).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val root = graft.Scratch.dir("knn-maint-spec")
+    val (vec, map) = Similarity.buildKnnMaintPrefix(spark, emb, 5, root)
+    def snap(): Set[(Long, Long, Double, Long)] = spark.read.parquet(map)
+      .select(col("anchor_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val b0 = emb.filter(col("vec_id") >= 14L && col("vec_id") < 19L)
+    val b1 = emb.filter(col("vec_id") >= 19L)
+    assert(Similarity.maintainKnnGraph(spark, vec, map, b0, 5, 0L), "first merge must do work")
+    assert(Similarity.maintainKnnGraph(spark, vec, map, b1, 5, 1L), "second merge must do work")
+    val merged = snap()
+
+    val rebuild = Similarity.knnGraph(emb, 5)
+      .collect().map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(merged == rebuild,
+      s"incremental diverged: extra=${merged.diff(rebuild)} missing=${rebuild.diff(merged)}")
+
+    // replayed batch id: absorbed, graph untouched
+    assert(!Similarity.maintainKnnGraph(spark, vec, map, b1, 5, 1L),
+      "replayed batch id must be absorbed by the knn frontier")
+    assert(snap() == merged)
+
+    // out-of-order NEW batch fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.maintainKnnGraph(spark, vec, map, b0, 5, 2L)
+    }
+
+    // crash between move-aside and move-in: recovery restores that bucket
+    val bucketDir = new java.io.File(map).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("abucket=")).head
+    val bId = bucketDir.getName.stripPrefix("abucket=").toInt
+    val aside = java.nio.file.Paths.get(s"$map.merge.aside/${bucketDir.getName}")
+    java.nio.file.Files.createDirectories(aside.getParent)
+    java.nio.file.Files.move(bucketDir.toPath, aside)
+    assert(BucketSwap.recover(map, "abucket") == Seq(bId))
+    assert(snap() == merged, "healed graph must equal the committed state")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
 }
