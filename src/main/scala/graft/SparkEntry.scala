@@ -291,9 +291,11 @@ object SparkEntry {
       val root = scratchDir("graft_docchunks")
       val out = s"$root/chunks"
       new java.io.File(out).mkdirs()
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .withColumn("rn", row_number().over(w)).persist()
+      // ordinal via the Ranks device (fixture prep gets the same
+      // no-single-task-window shape as production ranking)
+      val docs = ops.Ranks.overGlobalOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq(col("doc_id").asc), rankCol = Some("rn")).persist()
       val n = docs.count()
       val per = (n + 3) / 4
       (0 until 4).foreach { i =>
@@ -305,6 +307,30 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
       }
       docs.unpersist()
+      out
+    })
+
+  /** Suffix vectors (vec_id past the kNN-maintenance prefix cut) as two
+    * ordered chunk files — the ingest feed for `emb_knn_stream`. Built
+    * once per process per sfDir. */
+  private val knnChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def knnChunks(s: SparkSession, dir: String): String =
+    knnChunkCache.getOrElseUpdate(dir, {
+      val root = scratchDir("graft_knnchunks")
+      val out = s"$root/chunks"
+      new java.io.File(out).mkdirs()
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut0 = (mx + 1) * 3 / 5
+      val cut1 = (mx + 1) * 4 / 5
+      Seq((cut0, cut1), (cut1, mx + 1)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+        val part = new java.io.File(s"$root/tmp$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
+      }
       out
     })
 
@@ -1591,6 +1617,22 @@ object SparkEntry {
       ops.Similarity.knnMaintenanceRun(s,
         s.read.parquet(s"$dir/embeddings.parquet"), 10, vec, map)
     }),
+    // Streaming vector ingestion over the same maintenance path: one
+    // chunk file per micro-batch merges into the kNN artifact through
+    // foreachBatch (replay-absorbing frontiers); same rebuild oracle
+    "emb_knn_stream" -> ((s, dir) => {
+      val (vec0, map0) = knnMaintPrefix(s, dir)
+      val root = scratchDir("graft_knn_stream")
+      val vec = s"$root/vectors"; val map = s"$root/knn"
+      ops.BucketSwap.copyTree(vec0, vec)
+      ops.BucketSwap.copyTree(map0, map)
+      val chunks = knnChunks(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      ops.Similarity.streamingKnnIngest(s, chunks, schema, vec, map, 10, s"$root/ckpt")
+      s.read.parquet(map)
+        .select(col("anchor_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
 
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
@@ -2554,6 +2596,7 @@ object SparkEntry {
     "dedup_index_maintenance" -> Dedup.indexContentAuditSql,
     "dedup_cluster_maintenance" -> Dedup.nearDupClustersSql(0.5),
     "emb_knn_maintenance" -> ops.Similarity.knnGraphSql(10),
+    "emb_knn_stream" -> ops.Similarity.knnGraphSql(10),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

@@ -1739,6 +1739,33 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** Streaming vector ingestion maintaining the persisted kNN graph —
+    * the streaming composition of [[maintainKnnGraph]], i.e. the
+    * [[graft.ops.Dedup.streamingNovelty]] shape for the ANN family:
+    * each micro-batch of new vectors merges into the graph artifact
+    * under the same frontier/replay/aside-swap guarantees, so a crashed
+    * and restarted stream resumes exactly where the artifacts say
+    * (foreachBatch is at-least-once; the replayed batch id is absorbed).
+    * AvailableNow + maxFilesPerTrigger=1: one ordered chunk file per
+    * micro-batch, mirroring continuous embedding ingest.
+    */
+  def streamingKnnIngest(spark: org.apache.spark.sql.SparkSession,
+                         chunks: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         vecPath: String, knnPath: String, k: Int,
+                         checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(chunks).select(col("vec_id"), col("embedding"))
+    val q = stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainKnnGraph(batch.sparkSession, vecPath, knnPath, batch, k, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Prefix state for [[knnMaintenanceRun]]: vector table (with its
     * ingest frontier) + from-scratch kNN artifact over vec_id < 3/5 of
     * the id space. */
