@@ -482,11 +482,12 @@ object TextAnalysis {
     * ids-array a training pipeline feeds the model, kept exploded so it
     * stays oracle-checkable and late-projectable.
     *
-    * Scale shape: the vocabulary is bounded by construction (vocabSize
-    * rows after a count aggregate — the one global-window rank runs over
-    * vocab-scale data, same device as the IVF centroid relation) and
-    * broadcasts into the encode join; the corpus side is a bounded
-    * posexplode projection (≤ maxLen rows per doc), never shuffled.
+    * Scale shape: the top-vocabSize selection is a partial top-K
+    * (TakeOrderedAndProject — never a full-vocab single-task sort), the
+    * ordinal window runs over the vocabSize survivors only, and the
+    * vocabulary broadcasts into the encode join; the corpus side is a
+    * bounded posexplode projection (≤ maxLen rows per doc), never
+    * shuffled.
     */
   def tokenIds(docs: DataFrame, vocabSize: Int, maxLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -495,10 +496,14 @@ object TextAnalysis {
       .filter(col("pos") < maxLen)
     val counts = docs.select(explode(Tokenize.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // top-vocabSize FIRST (TakeOrderedAndProject — per-partition partial
+    // top-K, no full-vocab single-task sort), THEN the ordinal over the
+    // K survivors: the remaining window is parameter-bounded, the
+    // knnOutliers convention
     val w = Window.orderBy(col("n").desc, col("term"))
     val vocab = counts
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
       .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
-      .filter(col("token_id") < vocabSize)
       .select(col("term"), col("token_id"))
     tok.join(broadcast(vocab), Seq("term"), "left")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"),
@@ -935,9 +940,9 @@ object TextAnalysis {
     * 1−coverage, is the OOV/byte-fallback rate a size-S vocab pays).
     *
     * Scale shape: one tokenize pass collapsing through map-side partial
-    * counts into the term-vocab frame; the ranking window and cumulative
-    * sums run over VOCAB-sized data (bounded by the language, not the
-    * corpus), so the single-partition window is metadata-scale.
+    * counts into the term-vocab frame; the top-max(sizes) selection is a
+    * partial top-K (TakeOrderedAndProject), so the ordinal window runs
+    * over a parameter-bounded frame, never the full vocabulary.
     */
   def vocabCoverage(docs: DataFrame, sizes: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -945,8 +950,12 @@ object TextAnalysis {
       .select(explode(Tokenize.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    // only ranks <= max(sizes) matter: top-K select first (per-partition
+    // partial top-K), then a parameter-bounded ordinal window
+    val ranked = counts
+      .orderBy(col("cnt").desc, col("term")).limit(sizes.max)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
     sizes.map { s =>
       ranked.filter(col("rn") <= s)
         .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("covered"))

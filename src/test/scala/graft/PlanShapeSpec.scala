@@ -938,6 +938,14 @@ class PlanShapeSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
   }
 
+  test("vocab ranks: top-K selects via partial top-K; the ordinal window sees survivors only") {
+    for (q <- Seq("text_token_ids", "text_vocab_coverage")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must partial-top-K the vocabulary, not globally sort it:\n$p")
+    }
+  }
+
   test("graph seed/hub selection: sort+limit (TakeOrderedAndProject), zero global windows") {
     for (q <- Seq("graph_bfs_reach", "graph_closeness", "graph_ego_density")) {
       val df = SparkEntry.queries(q)(spark, dir)
