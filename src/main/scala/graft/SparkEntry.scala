@@ -1003,6 +1003,8 @@ object SparkEntry {
     "quality_benford" -> ((s, dir) => Profiling.benfordAudit(t(s, dir, "orders"))),
     // Class-balance audit: per-label shares + chi-square-vs-uniform, exact ppm
     "quality_label_balance" -> ((s, dir) => Profiling.labelBalance(t(s, dir, "embeddings"))),
+    // lang × source independence: χ² + Cramér's V² in exact ppm
+    "quality_cramers_v" -> ((s, dir) => Profiling.cramersV(t(s, dir, "documents"))),
 
     // KMV sketch inside watermarked streaming state: distinct users per
     // finalized hour from k-bounded mergeable sketch state
@@ -1293,6 +1295,10 @@ object SparkEntry {
     "events_bot_regularity" -> ((s, dir) => Analytics.botRegularity(t(s, dir, "events"), 8)),
     // first-order Markov transitions over per-user event paths
     "events_transitions" -> ((s, dir) => Analytics.markovTransitions(t(s, dir, "events"))),
+    // depth-2 sequential patterns (a ... then b): min/max-id device, no window
+    "events_sequence_support" -> ((s, dir) => Analytics.sequenceSupport(t(s, dir, "events"))),
+    // Theil–Sen robust daily trend + Mann–Kendall S, integer pairwise slopes
+    "events_theil_sen" -> ((s, dir) => TimeSeries.theilSenDaily(t(s, dir, "events"))),
     // long-run behavior mix: power iteration over the transition matrix
     // in ppm-scaled BIGINT (bit-identical rounds; oracle unrolls CTEs)
     "events_markov_stationary" -> ((s, dir) =>
@@ -1897,6 +1903,10 @@ object SparkEntry {
     "text_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogprob(t(s, dir, "documents"), 0.75)),
 
+    // Kneser–Ney smoothed bigram LM (d=3/4), exact rational ppb, top-50
+    "text_kn_probability" -> ((s, dir) =>
+      TextAnalysis.knProbability(t(s, dir, "documents"), 50)),
+
     // Vocab sizing: occurrence coverage of the top-S terms per size S
     "text_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), Seq(8, 16, 32))),
@@ -2375,6 +2385,7 @@ object SparkEntry {
     "cdc_consistent_cut" -> ChangelogApply.consistentCutSql(clSql),
 
     "quality_psi_drift" -> Profiling.psiDriftSql,
+    "quality_cramers_v" -> Profiling.cramersVSql,
 
     "quality_expectations" -> Profiling.expectationsSql,
 
@@ -2500,6 +2511,8 @@ object SparkEntry {
     "events_sessionize" -> Analytics.sessionizeSql,
     "events_bot_regularity" -> Analytics.botRegularitySql(8),
     "events_transitions" -> Analytics.markovTransitionsSql,
+    "events_sequence_support" -> Analytics.sequenceSupportSql,
+    "events_theil_sen" -> TimeSeries.theilSenDailySql,
     "events_markov_stationary" -> Analytics.markovStationarySql(6),
     "events_attribution" -> Analytics.lastTouchAttributionSql(3600L),
     "er_fuzzy_resolve" -> EntityResolution.resolveSql(1),
@@ -2700,6 +2713,7 @@ object SparkEntry {
 
     "text_unigram_logprob" -> TextAnalysis.unigramLogprobSql,
     "text_bigram_logprob" -> TextAnalysis.bigramLogprobSql(0.75),
+    "text_kn_probability" -> TextAnalysis.knProbabilitySql(50),
     "text_vocab_coverage" -> TextAnalysis.vocabCoverageSql(Seq(8, 16, 32)),
 
     "text_source_mix" -> Curation.sourceMixSql(

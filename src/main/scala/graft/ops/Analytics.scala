@@ -1439,6 +1439,81 @@ object Analytics {
       |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Frequent ordered event-type pairs per user — depth-2 sequential
+    * pattern mining ("a occurs, then b occurs LATER, not necessarily
+    * adjacently"), the non-adjacent companion to [[markovTransitions]]
+    * (which counts only consecutive steps).
+    *
+    * The trick that keeps this one-pass: "user u supports a→b" ⇔
+    * min event_id of a < max event_id of b within u — so the raw scan
+    * partial-aggregates straight to (user, type, first_id, last_id),
+    * ≤ |users|·|alphabet| rows, with NO per-user window/sort. Sequence
+    * order is event_id (the arrival order [[markovTransitions]] uses).
+    * The alphabet-bounded per-user frame self-joins on user_id (one
+    * exchange) fanning ≤ |alphabet|² per user; support/confidence are
+    * integer ppm via the DIV device.
+    */
+  def sequenceSupport(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        count(lit(1)).as("n_occ"))
+    val p = Caches.tracked(perUser.persist())
+    val totalUsers = p.agg(
+      countDistinct(col("user_id")).cast("long").as("n_users_total"))
+    val perType = p.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_users_t"))
+    val a = p.select(col("user_id"), col("event_type").as("antecedent"),
+      col("first_id"))
+    val b = p.select(col("user_id"), col("event_type").as("consequent"),
+      col("last_id"))
+    a.join(b, "user_id")
+      .filter(col("antecedent") =!= col("consequent") &&
+        col("first_id") < col("last_id"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).cast("long").as("n_users_ab"))
+      .join(broadcast(perType.withColumnRenamed("event_type", "antecedent")
+        .withColumnRenamed("n_users_t", "n_users_a")), "antecedent")
+      .join(broadcast(perType.withColumnRenamed("event_type", "consequent")
+        .withColumnRenamed("n_users_t", "n_users_b")), "consequent")
+      .crossJoin(broadcast(totalUsers))
+      .select(col("antecedent"), col("consequent"), col("n_users_ab"),
+        col("n_users_a"), col("n_users_b"),
+        expr("CAST((1000000 * n_users_ab) DIV n_users_total AS BIGINT)")
+          .as("support_ppm"),
+        expr("CAST((1000000 * n_users_ab) DIV n_users_a AS BIGINT)")
+          .as("confidence_ppm"))
+      .orderBy(col("n_users_ab").desc, col("antecedent"), col("consequent"))
+  }
+
+  val sequenceSupportSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, event_type,
+      |         min(event_id) AS first_id, max(event_id) AS last_id
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT count(DISTINCT user_id) AS n_users_total FROM per_user),
+      |per_type AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users_t
+      |  FROM per_user GROUP BY 1),
+      |ab AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |         CAST(count(*) AS BIGINT) AS n_users_ab
+      |  FROM per_user a JOIN per_user b ON a.user_id = b.user_id
+      |  WHERE a.event_type <> b.event_type AND a.first_id < b.last_id
+      |  GROUP BY 1, 2)
+      |SELECT ab.antecedent, ab.consequent, ab.n_users_ab,
+      |       ta.n_users_t AS n_users_a, tb.n_users_t AS n_users_b,
+      |       CAST((1000000 * ab.n_users_ab) // tot.n_users_total AS BIGINT)
+      |         AS support_ppm,
+      |       CAST((1000000 * ab.n_users_ab) // ta.n_users_t AS BIGINT)
+      |         AS confidence_ppm
+      |FROM ab
+      |JOIN per_type ta ON ta.event_type = ab.antecedent
+      |JOIN per_type tb ON tb.event_type = ab.consequent
+      |CROSS JOIN tot
+      |ORDER BY ab.n_users_ab DESC, ab.antecedent, ab.consequent""".stripMargin
+
   /** Stationary distribution of the [[markovTransitions]] chain — the
     * long-run share of time a user's behavior spends in each event type,
     * by fixed-point power iteration in ppm-scaled BIGINT arithmetic (the

@@ -542,4 +542,75 @@ object Profiling {
       |SELECT fanout, n_parents, cum_parents,
       |       CAST((1000000 * cum_parents) // t.n_orders AS BIGINT) AS cum_ppm
       |FROM cum, totals t ORDER BY fanout""".stripMargin
+
+  /** Chi-square independence test + Cramér's V between two categorical
+    * columns of the document registry (lang × source) — the association
+    * audit a curation pipeline runs before stratifying on one column and
+    * assuming the other stays balanced ([[psiDrift]]'s two-column
+    * sibling: PSI scores a SHIFT of one distribution; this scores the
+    * COUPLING of two).
+    *
+    * Exactness: each cell contributes (N·o − r·c)²·1e6 ∕ (N·r·c) with the
+    * square computed in DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) and the
+    * truncating DIV ≡ `//` on the non-negative square — no doubles
+    * anywhere, so shuffle order and libm can never move the statistic.
+    * V² (not V) is published: V adds a sqrt = a last-ulp hazard, V² in
+    * ppm stays integral. The zero-observed cells missing from the
+    * grouped census are restored by the census-grid left join (expected
+    * counts are nonzero there; dropping them understates χ²).
+    *
+    * Scale shape: ONE scan partial-aggregates to the (lang, source)
+    * census — alphabet-bounded, ≤ |langs|·|sources| rows — and every
+    * join after that is a broadcast of a census frame.
+    */
+  def cramersV(documents: DataFrame): DataFrame = {
+    val cells = Caches.tracked(documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")).persist())
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("o")).cast("long").as("r"))
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("o")).cast("long").as("c"))
+    val tot = cells.agg(sum(col("o")).cast("long").as("n"),
+      countDistinct(col("lang")).cast("long").as("n_langs"),
+      countDistinct(col("source")).cast("long").as("n_sources"))
+    broadcast(byLang).crossJoin(broadcast(bySrc))
+      .join(broadcast(cells), Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cell_ppm", expr(
+        """CAST(CAST(n * o - r * c AS DECIMAL(38,0)) * (n * o - r * c) * 1000000
+          |     DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)""".stripMargin))
+      .groupBy(col("n"), col("n_langs"), col("n_sources"))
+      .agg(sum(col("cell_ppm")).cast("long").as("chi2_ppm"))
+      .select(col("n"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        col("chi2_ppm"),
+        expr("CAST(chi2_ppm DIV (n * least(n_langs - 1, n_sources - 1)) AS BIGINT)")
+          .as("v2_ppm"))
+  }
+
+  val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |rr AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cc AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |        FROM cells),
+      |grid AS (
+      |  SELECT rr.lang, cc.source, rr.r, cc.c, COALESCE(cells.o, 0) AS o
+      |  FROM rr CROSS JOIN cc
+      |  LEFT JOIN cells ON cells.lang = rr.lang AND cells.source = cc.source),
+      |cell AS (
+      |  SELECT t.n, t.n_langs, t.n_sources,
+      |         CAST(CAST(t.n * g.o - g.r * g.c AS HUGEINT)
+      |              * (t.n * g.o - g.r * g.c) * 1000000
+      |              // (CAST(t.n AS HUGEINT) * g.r * g.c) AS BIGINT) AS cell_ppm
+      |  FROM grid g CROSS JOIN tot t)
+      |SELECT n, n_langs, n_sources,
+      |       (n_langs - 1) * (n_sources - 1) AS dof,
+      |       CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm,
+      |       CAST(sum(cell_ppm) // (n * least(n_langs - 1, n_sources - 1))
+      |            AS BIGINT) AS v2_ppm
+      |FROM cell GROUP BY n, n_langs, n_sources""".stripMargin
 }

@@ -1549,4 +1549,76 @@ object TextAnalysis {
        |                       AND d.checkpoint = v.checkpoint
        |ORDER BY v.source, v.checkpoint""".stripMargin
   }
+
+  /** Kneser–Ney smoothed bigram probabilities (absolute discount
+    * d = 3/4), top-N bigrams — the modern-LM smoothing counterpart to
+    * [[bigramLogprob]]'s Jelinek–Mercer interpolation: the backoff mass
+    * goes to the CONTINUATION distribution (how many distinct left
+    * contexts a word follows), not the raw unigram frequency, which is
+    * what makes "san francisco"-style collocations score correctly.
+    *
+    * Exactness: with d = 3/4 every term is rational on the common
+    * denominator 4·c(w1)·T (T = distinct bigram types):
+    * p_KN·4·c1·T = (4·c12 − 3)·T + 3·N1+(w1·)·N1+(·w2), all BIGINT
+    * counts (an observed bigram has c12 ≥ 1, so the discount max(·,0)
+    * never binds). Published in ppb via the DECIMAL(38,0) ≡ HUGEINT
+    * product + truncating-DIV device — no logs, no doubles.
+    *
+    * Scale shape: one tokenize pass partial-aggregates to the bigram
+    * census (vocab²-bounded); the context/continuation marginals derive
+    * from the census and broadcast back; the top-N is a
+    * TakeOrderedAndProject (deterministic tie-break on the pair), never
+    * a global sort.
+    */
+  def knProbability(docs: DataFrame, topN: Int): DataFrame = {
+    val bc = docs
+      .select(explode(Tokenize.bigrams(Tokenize.tokens(col("text")))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+    val b = Caches.tracked(bc.persist())
+    val byW1 = b.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"),
+        count(lit(1)).cast("long").as("n_follow"))
+    val byW2 = b.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("n_precede"))
+    val tot = b.agg(count(lit(1)).cast("long").as("n_bigram_types"))
+    b.join(broadcast(byW1), "w1")
+      .join(broadcast(byW2), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("p_kn_ppb", expr(
+        """CAST(CAST((4 * c12 - 3) * n_bigram_types
+          |          + 3 * n_follow * n_precede AS DECIMAL(38,0)) * 1000000000
+          |     DIV (CAST(4 AS DECIMAL(38,0)) * c1 * n_bigram_types) AS BIGINT)""".stripMargin))
+      .withColumn("p_mle_ppb",
+        expr("CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000000 DIV c1 AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n_follow"),
+        col("n_precede"), col("n_bigram_types"), col("p_kn_ppb"), col("p_mle_ppb"))
+      .orderBy(col("p_kn_ppb").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  def knProbabilitySql(topN: Int): String =
+    s"""WITH tokd AS (SELECT ${Tokenize.tokensSql("text")} AS t FROM documents),
+       |bi AS (SELECT unnest(${Tokenize.bigramsSql("t")}) AS pair FROM tokd),
+       |bc AS (SELECT pair, split_part(pair, ' ', 1) AS w1,
+       |              split_part(pair, ' ', 2) AS w2, count(*) AS c12
+       |       FROM bi GROUP BY 1),
+       |w1c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |               CAST(count(*) AS BIGINT) AS n_follow
+       |        FROM bc GROUP BY 1),
+       |w2c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede
+       |        FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bc)
+       |SELECT bc.w1, bc.w2, bc.c12, w1c.c1, w1c.n_follow, w2c.n_precede,
+       |       tot.n_bigram_types,
+       |       CAST(CAST((4 * bc.c12 - 3) * tot.n_bigram_types
+       |                 + 3 * w1c.n_follow * w2c.n_precede AS HUGEINT)
+       |            * 1000000000
+       |            // (CAST(4 AS HUGEINT) * w1c.c1 * tot.n_bigram_types)
+       |            AS BIGINT) AS p_kn_ppb,
+       |       CAST(CAST(bc.c12 AS HUGEINT) * 1000000000 // w1c.c1 AS BIGINT)
+       |         AS p_mle_ppb
+       |FROM bc JOIN w1c USING (w1) JOIN w2c USING (w2) CROSS JOIN tot
+       |ORDER BY p_kn_ppb DESC, bc.w1, bc.w2 LIMIT $topN""".stripMargin
 }

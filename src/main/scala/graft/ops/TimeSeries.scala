@@ -1084,4 +1084,82 @@ object TimeSeries {
        |FROM r CROSS JOIN split CROSS JOIN q
        |WHERE r.rn > split.n_cal
        |GROUP BY split.n_cal, split.n_test, q.k, q.q""".stripMargin
+
+  /** Floor-shift constant for the pairwise-slope division: guarantees a
+    * non-negative numerator for any |daily count diff| ≤ 1e6, so Spark
+    * `DIV` ≡ DuckDB `//` (both truncate toward zero only on non-negative
+    * operands — the repo's division-parity rule).
+    */
+  val TheilSenShift = 1000000000000L
+
+  /** Theil–Sen robust trend + Mann–Kendall test over daily event counts,
+    * per event type.
+    *
+    * For every day pair (i < j) the slope (c_j − c_i)/(d_j − d_i) is
+    * quantized to ppm BIGINT with the floor-shift device (numerator may
+    * be negative); the reported trend is the MEDIAN pairwise slope — the
+    * Theil–Sen estimator, insensitive to up to ~29% outlier days where
+    * OLS is not. Mann–Kendall S = #(rising pairs) − #(falling pairs) is
+    * the classic distribution-free monotone-trend statistic on the same
+    * pairs, pure integer.
+    *
+    * Scale shape: the raw scan partial-aggregates to one row per
+    * (type, day) — O(days·|types|), census-bounded — and the pairwise
+    * self-join expands only that bounded frame (C(days,2)·|types| rows),
+    * never the raw events. The day frame is broadcast to itself, so the
+    * pair enumeration adds zero exchanges after the one pre-agg shuffle.
+    * Median parity: 2·percentile(int, 0.5) is exact (lo+hi integral,
+    * exact in the interpolation double — the repo's median device).
+    */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"), col("c").as("c2"))
+    val pairs = a.join(broadcast(b), Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .withColumn("slope_ppm", expr(
+        s"((c2 - c1) * 1000000 + $TheilSenShift * (d2 - d1)) DIV (d2 - d1) - $TheilSenShift"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("CAST(2 * percentile(slope_ppm, 0.5) AS BIGINT)")
+          .as("slope_x2_ppm"),
+        sum(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("mk_s"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_x2_ppm"), col("mk_s"),
+        when(col("mk_s") > 0, lit("rising"))
+          .when(col("mk_s") < 0, lit("falling"))
+          .otherwise(lit("flat")).as("trend"))
+      .orderBy("event_type")
+  }
+
+  val theilSenDailySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.event_type,
+       |         ((b.c - a.c) * 1000000 + $TheilSenShift * (b.d - a.d))
+       |           // (b.d - a.d) - $TheilSenShift AS slope_ppm,
+       |         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND b.d > a.d),
+       |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       |       FROM daily GROUP BY 1)
+       |SELECT p.event_type, nd.n_days,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(2 * quantile_cont(p.slope_ppm, 0.5) AS BIGINT) AS slope_x2_ppm,
+       |       CAST(sum(p.sgn) AS BIGINT) AS mk_s,
+       |       CASE WHEN sum(p.sgn) > 0 THEN 'rising'
+       |            WHEN sum(p.sgn) < 0 THEN 'falling'
+       |            ELSE 'flat' END AS trend
+       |FROM pairs p JOIN nd USING (event_type)
+       |GROUP BY p.event_type, nd.n_days
+       |ORDER BY p.event_type""".stripMargin
 }
