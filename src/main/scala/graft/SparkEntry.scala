@@ -1727,6 +1727,10 @@ object SparkEntry {
     // Pareto 80/20: ranked cumulative revenue share over per-supplier partials
     "supplier_pareto" -> ((s, dir) =>
       Analytics.supplierPareto(t(s, dir, "lineitem"), t(s, dir, "supplier"), 50)),
+    // HHI concentration of supplier revenue per nation, exact ppm + DOJ bands
+    "supplier_hhi" -> ((s, dir) =>
+      Analytics.supplierHhi(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        t(s, dir, "nation"))),
     "dedup_ivf_blocked" -> ((s, dir) => Similarity.ivfNearDup(t(s, dir, "embeddings"), 32, 0.3)),
     // SemDeDup-style cluster curation artifact: IVF cells x text signals
     "emb_cluster_profile" -> ((s, dir) =>
@@ -1982,6 +1986,10 @@ object SparkEntry {
     // a df-bounded exact-Jaccard ground truth (the band/row knob's number)
     "dedup_lsh_audit" -> ((s, dir) =>
       Dedup.lshQualityAudit(t(s, dir, "documents"), 0.8, 8)),
+
+    // b-bit MinHash compression audit: exact vs full-sig vs 1-bit Jaccard
+    "dedup_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashAudit(t(s, dir, "documents"))),
 
     // Z-order write layout: per-file min/max pruning stats on BOTH dims
     "events_zorder_layout" -> ((s, dir) =>
@@ -2636,6 +2644,7 @@ object SparkEntry {
     "lineitem_return_shrinkage" -> Analytics.returnShrinkageSql(200L),
     "text_anneal_selection" -> TextAnalysis.annealSelectionSql(20),
     "supplier_pareto" -> Analytics.supplierParetoSql(50),
+    "supplier_hhi" -> Analytics.supplierHhiSql,
     "dedup_ivf_blocked" -> Similarity.ivfNearDupSql(32, 0.3),
     "emb_cluster_profile" -> Similarity.clusterProfileSql(32),
     "emb_quantize_int8" -> Similarity.quantizeInt8Sql,
@@ -2738,6 +2747,7 @@ object SparkEntry {
       Map("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3), 1),
 
     "dedup_lsh_audit" -> Dedup.lshQualityAuditSql(0.8, 8),
+    "dedup_bbit_minhash" -> Dedup.bbitMinhashAuditSql,
 
     "events_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct

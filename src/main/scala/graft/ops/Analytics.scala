@@ -2697,6 +2697,77 @@ object Analytics {
       |       round(CAST(sy AS DOUBLE) / n, 6) AS mean_price
       |FROM m ORDER BY p_brand""".stripMargin
 
+  /** Herfindahl–Hirschman concentration of supplier revenue within each
+    * nation — the market-concentration audit that complements the Gini
+    * family (Gini ranks INEQUALITY of the whole distribution; HHI is the
+    * antitrust-style sum of squared shares that a sourcing pipeline
+    * watches for single-supplier risk).
+    *
+    * Exactness: line revenue quantizes to integral 10⁻⁴-dollar units
+    * (price cents × (100 − discount points)); per-supplier revenue fits
+    * BIGINT, the share-square sum rides DECIMAL(38,0) ≡ HUGEINT, and
+    * hhi_ppm = Σ rev_s² · 1e6 DIV (Σ rev)² is ONE truncating division —
+    * no per-cell rounding to disagree on. Banding uses the DOJ 0.15/0.25
+    * thresholds on the ppm scale.
+    *
+    * Scale shape: lineitem partial-aggregates to (nation, supplier) in
+    * one pass behind a broadcast of the supplier→nation dim; everything
+    * after is |suppliers|-bounded.
+    */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("s_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)") *
+          expr("100 - CAST(round(l_discount * 100, 0) AS BIGINT)")).as("r"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("r")).cast("long").as("rev"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).cast("long").as("n_suppliers"),
+        sum(col("rev").cast("decimal(38,0)")).as("tot"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("sq"),
+        max(col("rev")).as("max_rev"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"),
+        expr("CAST((sq * 1000000) DIV (tot * tot) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST((CAST(max_rev AS DECIMAL(38,0)) * 1000000) DIV tot AS BIGINT)")
+          .as("top_share_ppm"))
+      .withColumn("band",
+        when(col("hhi_ppm") < 150000L, lit("unconcentrated"))
+          .when(col("hhi_ppm") <= 250000L, lit("moderate"))
+          .otherwise(lit("high")))
+      .orderBy(col("n_name"))
+  }
+
+  val supplierHhiSql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey, s.s_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+      |              AS BIGINT) AS rev
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |         CAST(sum(rev) AS HUGEINT) AS tot,
+      |         sum(CAST(rev AS HUGEINT) * rev) AS sq,
+      |         max(rev) AS max_rev
+      |  FROM rev GROUP BY 1)
+      |SELECT n.n_name, a.n_suppliers,
+      |       CAST((a.sq * 1000000) // (a.tot * a.tot) AS BIGINT) AS hhi_ppm,
+      |       CAST((CAST(a.max_rev AS HUGEINT) * 1000000) // a.tot AS BIGINT)
+      |         AS top_share_ppm,
+      |       CASE WHEN CAST((a.sq * 1000000) // (a.tot * a.tot) AS BIGINT) < 150000
+      |              THEN 'unconcentrated'
+      |            WHEN CAST((a.sq * 1000000) // (a.tot * a.tot) AS BIGINT) <= 250000
+      |              THEN 'moderate'
+      |            ELSE 'high' END AS band
+      |FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+      |ORDER BY n.n_name""".stripMargin
+
   def topSessionPathsSql(topN: Int): String =
     s"""WITH g AS (
        |  SELECT user_id, event_id, event_type,

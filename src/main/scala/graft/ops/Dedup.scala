@@ -1427,6 +1427,86 @@ object Dedup {
        |             / nullif(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0), 6) AS precision
        |FROM j""".stripMargin
 
+  /** b-bit MinHash compression audit (Li & König's b=1 variant): per LSH
+    * candidate pair, the exact Jaccard, the full 16-slot signature
+    * estimate, and the 1-bit-per-slot estimate — what quantifies how much
+    * discrimination survives keeping only each minhash's LOW BIT (a 64×
+    * signature-storage cut, the knob that matters when the dedup index
+    * rides along with a 100 TB corpus).
+    *
+    * Estimators, all exact integer ppm: full = matches·1e6/16 (62 500 per
+    * agreeing slot); 1-bit agreement A satisfies E[A] = (1+J)/2 for
+    * random permutations, so Ĵ₁ = 2A − 1 = (2·agree − 16)/16, clamped at
+    * 0 (A can dip under ½ on a finite sample). Exact Jaccard uses the
+    * same truncating-DIV device as the LSH pipeline.
+    *
+    * Scale shape: rides the shared hashed-feature frame ONCE (persisted,
+    * two consumers: set sizes + signatures); candidates come from the
+    * banded LSH self-join (bucket-bounded, never corpus²); the estimate
+    * columns are pure projections over the 16-column signature rows
+    * joined back by doc id.
+    */
+  def bbitMinhashAudit(docs: DataFrame): DataFrame = {
+    val th = Caches.tracked(docFeatures(nearDupCorpus(docs))
+      .select(col("doc_id"), PortableHash.tokenHash(col("feat")).as("h"))
+      .persist())
+    val sig = Caches.tracked(minhashSignaturesFromHashes(th).persist())
+    val byDoc = th.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("sh"), count(lit(1)).as("n"))
+    def side(tag: String) =
+      sig.toDF(sig.columns.map(c => if (c == "doc_id") s"doc_$tag" else s"${c}_$tag"): _*)
+    val fullMatches = (0 until 16)
+      .map(i => when(col(s"s${i}_a") === col(s"s${i}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bitAgree = (0 until 16)
+      .map(i => when(col(s"s${i}_a") % 2 === col(s"s${i}_b") % 2, 1L).otherwise(0L))
+      .reduce(_ + _)
+    lshCandidates(sig)
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_ppm",
+        expr("CAST((1000000 * inter) DIV (na + nb - inter) AS BIGINT)"))
+      .withColumn("est_full_ppm", (fullMatches * lit(62500L)).as("est_full_ppm"))
+      .withColumn("est_1bit_ppm", greatest(bitAgree * 2 - 16, lit(0L)) * lit(62500L))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        col("est_full_ppm"), col("est_1bit_ppm"),
+        abs(col("est_full_ppm") - col("jaccard_ppm")).as("err_full_ppm"),
+        abs(col("est_1bit_ppm") - col("jaccard_ppm")).as("err_1bit_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val bbitMinhashAuditSql: String = {
+    val fullMatches = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bitAgree = (0 until 16)
+      .map(i => s"CASE WHEN sa.s$i % 2 = sb.s$i % 2 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |$sigSql,
+       |$bandsSql,
+       |$candSql,
+       |by_doc AS (SELECT doc_id, list(h) AS sh, count(*) AS n FROM th GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST((1000000 * len(list_intersect(a.sh, b.sh)))
+       |              // (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+       |              AS BIGINT) AS jaccard_ppm,
+       |         CAST(($fullMatches) * 62500 AS BIGINT) AS est_full_ppm,
+       |         CAST(greatest(($bitAgree) * 2 - 16, 0) * 62500 AS BIGINT) AS est_1bit_ppm
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |  JOIN by_doc a ON a.doc_id = c.doc_a
+       |  JOIN by_doc b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard_ppm, est_full_ppm, est_1bit_ppm,
+       |       abs(est_full_ppm - jaccard_ppm) AS err_full_ppm,
+       |       abs(est_1bit_ppm - jaccard_ppm) AS err_1bit_ppm
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ----------------------------------------------- incremental (streaming) dedup
 
   /** Incremental near-dup check of a NEW batch against the EXISTING
