@@ -1661,21 +1661,27 @@ object Similarity {
 
     val bNew = prepared(batch).localCheckpoint()
     val stored = prepared(spark.read.parquet(vecPath))
-    // ONE streamed pass over the vector table scores every (stored, new)
-    // pair; cosine is symmetric, so both directed candidates come from
-    // the same row. distinct folds replay/orientation duplicates
-    // (batch×batch pairs appear once per orientation per side).
-    val paired = stored.as("s")
+    // ONE streamed pass over the vector table scores every unordered
+    // (stored, new) pair exactly once: the ingestion-order contract
+    // (batch ids > all stored ids) makes `sid < bid` the unordered-pair
+    // enumeration — old×batch pairs always satisfy it, batch×batch pairs
+    // satisfy it in exactly one orientation. Both directed candidates
+    // then come from the same scored row by projection, so no distinct
+    // (a full shuffle of the scored set) is needed; batch replays never
+    // reach this point (the frontier guard above returns first).
+    val cand = stored.as("s")
       .join(broadcast(bNew.select(col("vec_id").as("bid"),
           col("v").as("bv"), col("nrm").as("bn"))),
-        col("s.vec_id") =!= col("bid"))
+        col("s.vec_id") < col("bid"))
       .select(col("s.vec_id").as("sid"), col("bid"),
         (cosine(col("s.v"), col("s.nrm"), col("bv"), col("bn")) + lit(0.0)).as("cosine"))
-    val cand = paired
-      .select(col("sid").as("anchor_id"), col("bid").as("neighbor_id"), col("cosine"))
-      .unionAll(paired
-        .select(col("bid").as("anchor_id"), col("sid").as("neighbor_id"), col("cosine")))
-      .distinct()
+      // both orientations by explode over ONE scored row — a unionAll of
+      // two projections would re-run the scoring pass per branch
+      .select(explode(array(
+        struct(col("sid").as("anchor_id"), col("bid").as("neighbor_id"), col("cosine")),
+        struct(col("bid").as("anchor_id"), col("sid").as("neighbor_id"), col("cosine"))))
+        .as("e"))
+      .select(col("e.anchor_id"), col("e.neighbor_id"), col("e.cosine"))
 
     // admit only candidates that can enter their anchor's top-k: above
     // the stored k-th, or tied with a smaller neighbor id; a missing
