@@ -954,4 +954,31 @@ class PlanShapeSpec extends SparkSpec {
       graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
     }
   }
+
+  test("round-12 statistics ops: zero global windows, census joins broadcast, top-K partial") {
+    // every one of these reduces the raw scan to a census-/alphabet-
+    // bounded frame in ONE pass; nothing downstream may globally sort or
+    // shuffle-join raw rows
+    for (q <- Seq("events_sequence_support", "events_theil_sen",
+        "quality_cramers_v", "text_kn_probability", "supplier_hhi")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val (got, p) = countGlobalWindows(df)
+      assert(got == 0, s"$q: expected zero global windows, got $got:\n$p")
+      graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+    }
+    // the KN top-50 must be a partial top-K, never a global sort
+    val kn = plan("text_kn_probability")
+    assert(kn.contains("TakeOrderedAndProject"),
+      s"text_kn_probability must TakeOrderedAndProject the top-50:\n$kn")
+    // Theil–Sen's pairwise self-join expands the bounded DAY census, and
+    // only behind a broadcast — an SMJ here would mean it pairs raw rows
+    val ts = plan("events_theil_sen")
+    assert(!ts.contains("SortMergeJoin"),
+      s"events_theil_sen: day-pair join must broadcast the census:\n$ts")
+    // HHI: the supplier dim broadcasts; lineitem must never shuffle-join
+    val hhi = plan("supplier_hhi")
+    assert(hhi.contains("BroadcastHashJoin") && !hhi.contains("SortMergeJoin"),
+      s"supplier_hhi: dim joins must broadcast:\n$hhi")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
 }
