@@ -593,6 +593,8 @@ object SparkEntry {
     "cdc_pk_chunks" -> ((s, dir) => Metrics.pkChunks(changelog(s, dir), 40L)),
     // Event-time vs log-order disorder per table: the LWW-by-pos audit
     "cdc_out_of_order" -> ((s, dir) => Metrics.outOfOrderAudit(changelog(s, dir))),
+    // hot-key burst audit: the conflation/salting decision measurement
+    "cdc_hot_keys" -> ((s, dir) => Metrics.hotKeys(changelog(s, dir), 7200L, 3L)),
 
     // Bounded-concurrency snapshot plan: chunk tasks → (wave, slot) under
     // an admission cap of 6 concurrent workers (reference actor tick-loop
@@ -2243,6 +2245,7 @@ object SparkEntry {
 
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
     "cdc_out_of_order" -> Metrics.outOfOrderAuditSql(clSql),
+    "cdc_hot_keys" -> Metrics.hotKeysSql(clSql, 7200L, 3L),
 
     "cdc_snapshot_waves" ->
       (SnapshotScheduler.wavesSql(Metrics.pkChunksSql(clSql, 40L), 6) +

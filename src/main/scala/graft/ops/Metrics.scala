@@ -188,4 +188,86 @@ object Metrics {
        |       coalesce(CAST(sum(CASE WHEN gap > 0 THEN gap END) AS BIGINT), 0) AS missing_positions,
        |       coalesce(CAST(max(gap) AS BIGINT), 0) AS max_gap
        |FROM g GROUP BY tbl ORDER BY tbl""".stripMargin
+
+  /** Hot-key burst audit: per table, which primary keys receive BURSTS
+    * of changes (≥ `minBurst` changes with ≤ `gapS` seconds between
+    * consecutive ones) and what share of the table's write volume those
+    * bursts carry — the measurement a CDC operator runs BEFORE enabling
+    * per-key conflation ([[graft.streaming.Conflation]]) or key salting:
+    * conflation only pays where bursts concentrate volume.
+    *
+    * Burst segmentation is gaps-and-islands on the (tbl, pk) change
+    * sequence in pos order: a new island starts where the second-floored
+    * inter-change gap exceeds `gapS` (floor BEFORE subtracting — the
+    * repo's epoch-parity rule). All outputs are exact integers; the
+    * share rides the 1e6-DIV device.
+    *
+    * Scale shape: ONE shuffle on (tbl, pk) serves both windows (lag +
+    * running island sum share the partition key), then three chained
+    * partial aggregations shrink keys (tbl,pk,island) → (tbl,pk) → tbl —
+    * the same exchange the LWW apply already pays, never a global sort.
+    */
+  def hotKeys(changelog: DataFrame, gapS: Long, minBurst: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tbl"), col("pk")).orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val es = floor(col("ts").cast("double")).cast("long")
+    val bursts = changelog
+      .withColumn("es", es)
+      .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+      .withColumn("new_burst",
+        when(col("gap_s").isNull || col("gap_s") > gapS, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_burst")).over(wRun))
+      .groupBy(col("tbl"), col("pk"), col("island"))
+      .agg(count(lit(1)).as("sz"))
+    val perKey = bursts.groupBy(col("tbl"), col("pk"))
+      .agg(sum(col("sz")).as("n_changes_k"),
+        max(col("sz")).as("max_burst_k"),
+        sum(when(col("sz") >= minBurst, col("sz")).otherwise(0L)).as("burst_changes_k"),
+        sum(when(col("sz") >= minBurst, 1L).otherwise(0L)).as("n_bursts_k"))
+    perKey.groupBy(col("tbl"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("n_changes_k")).cast("long").as("n_changes"),
+        sum(when(col("max_burst_k") >= minBurst, 1L).otherwise(0L)).as("n_hot_keys"),
+        sum(col("n_bursts_k")).cast("long").as("n_bursts"),
+        max(col("max_burst_k")).cast("long").as("max_burst"),
+        sum(col("burst_changes_k")).cast("long").as("burst_changes"))
+      .withColumn("burst_share_ppm",
+        expr("CAST((1000000 * burst_changes) DIV n_changes AS BIGINT)"))
+      .orderBy(col("tbl"))
+  }
+
+  def hotKeysSql(clCte: String, gapS: Long, minBurst: Long): String =
+    s"""WITH cl AS ($clCte),
+       |seq AS (
+       |  SELECT tbl, pk, pos, CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM cl),
+       |gapped AS (
+       |  SELECT tbl, pk, pos, es,
+       |         es - lag(es) OVER (PARTITION BY tbl, pk ORDER BY pos) AS gap_s
+       |  FROM seq),
+       |islands AS (
+       |  SELECT tbl, pk,
+       |         sum(CASE WHEN gap_s IS NULL OR gap_s > $gapS THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY tbl, pk ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM gapped),
+       |bursts AS (
+       |  SELECT tbl, pk, island, count(*) AS sz
+       |  FROM islands GROUP BY 1, 2, 3),
+       |per_key AS (
+       |  SELECT tbl, pk, sum(sz) AS n_changes_k, max(sz) AS max_burst_k,
+       |         sum(CASE WHEN sz >= $minBurst THEN sz ELSE 0 END) AS burst_changes_k,
+       |         sum(CASE WHEN sz >= $minBurst THEN 1 ELSE 0 END) AS n_bursts_k
+       |  FROM bursts GROUP BY 1, 2)
+       |SELECT tbl, CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(sum(n_changes_k) AS BIGINT) AS n_changes,
+       |       CAST(sum(CASE WHEN max_burst_k >= $minBurst THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_hot_keys,
+       |       CAST(sum(n_bursts_k) AS BIGINT) AS n_bursts,
+       |       CAST(max(max_burst_k) AS BIGINT) AS max_burst,
+       |       CAST(sum(burst_changes_k) AS BIGINT) AS burst_changes,
+       |       CAST((1000000 * CAST(sum(burst_changes_k) AS BIGINT))
+       |            // CAST(sum(n_changes_k) AS BIGINT) AS BIGINT) AS burst_share_ppm
+       |FROM per_key GROUP BY tbl ORDER BY tbl""".stripMargin
 }
