@@ -595,6 +595,9 @@ object SparkEntry {
     "cdc_out_of_order" -> ((s, dir) => Metrics.outOfOrderAudit(changelog(s, dir))),
     // hot-key burst audit: the conflation/salting decision measurement
     "cdc_hot_keys" -> ((s, dir) => Metrics.hotKeys(changelog(s, dir), 7200L, 3L)),
+    // conflation what-if: write reduction vs staleness at a 1h throttle
+    "cdc_conflation_savings" -> ((s, dir) =>
+      Metrics.conflationSavings(changelog(s, dir), 3600L)),
 
     // Bounded-concurrency snapshot plan: chunk tasks → (wave, slot) under
     // an admission cap of 6 concurrent workers (reference actor tick-loop
@@ -2246,6 +2249,7 @@ object SparkEntry {
     "cdc_pk_chunks" -> Metrics.pkChunksSql(clSql, 40L),
     "cdc_out_of_order" -> Metrics.outOfOrderAuditSql(clSql),
     "cdc_hot_keys" -> Metrics.hotKeysSql(clSql, 7200L, 3L),
+    "cdc_conflation_savings" -> Metrics.conflationSavingsSql(clSql, 3600L),
 
     "cdc_snapshot_waves" ->
       (SnapshotScheduler.wavesSql(Metrics.pkChunksSql(clSql, 40L), 6) +

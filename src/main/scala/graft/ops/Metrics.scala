@@ -270,4 +270,76 @@ object Metrics {
        |       CAST((1000000 * CAST(sum(burst_changes_k) AS BIGINT))
        |            // CAST(sum(n_changes_k) AS BIGINT) AS BIGINT) AS burst_share_ppm
        |FROM per_key GROUP BY tbl ORDER BY tbl""".stripMargin
+
+  /** Conflation what-if: if [[graft.streaming.Conflation]] kept only the
+    * LAST change per (tbl, pk) per `windowS`-second tumbling window, how
+    * much write volume disappears and how stale do the dropped writes
+    * get? The decision companion to [[hotKeys]] — hot keys say WHERE
+    * bursts are, this prices the throttle: reduction_ppm is the sink
+    * writes saved, staleness is how long a dropped intermediate value
+    * would have been visible had it been the final one (survivor es −
+    * dropped es, exact seconds).
+    *
+    * Deterministic tumbling windows: window id = floored epoch DIV
+    * windowS (integer division on non-negative epochs — identical in
+    * both engines). Staleness is measured against the window's freshest
+    * timestamp (max es — the survivor's emit time); everything is one
+    * shuffle on (tbl, pk)-grain keys followed by shrinking partial
+    * aggs, exactly the apply exchange's shape.
+    */
+  def conflationSavings(changelog: DataFrame, windowS: Long): DataFrame = {
+    val es = floor(col("ts").cast("double")).cast("long")
+    val perWin = changelog
+      .withColumn("es", es)
+      .withColumn("win", expr(s"es DIV ${windowS}L"))
+      .groupBy(col("tbl"), col("pk"), col("win"))
+      .agg(count(lit(1)).as("n_in_win"),
+        max(col("es")).as("survivor_es"),
+        sum(col("es")).as("sum_es"))
+    perWin.groupBy(col("tbl"))
+      .agg(count(lit(1)).cast("long").as("n_written"),
+        sum(col("n_in_win")).cast("long").as("n_changes"),
+        sum(col("n_in_win") - 1).cast("long").as("n_conflated"),
+        // Σ over dropped of (survivor − es) = Σ (n·survivor − Σes) per win
+        sum(col("n_in_win") * col("survivor_es") - col("sum_es"))
+          .cast("long").as("total_staleness_s"),
+        max(when(col("n_in_win") > 1,
+          col("n_in_win") * col("survivor_es") - col("sum_es"))
+          .otherwise(0L)).cast("long").as("max_window_staleness_s"))
+      .select(col("tbl"), col("n_changes"), col("n_written"), col("n_conflated"),
+        expr("CAST((1000000 * n_conflated) DIV n_changes AS BIGINT)")
+          .as("reduction_ppm"),
+        col("total_staleness_s"),
+        when(col("n_conflated") > 0,
+          expr("total_staleness_s DIV n_conflated")).otherwise(lit(0L))
+          .cast("long").as("mean_staleness_s"),
+        col("max_window_staleness_s"))
+      .orderBy(col("tbl"))
+  }
+
+  def conflationSavingsSql(clCte: String, windowS: Long): String =
+    s"""WITH cl AS ($clCte),
+       |seq AS (
+       |  SELECT tbl, pk, CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM cl),
+       |per_win AS (
+       |  SELECT tbl, pk, es // $windowS AS win,
+       |         count(*) AS n_in_win, max(es) AS survivor_es, sum(es) AS sum_es
+       |  FROM seq GROUP BY 1, 2, 3)
+       |SELECT tbl,
+       |       CAST(sum(n_in_win) AS BIGINT) AS n_changes,
+       |       CAST(count(*) AS BIGINT) AS n_written,
+       |       CAST(sum(n_in_win - 1) AS BIGINT) AS n_conflated,
+       |       CAST((1000000 * CAST(sum(n_in_win - 1) AS BIGINT))
+       |            // CAST(sum(n_in_win) AS BIGINT) AS BIGINT) AS reduction_ppm,
+       |       CAST(sum(n_in_win * survivor_es - sum_es) AS BIGINT)
+       |         AS total_staleness_s,
+       |       CASE WHEN sum(n_in_win - 1) > 0
+       |            THEN CAST(CAST(sum(n_in_win * survivor_es - sum_es) AS BIGINT)
+       |                      // CAST(sum(n_in_win - 1) AS BIGINT) AS BIGINT)
+       |            ELSE 0 END AS mean_staleness_s,
+       |       CAST(max(CASE WHEN n_in_win > 1
+       |                     THEN n_in_win * survivor_es - sum_es
+       |                     ELSE 0 END) AS BIGINT) AS max_window_staleness_s
+       |FROM per_win GROUP BY tbl ORDER BY tbl""".stripMargin
 }
