@@ -116,4 +116,38 @@ class NewStatsSpec extends SparkSpec {
     val (j, _, _) = byPair((3L, 1000003L))
     assert(j > 500000L && j < 1000000L, j)
   }
+
+  private def changelogOf(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("pk", "pos", "es")
+      .withColumn("tbl", lit("t"))
+      .withColumn("ts", expr("timestamp_micros(es * 1000000)"))
+      .withColumn("op", lit("u")).withColumn("value", lit(1.0))
+
+  test("hot keys: crafted bursts — island segmentation, hot-key count, exact burst share") {
+    // pk 1: three changes 100s apart (one burst of 3) + one isolated
+    // pk 2: two isolated changes → never hot
+    val cl = changelogOf(Seq(
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 200L), (1L, 4L, 999999L),
+      (2L, 5L, 0L), (2L, 6L, 50000L)))
+    val r = graft.ops.Metrics.hotKeys(cl, 7200L, 3L).collect()(0)
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("n_changes"),
+      r.getAs[Long]("n_hot_keys"), r.getAs[Long]("n_bursts"),
+      r.getAs[Long]("max_burst"), r.getAs[Long]("burst_changes"),
+      r.getAs[Long]("burst_share_ppm")) ==
+      ((2L, 6L, 1L, 1L, 3L, 3L, 500000L)), r)
+  }
+
+  test("conflation savings: crafted windows — survivor timing, exact reduction and staleness") {
+    // pk 1 window 0 holds es {0, 100, 200}: survivor ts 200, dropped
+    // staleness 200 + 100 = 300s; everything else is alone in its window
+    val cl = changelogOf(Seq(
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 200L), (1L, 4L, 999999L),
+      (2L, 5L, 0L), (2L, 6L, 50000L)))
+    val r = graft.ops.Metrics.conflationSavings(cl, 3600L).collect()(0)
+    assert((r.getAs[Long]("n_changes"), r.getAs[Long]("n_written"),
+      r.getAs[Long]("n_conflated"), r.getAs[Long]("reduction_ppm"),
+      r.getAs[Long]("total_staleness_s"), r.getAs[Long]("mean_staleness_s"),
+      r.getAs[Long]("max_window_staleness_s")) ==
+      ((6L, 4L, 2L, 333333L, 300L, 150L, 300L)), r)
+  }
 }
