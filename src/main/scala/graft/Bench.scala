@@ -9,10 +9,12 @@ import java.util.concurrent.atomic.AtomicInteger
   *
   *  - the FULL stamped JSON (per-query min-of-stable seconds — 2 runs,
   *    extended to ≤4 until the fastest pair agrees within 30% — all raw
-  *    runs, loadavg at start/end and per-query, per-table fixture row
-  *    counts — the round-6 fixture-drift lesson institutionalized) is
-  *    written to `bench_full.json` in the working directory and
-  *    `/tmp/bench_last.json`;
+  *    runs, loadavg at start/end and per-query, boot_id + uptime,
+  *    per-table fixture row counts — the round-6 fixture-drift lesson
+  *    institutionalized) is written to EXACTLY ONE path per
+  *    [[resolveBoardPath]]: `SPARK_GRAFT_BENCH_OUT` when set, else
+  *    `bench_full.json` in the cwd — and a contaminated run never
+  *    overwrites an existing board;
   *  - stdout's LAST line is a COMPACT version of the same JSON whose
   *    `queries` map is trimmed to the slowest entries that fit a
   *    1900-byte budget (`queries_omitted` counts the rest, `full`
@@ -31,6 +33,32 @@ object Bench {
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .trim.split(" ")(0).toDouble
     catch { case _: Throwable => 0.0 }
+
+  private def procLine(p: String): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim
+    catch { case _: Throwable => "" }
+
+  /** Kernel boot identity: boards are boot-sensitive (~15-20% uniform
+    * drift after reboot, CLAUDE.md) — stamping boot_id + uptime makes the
+    * "only compare same-boot boards" rule machine-checkable. */
+  private[graft] def bootId(): String = procLine("/proc/sys/kernel/random/boot_id")
+  private[graft] def uptimeSec(): Double =
+    procLine("/proc/uptime").split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+
+  /** Board output-path policy (round-12 directive #2): the full JSON goes
+    * to EXACTLY ONE path — `SPARK_GRAFT_BENCH_OUT` when set, else
+    * `bench_full.json` in the cwd (never both; a side run to /tmp used to
+    * clobber the committed board via the unconditional cwd write). A run
+    * whose contamination banner fired never overwrites an EXISTING board:
+    * it is diverted to `<target>.contaminated` so the clean committed
+    * numbers survive the driver's loaded sweeps. Pure so
+    * `BenchBoardSpec` can pin every branch. */
+  private[graft] def resolveBoardPath(envOut: Option[String],
+      contaminated: Boolean, exists: String => Boolean): (String, Boolean) = {
+    val target = envOut.getOrElse("bench_full.json")
+    if (contaminated && exists(target)) (target + ".contaminated", true)
+    else (target, false)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +188,7 @@ object Bench {
     val stamps =
       s""""apply_events_per_sec":$eps,"sf":"$sfDir","loadavg":"$loadavg",""" +
       s""""loadavg_start":${fmt(startLoad)},""" +
+      s""""boot_id":"${bootId()}","uptime_sec":${fmt(uptimeSec())},""" +
       s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""fixture_rows":${fixtureRows.map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")}"""
     val runsJson = results.map { case (k, _, rs, _, _, _, _) =>
@@ -175,11 +204,15 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},""" +
       s"""$stamps,"runs":$runsJson,"load":$loadJson$jobsJson}"""
-    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_last.json"), "bench_full.json")
-      .foreach { p =>
-        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
-        catch { case _: Throwable => () }
-      }
+    val (boardPath, diverted) = resolveBoardPath(
+      sys.env.get("SPARK_GRAFT_BENCH_OUT"), startLoad > 2.0,
+      p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    if (diverted) {
+      val msg = s"!!! contaminated run: existing board left untouched; full JSON diverted to $boardPath !!!"
+      System.err.println(msg); println(msg)
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(boardPath), fullLine + "\n")
+    catch { case _: Throwable => () }
     // compact stdout line LAST: slowest queries first until the byte
     // budget is spent — the 2000-char driver tail must keep a parseable
     // JSON object with the headline numbers
@@ -189,7 +222,7 @@ object Bench {
     val bySlow = results.sortBy(-_._2)
     val fixed =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$stamps,""" +
-      s""""full":"bench_full.json","queries_omitted":000,"queries":{}}"""
+      s""""full":"$boardPath","queries_omitted":000,"queries":{}}"""
     var used = fixed.length
     val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     bySlow.foreach { case (k, v, _, _, _, _, _) =>
@@ -198,7 +231,7 @@ object Bench {
     }
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$stamps,""" +
-      s""""full":"bench_full.json","queries_omitted":${results.size - kept.size},""" +
+      s""""full":"$boardPath","queries_omitted":${results.size - kept.size},""" +
       s""""queries":${qmap(kept.toSeq)}}"""
     println(fullLine) // humans and any driver that keeps full stdout
     println(compact)  // the line the 2000-char tail actually preserves

@@ -1457,8 +1457,7 @@ object Analytics {
     val perUser = events
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_id"),
-        max(col("event_id")).as("last_id"),
-        count(lit(1)).as("n_occ"))
+        max(col("event_id")).as("last_id"))
     val p = Caches.tracked(perUser.persist())
     val totalUsers = p.agg(
       countDistinct(col("user_id")).cast("long").as("n_users_total"))

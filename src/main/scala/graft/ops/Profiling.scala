@@ -584,7 +584,12 @@ object Profiling {
       .select(col("n"), col("n_langs"), col("n_sources"),
         ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
         col("chi2_ppm"),
-        expr("CAST(chi2_ppm DIV (n * least(n_langs - 1, n_sources - 1)) AS BIGINT)")
+        // dof = 0 (a single-level categorical) would divide by zero: Spark
+        // DIV yields NULL where DuckDB // errors — guard BOTH engines with
+        // the same CASE (V² is meaningless at dof 0 anyway; report 0).
+        expr("""CAST(CASE WHEN least(n_langs - 1, n_sources - 1) = 0 THEN 0
+               |     ELSE chi2_ppm DIV (n * least(n_langs - 1, n_sources - 1))
+               |     END AS BIGINT)""".stripMargin)
           .as("v2_ppm"))
   }
 
@@ -610,7 +615,8 @@ object Profiling {
       |SELECT n, n_langs, n_sources,
       |       (n_langs - 1) * (n_sources - 1) AS dof,
       |       CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm,
-      |       CAST(sum(cell_ppm) // (n * least(n_langs - 1, n_sources - 1))
-      |            AS BIGINT) AS v2_ppm
+      |       CAST(CASE WHEN least(n_langs - 1, n_sources - 1) = 0 THEN 0
+      |            ELSE sum(cell_ppm) // (n * least(n_langs - 1, n_sources - 1))
+      |            END AS BIGINT) AS v2_ppm
       |FROM cell GROUP BY n, n_langs, n_sources""".stripMargin
 }

@@ -1086,11 +1086,18 @@ object TimeSeries {
        |GROUP BY split.n_cal, split.n_test, q.k, q.q""".stripMargin
 
   /** Floor-shift constant for the pairwise-slope division: guarantees a
-    * non-negative numerator for any |daily count diff| ≤ 1e6, so Spark
-    * `DIV` ≡ DuckDB `//` (both truncate toward zero only on non-negative
-    * operands — the repo's division-parity rule).
+    * non-negative numerator for any |daily count diff| ≤ 1e8 per day of
+    * gap, so Spark `DIV` ≡ DuckDB `//` (both truncate toward zero only on
+    * non-negative operands — the repo's division-parity rule).
+    *
+    * Headroom audit (round-12 advice): numerator ≤ shift·gap + |Δc|·1e6
+    * ≤ 1e14·2e4 + 1e8·1e6 ≈ 2.1e18 < 2^63 even for a 1970→now day span;
+    * slope_ppm magnitude ≤ 1e14, so lo+hi in the 2·percentile median
+    * device stays ≤ 2e14 < 2^53 (exact in the interpolation double). A
+    * fixture that still exceeds the bound fails LOUDLY via the
+    * raise_error guard in [[theilSenDaily]] instead of diverging by 1 ulp.
     */
-  val TheilSenShift = 1000000000000L
+  val TheilSenShift = 100000000000000L
 
   /** Theil–Sen robust trend + Mann–Kendall test over daily event counts,
     * per event type.
@@ -1121,7 +1128,12 @@ object TimeSeries {
     val pairs = a.join(broadcast(b), Seq("event_type"))
       .filter(col("d2") > col("d1"))
       .withColumn("slope_ppm", expr(
-        s"((c2 - c1) * 1000000 + $TheilSenShift * (d2 - d1)) DIV (d2 - d1) - $TheilSenShift"))
+        s"""CASE WHEN abs(c2 - c1) * 1000000 > $TheilSenShift * (d2 - d1)
+           |     THEN CAST(raise_error(CONCAT('theilSenDaily: |count diff| ',
+           |          abs(c2 - c1), ' over day gap ', d2 - d1,
+           |          ' exceeds the DIV-parity floor-shift bound')) AS BIGINT)
+           |     ELSE ((c2 - c1) * 1000000 + $TheilSenShift * (d2 - d1))
+           |          DIV (d2 - d1) - $TheilSenShift END""".stripMargin))
     val nDays = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"))
     pairs.groupBy(col("event_type"))

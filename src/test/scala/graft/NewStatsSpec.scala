@@ -50,10 +50,9 @@ class NewStatsSpec extends SparkSpec {
       (10L, 2L, "b"), (11L, 2L, "a"))
       .toDF("event_id", "user_id", "event_type")
     val out = Analytics.sequenceSupport(ev)
-      .collect().map(r => (r.getString(1), r.getString(0),
+      .collect().map(r => (r.getAs[String]("consequent"), r.getAs[String]("antecedent"),
         r.getAs[Long]("n_users_ab"), r.getAs[Long]("support_ppm"),
         r.getAs[Long]("confidence_ppm"))).toSet
-    // columns: consequent, antecedent, ... (join reorders); read by name
     assert(out == Set(
       ("b", "a", 1L, 500000L, 500000L),   // a→b: 1 of 2 users, conf 1/2
       ("a", "b", 2L, 1000000L, 1000000L)) // b→a: both users, conf 2/2
