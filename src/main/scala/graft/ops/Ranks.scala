@@ -25,13 +25,15 @@ import org.apache.spark.sql.types._
   *     sequential per-partition step — nothing declarative expresses
   *     "running total without a global window");
   *  3. the per-partition row counts / input sums (a `width`-bounded
-  *     frame) are collected once and become literal offsets added to
-  *     the within-partition values — the "broadcast offsets" half of
-  *     the two-pass rank, as driver literals because the offsets table
-  *     is `width`-bounded by construction.
+  *     table) come back as the TASK RESULTS of the one `runJob` that
+  *     materializes the persist — fused, not a separate aggregate job —
+  *     and become literal offsets added to the within-partition values:
+  *     the "broadcast offsets" half of the two-pass rank, as driver
+  *     literals because the offsets table is `width`-bounded by
+  *     construction.
   *
   * The stamped frame is persisted (and registered with [[Caches]]):
-  * the offsets job and the main query must observe the SAME range
+  * the offsets pass and the main query must observe the SAME range
   * split, and one materialization is cheaper than two sorts anyway.
   * Everything is deterministic under recomputation — range bounds are
   * sampled with per-partition-index seeds, the sort is total — but the
@@ -41,6 +43,45 @@ import org.apache.spark.sql.types._
   * last), running-sum inputs must be non-null LONG/INT/DECIMAL columns.
   */
 object Ranks {
+  /** Per-partition (row count, raw sums of `names`) of `p`, gathered as
+    * the TASK RESULTS of the one job that also materializes `p`'s
+    * persist — see the fused-offsets note in [[overGlobalOrder]]. */
+  private def partitionStats(p: DataFrame,
+      names: Seq[String]): Array[(Long, Array[java.math.BigDecimal])] = {
+    val pSchema = p.schema
+    val sumIdx = names.map(pSchema.fieldIndex).toArray
+    // 0 = LONG, 1 = INT, else decimal with packed (precision, scale)
+    val sumTag: Array[Int] = names.map { nm =>
+      pSchema(nm).dataType match {
+        case LongType => 0
+        case IntegerType => 1
+        case d: DecimalType => (d.precision << 8) | d.scale
+        case other => throw new IllegalStateException(s"unexpected sum input type $other")
+      }
+    }.toArray
+    p.sparkSession.sparkContext.runJob(p.queryExecution.toRdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        val s = Array.fill(sumIdx.length)(java.math.BigDecimal.ZERO)
+        while (it.hasNext) {
+          val r = it.next(); n += 1
+          var i = 0
+          while (i < sumIdx.length) {
+            if (!r.isNullAt(sumIdx(i))) {
+              val add = sumTag(i) match {
+                case 0 => java.math.BigDecimal.valueOf(r.getLong(sumIdx(i)))
+                case 1 => java.math.BigDecimal.valueOf(r.getInt(sumIdx(i)).toLong)
+                case ps => r.getDecimal(sumIdx(i), ps >> 8, ps & 0xff).toJavaBigDecimal
+              }
+              s(i) = s(i).add(add)
+            }
+            i += 1
+          }
+        }
+        (n, s)
+      })
+  }
+
   private val MID = "_grank_mid"
   private val PID = "_grank_pid"
   private val RNW = "_grank_rnw"
@@ -127,33 +168,39 @@ object Ranks {
         }
       }(Encoders.row(schemaOut))
     }
+    // AQE stays ON for the device build even though each shuffle stage
+    // materializes as its own job: the range split's SAMPLING pass runs
+    // over the child RDD, and under AQE that child is the materialized
+    // shuffle-stage output (shuffle files) — with AQE off the sampler
+    // re-executes the whole upstream lineage (scan + aggregations) a
+    // second time, which measured ~2x worse than the stage jobs it
+    // saved (round-13; don't repeat the experiment).
     val persisted = Caches.tracked(stamped.persist())
-
-    // width-bounded per-partition (count, sums) — the offsets table,
-    // collected at plan-construction time (the iterative-op convention)
-    val aggCols = count(lit(1)).as("_n") +: sumIns.map { case (nm, _) =>
-      sum(col(inName(nm))).as(s"_t_$nm") }
-    val parts = persisted.groupBy(col(PID)).agg(aggCols.head, aggCols.tail: _*)
-      .collect().sortBy(_.getAs[Int](PID))
+    val stats = partitionStats(persisted, sumIns.map(x => inName(x._1)))
+    // Fused into the materialization (round-12 directive #3): ONE runJob
+    // over the cached plan's RDD both populates the persist AND returns
+    // each partition's (row count, raw-input sums) as its TASK RESULT —
+    // the separate groupBy(PID) job (its shuffle stage + collect) is
+    // gone. Task results are exactly-once per partition (the successful
+    // attempt's value), so there is no accumulator retry/double-count
+    // hazard, and the physical partition index of the result array IS
+    // the PID (monotonically_increasing_id stamps the same index, with
+    // no shuffle between the stamp and the cache).
     var rows = 0L
     var rankOffs = Vector.empty[(Int, Long)]
     val sumAcc = scala.collection.mutable.LinkedHashMap[String, java.math.BigDecimal]()
     val cumOffs = scala.collection.mutable.LinkedHashMap[String, Vector[(Int, java.math.BigDecimal)]]()
     sumIns.foreach { case (nm, _) =>
       sumAcc(nm) = java.math.BigDecimal.ZERO; cumOffs(nm) = Vector.empty }
-    parts.foreach { r =>
-      val pid = r.getAs[Int](PID)
-      rankOffs :+= (pid -> rows)
-      rows += r.getAs[Long]("_n")
-      sumIns.foreach { case (nm, _) =>
-        cumOffs(nm) :+= (pid -> sumAcc(nm))
-        r.getAs[Any](s"_t_$nm") match {
-          case null => ()
-          case d: java.math.BigDecimal => sumAcc(nm) = sumAcc(nm).add(d)
-          case l: java.lang.Long => sumAcc(nm) = sumAcc(nm).add(java.math.BigDecimal.valueOf(l.longValue))
-          case other => throw new IllegalStateException(s"unexpected partition total $other")
+    stats.zipWithIndex.foreach { case ((n, totalsHere), pid) =>
+      if (n > 0) { // empty range partitions carry no rows — keep the when-chain short
+        rankOffs :+= (pid -> rows)
+        sumIns.zipWithIndex.foreach { case ((nm, _), i) =>
+          cumOffs(nm) :+= (pid -> sumAcc(nm))
+          sumAcc(nm) = sumAcc(nm).add(totalsHere(i))
         }
       }
+      rows += n
     }
 
     def sumLit(nm: String, v: java.math.BigDecimal): Column =
