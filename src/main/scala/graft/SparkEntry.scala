@@ -1635,8 +1635,8 @@ object SparkEntry {
       val (vec0, map0) = knnMaintPrefix(s, dir)
       val root = scratchDir("graft_knn_stream")
       val vec = s"$root/vectors"; val map = s"$root/knn"
-      ops.BucketSwap.copyTree(vec0, vec)
-      ops.BucketSwap.copyTree(map0, map)
+      ops.BucketSwap.linkTree(vec0, vec)
+      ops.BucketSwap.linkTree(map0, map)
       val chunks = knnChunks(s, dir)
       val schema = s.read.parquet(chunks).schema
       ops.Similarity.streamingKnnIngest(s, chunks, schema, vec, map, 10, s"$root/ckpt")

@@ -34,6 +34,35 @@ private[graft] object BucketSwap {
     ()
   }
 
+  /** Hardlink tree: the near-free way to give a maintenance exercise its
+    * own mutable view of a prefix artifact (round-12 directive: the
+    * copyTree in the timed body dominated the maintenance boards at
+    * fixture scale). SAFE because maintenance never writes a data file
+    * in place — parquet writes create new files, [[swap]] moves/deletes
+    * directory ENTRIES, and [[writeFrontier]] goes through a fresh
+    * `.tmp` + ATOMIC_MOVE — so unlinking or replacing a link never
+    * touches the prefix's inodes. Falls back to a byte copy per file if
+    * the filesystem refuses the link (cross-device, no-hardlink fs). */
+  def linkTree(src: String, dst: String): Unit = {
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s0).forEach { q =>
+      val t = d0.resolve(s0.relativize(q))
+      if (java.nio.file.Files.isDirectory(q)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        try java.nio.file.Files.createLink(t, q)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(q, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      }
+    }
+    ()
+  }
+
   /** Heal an artifact left by a swap interrupted mid-flight:
     *  - live bucket MISSING, aside present → restore the aside copy
     *    (pre-merge data, still complete; the batch replays);

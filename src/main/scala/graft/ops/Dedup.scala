@@ -2306,19 +2306,21 @@ object Dedup {
     (idx, map)
   }
 
-  private def copyTree(src: String, dst: String): Unit = BucketSwap.copyTree(src, dst)
 
   /** End-to-end incremental-maintenance exercise over the standard
     * near-dup corpus: the PREFIX artifacts (from
     * [[buildClusterMaintPrefix]], process-cached by the caller) are
-    * copied to a fresh scratch root — maintenance MUTATES them — and
-    * the shifted near-dup copies arrive as two ordered ingest batches
-    * merged delta-only through [[maintainClusterMap]]. Returns the
-    * final persisted map; the oracle is the FROM-SCRATCH rebuild over
-    * the full corpus, so the correctness gate proves incremental ≡
-    * rebuild (the artifact riders' proof shape). What the bench
-    * measures is therefore copy + two incremental merges — the
-    * maintenance path, not the prefix build.
+    * HARDLINKED to a fresh scratch root — maintenance mutates only by
+    * writing new files and swapping directory entries, so the links are
+    * safe ([[BucketSwap.linkTree]]) and near-free, where a byte copy
+    * dominated the fixture-scale board — and the shifted near-dup
+    * copies arrive as two ordered ingest batches merged delta-only
+    * through [[maintainClusterMap]]. Returns the final persisted map;
+    * the oracle is the FROM-SCRATCH rebuild over the full corpus, so
+    * the correctness gate proves incremental ≡ rebuild (the artifact
+    * riders' proof shape). What the bench measures is therefore the two
+    * incremental merges — the maintenance path, not the prefix build or
+    * its staging.
     */
   def clusterMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
                             docs: DataFrame, threshold: Double,
@@ -2326,8 +2328,8 @@ object Dedup {
     val root = graft.Scratch.dir("graft-cluster-maint")
     val idx = s"$root/index"
     val map = s"$root/map"
-    copyTree(prefixIdx, idx)
-    copyTree(prefixMap, map)
+    BucketSwap.linkTree(prefixIdx, idx)
+    BucketSwap.linkTree(prefixMap, map)
     val corpus = nearDupCorpus(docs.select(col("doc_id"), col("text")))
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cut1 = 1000000L + (mx + 1) / 2

@@ -1720,10 +1720,11 @@ object Similarity {
 
   /** End-to-end incremental kNN maintenance exercise: the prefix vector
     * table + kNN artifact (process-cached by the caller, built by
-    * [[knnGraph]]) are copied to fresh scratch, then the remaining
-    * vectors arrive as two ordered ingest batches merged through
-    * [[maintainKnnGraph]]. Returns the final persisted graph; the
-    * oracle is the from-scratch rebuild over the full table.
+    * [[knnGraph]]) are hardlinked to fresh scratch (safe + near-free:
+    * see [[BucketSwap.linkTree]]), then the remaining vectors arrive as
+    * two ordered ingest batches merged through [[maintainKnnGraph]].
+    * Returns the final persisted graph; the oracle is the from-scratch
+    * rebuild over the full table.
     */
   def knnMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
                         emb: DataFrame, k: Int,
@@ -1731,8 +1732,8 @@ object Similarity {
     val root = graft.Scratch.dir("graft-knn-maint")
     val vec = s"$root/vectors"
     val map = s"$root/knn"
-    BucketSwap.copyTree(prefixVec, vec)
-    BucketSwap.copyTree(prefixKnn, map)
+    BucketSwap.linkTree(prefixVec, vec)
+    BucketSwap.linkTree(prefixKnn, map)
     val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
     val cut0 = (mx + 1) * 3 / 5
     val cut1 = (mx + 1) * 4 / 5

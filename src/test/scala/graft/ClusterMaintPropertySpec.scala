@@ -60,4 +60,34 @@ class ClusterMaintPropertySpec extends SparkSpec {
       graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
     }
   }
+
+  test("hardlinked prefix staging: a maintenance run leaves the prefix artifacts byte-identical") {
+    // the linkTree safety claim: maintenance mutates the linked view by
+    // writing NEW files and swapping directory entries only, so the
+    // process-cached prefix must survive a full run untouched
+    def fingerprint(root: String): Map[String, String] = {
+      val r = java.nio.file.Paths.get(root)
+      val out = scala.collection.mutable.Map[String, String]()
+      java.nio.file.Files.walk(r).forEach { p =>
+        if (!java.nio.file.Files.isDirectory(p)) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          out(r.relativize(p).toString) =
+            md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+        }
+      }
+      out.toMap
+    }
+    val docs = (0L until 12L).map { i =>
+      (i, Seq.tabulate(50)(j => s"w${(i * 7 + j) % 13} t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = graft.Scratch.dir("cm-linktree")
+    val (idx, map) = Dedup.buildClusterMaintPrefix(spark, docs, 0.5, root)
+    val before = (fingerprint(idx), fingerprint(map))
+    val out = Dedup.clusterMaintenanceRun(spark, docs, 0.5, idx, map)
+    assert(out.count() > 0)
+    assert(fingerprint(idx) == before._1, "prefix LSH index mutated through the links")
+    assert(fingerprint(map) == before._2, "prefix cluster map mutated through the links")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
 }
