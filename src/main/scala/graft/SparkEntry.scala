@@ -253,6 +253,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), 10,
         scratchDir("graft_knn_prefix")))
 
+  /** Prefix state for the ANN-assisted kNN-maintenance exercise: the
+    * persisted IVF index (centroid table + cell-partitioned vector
+    * layout) + kNN graph over the first 4/5 of the id space, built once
+    * per process per sfDir; the query hardlinks the mutable artifacts
+    * per invocation. */
+  private val ivfMaintPrefixCache = scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+  private def ivfMaintPrefix(s: SparkSession, dir: String): (String, String, String) =
+    ivfMaintPrefixCache.getOrElseUpdate(dir,
+      ops.Similarity.buildIvfKnnMaintPrefix(s,
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 32,
+        scratchDir("graft_ivf_prefix")))
+
   private val replayCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def replayedChunks(s: SparkSession, dir: String): String =
     replayCache.getOrElseUpdate(dir, {
@@ -307,6 +319,32 @@ object SparkEntry {
           java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
       }
       docs.unpersist()
+      out
+    })
+
+  /** Suffix of the near-dup corpus (the shifted copies, doc_id past the
+    * cluster-maintenance prefix) as two doc-id-ordered chunk files —
+    * the ingest feed for `dedup_stream_clusters`, split at the same cut
+    * as [[graft.ops.Dedup.clusterMaintenanceRun]]'s two batches. Built
+    * once per process per sfDir. */
+  private val clusterChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def clusterChunks(s: SparkSession, dir: String): String =
+    clusterChunkCache.getOrElseUpdate(dir, {
+      val root = scratchDir("graft_clchunks")
+      val out = s"$root/chunks"
+      new java.io.File(out).mkdirs()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = ops.Dedup.nearDupCorpus(docs)
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut1 = 1000000L + (mx + 1) / 2
+      Seq((1000000L, cut1), (cut1, Long.MaxValue)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+        val part = new java.io.File(s"$root/tmp$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
+      }
       out
     })
 
@@ -1620,6 +1658,24 @@ object SparkEntry {
       Dedup.clusterMaintenanceRun(s,
         t(s, dir, "documents").select(col("doc_id"), col("text")), 0.5, idx, map)
     }),
+    // Streaming document ingestion over the cluster-maintenance path
+    // (round-12 directive #5): one ordered chunk file per micro-batch
+    // merges into the cluster-map artifact through foreachBatch — the
+    // _cluster_frontier's replay absorption under a real restartable
+    // stream; same rebuild oracle as the batch query
+    "dedup_stream_clusters" -> ((s, dir) => {
+      val (idx0, map0) = maintPrefix(s, dir)
+      val root = scratchDir("graft_cl_stream")
+      val idx = s"$root/index"; val map = s"$root/map"
+      ops.BucketSwap.linkTree(idx0, idx)
+      ops.BucketSwap.linkTree(map0, map)
+      val chunks = clusterChunks(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      Dedup.streamingClusterIngest(s, chunks, schema, idx, map, 0.5, s"$root/ckpt")
+      s.read.parquet(map)
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     // Incremental kNN-graph maintenance: the ANN-family twin of the
     // cluster-map merge (same artifact/frontier/aside-swap devices);
     // oracle = the from-scratch kNN rebuild
@@ -1627,6 +1683,18 @@ object SparkEntry {
       val (vec, map) = knnMaintPrefix(s, dir)
       ops.Similarity.knnMaintenanceRun(s,
         s.read.parquet(s"$dir/embeddings.parquet"), 10, vec, map)
+    }),
+    // ANN-assisted maintenance (round-12 directive #1): the scored pass
+    // probes the persisted IVF index for candidate cells and reads ONLY
+    // those cell partitions, instead of scanning the full vector table —
+    // the 1e9-vector shape. Output = per-anchor recall@k of the
+    // ANN-maintained graph vs the exact from-scratch rebuild (the
+    // ann_*_recall audit shape); the oracle unrolls the whole
+    // deterministic merge, so the gate proves the ANN path end-to-end
+    "emb_knn_maintenance_ann" -> ((s, dir) => {
+      val (cents, cells, knn) = ivfMaintPrefix(s, dir)
+      ops.Similarity.annMaintenanceRun(s,
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 4, cents, cells, knn)
     }),
     // Streaming vector ingestion over the same maintenance path: one
     // chunk file per micro-batch merges into the kNN artifact through
@@ -2623,7 +2691,9 @@ object SparkEntry {
     "dedup_stream_novelty" -> Dedup.streamingNoveltySql(0.5),
     "dedup_index_maintenance" -> Dedup.indexContentAuditSql,
     "dedup_cluster_maintenance" -> Dedup.nearDupClustersSql(0.5),
+    "dedup_stream_clusters" -> Dedup.nearDupClustersSql(0.5),
     "emb_knn_maintenance" -> ops.Similarity.knnGraphSql(10),
+    "emb_knn_maintenance_ann" -> ops.Similarity.annMaintenanceSql(10, 32, 4),
     "emb_knn_stream" -> ops.Similarity.knnGraphSql(10),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),

@@ -2286,6 +2286,36 @@ object Dedup {
     true
   }
 
+  /** Streaming document ingestion maintaining the persisted cluster map
+    * — the streaming composition of [[maintainClusterMap]] (round-12
+    * directive #5), i.e. the [[graft.ops.Similarity.streamingKnnIngest]]
+    * shape for the dedup family: each micro-batch of documents merges
+    * into the map artifact through foreachBatch under the same
+    * `_cluster_frontier` replay-absorption, ingestion-order, and
+    * aside-swap crash guarantees, so a killed and restarted stream
+    * resumes exactly where the artifacts say (foreachBatch is
+    * at-least-once; the replayed batch id is absorbed). AvailableNow +
+    * maxFilesPerTrigger=1: one ordered chunk file per micro-batch,
+    * mirroring continuous crawl ingest.
+    */
+  def streamingClusterIngest(spark: org.apache.spark.sql.SparkSession,
+                             chunks: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             indexPath: String, mapPath: String,
+                             threshold: Double, checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(chunks).select(col("doc_id"), col("text"))
+    val q = stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainClusterMap(batch.sparkSession, indexPath, mapPath, batch,
+          threshold, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Build the maintenance exercise's PREFIX state — LSH index +
     * cluster map over the original documents (doc_id < the copy shift)
     * — as an on-disk artifact under `root`. One from-scratch CC, the

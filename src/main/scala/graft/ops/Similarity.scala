@@ -1683,6 +1683,17 @@ object Similarity {
         .as("e"))
       .select(col("e.anchor_id"), col("e.neighbor_id"), col("e.cosine"))
 
+    admitAndRewrite(spark, knnPath, cand, k, batchId)
+    }
+    true
+  }
+
+  /** Shared merge tail of the exact and ANN-assisted maintenance paths:
+    * admission-filter the scored candidates against the stored k-th,
+    * re-rank and rewrite ONLY the touched anchor buckets through the
+    * aside-swap, then advance the frontier LAST. */
+  private def admitAndRewrite(spark: org.apache.spark.sql.SparkSession,
+      knnPath: String, cand: DataFrame, k: Int, batchId: Long): Unit = {
     // admit only candidates that can enter their anchor's top-k: above
     // the stored k-th, or tied with a smaller neighbor id; a missing
     // k-th row (new anchor, or an anchor with < k stored rows) admits
@@ -1714,8 +1725,6 @@ object Similarity {
       BucketSwap.swap(knnPath, "abucket", touched)
     }
     BucketSwap.writeFrontier(knnPath, "_knn_frontier", batchId, 0L)
-    }
-    true
   }
 
   /** End-to-end incremental kNN maintenance exercise: the prefix vector
@@ -1789,6 +1798,273 @@ object Similarity {
     writeKnnMap(knnGraph(prefix, k), map)
     (vec, map)
   }
+
+  // ------------------------------------------ ANN-assisted kNN maintenance
+
+  /** [[centroids]] with an explicit dense index column `cidx`
+    * (0..nlist−1 in the hash order) — the ANN maintenance path
+    * partitions its vector layout by this small stable int instead of
+    * the centroid's corpus-valued vec_id, so the cell dirs read back
+    * with a fixed narrow type. Driver-materialized like [[centroids]]
+    * (nlist rows by construction). */
+  private def centroidsIdx(e: DataFrame, nlist: Int): DataFrame = {
+    val spark = e.sparkSession
+    val sel = e
+      .orderBy(graft.functions.PortableHash.tokenHash(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val rows = sel.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      sel.schema.add("cidx", org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** Cell assignment carrying the vector payload: nearest centroid per
+    * vector via the [[cellAssignments]] composite-BIGINT argmax key
+    * (identical tie-break, `cidx` result) — broadcast of the nlist
+    * centroids, map-side partial argmax, no corpus-wide anything else. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cidx"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("ccos"))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(max_by(col("cidx"),
+        round(col("ccos") * 1000000).cast("long") * 10000000L - col("cent_id")).as("cell"))
+
+  /** Prefix state for the ANN-assisted maintenance exercise: the IVF
+    * index artifact a production vector store persists — centroid table
+    * (nlist rows), the vector table laid out PARTITIONED BY CELL (so a
+    * probe reads only its cells' directories), and the from-scratch kNN
+    * graph over vec_id < 4/5 of the id space. */
+  def buildIvfKnnMaintPrefix(spark: org.apache.spark.sql.SparkSession,
+                             emb: DataFrame, k: Int, nlist: Int,
+                             root: String): (String, String, String) = {
+    val cents = s"$root/centroids"
+    val cells = s"$root/cells"
+    val map = s"$root/knn"
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = (mx + 1) * 4 / 5
+    val stored = prepared(emb.filter(col("vec_id") < cut))
+    val cent = centroidsIdx(stored, nlist)
+    cent.write.mode("overwrite").parquet(cents)
+    assignCells(stored, cent)
+      .repartition(nlist, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(cells)
+    BucketSwap.writeFrontier(cells, "_ingest_frontier", -1L, cut - 1)
+    writeKnnMap(knnGraph(emb.filter(col("vec_id") < cut), k), map)
+    (cents, cells, map)
+  }
+
+  /** The candidate pass of the ANN-assisted merge — the piece directive
+    * round-12 #1 is about: the scan of the cell-partitioned vector
+    * layout is FILTERED TO THE PROBED CELLS (collected as ≤ nlist ints),
+    * so it partition-prunes to those directories instead of streaming
+    * the full vector table. `probes` = (bid, bv, bn, cell), one row per
+    * (batch vector, probed cell); the ingestion-order contract (batch
+    * ids > all stored ids) makes `vec_id < bid` the once-per-unordered-
+    * pair enumeration exactly as in the exact path, and both directed
+    * candidates come from the one scored row by explode. */
+  private[graft] def annCandidates(spark: org.apache.spark.sql.SparkSession,
+      cellsPath: String, probes: DataFrame, probedCells: Seq[Int]): DataFrame =
+    spark.read.parquet(cellsPath)
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") < col("bid"))
+      .select(col("vec_id").as("sid"), col("bid"),
+        (cosine(col("v"), col("nrm"), col("bv"), col("bn")) + lit(0.0)).as("cosine"))
+      .select(explode(array(
+        struct(col("sid").as("anchor_id"), col("bid").as("neighbor_id"), col("cosine")),
+        struct(col("bid").as("anchor_id"), col("sid").as("neighbor_id"), col("cosine"))))
+        .as("e"))
+      .select(col("e.anchor_id"), col("e.neighbor_id"), col("e.cosine"))
+
+  /** ANN-assisted incremental kNN maintenance — [[maintainKnnGraph]]
+    * with the scored pass BOUNDED BY THE IVF INDEX instead of the full
+    * vector table: the batch assigns to cells (|B|·nlist), appends into
+    * the cell-partitioned layout, probes its `nprobe` nearest cells,
+    * and scores only against vectors IN THOSE CELLS (expected
+    * nprobe/nlist of the corpus, partition-pruned I/O) — the shape a
+    * 1e9-vector store needs, where the exact path's per-batch |B|·|C|
+    * scan is the last brute-force production shape. The merge tail
+    * (admission filter, bucket rewrite, frontier) is the shared
+    * [[admitAndRewrite]]; crash/replay guarantees are identical. The
+    * price is approximation: a true neighbor outside the probed cells
+    * is missed — `emb_knn_maintenance_ann` audits exactly that recall
+    * against the exact graph, per the ann_*_recall convention.
+    */
+  def maintainKnnGraphAnn(spark: org.apache.spark.sql.SparkSession,
+                          centPath: String, cellsPath: String, knnPath: String,
+                          batch: DataFrame, k: Int, nprobe: Int,
+                          batchId: Long): Boolean = {
+    BucketSwap.recover(knnPath, "abucket")
+    val (last, _) = BucketSwap.readFrontier(knnPath, "_knn_frontier")
+    if (batchId <= last) return false
+    Caches.withBatchShuffleWidth(spark) {
+
+    // the centroid table is part of the persisted index: read once,
+    // re-embedded as a local relation (nlist rows — the centroids()
+    // convention; a lazy subtree would re-scan per consumer)
+    val centRead = spark.read.parquet(centPath)
+    val cent = spark.createDataFrame(
+      java.util.Arrays.asList(centRead.collect(): _*), centRead.schema)
+    val bPrep = prepared(batch).localCheckpoint()
+
+    // guarded append of the batch's cell assignments (the vector-table
+    // append of the exact path, in the cell-partitioned layout)
+    val (vb, vMax) = BucketSwap.readFrontier(cellsPath, "_ingest_frontier")
+    if (batchId > vb) {
+      val stats = bPrep.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      if (!stats.isNullAt(0)) {
+        require(stats.getLong(0) > vMax,
+          s"ingestion-order contract broken: batch $batchId min vec_id " +
+            s"${stats.getLong(0)} <= already-ingested max $vMax — kNN " +
+            "maintenance assumes vec-id-ordered ingestion; re-ingest " +
+            "out-of-order data through a full rebuild instead")
+        assignCells(bPrep, cent)
+          .coalesce(1).write.mode("append").partitionBy("cell").parquet(cellsPath)
+        BucketSwap.writeFrontier(cellsPath, "_ingest_frontier", batchId,
+          math.max(vMax, stats.getLong(1)))
+      }
+    }
+
+    // probe: the nprobe nearest cells per batch vector (probeCells'
+    // tie-break — qcos desc, cent_id), |B|·nprobe rows
+    val probeW = Window.partitionBy(col("bid"))
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = bPrep.join(broadcast(cent), lit(true))
+      .select(col("vec_id").as("bid"), col("v").as("bv"), col("nrm").as("bn"),
+        col("cidx"), col("cent_id"),
+        cosine(col("cv"), col("cn"), col("v"), col("nrm")).as("qcos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("bid"), col("bv"), col("bn"), col("cidx").as("cell"))
+      .localCheckpoint()
+    // probed cell ids: ≤ nlist ints by construction (never batch-grained)
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    admitAndRewrite(spark, knnPath,
+      annCandidates(spark, cellsPath, probes, probed), k, batchId)
+    }
+    true
+  }
+
+  /** End-to-end ANN-assisted maintenance exercise + recall audit: stage
+    * the IVF prefix artifacts via hardlinks, merge the last 1/5 of the
+    * id space through [[maintainKnnGraphAnn]] as one batch, then score
+    * the maintained graph's per-anchor recall@k against the exact
+    * from-scratch kNN graph (the ann_*_recall audit shape). The oracle
+    * replays the same deterministic construction in SQL, so the gate
+    * proves the ANN merge END-TO-END — centroid choice, cell argmax,
+    * probe set, pruned candidate enumeration, merge — not just the
+    * audit arithmetic.
+    */
+  def annMaintenanceRun(spark: org.apache.spark.sql.SparkSession,
+                        emb: DataFrame, k: Int, nprobe: Int,
+                        centPath: String, prefixCells: String,
+                        prefixKnn: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-ann-maint")
+    val cells = s"$root/cells"
+    val map = s"$root/knn"
+    BucketSwap.linkTree(prefixCells, cells)
+    BucketSwap.linkTree(prefixKnn, map)
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = (mx + 1) * 4 / 5
+    maintainKnnGraphAnn(spark, centPath, cells, map,
+      emb.filter(col("vec_id") >= cut), k, nprobe, 0L)
+    val approx = spark.read.parquet(map)
+      .select(col("anchor_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    knnGraph(emb, k).select(col("anchor_id"), col("neighbor_id"))
+      .join(approx, Seq("anchor_id", "neighbor_id"), "left")
+      .groupBy(col("anchor_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("anchor_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy("anchor_id")
+  }
+
+  /** Oracle for `emb_knn_maintenance_ann`: the whole ANN merge unrolled
+    * deterministically — stored/batch split at 4/5 of the id space,
+    * hash-min centroids over the STORED table (the persisted index is
+    * refreshed only on rebuild), composite-key cell argmax, nprobe
+    * probe set, candidates only from probed cells (`sid < bid` once per
+    * unordered pair, both orientations), merged top-k over stored graph
+    * ∪ candidates (the admission filter is a pure optimization: rows
+    * below the stored k-th can never crack the merged top-k, so the
+    * oracle may skip it), then per-anchor recall@k vs the exact graph.
+    */
+  def annMaintenanceSql(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS c FROM e),
+       |stored AS (SELECT e.* FROM e, cut WHERE vec_id < c),
+       |batch AS (SELECT e.* FROM e, cut WHERE vec_id >= c),
+       |stored_scored AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
+       |  FROM stored a, stored b WHERE a.vec_id <> b.vec_id),
+       |knn_stored AS (
+       |  SELECT anchor_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM stored_scored QUALIFY rank <= $k),
+       |cent AS (
+       |  SELECT cent_id, cv, cn,
+       |         CAST(row_number() OVER (ORDER BY h, cent_id) - 1 AS INT) AS cidx
+       |  FROM (SELECT vec_id AS cent_id, v AS cv, nrm AS cn,
+       |               ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")} AS h
+       |        FROM stored ORDER BY h, vec_id LIMIT $nlist)),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cidx, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM stored, cent GROUP BY vec_id, v, nrm),
+       |bassigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cidx, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM batch, cent GROUP BY vec_id, v, nrm),
+       |cellrows AS (
+       |  SELECT * FROM assigned UNION ALL SELECT * FROM bassigned),
+       |probes AS (
+       |  SELECT vec_id AS bid, v AS bv, nrm AS bn, cidx AS cell
+       |  FROM (
+       |    SELECT b.vec_id, b.v, b.nrm, cent.cidx,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY round(list_dot_product(cv, b.v) / (cn * b.nrm), 6) DESC,
+       |                      cent_id) AS pr
+       |    FROM batch b, cent) WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT s.vec_id AS sid, p.bid,
+       |         round(list_dot_product(s.v, p.bv) / (s.nrm * p.bn), 6) + 0.0 AS cosine
+       |  FROM cellrows s JOIN probes p ON s.cell = p.cell AND s.vec_id < p.bid),
+       |oriented AS (
+       |  SELECT sid AS anchor_id, bid AS neighbor_id, cosine FROM cand
+       |  UNION ALL
+       |  SELECT bid AS anchor_id, sid AS neighbor_id, cosine FROM cand),
+       |unioned AS (
+       |  SELECT anchor_id, neighbor_id, cosine FROM knn_stored
+       |  UNION ALL SELECT anchor_id, neighbor_id, cosine FROM oriented),
+       |merged AS (
+       |  SELECT anchor_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM unioned QUALIFY rank <= $k),
+       |exact_scored AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |exact AS (
+       |  SELECT anchor_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM exact_scored QUALIFY rank <= $k)
+       |SELECT x.anchor_id, CAST(count(m.anchor_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(m.anchor_id) AS DOUBLE) / $k, 6) AS recall
+       |FROM exact x LEFT JOIN merged m
+       |  ON m.anchor_id = x.anchor_id AND m.neighbor_id = x.neighbor_id
+       |GROUP BY x.anchor_id ORDER BY x.anchor_id""".stripMargin
 
   /** Hubness census — the k-occurrence distribution of the kNN graph:
     * how many anchors' top-k lists each vector appears in. High-dim

@@ -920,6 +920,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("CDC conflation decision pair: every window keyed (tbl, pk) — no global sort anywhere") {
+    // the round-12 pair prices the R6 throttle from burst islands and
+    // per-key savings; both are (tbl, pk)-keyed windows + grouped
+    // censuses, so ZERO empty-partition WindowExec nodes may appear
+    for (q <- Seq("cdc_hot_keys", "cdc_conflation_savings")) {
+      val (n, p) = countGlobalWindows(SparkEntry.queries(q)(spark, dir))
+      assert(n == 0, s"$q must keep every window keyed, got $n global windows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+    }
+  }
+
+  test("ANN kNN maintenance: the scored pass partition-prunes to the probed cells") {
+    // the round-12 directive-#1 contract: the candidate scan of the
+    // cell-partitioned vector layout must carry a partition filter on
+    // `cell` (probed cells only) — a refactor that streams the full
+    // vector table per batch (the exact path's |B|·|C| shape) loses the
+    // filter and flips this red
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 1.3 + d))) }.toDF("vec_id", "embedding")
+    val (_, cells, _) = graft.ops.Similarity.buildIvfKnnMaintPrefix(
+      spark, emb, 5, 8, graft.Scratch.dir("ann-plan"))
+    val probes = Seq((100L, Array(1.0, 0.5, 0.25, 0.125), 1.0, 0),
+        (100L, Array(1.0, 0.5, 0.25, 0.125), 1.0, 3))
+      .toDF("bid", "bv", "bn", "cell")
+    val cand = graft.ops.Similarity.annCandidates(spark, cells, probes, Seq(0, 3))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.initialPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case o                        => o.children.flatMap(scans)
+    }
+    val cellScans = scans(cand.queryExecution.executedPlan)
+    assert(cellScans.nonEmpty, s"no file scan found:\n${cand.queryExecution.executedPlan}")
+    cellScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"cells scan must partition-filter on the probed cells:\n$f")
+    }
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("ktruss: final support pass is ROUND-INDEPENDENT (checkpoint cut), equi-join only") {
     // each peel round localCheckpoints the shrinking edge frame (the
     // fixed-round eligibility rule): the returned plan must read the
