@@ -4,6 +4,9 @@
 set -e
 QS=${QS:-graph_modularity,graph_hits,dedup_pipeline_shared,dedup_stream_novelty,dedup_clusters,dedup_prefix_join,dedup_cluster_maintenance}
 for SF in 0.001 0.01 0.1; do
+  # a stale target + a warm loadavg would trip Bench's no-clobber
+  # diversion (board hygiene, round 13) — these are throwaway files
+  rm -f /tmp/scale_$SF.json /tmp/scale_$SF.json.contaminated
   SPARK_GRAFT_SF_DIR=/root/testdata/sf$SF SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_ONLY=$QS SPARK_GRAFT_BENCH_OUT=/tmp/scale_$SF.json \
     sbt -batch 'runMain graft.Bench' > /dev/null 2>&1

@@ -47,9 +47,14 @@ object PrefixScale {
       .cache()
     batchVec.count()
 
-    def minOf2(body: => Unit): Double = (1 to 2).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }.min
+    def minOf2(body: => Unit): Double = {
+      val runs = (1 to 2).map { _ =>
+        ops.Caches.releaseCaches(); spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(s"  runs: ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      runs.min
+    }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq("1x" -> "0.01", "10x" -> "0.1").foreach { case (label, sf) =>
