@@ -372,6 +372,31 @@ object SparkEntry {
       out
     })
 
+  /** Suffix vectors past the IVF-maintenance prefix cut (4/5 of the id
+    * space) as two ordered chunk files — the ingest feed for
+    * `emb_knn_stream_ann`, split at 9/10 to match the oracle's two
+    * unrolled merges. Built once per process per sfDir. */
+  private val annChunkCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annChunks(s: SparkSession, dir: String): String =
+    annChunkCache.getOrElseUpdate(dir, {
+      val root = scratchDir("graft_annchunks")
+      val out = s"$root/chunks"
+      new java.io.File(out).mkdirs()
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = (mx + 1) * 4 / 5
+      val mid = (mx + 1) * 9 / 10
+      Seq((cut, mid), (mid, mx + 1)).zipWithIndex.foreach { case ((lo, hi), i) =>
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tmp$i")
+        val part = new java.io.File(s"$root/tmp$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/chunk_$i.parquet"))
+      }
+      out
+    })
+
   /** A LIVE in-JVM Derby database holding the normalized changelog — the
     * upstream server the graft-jdbc-cdc source tails. Loaded once per
     * process per sfDir (executor-side batched inserts over real JDBC);
@@ -1713,6 +1738,25 @@ object SparkEntry {
         .orderBy(col("anchor_id"), col("rank"))
     }),
 
+    // Streaming vector ingestion through the ANN-assisted merge: the
+    // batch/stream x exact/ANN maintenance matrix's fourth cell — each
+    // micro-batch probes the persisted IVF index and scores only the
+    // probed cell partitions; oracle unrolls both sequential merges
+    "emb_knn_stream_ann" -> ((s, dir) => {
+      val (cents, cells0, knn0) = ivfMaintPrefix(s, dir)
+      val root = scratchDir("graft_ann_stream")
+      val cells = s"$root/cells"; val map = s"$root/knn"
+      ops.BucketSwap.linkTree(cells0, cells)
+      ops.BucketSwap.linkTree(knn0, map)
+      val chunks = annChunks(s, dir)
+      val schema = s.read.parquet(chunks).schema
+      ops.Similarity.streamingAnnIngest(s, chunks, schema, cents, cells, map,
+        10, 4, s"$root/ckpt")
+      s.read.parquet(map)
+        .select(col("anchor_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // Pair relation -> dedup groups: connected components over LSH pairs
     "dedup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(Dedup.nearDupCorpus(t(s, dir, "documents")), 0.5)),
@@ -2695,6 +2739,7 @@ object SparkEntry {
     "emb_knn_maintenance" -> ops.Similarity.knnGraphSql(10),
     "emb_knn_maintenance_ann" -> ops.Similarity.annMaintenanceSql(10, 32, 4),
     "emb_knn_stream" -> ops.Similarity.knnGraphSql(10),
+    "emb_knn_stream_ann" -> ops.Similarity.annStreamSql(10, 32, 4),
 
     "dedup_clusters" -> Dedup.nearDupClustersSql(0.5),
     "dedup_clusters_star" -> Dedup.nearDupClustersSql(0.5),

@@ -1984,6 +1984,117 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  /** Streaming vector ingestion over the ANN-assisted maintenance path —
+    * [[streamingKnnIngest]] with [[maintainKnnGraphAnn]] as the per-batch
+    * merge: each micro-batch assigns to the persisted IVF index's cells,
+    * probes, scores only the probed partitions, and merges under the
+    * same `_knn_frontier` replay/crash guarantees. AvailableNow +
+    * maxFilesPerTrigger=1: one ordered chunk file per micro-batch.
+    */
+  def streamingAnnIngest(spark: org.apache.spark.sql.SparkSession,
+                         chunks: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         centPath: String, cellsPath: String, knnPath: String,
+                         k: Int, nprobe: Int, checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(chunks).select(col("vec_id"), col("embedding"))
+    val q = stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainKnnGraphAnn(batch.sparkSession, centPath, cellsPath, knnPath,
+          batch, k, nprobe, batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Oracle for `emb_knn_stream_ann`: the TWO sequential ANN merges
+    * unrolled — batch 1 = [4/5, 9/10) of the id space, batch 2 the
+    * rest. Sequential top-k merges equal ONE top-k over the union of
+    * the stored graph and both candidate sets (a row outside an
+    * intermediate top-k can never re-enter after more additions — the
+    * exact path's argument), and batch 2's candidates read the cell
+    * layout AFTER batch 1's append, so its probed cells include batch-1
+    * rows. Each unordered pair appears in exactly one batch's candidate
+    * set (the one owning the larger id), so no dedup is needed.
+    */
+  def annStreamSql(k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cut AS (SELECT ((max(vec_id) + 1) * 4) // 5 AS c,
+       |               ((max(vec_id) + 1) * 9) // 10 AS m FROM e),
+       |stored AS (SELECT e.* FROM e, cut WHERE vec_id < c),
+       |b1 AS (SELECT e.* FROM e, cut WHERE vec_id >= c AND vec_id < m),
+       |b2 AS (SELECT e.* FROM e, cut WHERE vec_id >= m),
+       |stored_scored AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) + 0.0 AS cosine
+       |  FROM stored a, stored b WHERE a.vec_id <> b.vec_id),
+       |knn_stored AS (
+       |  SELECT anchor_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM stored_scored QUALIFY rank <= $k),
+       |cent AS (
+       |  SELECT cent_id, cv, cn,
+       |         CAST(row_number() OVER (ORDER BY h, cent_id) - 1 AS INT) AS cidx
+       |  FROM (SELECT vec_id AS cent_id, v AS cv, nrm AS cn,
+       |               ${graft.functions.PortableHash.tokenHashSql("CAST(vec_id AS VARCHAR)")} AS h
+       |        FROM stored ORDER BY h, vec_id LIMIT $nlist)),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cidx, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM stored, cent GROUP BY vec_id, v, nrm),
+       |b1a AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cidx, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM b1, cent GROUP BY vec_id, v, nrm),
+       |b2a AS (
+       |  SELECT vec_id, v, nrm,
+       |         arg_max(cidx, CAST(round(list_dot_product(cv, v) / (cn * nrm), 6) * 1000000 AS BIGINT) * 10000000 - cent_id) AS cell
+       |  FROM b2, cent GROUP BY vec_id, v, nrm),
+       |cells1 AS (SELECT * FROM assigned UNION ALL SELECT * FROM b1a),
+       |cells2 AS (SELECT * FROM cells1 UNION ALL SELECT * FROM b2a),
+       |probes1 AS (
+       |  SELECT vec_id AS bid, v AS bv, nrm AS bn, cidx AS cell
+       |  FROM (
+       |    SELECT b.vec_id, b.v, b.nrm, cent.cidx,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY round(list_dot_product(cv, b.v) / (cn * b.nrm), 6) DESC,
+       |                      cent_id) AS pr
+       |    FROM b1 b, cent) WHERE pr <= $nprobe),
+       |probes2 AS (
+       |  SELECT vec_id AS bid, v AS bv, nrm AS bn, cidx AS cell
+       |  FROM (
+       |    SELECT b.vec_id, b.v, b.nrm, cent.cidx,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |             ORDER BY round(list_dot_product(cv, b.v) / (cn * b.nrm), 6) DESC,
+       |                      cent_id) AS pr
+       |    FROM b2 b, cent) WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT s.vec_id AS sid, p.bid,
+       |         round(list_dot_product(s.v, p.bv) / (s.nrm * p.bn), 6) + 0.0 AS cosine
+       |  FROM cells1 s JOIN probes1 p ON s.cell = p.cell AND s.vec_id < p.bid
+       |  UNION ALL
+       |  SELECT s.vec_id AS sid, p.bid,
+       |         round(list_dot_product(s.v, p.bv) / (s.nrm * p.bn), 6) + 0.0 AS cosine
+       |  FROM cells2 s JOIN probes2 p ON s.cell = p.cell AND s.vec_id < p.bid),
+       |oriented AS (
+       |  SELECT sid AS anchor_id, bid AS neighbor_id, cosine FROM cand
+       |  UNION ALL
+       |  SELECT bid AS anchor_id, sid AS neighbor_id, cosine FROM cand),
+       |unioned AS (
+       |  SELECT anchor_id, neighbor_id, cosine FROM knn_stored
+       |  UNION ALL SELECT anchor_id, neighbor_id, cosine FROM oriented)
+       |SELECT anchor_id, neighbor_id, cosine,
+       |       row_number() OVER (PARTITION BY anchor_id
+       |                          ORDER BY cosine DESC, neighbor_id) AS rank
+       |FROM unioned QUALIFY rank <= $k
+       |ORDER BY anchor_id, rank""".stripMargin
+
   /** Oracle for `emb_knn_maintenance_ann`: the whole ANN merge unrolled
     * deterministically — stored/batch split at 4/5 of the id space,
     * hash-min centroids over the STORED table (the persisted index is

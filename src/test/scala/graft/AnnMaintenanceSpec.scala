@@ -54,6 +54,46 @@ class AnnMaintenanceSpec extends SparkSpec {
     graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
   }
 
+  test("streaming ANN ingest: stop/restart continues; from-zero replay is absorbed") {
+    val emb = synthEmb(60)
+    val (cents, cellsP, knnP) = Similarity.buildIvfKnnMaintPrefix(
+      spark, emb, 5, 8, graft.Scratch.dir("ann-stream-prefix"))
+    val root = graft.Scratch.dir("ann-stream-run")
+    val cells = s"$root/cells"; val map = s"$root/knn"
+    graft.ops.BucketSwap.linkTree(cellsP, cells)
+    graft.ops.BucketSwap.linkTree(knnP, map)
+    val chunks = s"$root/chunks"
+    new java.io.File(chunks).mkdirs()
+    val schema = emb.schema
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$chunks/$name.parquet"))
+      ()
+    }
+    // cut = 48; feed [48, 54) then "kill", then [54, 60) on restart
+    writeChunk(emb.filter(col("vec_id") >= 48L && col("vec_id") < 54L), "chunk_0")
+    Similarity.streamingAnnIngest(spark, chunks, schema, cents, cells, map, 5, 8, s"$root/ckpt")
+    writeChunk(emb.filter(col("vec_id") >= 54L), "chunk_1")
+    Similarity.streamingAnnIngest(spark, chunks, schema, cents, cells, map, 5, 8, s"$root/ckpt")
+    // nprobe = nlist: the streamed ANN merges must equal the exact rebuild
+    val want = Similarity.knnGraph(emb, 5)
+      .select(col("anchor_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(map)
+      .select(col("anchor_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    // from-zero replay (fresh checkpoint): absorbed by the _knn_frontier
+    Similarity.streamingAnnIngest(spark, chunks, schema, cents, cells, map, 5, 8, s"$root/ckpt2")
+    val replayed = spark.read.parquet(map)
+      .select(col("anchor_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(replayed == want, "full replay must be absorbed")
+    graft.ops.Caches.releaseCaches(); spark.catalog.clearCache()
+  }
+
   test("replayed batch id is absorbed without touching the artifacts") {
     val emb = synthEmb(40)
     val (cents, cellsP, knnP) = Similarity.buildIvfKnnMaintPrefix(
