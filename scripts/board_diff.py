@@ -40,8 +40,12 @@ def main(old_path, new_path):
           f"{'SAME' if same_boot else 'DIFFERENT (expect a uniform 15-20% band)'}")
     print(f"loadavg_start: old={old.get('loadavg_start')} new={new.get('loadavg_start')}")
     for b, name in ((old, "old"), (new, "new")):
-        if float(b.get("loadavg_start", 0)) > 2.0:
-            print(f"!! {name} board is CONTAMINATED (loadavg_start > 2) — "
+        # the 1-min figure alone can be the launcher's own startup spike;
+        # foreign load shows in the 5-min average too (when stamped)
+        l1 = float(b.get("loadavg_start", 0))
+        l5 = float(b.get("loadavg_start5", l1))
+        if l1 > 2.0 and l5 > 2.0:
+            print(f"!! {name} board is CONTAMINATED (loadavg_start {l1}/{l5}) — "
                   "numbers not comparable")
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     ratios = {q: new["queries"][q] / old["queries"][q]

@@ -28,11 +28,19 @@ import java.util.concurrent.atomic.AtomicInteger
   * opt OUT with `SPARK_GRAFT_JOBLOG=0`).
   */
 object Bench {
-  /** 1-minute loadavg, sampled now (0.0 if /proc is unreadable). */
-  private def load1(): Double =
-    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-      .trim.split(" ")(0).toDouble
-    catch { case _: Throwable => 0.0 }
+  /** (1-minute, 5-minute) loadavg, sampled now (0.0 if /proc is
+    * unreadable). The 5-minute figure is what the contamination
+    * DIVERSION keys on: sbt's own startup (JVM spin-up + compile check
+    * on 32 cores) can push the 1-minute average past 2 before main()
+    * samples it even on a machine that was idle at launch — a foreign
+    * workload shows in BOTH figures, the self-spike only in the first. */
+  private def loads(): (Double, Double) =
+    try {
+      val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ")
+      (f(0).toDouble, f(1).toDouble)
+    } catch { case _: Throwable => (0.0, 0.0) }
+  private def load1(): Double = loads()._1
 
   private def procLine(p: String): String =
     try java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim
@@ -68,12 +76,16 @@ object Bench {
     // cross-round per-query comparison worthless). The CLAUDE.md rule
     // "never bench concurrently" enforced in code: refuse silently never,
     // warn loudly always.
-    val startLoad = load1()
+    val (startLoad, startLoad5) = loads()
+    val contaminated = startLoad > 2.0 && startLoad5 > 2.0
     if (startLoad > 2.0) {
       val banner =
         s"!!! BENCH CONTAMINATED: starting loadavg $startLoad > 2.0 — another " +
         "workload shares these cores; per-query numbers from this run are " +
-        "NOT comparable across rounds. Re-run on an idle machine. !!!"
+        "NOT comparable across rounds. Re-run on an idle machine. !!!" +
+        (if (!contaminated)
+          s" (5-min avg $startLoad5 <= 2: likely this launcher's own startup spike)"
+         else "")
       System.err.println(banner); println(banner)
     }
     val spark = SparkSession.builder()
@@ -187,7 +199,7 @@ object Bench {
     val unstable = results.filter(_._7).map(_._1)
     val stamps =
       s""""apply_events_per_sec":$eps,"sf":"$sfDir","loadavg":"$loadavg",""" +
-      s""""loadavg_start":${fmt(startLoad)},""" +
+      s""""loadavg_start":${fmt(startLoad)},"loadavg_start5":${fmt(startLoad5)},""" +
       s""""boot_id":"${bootId()}","uptime_sec":${fmt(uptimeSec())},""" +
       s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""fixture_rows":${fixtureRows.map { case (t, n) => "\"" + t + "\":" + n }.mkString("{", ",", "}")}"""
@@ -205,7 +217,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results.map(r => r._1 -> r._2))},""" +
       s"""$stamps,"runs":$runsJson,"load":$loadJson$jobsJson}"""
     val (boardPath, diverted) = resolveBoardPath(
-      sys.env.get("SPARK_GRAFT_BENCH_OUT"), startLoad > 2.0,
+      sys.env.get("SPARK_GRAFT_BENCH_OUT"), contaminated,
       p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     if (diverted) {
       val msg = s"!!! contaminated run: existing board left untouched; full JSON diverted to $boardPath !!!"
