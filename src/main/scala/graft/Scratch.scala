@@ -26,10 +26,37 @@ object Scratch {
     }))
   }
 
+  /** Scratch base tier: `SPARK_GRAFT_SCRATCH` when set, else a RAM-backed
+    * tmpfs (`/dev/shm`) when one is writable, else `java.io.tmpdir`.
+    *
+    * Everything under Scratch is process-ephemeral bookkeeping (streaming
+    * checkpoints/WALs, iterative-round checkpoints, staged artifact
+    * trees) whose durability tier is a DEPLOYMENT choice — on a cluster
+    * it points at the job's DFS scratch path via the env var. Locally the
+    * default was the disk-backed /tmp, which made every streaming
+    * micro-batch pay real fsync latency for WAL/state commits (and the
+    * latency grows as a long bench sweep accumulates dirty writeback from
+    * the artifact builders — measured round 13: stateful streaming
+    * queries ran 2-3.5x their isolated time deep into a full sweep).
+    * tmpfs makes those fsyncs memory-speed without changing any result:
+    * recovery-from-scratch semantics within the process are identical.
+    */
+  private lazy val base: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) Some(shm.resolve("graft_scratch"))
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(pick)
+    pick
+  }
+
   /** A fresh temp directory deleted (recursively) at JVM exit. */
   def dir(prefix: String): String = {
     installHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Files.createTempDirectory(base, prefix)
     created.add(p)
     p.toString
   }

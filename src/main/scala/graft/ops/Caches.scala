@@ -113,7 +113,7 @@ object Caches {
     // keep AQE's skew/coalesce wins.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4, spark.sparkContext.defaultParallelism / 4))
+      math.max(4, spark.sparkContext.defaultParallelism / 8))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try body finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)

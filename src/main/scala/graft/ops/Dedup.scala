@@ -2759,11 +2759,15 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, minSpanTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 3 // shingle width, shared with the whole dedup family
-    val sh = docs
+    // persisted: the tokenize+shingle+hash explode is the expensive pass
+    // and BOTH consumers below (the duplicated-hash census and the
+    // position join) re-derived it in full (2 corpus scans -> 1)
+    val sh = Caches.tracked(docs
       .select(col("doc_id"),
         posexplode(Tokenize.shingles3(Tokenize.tokens(col("text")))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         PortableHash.tokenHash(col("col")).as("h"))
+      .persist())
     // duplicated = hash in ≥ 2 distinct docs; distinct-then-count keeps
     // both phases partial-merged (no count(distinct) expand)
     val dup = sh.select("doc_id", "h").distinct()
